@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship BM25 top-k query at sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives each a DuckDB-runnable ANSI-SQL twin (views: region
+nation customer supplier part orders lineitem events documents embeddings).
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash): every computed column is aliased identically on both sides;
+integer outputs are BIGINT, floating outputs are DOUBLE rounded to 6 decimals
+on both sides (guards against summation-order ULP drift).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+from collections import Counter
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearch import queries_catalog
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _reference_queries() -> list[tuple[int, str]]:
+    qs = json.loads(open(os.path.join(_REPO, "tests", "queries.json")).read())["queries"]
+    return [(q["id"], q["text"]) for q in qs]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full BM25 top-10 over the reference query set at sf0.001."""
+    from sparksearch.querying import bm25_topk_from_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return bm25_topk_from_docs(spark, docs, _reference_queries(), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in queries_catalog.CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.sql
+        for name, spec in queries_catalog.CATALOG.items()
+        if spec.sql is not None
+    }

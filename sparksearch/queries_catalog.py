@@ -1,0 +1,221 @@
+"""Registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+One ``QuerySpec`` per implemented operator from SURVEY.md §2. Each Spark
+callable takes ``(spark, sf_dir)``; ``sql`` is the DuckDB twin over the
+pre-registered views (None ⇒ non-SQL-expressible, driver does rows-only).
+
+Output conventions shared by both sides (the driver hashes values
+order-insensitively after sorting columns by name): integers cast to BIGINT,
+floats rounded to 6 decimals, identical aliases everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .querying import bm25_topk_from_docs, parse_queries, unknown_terms
+from .stats import corpus_profile, corpus_stats
+from .tokenize import py_tokenize
+
+_REPO = Path(__file__).resolve().parent.parent
+K = 10
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    note: str = ""
+
+
+def reference_queries() -> list[tuple[int, str]]:
+    qs = json.loads((_REPO / "tests" / "queries.json").read_text())["queries"]
+    return [(q["id"], q["text"]) for q in qs]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+# ---------------------------------------------------------------- SQL pieces
+
+#: Tokenization CTEs — the exact SQL twin of tokenize.tokens_col.
+TOK_SQL = """
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, CAST(doc_id AS BIGINT) AS doc_id, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+doclen AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, COUNT(*) AS dl
+  FROM tok WHERE term <> '' GROUP BY 1
+),
+gstats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+),
+termstats AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS cf,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+  FROM postings GROUP BY 1
+)
+"""
+
+
+def query_values_sql() -> str:
+    """The reference query set as a VALUES CTE q(query_id, term, qtf) —
+    tokenized with the same pinned tokenizer as the engine."""
+    rows = []
+    for qid, text in reference_queries():
+        for term, qtf in sorted(Counter(py_tokenize(text)).items()):
+            rows.append(f"({qid}, '{term}', {qtf})")
+    return "q(query_id, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+BM25_SCORE_SQL = """
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+"""
+
+
+# ------------------------------------------------------------- Spark queries
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = bm25_topk_from_docs(spark, _docs(spark, sf_dir), reference_queries(), k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf_df, _, _, _ = corpus_stats(_docs(spark, sf_dir))
+    return tf_df.select("term", F.col("doc_id").cast("long"), F.col("tf").cast("long"))
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, dl_df, _, _ = corpus_stats(_docs(spark, sf_dir))
+    return dl_df.select(F.col("doc_id").cast("long"), F.col("dl").cast("long"))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, ts, _ = corpus_stats(_docs(spark, sf_dir))
+    return ts.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, stats = corpus_stats(_docs(spark, sf_dir))
+    return stats.select(
+        F.col("n_docs").cast("long").alias("n_docs"), F.round("avgdl", 6).alias("avgdl")
+    )
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = corpus_profile(_docs(spark, sf_dir))
+    return prof.select(
+        "lang", "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_sha256_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+def q_unknown_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, ts, _ = corpus_stats(_docs(spark, sf_dir))
+    qterms = parse_queries(spark, reference_queries())
+    return unknown_terms(qterms, ts).select(
+        F.col("query_id").cast("long").alias("query_id"), "term"
+    )
+
+
+CATALOG: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(
+        q_bm25_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "Q5/Q6 flagship: full BM25 (k1=1.2, b=0.75) top-10 over the reference query set",
+    ),
+    "term_postings": QuerySpec(
+        q_term_postings,
+        f"WITH {TOK_SQL.strip()} SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM postings",
+        "T1+T2+A1: exploded (term, docID, tf) postings",
+    ),
+    "doc_lengths": QuerySpec(
+        q_doc_lengths,
+        f"WITH {TOK_SQL.strip()} SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM doclen",
+        "A2: per-document token counts",
+    ),
+    "term_stats": QuerySpec(
+        q_term_stats,
+        f"""WITH {TOK_SQL.strip()}
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf, ROUND(idf, 6) AS idf
+FROM termstats""",
+        "A3+A5: document frequency, collection frequency, BM25 idf per term",
+    ),
+    "global_stats": QuerySpec(
+        q_global_stats,
+        f"""WITH {TOK_SQL.strip()}
+SELECT CAST(n_docs AS BIGINT) AS n_docs, ROUND(avgdl, 6) AS avgdl FROM gstats""",
+        "A4: corpus size and average document length",
+    ),
+    "corpus_profile": QuerySpec(
+        q_corpus_profile,
+        """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
+        "A6: multi-level rollup profile",
+    ),
+    "sha256_integrity": QuerySpec(
+        q_sha256_integrity,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS content_sha256 FROM documents",
+        "S3: row-wise content sha256 (integrity invariant, BASELINE.json:15)",
+    ),
+    "unknown_terms": QuerySpec(
+        q_unknown_terms,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()}
+SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term
+FROM q WHERE NOT EXISTS (SELECT 1 FROM postings p WHERE p.term = q.term)""",
+        "Q1 anti-join twin: query terms absent from the corpus",
+    ),
+}

@@ -1,0 +1,143 @@
+"""Q1–Q7: query parsing, BM25 scoring, top-k (SURVEY.md §2.5).
+
+Two scoring paths, proven rank-identical to each other and to the NumPy
+textbook oracle (tests/test_rank_identity.py):
+
+* ``score_logical`` (Q5) — the pure-DataFrame reference path: no UDF, no
+  pruning. Joins postings ⋈ dictionary ⋈ doclen, one score expression, one
+  aggregation, window top-k. This is the flagship driver-oracle query and the
+  forever cross-check for the physical engine.
+* ``daat.topk_wand`` (Q3, sparksearch.daat) — the physical path over the
+  compressed index: document-at-a-time traversal, block-max WAND pruning,
+  bounded per-partition heap.
+
+Determinism: the total order is always (score DESC, doc_id ASC) — rank
+identity across retries / partitioning / engines (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .stats import bm25_term_score_col, corpus_stats
+from .tokenize import py_tokenize
+
+TOPK_DEFAULT = 10
+
+
+def parse_queries(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """Q1: driver-side parse of the (tiny) query set into DF[query_id, term, qtf].
+
+    Repeated query terms become qtf > 1 (textbook query-term-frequency
+    multiplier); unknown terms are dropped later by the inner dictionary join.
+    """
+    rows = []
+    for qid, text in queries:
+        for term, qtf in sorted(Counter(py_tokenize(text)).items()):
+            rows.append((int(qid), term, int(qtf)))
+    return spark.createDataFrame(rows or [], "query_id int, term string, qtf int")
+
+
+def resolve_terms(qterms: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Q1b: resolve query terms against the dictionary — broadcast hash join;
+    unknown terms silently drop (inner). ``unknown_terms`` reports them."""
+    return dictionary.join(F.broadcast(qterms), "term", "inner")
+
+
+def unknown_terms(qterms: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Left-anti twin of ``resolve_terms``: query terms absent from the corpus."""
+    return qterms.join(dictionary, "term", "left_anti")
+
+
+def score_logical(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """Q5: pure-DataFrame BM25 top-k → DF[query_id, rank, doc_id, score].
+
+    Plan shape (verified via explain in tests): broadcast the per-query term
+    stats (≤ a few rows per query) against the postings table, so the big
+    side (tf) is never shuffled for the join; dl joins on doc_id (broadcast at
+    fixture scale, sort-merge at cluster scale — Catalyst/AQE decides);
+    groupBy(query_id, doc_id) is partial+final; top-k is a window per query.
+    """
+    q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
+    contrib = tf_df.join(F.broadcast(q), "term", "inner").join(dl_df, "doc_id")
+    scored = (
+        contrib.select(
+            "query_id",
+            "doc_id",
+            bm25_term_score_col(qtf="qtf").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return topk_per_query(scored, k)
+
+
+def topk_per_query(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
+    """Q4 (batched form): deterministic top-k per query via window row_number.
+
+    Tie-break (score DESC, doc_id ASC) is the engine-wide total order."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def global_topk(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
+    """Q4 (single-query form): orderBy+limit → TakeOrderedAndProject —
+    distributed per-partition top-k then single merge of ≤ P·k rows."""
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = TOPK_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q6 end-to-end logical path: raw document table + query set → rankings.
+
+    One job for the whole query set: queries live in a small DF cross-woven
+    into the scoring joins (no per-query driver loop)."""
+    tf_df, dl_df, term_stats, _ = corpus_stats(docs, text_col, id_col)
+    qterms = parse_queries(spark, queries)
+    return score_logical(qterms, tf_df, dl_df, term_stats, k)
+
+
+def rank_identity_report(actual: DataFrame, expected: DataFrame, tol: float = 1e-9) -> DataFrame:
+    """Q7: mismatches between two (query_id, rank, doc_id, score) rankings —
+    empty result ⟺ rank-identical with |Δscore| ≤ tol."""
+    a = actual.select(
+        "query_id", "rank",
+        F.col("doc_id").alias("doc_id_a"), F.col("score").alias("score_a"),
+    )
+    e = expected.select(
+        "query_id", "rank",
+        F.col("doc_id").alias("doc_id_e"), F.col("score").alias("score_e"),
+    )
+    j = a.join(e, ["query_id", "rank"], "full_outer")
+    return j.filter(
+        F.col("doc_id_a").isNull()
+        | F.col("doc_id_e").isNull()
+        | (F.col("doc_id_a") != F.col("doc_id_e"))
+        | (F.abs(F.col("score_a") - F.col("score_e")) > tol)
+    )

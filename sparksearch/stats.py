@@ -1,0 +1,106 @@
+"""A1–A6: index statistics as built-in Catalyst aggregations (SURVEY.md §2.3).
+
+All of these compile to partial+final HashAggregate with map-side combine —
+the shuffle moves one row per distinct key, not per posting. Nothing here
+touches Python at runtime.
+
+BM25 idf variant (pinned; the NumPy oracle and the DuckDB oracle SQL use the
+same formula — SURVEY.md §5.3):
+
+    idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .tokenize import explode_postings, tokenize_sql
+
+
+def term_freq(postings: DataFrame) -> DataFrame:
+    """A1: DF[term, doc_id, tf] from exploded DF[doc_id, term]."""
+    return postings.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_len(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A2: DF[doc_id, dl] — computed pre-explode via size(tokens) (cheaper:
+    no shuffle at all; the groupBy-after-explode variant is tested equal)."""
+    return tokenized.select(F.col(id_col), F.size("tokens").alias("dl"))
+
+
+def doc_len_via_agg(postings: DataFrame) -> DataFrame:
+    """A2-alt: same result through groupBy on the exploded rows (tested equal)."""
+    return postings.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
+
+
+def doc_freq(tf_df: DataFrame) -> DataFrame:
+    """A3: DF[term, df, cf] — rows of tf_df are already distinct per (term, doc)."""
+    return tf_df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def global_stats_df(dl_df: DataFrame) -> DataFrame:
+    """A4 (lazy form): 1-row DF[n_docs:bigint, avgdl:double] — kept as a
+    DataFrame so the whole build/query is one DAG (cross-joined broadcast),
+    no driver collect on the hot path."""
+    return dl_df.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def with_idf(df_stats: DataFrame, stats: DataFrame) -> DataFrame:
+    """A5: attach idf to DF[term, df, cf] given the 1-row stats DF."""
+    joined = df_stats.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+    )
+
+
+def bm25_term_score_col(tf="tf", idf="idf", dl="dl", avgdl="avgdl", qtf=None):
+    """The BM25 per-(term, doc) contribution as a Catalyst column expression:
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))    (k1=1.2, b=0.75)
+
+    Constant-folded by Catalyst; used identically by Q5 (pure-DataFrame path)
+    and by the block-max metadata computation in build.encode (B3).
+    """
+    tf_c, idf_c, dl_c, avgdl_c = (F.col(c) for c in (tf, idf, dl, avgdl))
+    score = (
+        idf_c
+        * (tf_c * F.lit(BM25_K1 + 1.0))
+        / (tf_c + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_c / avgdl_c))
+    )
+    if qtf is not None:
+        score = score * F.col(qtf)
+    return score
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Convenience: (tf_df, dl_df, term_stats_with_idf, global_stats_df) from a
+    raw document table. One tokenize pass feeds both tf and dl branches."""
+    tokenized = tokenize_sql(docs.select(id_col, text_col), text_col)
+    postings = explode_postings(tokenized, id_col)
+    tf_df = term_freq(postings)
+    dl_df = doc_len(tokenized, id_col)
+    stats = global_stats_df(dl_df)
+    ts = with_idf(doc_freq(tf_df), stats)
+    return tf_df, dl_df, ts, stats
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """A6: per-(lang, source) rollup — ops-dashboard style multi-level agg."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "n_docs", "total_chars")
+    )

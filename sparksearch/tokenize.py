@@ -1,0 +1,62 @@
+"""T1–T3: tokenization, posting explode, projection/filter (SURVEY.md §2.2).
+
+Canonical tokenizer (pinned in ONE place — the NumPy oracle, the DuckDB oracle
+SQL and both Spark paths all implement exactly this):
+
+    terms(text) = all maximal runs of [a-z0-9_] in lower(text)
+
+Two interchangeable implementations, tested equal (tests/test_tokenize.py):
+
+* ``tokenize_sql``   — pure Catalyst expressions (JVM, whole-stage codegen).
+  This is the default hot path: no Python boundary at all.
+* ``tokenize_pandas`` — the mandated vectorized Arrow/pandas UDF path
+  (BASELINE.json:15), kept as the demonstration of the UDF discipline and as
+  the extension point for code-aware tokenization (identifier splitting).
+
+Plain per-row ``F.udf`` is banned in this repo (tests/test_no_per_row_udf.py
+greps for it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_RE = r"[a-z0-9_]+"
+_SPLIT_RE = r"[^a-z0-9_]+"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Array-of-terms column, pure Catalyst (split on complement + drop '')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), _SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def tokenize_sql(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """T1a: add ``out`` = array<string> of terms via built-in expressions."""
+    return df.withColumn(out, tokens_col(text_col))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _tokenize_udf(texts: pd.Series) -> pd.Series:
+    # Vectorized: one Arrow batch in, pandas str-kernels, one batch out.
+    return texts.str.lower().str.findall(TOKEN_RE)
+
+
+def tokenize_pandas(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """T1b: same semantics as T1a through the Arrow/pandas-UDF boundary."""
+    return df.withColumn(out, _tokenize_udf(F.col(text_col)))
+
+
+def explode_postings(df: DataFrame, id_col: str = "doc_id", tokens: str = "tokens") -> DataFrame:
+    """T2: one output row per (token occurrence, doc): DF[doc_id, term]."""
+    return df.select(F.col(id_col), F.explode(F.col(tokens)).alias("term"))
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Driver-side tokenizer for query strings (Q1) — same definition."""
+    import re
+
+    return re.findall(TOKEN_RE, text.lower())

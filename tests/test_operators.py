@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB oracle gate (SURVEY.md §5.1.2):
+every ``queries()`` entry with an ``oracle_sql()`` twin is compared at sf0.01
+on row-count + column names + order-insensitive values — fail-fast before the
+driver runs the same diff."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from conftest import SF_CORRECT
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_CORRECT) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def _catalog():
+    from sparksearch import queries_catalog
+
+    return queries_catalog.CATALOG
+
+
+@pytest.mark.parametrize("name", sorted(_catalog().keys()))
+def test_operator_matches_duckdb(spark, ddb, name):
+    spec = _catalog()[name]
+    sdf = spec.fn(spark, str(SF_CORRECT))
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if spec.sql is None:
+        assert len(s_rows) >= 0  # rows-only check — mirror of the driver's weak gate
+        return
+    res = ddb.execute(spec.sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sc, sr = _canon(s_cols, s_rows)
+    dc, dr = _canon(d_cols, d_rows)
+    mism = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+    assert not mism, f"{name}: first mismatch {sr[mism[0]]} vs {dr[mism[0]]}"
