@@ -1,0 +1,149 @@
+"""Pure-NumPy posting-list block codec — no Spark imports (SURVEY.md §2.4 B3).
+
+Layout per (term, range_id) sub-list: docID-sorted postings packed into blocks
+of ≤ ``block_size`` postings. Per block:
+
+  first_doc_id     int64   — first docID, stored raw
+  last_doc_id      int64   — last docID (query-time pruning without decode)
+  n                int32   — postings in the block
+  doc_gaps         binary  — varint(LEB128) of diff(doc_ids)  (n-1 values, all ≥ 1)
+  tfs              binary  — varint of the n term frequencies
+  dls              binary  — varint of the n document lengths (self-contained
+                             scoring: query never joins a doc-length table —
+                             the pruned term blocks alone answer the query)
+  max_score        double  — max BM25 term contribution over the block
+                             (block-max WAND metadata, BASELINE.json:6)
+
+Everything is vectorized: varint encode loops over byte *positions* (≤ 10),
+decode is one pass of NumPy segment ops — never per-value Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized over values)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lens = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lens += tmp > 0
+        tmp >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    starts = offsets[:-1]
+    for j in range(int(lens.max())):
+        mask = lens > j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Decode a LEB128 byte stream to uint64 (vectorized segment sum)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if ends.size == 0 or ends[-1] != b.size - 1:
+        raise ValueError("truncated varint stream")
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    group = np.cumsum(is_last) - is_last  # exclusive prefix: group id per byte
+    pos = (np.arange(b.size) - starts[group]).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos)
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_sublist(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    dls: np.ndarray | None = None,
+):
+    """Pack one docID-sorted (term, range) sub-list into block rows.
+
+    Returns a dict of parallel arrays/lists:
+      first_doc_id, last_doc_id, n, max_score (np arrays) and
+      doc_gaps, tfs, dls (lists of bytes), one entry per block.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    if dls is None:
+        dls = np.zeros_like(tfs)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    n = doc_ids.size
+    if n == 0:
+        return {
+            "first_doc_id": np.empty(0, np.int64),
+            "last_doc_id": np.empty(0, np.int64),
+            "n": np.empty(0, np.int32),
+            "doc_gaps": [],
+            "tfs": [],
+            "dls": [],
+            "max_score": np.empty(0, np.float64),
+        }
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing")
+    bounds = np.arange(0, n, block_size)
+    ends = np.minimum(bounds + block_size, n)
+    gaps_all = np.diff(doc_ids).astype(np.uint64)  # all ≥ 1
+    out_first, out_last, out_n, out_ms = [], [], [], []
+    out_gaps, out_tfs, out_dls = [], [], []
+    for s, e in zip(bounds, ends):
+        out_first.append(doc_ids[s])
+        out_last.append(doc_ids[e - 1])
+        out_n.append(e - s)
+        # gaps within the block only: positions s..e-2 of gaps_all
+        out_gaps.append(varint_encode(gaps_all[s : e - 1]))
+        out_tfs.append(varint_encode(tfs[s:e]))
+        out_dls.append(varint_encode(dls[s:e]))
+        out_ms.append(float(scores[s:e].max()))
+    return {
+        "first_doc_id": np.array(out_first, np.int64),
+        "last_doc_id": np.array(out_last, np.int64),
+        "n": np.array(out_n, np.int32),
+        "doc_gaps": out_gaps,
+        "tfs": out_tfs,
+        "dls": out_dls,
+        "max_score": np.array(out_ms, np.float64),
+    }
+
+
+def decode_block(first_doc_id: int, doc_gaps: bytes, tfs: bytes):
+    """One block → (doc_ids int64, tfs int64)."""
+    gaps = varint_decode(doc_gaps).astype(np.int64)
+    ids = np.empty(gaps.size + 1, dtype=np.int64)
+    ids[0] = first_doc_id
+    if gaps.size:
+        ids[1:] = first_doc_id + np.cumsum(gaps)
+    return ids, varint_decode(tfs).astype(np.int64)
+
+
+def decode_doc_ids(first_doc_id: int, doc_gaps: bytes) -> np.ndarray:
+    gaps = varint_decode(doc_gaps).astype(np.int64)
+    ids = np.empty(gaps.size + 1, dtype=np.int64)
+    ids[0] = first_doc_id
+    if gaps.size:
+        ids[1:] = first_doc_id + np.cumsum(gaps)
+    return ids
+
+
+def decode_blocks(first_doc_ids, doc_gaps_list, tfs_list):
+    """Decode many blocks → concatenated (doc_ids, tfs)."""
+    ids_parts, tf_parts = [], []
+    for f, g, t in zip(first_doc_ids, doc_gaps_list, tfs_list):
+        ids, tf = decode_block(int(f), g, t)
+        ids_parts.append(ids)
+        tf_parts.append(tf)
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ids_parts), np.concatenate(tf_parts)

@@ -1,0 +1,189 @@
+"""Q1–Q4: document-at-a-time top-k over the compressed index (SURVEY.md §2.5).
+
+Physical query path (BASELINE.json:6: "document-at-a-time posting-list
+intersection with block-max WAND pruning and a bounded min-heap per
+partition"):
+
+  dictionary ⋈ broadcast(query terms)      — Q1: term resolution (BHJ)
+  segments.filter(bucket ∈ …, term ∈ …)    — Q2: partition-pruned, predicate-
+                                             pushed scan of exactly the query
+                                             terms' block rows
+  groupBy(range_id).applyInPandas(daat)    — Q3: per doc-range shard: decode,
+                                             score, block-max prune, bounded
+                                             top-k candidate set (≤ k + ties)
+  topk_per_query window                     — Q4: global merge of ≤ shards·k rows
+
+Exactness of the pruning (rank-identity-critical, SURVEY.md §7.4.2): ranges
+partition docID space and a document's postings for *every* term live in its
+range (build.py layout), so per-shard scores are complete. Within a shard the
+traversal is region-ordered block-max WAND: the block grid of the query's
+terms is overlaid into docID regions; each region's score upper bound is
+Σ_t qtf_t·blockmax_t(region); regions are visited in UB-descending order and
+traversal stops as soon as UB < θ − ε (θ = current kth score). Any unvisited
+document has score ≤ UB < θ, so it cannot enter the top-k even via the
+(score DESC, doc_id ASC) tie-break. WAND on/off is tested bit-identical.
+
+All per-posting work is NumPy over Arrow batches; the only Python-level loop
+is over *regions* (≥128 postings each), never rows (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .build import load_index
+from .querying import parse_queries, topk_per_query
+
+_EPS = 1e-12
+
+
+def _daat_group_fn(k: int, avgdl: float, wand: bool):
+    """Group UDF over one doc-range shard: all query-term block rows in it."""
+
+    def daat(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import varint_decode
+
+        out_q, out_d, out_s = [], [], []
+        for qid, qpdf in pdf.groupby("query_id", sort=True):
+            # --- assemble the per-term block grid (sorted for determinism)
+            qpdf = qpdf.sort_values(["term", "first_doc_id"], kind="stable")
+            firsts = qpdf["first_doc_id"].values.astype(np.int64)
+            lasts = qpdf["last_doc_id"].values.astype(np.int64)
+            weights = (qpdf["qtf"].values * qpdf["idf"].values).astype(np.float64)
+            bmax = qpdf["max_score"].values * qpdf["qtf"].values
+
+            # --- region overlay: breakpoints at block edges
+            bp = np.unique(np.concatenate([firsts, lasts + 1]))
+            lo, hi = bp[:-1], bp[1:]
+            n_regions = lo.size
+            # per region UB: each term's blocks are disjoint → at most one
+            # block per (term, region); accumulate via interval membership.
+            ub = np.zeros(n_regions, np.float64)
+            block_of_region = []  # per block: slice of region indices it covers
+            r_starts = np.searchsorted(lo, firsts, side="left")
+            r_ends = np.searchsorted(lo, lasts, side="right")
+            for i in range(len(firsts)):
+                sl = slice(r_starts[i], r_ends[i])
+                ub[sl] += bmax[i]
+                block_of_region.append(sl)
+
+            order = np.argsort(-ub, kind="stable") if wand else np.arange(n_regions)
+
+            # --- per-block decode cache (lazy)
+            dec: dict[int, tuple] = {}
+
+            def decode(i: int):
+                got = dec.get(i)
+                if got is None:
+                    gaps = varint_decode(qpdf["doc_gaps"].values[i]).astype(np.int64)
+                    ids = np.empty(gaps.size + 1, np.int64)
+                    ids[0] = firsts[i]
+                    if gaps.size:
+                        ids[1:] = firsts[i] + np.cumsum(gaps)
+                    tfs = varint_decode(qpdf["tfs"].values[i]).astype(np.float64)
+                    dls = varint_decode(qpdf["dls"].values[i]).astype(np.float64)
+                    # exact BM25 contribution, weighted by qtf (vectorized)
+                    sc = weights[i] * (tfs * (BM25_K1 + 1.0)) / (
+                        tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
+                    )
+                    got = dec[i] = (ids, sc)
+                return got
+
+            # region → overlapping block ids (inverse of block_of_region)
+            regions_blocks: list[list[int]] = [[] for _ in range(n_regions)]
+            for i, sl in enumerate(block_of_region):
+                for r in range(sl.start, sl.stop):
+                    regions_blocks[r].append(i)
+
+            # --- bounded candidate set (the per-partition "min-heap")
+            cand_ids = np.empty(0, np.int64)
+            cand_sc = np.empty(0, np.float64)
+            theta = -np.inf
+            for r in order:
+                if wand and ub[r] < theta - _EPS:
+                    break  # UB-descending order ⇒ nothing later can qualify
+                ids_parts, sc_parts = [], []
+                for i in regions_blocks[r]:
+                    ids, sc = decode(i)
+                    a = np.searchsorted(ids, lo[r], side="left")
+                    b = np.searchsorted(ids, hi[r], side="left")
+                    if a < b:
+                        ids_parts.append(ids[a:b])
+                        sc_parts.append(sc[a:b])
+                if not ids_parts:
+                    continue
+                rid = np.concatenate(ids_parts)
+                rsc = np.concatenate(sc_parts)
+                uids, inv = np.unique(rid, return_inverse=True)
+                usc = np.bincount(inv, weights=rsc)
+                cand_ids = np.concatenate([cand_ids, uids])
+                cand_sc = np.concatenate([cand_sc, usc])
+                if cand_ids.size > k:
+                    theta = np.partition(cand_sc, cand_ids.size - k)[cand_ids.size - k]
+                    keep = cand_sc >= theta - _EPS  # keep ties for doc_id break
+                    cand_ids, cand_sc = cand_ids[keep], cand_sc[keep]
+                elif cand_ids.size == k:
+                    theta = cand_sc.min()
+
+            if cand_ids.size:
+                top = np.lexsort((cand_ids, -cand_sc))[:k]
+                out_q.append(np.repeat(np.int64(qid), top.size))
+                out_d.append(cand_ids[top])
+                out_s.append(cand_sc[top])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return daat
+
+
+def daat_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    wand: bool = True,
+) -> DataFrame:
+    """Top-k over a built index → DF[query_id, rank, doc_id, score]."""
+    segments, dictionary, stats = load_index(spark, index_path)
+    qterms = parse_queries(spark, queries)
+    qinfo = dictionary.join(F.broadcast(qterms), "term").select(
+        "term", "bucket", "query_id", "qtf", "idf"
+    )
+    # Q1 resolution is driver-side tiny (|queries|·|terms| rows) — collect it
+    # to drive partition pruning with literal predicates.
+    rows = qinfo.collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    terms = sorted({r["term"] for r in rows})
+    buckets = sorted({int(r["bucket"]) for r in rows})
+
+    # Q2: pruned fetch — bucket prunes parquet partitions, term pushes down.
+    blocks = segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    qmeta = spark.createDataFrame(
+        [(r["term"], int(r["query_id"]), int(r["qtf"]), float(r["idf"])) for r in rows],
+        "term string, query_id int, qtf int, idf double",
+    )
+    qblocks = blocks.join(F.broadcast(qmeta), "term")
+
+    partial = qblocks.groupBy("range_id").applyInPandas(
+        _daat_group_fn(k, float(stats["avgdl"]), wand),
+        "query_id long, doc_id long, score double",
+    )
+    return topk_per_query(partial, k)

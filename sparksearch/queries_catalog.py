@@ -27,6 +27,25 @@ from .tokenize import py_tokenize
 _REPO = Path(__file__).resolve().parent.parent
 K = 10
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the physical index the physical-path
+    catalog entries query. Deterministic output — rebuilds are byte-identical."""
+    key = sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        import hashlib
+        import os
+
+        from .build import build_index
+
+        path = f"/tmp/sparksearch_index_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
+        os.makedirs(path, exist_ok=True)
+        build_index(spark, _docs(spark, sf_dir), path, n_buckets=16, n_ranges=8)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -164,6 +183,65 @@ def q_unknown_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .daat import daat_topk
+
+    idx = _index_for(spark, sf_dir)
+    df = daat_topk(spark, idx, reference_queries(), k=K, wand=True)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_index_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import decoded_postings, load_index
+
+    seg, _, _ = load_index(spark, _index_for(spark, sf_dir))
+    return decoded_postings(seg).select(
+        "term", F.col("doc_id").cast("long"), F.col("tf").cast("long")
+    )
+
+
+def q_index_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import load_index
+
+    _, dic, _ = load_index(spark, _index_for(spark, sf_dir))
+    return dic.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+def q_index_block_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ block n per term must equal df — the compressed layout loses nothing."""
+    from .build import load_index
+
+    seg, _, _ = load_index(spark, _index_for(spark, sf_dir))
+    return seg.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+
+
+def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: manifest lineage after a fresh 4-unit resumable build
+    (timings are runtime-dependent — not SQL-comparable)."""
+    import tempfile
+
+    from .checkpoint import build_resumable, manifest_df
+
+    with tempfile.TemporaryDirectory() as tmp:
+        build_resumable(
+            spark, _docs(spark, sf_dir), tmp, n_units=4,
+            n_buckets=8, n_ranges=4, finalize=False,
+        )
+        return manifest_df(spark, tmp).select(
+            "partition_id", "n_docs", "n_postings", "postings_per_sec"
+        )
+
+
 CATALOG: dict[str, QuerySpec] = {
     "bm25_topk": QuerySpec(
         q_bm25_topk,
@@ -209,6 +287,39 @@ FROM documents GROUP BY ROLLUP (lang, source)""",
         q_sha256_integrity,
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS content_sha256 FROM documents",
         "S3: row-wise content sha256 (integrity invariant, BASELINE.json:15)",
+    ),
+    "daat_topk_wand": QuerySpec(
+        q_daat_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "Q1–Q4 physical path: build compressed index, DAAT + block-max WAND + "
+        "bounded heap — must equal the unpruned SQL BM25 exactly",
+    ),
+    "index_decoded_postings": QuerySpec(
+        q_index_decoded_postings,
+        f"WITH {TOK_SQL.strip()} SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM postings",
+        "B3/B4 inverse: delta+varint decode of the whole segment layout ≡ logical postings",
+    ),
+    "index_dictionary": QuerySpec(
+        q_index_dictionary,
+        f"""WITH {TOK_SQL.strip()}
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf, ROUND(idf, 6) AS idf
+FROM termstats""",
+        "B5: dictionary built from segments ≡ logical term stats",
+    ),
+    "index_block_coverage": QuerySpec(
+        q_index_block_coverage,
+        f"WITH {TOK_SQL.strip()} SELECT term, CAST(df AS BIGINT) AS df FROM termstats",
+        "block row-count conservation: Σ n over a term's blocks == df",
+    ),
+    "resume_manifest": QuerySpec(
+        q_resume_manifest,
+        None,
+        "S5/R3 rows-only: per-unit lineage + postings/sec metrics",
     ),
     "unknown_terms": QuerySpec(
         q_unknown_terms,
