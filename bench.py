@@ -1,0 +1,116 @@
+"""Headline benchmark — driver contract (run per-round → BENCH_r{N}.json).
+
+Runs the engine's headline operations at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>, ...extras}
+
+Headline set (each is a full job, timed to action completion):
+
+* ``index_build``        — documents → compressed posting segments + dictionary
+                           (tokenize, explode, tf agg, salted repartition,
+                           block encode, bucket layout write)
+* ``bm25_topk_logical``  — pure-DataFrame BM25 top-10, full reference query set
+* ``daat_topk_wand``     — physical path: pruned segment scan, DAAT + block-max
+                           WAND + bounded heap
+* training-data pipeline ops (dedup / ANN / text analysis) when present —
+  registered in ``_PIPELINE_BENCHES`` below.
+
+Scaling-efficiency evidence (north rule N→4N) is produced by
+``jobs/bench_scaling.py``, which runs THIS module's index_build at local[8]
+and local[32] and appends to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from sparksearch.session import get_spark
+
+    spark = get_spark(
+        app_name="sparksearch-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    from sparksearch import queries_catalog
+    from sparksearch.build import build_index
+    from sparksearch.daat import daat_topk
+    from sparksearch.querying import bm25_topk_from_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()  # warm the session + file listing outside the window
+    ref_queries = queries_catalog.reference_queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {"n_docs": float(n_docs)}
+
+    index_path = f"/tmp/sparksearch_bench_index_{CPUS}"
+
+    t0 = time.perf_counter()
+    stats = build_index(spark, docs, index_path, n_buckets=32, n_ranges=CPUS)
+    timings["index_build"] = time.perf_counter() - t0
+    extras["docs_per_sec"] = n_docs / timings["index_build"]
+    extras["n_postings"] = float(
+        spark.read.parquet(f"{index_path}/segments").agg({"n": "sum"}).collect()[0][0]
+    )
+    extras["postings_per_sec"] = extras["n_postings"] / timings["index_build"]
+    extras["avgdl"] = float(stats["avgdl"])
+
+    t0 = time.perf_counter()
+    bm25_topk_from_docs(spark, docs, ref_queries, k=10).collect()
+    timings["bm25_topk_logical"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    daat_topk(spark, index_path, ref_queries, k=10, wand=True).collect()
+    timings["daat_topk_wand"] = time.perf_counter() - t0
+
+    # Training-data pipeline headliners — any catalog entry named here that
+    # exists runs against the same sf dir (they self-contain their inputs).
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+    ):
+        spec = queries_catalog.CATALOG.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).collect()
+        timings[name] = time.perf_counter() - t0
+
+    result = {
+        "metric": "headline_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        **{k: round(v, 3) for k, v in extras.items()},
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
