@@ -1,0 +1,492 @@
+"""Driver-oracle catalog entries for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal / relational coverage).
+
+Merged into ``queries_catalog.CATALOG``. Every deterministic operator gets an
+exact DuckDB SQL twin; the md5-derived ``h60`` hash (textpipe.h60) is
+bit-identical across engines, so MinHash signatures, SimHash bits and
+winnowing fingerprints are value-checked, not just row-counted. Float outputs
+are rounded to 6 decimals on both sides before ranking/filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ SQL fragments
+
+#: DuckDB twin of tokenize.tokens_col — list of [a-z0-9_]+ runs.
+_TS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+
+
+def _h60(expr: str) -> str:
+    """DuckDB twin of textpipe.h60 — first 15 md5 hex chars as int64."""
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+#: tokenized docs + distinct 3-gram shingles (twin of textpipe.doc_shingles)
+SHINGLE_SQL = f"""
+tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(ts) >= 3
+      THEN list_transform(generate_series(1, len(ts) - 2),
+                          i -> ts[i] || '|' || ts[i+1] || '|' || ts[i+2])
+      ELSE [array_to_string(ts, '|')]
+    END) AS shingle
+  FROM tokd
+)
+"""
+
+#: exact-jaccard tail shared by the brute-force and LSH-verified paths;
+#: expects a CTE ``pairs(doc_id_a, doc_id_b)`` of candidate pairs.
+JACCARD_TAIL_SQL = """
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b, ROUND(i.i / (ca.n + cb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_id_a
+JOIN cnt cb ON cb.doc_id = i.doc_id_b
+WHERE i.i / (ca.n + cb.n - i.i) >= 0.8
+"""
+
+SIMHASH_SIG_SQL = f"""
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, g.b,
+         SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN tf ELSE -tf END) AS wsum
+  FROM (SELECT doc_id, tf, {_h60("term")} AS h FROM postings),
+       (SELECT unnest(generate_series(0, 59)) AS b) g
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN wsum > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+)
+"""
+
+EMB_SQL = """
+e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings)
+"""
+
+COSINE_EXPR = (
+    "list_dot_product(a_v, b_v) / "
+    "(sqrt(list_dot_product(a_v, a_v)) * sqrt(list_dot_product(b_v, b_v)))"
+)
+
+
+# -------------------------------------------------------------- Spark sides
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .textpipe import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .textpipe import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return df.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from .textpipe import minhash_lsh_dedup
+
+    df = minhash_lsh_dedup(_docs(spark, sf_dir))
+    return df.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .textpipe import simhash_dedup
+
+    df = simhash_dedup(_docs(spark, sf_dir))
+    return df.select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_simhash_signatures(spark, sf_dir):
+    from .textpipe import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from .textpipe import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from .textpipe import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from .textpipe import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from .textpipe import text_quality
+
+    return text_quality(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .vectors import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from .vectors import lsh_ann_topk
+
+    return lsh_ann_topk(_emb(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from .vectors import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from .multimodal import payload_meta
+
+    return payload_meta(_docs(spark, sf_dir))
+
+
+def q_multimodal_byte_histogram(spark, sf_dir):
+    from .multimodal import byte_histogram
+
+    return byte_histogram(_docs(spark, sf_dir))
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    from .multimodal import frame_sample
+
+    return frame_sample(_docs(spark, sf_dir))
+
+
+def q_events_hourly(spark, sf_dir):
+    from .relational import events_hourly
+
+    return events_hourly(_events(spark, sf_dir))
+
+
+def q_events_json_props(spark, sf_dir):
+    from .relational import events_json_props
+
+    return events_json_props(_events(spark, sf_dir))
+
+
+def q_events_sessions(spark, sf_dir):
+    from .relational import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_orders_monthly(spark, sf_dir):
+    from .relational import orders_monthly
+
+    return orders_monthly(spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet"))
+
+
+def q_delta_encode_demo(spark, sf_dir):
+    from .relational import delta_encode_demo
+
+    return delta_encode_demo(_events(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- registry
+
+
+def build_pipeline_catalog():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "dedup_exact": QuerySpec(
+            q_dedup_exact,
+            """SELECT sha256(text) AS content_sha256, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY 1""",
+            "exact dedup: hash-groupBy on sha256(content), canonical survivor",
+        ),
+        "dedup_ngram_jaccard": QuerySpec(
+            q_dedup_ngram_jaccard,
+            f"""WITH {SHINGLE_SQL.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{JACCARD_TAIL_SQL.strip()}""",
+            "brute-force word-3-gram jaccard near-dup pairs (small-scale baseline)",
+        ),
+        "dedup_minhash_lsh": QuerySpec(
+            q_dedup_minhash_lsh,
+            f"""WITH {SHINGLE_SQL.strip()},
+mh AS (
+  SELECT doc_id, g.seed,
+         MIN({_h60("g.seed::VARCHAR || '|' || shingle")}) AS minh
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) g
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM mh GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+{JACCARD_TAIL_SQL.strip()}""",
+            "MinHash(16)+LSH(8 bands × 2) candidates, exact-jaccard verified — "
+            "identical pipeline both engines (h60 is cross-engine)",
+        ),
+        "dedup_simhash": QuerySpec(
+            q_dedup_simhash,
+            f"""WITH {SIMHASH_SIG_SQL.strip()}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+            "SimHash near-dups: Spark uses the exact pigeonhole chunk join, "
+            "oracle brute-forces n² — equal output",
+        ),
+        "simhash_signatures": QuerySpec(
+            q_simhash_signatures,
+            f"WITH {SIMHASH_SIG_SQL.strip()} SELECT doc_id, simhash FROM sig",
+            "60-bit tf-weighted-majority SimHash per document",
+        ),
+        "doc_fingerprints": QuerySpec(
+            q_doc_fingerprints,
+            f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+khs AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 5
+           THEN list_transform(generate_series(1, len(ts) - 4),
+                i -> {_h60("ts[i] || '|' || ts[i+1] || '|' || ts[i+2] || '|' || ts[i+3] || '|' || ts[i+4]")})
+           ELSE [{_h60("array_to_string(ts, '|')")}]
+         END AS khs
+  FROM tokd
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(khs) >= 4
+           THEN list_transform(generate_series(1, len(khs) - 3),
+                               j -> list_min(list_slice(khs, j, j + 3)))
+           ELSE [list_min(khs)]
+         END AS fps
+  FROM khs
+)
+SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)""",
+            "winnowing fingerprints: k=5-gram h60 hashes, window-4 local minima",
+        ),
+        "lang_id": QuerySpec(
+            q_lang_id,
+            f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter({_TS}, x -> x IN ('a','the','of','to','and','in','is','it','on','for'))) AS BIGINT) AS en_hits,
+       CAST(len(list_filter({_TS}, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS BIGINT) AS de_hits,
+       CAST(len(list_filter({_TS}, x -> x IN ('le','la','les','et','est','un','une','dans'))) AS BIGINT) AS fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS predicted_lang
+FROM documents""",
+            "stopword-profile language ID with deterministic tiebreak",
+        ),
+        "token_counts": QuerySpec(
+            q_token_counts,
+            f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len({_TS}) AS BIGINT) AS n_word_tokens,
+       CAST(COALESCE(list_sum(list_transform({_TS},
+            x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_est
+FROM documents""",
+            "token accounting: whitespace, word-regex, BPE chars/4 estimate",
+        ),
+        "text_quality": QuerySpec(
+            q_text_quality,
+            f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN ('a','the','of','to','and','in','is','it','on','for'))) AS BIGINT) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         ROUND(sum_len / n_tokens, 6) AS mean_token_len,
+         ROUND(sw / n_tokens, 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3
+             + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM r""",
+            "heuristic quality score: length, token shape, stopword naturalness",
+        ),
+        "ann_cosine_topk": QuerySpec(
+            q_ann_cosine_topk,
+            f"""WITH {EMB_SQL.strip()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 10""",
+            "exact brute-force cosine top-10 (ANN baseline); queries = vec_id < 5",
+        ),
+        "ann_lsh_topk": QuerySpec(
+            q_ann_lsh_topk,
+            None,
+            "hyperplane-LSH bucketed ANN (rows-only: recall-vs-exact measured "
+            "in tests/test_vectors.py; returned scores are exact cosines)",
+        ),
+        "dedup_embedding_cosine": QuerySpec(
+            q_dedup_embedding_cosine,
+            f"""WITH {EMB_SQL.strip()}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45""",
+            "embedding-cosine near-dup pairs (brute force at this scale; "
+            "LSH bucketing is the scale path)",
+        ),
+        "multimodal_meta": QuerySpec(
+            q_multimodal_meta,
+            """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       lower(hex(substring(text, 1, 8))) AS head_hex
+FROM documents""",
+            "binary-payload metadata extracted JVM-side (sha256/hex over binary)",
+        ),
+        "multimodal_byte_histogram": QuerySpec(
+            q_multimodal_byte_histogram,
+            """WITH ch AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> ord(substring(text, i, 1)))) AS o
+  FROM documents
+)
+SELECT doc_id, CAST(o % 16 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM ch GROUP BY 1, 2""",
+            "feature-extract over binary payloads via mapInPandas (NumPy "
+            "bincount per Arrow batch) — oracle recomputes from characters",
+        ),
+        "multimodal_frame_sample": QuerySpec(
+            q_multimodal_frame_sample,
+            """WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         unnest(generate_series(0, least(7, (length(text) - 1) // 7))) AS frame_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(ord(substring(text, 1 + frame_idx * 7, 1)) AS BIGINT) AS frame_val
+FROM f""",
+            "strided 'frame sampling' read pattern over the opaque payload",
+        ),
+        "events_hourly": QuerySpec(
+            q_events_hourly,
+            """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+            "tumbling-hour rollup (batch twin of the streaming windowed count)",
+        ),
+        "events_json_props": QuerySpec(
+            q_events_json_props,
+            """SELECT event_type,
+       CAST(json_extract_string(props, '$.k')::BIGINT // 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2""",
+            "JSON props parsed with from_json → typed map → bucketed rollup",
+        ),
+        "events_sessions": QuerySpec(
+            q_events_sessions,
+            """WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(floor(epoch(ts))) - MIN(floor(epoch(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY 1, 2""",
+            "gap-based sessionization: lag + conditional cumsum per user",
+        ),
+        "orders_monthly": QuerySpec(
+            q_orders_monthly,
+            """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_price
+FROM orders GROUP BY 1, 2""",
+            "date-function coverage: monthly order rollup",
+        ),
+        "delta_encode_demo": QuerySpec(
+            q_delta_encode_demo,
+            """WITH l AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         list_sort(list(CAST(event_id AS BIGINT))) AS ids
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT user_id, ids,
+         list_transform(generate_series(2, len(ids)), i -> ids[i] - ids[i-1]) AS gaps
+  FROM l
+)
+SELECT user_id, CAST(len(ids) AS BIGINT) AS n_ids,
+       CAST(COALESCE(list_sum(gaps), 0) AS BIGINT) AS sum_gaps,
+       CAST(COALESCE(list_max(gaps), 0) AS BIGINT) AS max_gap
+FROM g""",
+            "higher-order-function coverage: pure-SQL delta encoding of per-user "
+            "event-id lists (cousin of codec.encode_sublist)",
+        ),
+    }

@@ -330,3 +330,9 @@ FROM q WHERE NOT EXISTS (SELECT 1 FROM postings p WHERE p.term = q.term)""",
         "Q1 anti-join twin: query terms absent from the corpus",
     ),
 }
+
+# Training-data pipeline operators (dedup / ANN / text analysis / multimodal /
+# relational coverage) — defined in catalog_pipeline to keep this file readable.
+from .catalog_pipeline import build_pipeline_catalog  # noqa: E402
+
+CATALOG.update(build_pipeline_catalog())

@@ -1,0 +1,120 @@
+"""Relational coverage operators over the events/orders fixtures
+(SURVEY.md §2.7 scalar-function surface + §2.8 batch twins of the streaming
+windows): date bucketing, JSON extraction, tumbling windows, sessionization.
+
+These are the date / JSON / map / window function families the engine uses,
+each as a driver-oracle-checked query. All pure Catalyst — partial+final
+aggregation, window functions, no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-hour rollup per event type → DF[hour_start, event_type,
+    n_events, sum_value]. The batch twin of the streaming windowed count
+    (streaming.windowed_event_counts uses F.window over the same column)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def events_json_props(events: DataFrame) -> DataFrame:
+    """JSON prop extraction → DF[event_type, k_bucket, n]: parse props with
+    from_json into a typed map, bucket the numeric payload. Exercises the
+    map/JSON function family (from_json + element_at)."""
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "map<string,long>").alias("m"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            (F.element_at(F.col("m"), "k") / F.lit(10)).cast("long").alias("k_bucket"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def orders_monthly(orders: DataFrame) -> DataFrame:
+    """Monthly order rollup → DF[o_year, o_month, n_orders, total_price]."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization → DF[user_id, session_id, n_events,
+    duration_sec]. A session breaks when a user is idle > gap_min minutes.
+
+    Classic lag + conditional cumsum over a per-user window — shuffles once
+    on user_id (hash-partitioned, no skew: user activity is bounded); the
+    streaming twin is session_window in streaming.py."""
+    # ts is TIMESTAMP_NTZ in the fixtures — route to epoch seconds through a
+    # session-TZ cast (session is pinned UTC, so this equals DuckDB's naive
+    # epoch(ts) exactly).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "event_id", "ts", epoch.alias("ep"),
+        F.when(
+            epoch - F.lag(epoch).over(w) > gap_min * 60,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w).cast("long")
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), "session_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ep") - F.min("ep")).cast("long").alias("duration_sec"),
+    )
+
+
+def delta_encode_demo(events: DataFrame) -> DataFrame:
+    """Array higher-order-function coverage: per-user ordered event-id list →
+    delta-encoded gaps via zip_with on a shifted copy (the pure-SQL cousin of
+    codec.encode_sublist). DF[user_id, n_ids, sum_gaps, max_gap]."""
+    per_user = events.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sort_array(F.collect_list(F.col("event_id").cast("long"))).alias("ids")
+    )
+    gaps = F.zip_with(
+        F.slice(F.col("ids"), 2, F.greatest(F.size("ids") - 1, F.lit(0))),
+        F.slice(F.col("ids"), 1, F.greatest(F.size("ids") - 1, F.lit(0))),
+        lambda a, b: a - b,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("ids").cast("long").alias("n_ids"),
+        F.coalesce(
+            F.aggregate(gaps, F.lit(0).cast("long"), lambda acc, x: acc + x), F.lit(0)
+        ).cast("long").alias("sum_gaps"),
+        F.coalesce(F.array_max(gaps), F.lit(0)).cast("long").alias("max_gap"),
+    )

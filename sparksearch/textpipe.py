@@ -1,0 +1,399 @@
+"""Training-data pipeline: deduplication + text analysis over the corpus.
+
+Large-scale corpora (the 10^12-file regime of BASELINE.json:14) need more than
+retrieval: dedup, quality filtering, language ID, token accounting and
+fingerprinting are first-class build steps. Everything here is expressed as
+declarative DataFrame ops (JVM-side, whole-stage codegen) — no Python in the
+hot path — and every deterministic operator has an exact DuckDB SQL twin in
+``queries_catalog`` (driver correctness gate).
+
+Cross-engine hash: ``h60(s)`` = the first 15 hex chars of md5(s) as int64
+(60 bits, always non-negative). Spark ``conv(substring(md5(s),1,15),16,10)``
+and DuckDB ``('0x'||substring(md5(s),1,15))::BIGINT`` agree bit-for-bit
+(validated in tests), so MinHash signatures, SimHash bits and winnowing
+fingerprints are *identical* across engines — the oracle checks real values,
+not just shapes. md5 here is a deterministic mixer, not a security primitive.
+
+Scale design notes (per operator):
+
+* exact dedup — one hash-aggregate on sha256(content); fully map-side
+  combinable; no skew (hashes are uniform).
+* MinHash+LSH — the scale path for near-dup: cost is O(docs × shingles ×
+  n_hashes) map-side + a self-join on LSH band keys whose buckets are small
+  by construction. Exact verification runs only on candidate pairs. The
+  brute-force n² jaccard join (``ngram_jaccard_pairs``) exists as the
+  small-scale oracle/baseline, never the scale path.
+* SimHash — per-term 60-bit hashes aggregated into a weighted-majority
+  signature (linear in postings), then the *exact* pigeonhole bucket join:
+  4 chunks of 15 bits; any pair at Hamming distance ≤ 3 shares ≥ 1 chunk,
+  so the chunk-equality self-join finds all such pairs without n² compare.
+* winnowing fingerprints — Schleimer/Wilkerson/Aiken local minima of k-gram
+  hashes; linear map-side work, output ~n_tokens/w rows per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .tokenize import tokens_col
+
+# ----------------------------------------------------------------- primitives
+
+SHINGLE_K = 3            # word n-gram width for jaccard/minhash dedup
+MINHASH_N = 16           # minhash signature length
+LSH_ROWS = 2             # rows per LSH band  → 8 bands of 2
+LSH_BANDS = MINHASH_N // LSH_ROWS
+JACCARD_THRESHOLD = 0.8  # fixture near-dups sit at ≥0.9, noise at <0.1
+SIMHASH_BITS = 60        # h60 width
+SIMHASH_CHUNKS = 4       # pigeonhole chunks → exact for hamming ≤ 3
+SIMHASH_MAX_HAMMING = 3
+FINGERPRINT_K = 5        # winnowing k-gram (tokens)
+FINGERPRINT_W = 4        # winnowing window (k-grams)
+
+
+def h60(col: Column) -> Column:
+    """60-bit md5-derived int64 — bit-identical to the DuckDB twin
+    ``('0x'||substring(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-grams joined with '|', 1-based positions (mirrors the
+    DuckDB twin exactly). Docs shorter than k shingle to the whole doc."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.concat_ws(
+            "|", *[F.element_at(tokens, i + off) for off in range(k)]
+        ),
+    )
+    # Guard: Spark sequence(1, n) with n < 1 counts DOWN — never let it.
+    return F.array_distinct(
+        F.when(F.size(tokens) >= k, grams).otherwise(
+            F.array(F.concat_ws("|", F.array_join(tokens, "|")))
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DF[doc_id, shingle] — distinct word k-grams per document."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("shingle"),
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash → DF[content_sha256, n_copies,
+    keep_doc_id]. ``keep_doc_id`` = min doc_id (the canonical survivor).
+
+    Scale: single hash-aggregate, map-side combinable, uniform keys — the one
+    dedup that is embarrassingly scalable. Run it first; it shrinks the input
+    to every near-dup pass behind it."""
+    return docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(F.col(id_col).cast("long")).alias("keep_doc_id"),
+    )
+
+
+# --------------------------------------------------- n-gram jaccard (exact)
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for doc pairs from a shingle table DF[doc_id, shingle].
+
+    With ``pairs`` (DF[doc_id_a, doc_id_b]) only those pairs are scored
+    (the LSH verify path); without, all intersecting pairs are (brute force —
+    small-scale oracle/baseline only, this is the n² join)."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    if pairs is not None:
+        a = a.join(pairs.select("doc_id_a").distinct(), "doc_id_a")
+        inter = a.join(b, "shingle").join(pairs, ["doc_id_a", "doc_id_b"])
+    else:
+        inter = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    inter = inter.groupBy("doc_id_a", "doc_id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    return (
+        inter.join(cnt.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(cnt.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Brute-force shingle-jaccard near-dup pairs (doc_id_a < doc_id_b,
+    jaccard ≥ threshold). The exact baseline LSH is checked against — at
+    cluster scale use ``minhash_lsh_dedup`` (this one self-joins on shingle,
+    which is n·df_shingle and blows up on 10^12 docs)."""
+    return _pair_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = MINHASH_N) -> DataFrame:
+    """DF[doc_id, seed, minh]: minh = min over shingles of h60(seed|shingle).
+
+    One explode by n_hashes then a map-side-combinable min aggregate — linear
+    in (shingles × n_hashes), no skew (doc_id keys)."""
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    return (
+        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            h60(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def lsh_band_keys(sig: DataFrame, rows_per_band: int = LSH_ROWS) -> DataFrame:
+    """DF[doc_id, band, bkey]: band key = md5 of the band's signature slice,
+    seeds in ascending order (DuckDB twin: string_agg(... ORDER BY seed))."""
+    banded = sig.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+        lambda x: x["minh"].cast("string"),
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.array_join(ordered, ",")).alias("bkey")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_hashes: int = MINHASH_N,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact verification →
+    DF[doc_id_a, doc_id_b, jaccard] (jaccard ≥ threshold).
+
+    The scale path: candidates come from equality self-joins on LSH band
+    keys (bucket sizes are tiny by construction; with 8 bands × 2 rows a
+    jaccard-0.8 pair is missed with prob (1-0.8²)^8 ≈ 1.7e-5), then only
+    candidates pay the exact jaccard join. Deterministic end-to-end (h60
+    seeds, no rand()) — the DuckDB oracle reproduces the identical pipeline
+    and the driver compares actual pair sets and jaccard values."""
+    sh = doc_shingles(docs)
+    keys = lsh_band_keys(minhash_signatures(sh, n_hashes), rows_per_band)
+    a = keys.select(F.col("doc_id").alias("doc_id_a"), "band", "bkey")
+    b = keys.select(F.col("doc_id").alias("doc_id_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DF[doc_id, simhash]: 60-bit SimHash — per-bit tf-weighted majority over
+    h60(term) of the document's terms.
+
+    Declarative plan: postings (term, doc_id, tf) × 60 bit positions →
+    two hash-aggregates. The 60× row blowup stays inside whole-stage codegen
+    (cheap long arithmetic); at 10^12 scale swap in a pandas_udf packing the
+    60 counters into one NumPy array per batch if the exchange ever shows up
+    in profiles — semantics are pinned by this version."""
+    from .stats import term_freq
+    from .tokenize import explode_postings, tokenize_sql
+
+    toks = tokenize_sql(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), text_col
+    )
+    tf = term_freq(explode_postings(toks))  # term, doc_id, tf
+    bits = (
+        tf.withColumn("h", h60(F.col("term")))
+        .select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .withColumn(
+            "w",
+            F.when(
+                F.expr("(h >> b) & 1") == 1, F.col("tf")
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("wsum") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-dup pairs → DF[doc_id_a, doc_id_b, hamming] (≤ max_hamming).
+
+    Exact at scale via pigeonhole: 60 bits in 4 chunks of 15 — a pair within
+    Hamming distance 3 must agree on ≥ 1 whole chunk, so the chunk-equality
+    self-join (small buckets, no n²) finds every such pair; bit_count(xor)
+    then verifies exactly. The DuckDB oracle brute-forces n² — results equal."""
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
+    ).withColumn("chunk_val", F.expr("(simhash >> (15 * c)) & 32767"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "c", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"), "c", "chunk_val"
+    )
+    return (
+        a.join(b, ["c", "chunk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------- fingerprints
+
+def doc_fingerprints(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints → DF[doc_id, fp].
+
+    k-token rolling h60 hashes; a fingerprint is the minimum hash in each
+    window of w consecutive k-grams (Schleimer et al., SIGMOD 2003 — local
+    algorithm, so purely map-side: no shuffle until the final distinct)."""
+    tokens = tokens_col(F.col(text_col))
+    khs = F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+            lambda i: h60(
+                F.concat_ws("|", *[F.element_at(tokens, i + off) for off in range(k)])
+            ),
+        ),
+    ).otherwise(F.array(h60(F.array_join(tokens, "|"))))
+    fps = F.when(
+        F.size(F.col("khs")) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("khs")) - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("khs"), j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("khs"))))
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), khs.alias("khs"))
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+EN_STOPWORDS = ("a", "the", "of", "to", "and", "in", "is", "it", "on", "for")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+FR_STOPWORDS = ("le", "la", "les", "et", "est", "un", "une", "dans")
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*words))).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID → DF[doc_id, en_hits, de_hits, fr_hits,
+    predicted_lang]. Deterministic tiebreak: en ≥ de ≥ fr.
+
+    The n-gram-profile heuristic reduced to function-word hit counting —
+    pure codegen, no UDF; real corpora swap in bigger profiles, same plan."""
+    t = tokens_col(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _hits(t, EN_STOPWORDS).alias("en_hits"),
+        _hits(t, DE_STOPWORDS).alias("de_hits"),
+        _hits(t, FR_STOPWORDS).alias("fr_hits"),
+    )
+    return d.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
+            F.lit("en"),
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), F.lit("de"))
+        .otherwise(F.lit("fr")),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token accounting → DF[doc_id, n_ws_tokens, n_word_tokens, n_subword_est].
+
+    n_ws: whitespace pieces; n_word: regex word tokens (the engine
+    tokenizer); n_subword_est: Σ ceil(len/4) per word — the standard
+    chars/4 BPE budget estimate, computed per token."""
+    t = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(t).cast("long").alias("n_word_tokens"),
+        F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("long"),
+        ).alias("n_subword_est"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score → DF[doc_id, n_chars, n_tokens, mean_token_len,
+    stopword_ratio, quality_score].
+
+    quality = 0.4·min(n_tokens/100, 1) + 0.3·(1 − min(|mean_len − 5|/5, 1))
+            + 0.3·min(5·stopword_ratio, 1)   — length, shape, naturalness."""
+    t = tokens_col(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("sum_len"),
+        _hits(t, EN_STOPWORDS).alias("sw"),
+    )
+    d = d.withColumn(
+        "mean_token_len", F.round(F.col("sum_len") / F.col("n_tokens"), 6)
+    ).withColumn("stopword_ratio", F.round(F.col("sw") / F.col("n_tokens"), 6))
+    q = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (
+            F.lit(1.0)
+            - F.least(F.abs(F.col("mean_token_len") - 5.0) / F.lit(5.0), F.lit(1.0))
+        )
+        * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+    )
+    return d.select(
+        "doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
+        F.round(q, 6).alias("quality_score"),
+    )

@@ -1,0 +1,187 @@
+"""Dense-vector similarity: brute-force cosine top-k, near-dup pairs, and
+random-hyperplane LSH ANN over the embeddings table (SURVEY.md §2.5 Q8 +
+training-data pipeline similarity search).
+
+All dot products / norms are higher-order-function expressions
+(``zip_with`` + ``aggregate``) — pure Catalyst, whole-stage codegen, no
+Python boundary. Embeddings are upcast float→double before any arithmetic so
+the DuckDB oracle (which computes in double) agrees to 6 decimals.
+
+Scale design:
+
+* ``cosine_topk`` — the exact baseline: broadcast the (tiny) query-vector set
+  against the embedding table; per-query top-k is a window over a map-side
+  pre-prunable score. Linear scan — correct at any scale, bandwidth-bound.
+* ``lsh_ann_topk`` — the scale path: L deterministic hyperplane tables bucket
+  vectors by sign-pattern; candidates = bucket-mates in ≥1 table; exact
+  cosine re-rank on candidates only. Hyperplane weights derive from h60
+  (md5) — no rand(), so builds/retries/oracles see identical planes. An IVF
+  variant (k-means coarse quantizer) is the production alternative; LSH is
+  chosen here because it is stateless and exactly reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textpipe import h60
+
+NEARDUP_COSINE_THRESHOLD = 0.45  # fixture max pair cosine ≈ 0.513
+LSH_TABLES = 16
+LSH_PLANE_BITS = 3
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vecs(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        as_double_vec(F.col("embedding")).alias("v"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k → DF[query_id, rank, vec_id, score]. Query set =
+    the vectors with vec_id < n_queries (deterministic, self-contained);
+    self-matches excluded. Broadcast queries × linear scan; per-query window
+    top-k with the engine-wide (score DESC, id ASC) tie-break."""
+    vecs = _vecs(embeddings)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = NEARDUP_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs → DF[vec_id_a, vec_id_b, cosine_sim]
+    (a < b, sim ≥ threshold). Brute-force n² — the small-scale oracle path;
+    at corpus scale run ``lsh_ann_topk``-style bucketing first and verify
+    bucket-mates only (identical output for thresholds the LSH recalls)."""
+    vecs = _vecs(embeddings)
+    a = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _plane_weights(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes from h60 — same values any
+    session, any cluster. Shape [table][bit][dim], weights in [-1, 1)."""
+    import hashlib
+
+    def w(t: int, b: int, d: int) -> float:
+        hx = hashlib.md5(f"plane|{t}|{b}|{d}".encode()).hexdigest()[:15]
+        return (int(hx, 16) % 2000) / 1000.0 - 1.0
+
+    return [
+        [[w(t, b, d) for d in range(dim)] for b in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_PLANE_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k → DF[query_id, rank, vec_id, score].
+
+    Sign-pattern bucketing: vector → per-table n_bits-bit key (sign of dot
+    with each deterministic hyperplane); candidates = vectors sharing a
+    query's key in ≥ 1 table; exact cosine re-rank of candidates; top-k with
+    the standard tie-break. Scores of returned rows are exact — only recall
+    differs from ``cosine_topk`` (measured in tests). At cluster scale the
+    bucket join replaces the linear scan: cost ~ Σ bucket² per table."""
+    planes = _plane_weights(n_tables, n_bits, dim)
+    vecs = _vecs(embeddings)
+
+    def key_col(t: int) -> Column:
+        bits = [
+            F.when(
+                _dot(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in planes[t][b]]),
+                )
+                > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(n_bits)
+        ]
+        out = bits[0]
+        for c in bits[1:]:
+            out = out + c
+        return out.cast("int")
+
+    keyed = vecs.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), key_col(t).alias("key")) for t in range(n_tables)])
+        ).alias("tk"),
+    ).select("vec_id", "v", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+
+    q = keyed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "key"
+    )
+    cand = (
+        keyed.join(q, ["t", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
+    )

@@ -1,0 +1,164 @@
+"""Dedup + text-analysis operators vs independent Python references.
+
+The DuckDB driver oracle checks these end-to-end at sf0.01; here we pin the
+algorithms against from-scratch NumPy/stdlib implementations (different code
+path from both engines) and cover edge cases the fixtures don't have."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from sparksearch.textpipe import (
+    doc_fingerprints,
+    exact_dedup,
+    lang_id,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_signatures,
+    text_quality,
+    token_counts,
+)
+
+
+def _tok(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9_]+", text.lower())
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    t = _tok(text)
+    if len(t) < k:
+        return {"|".join(t)}
+    return {"|".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def _brute_jaccard_pairs(pdf, threshold=0.8):
+    sh = {int(r.doc_id): _shingles(r.text) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (7, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r.content_sha256: r for r in exact_dedup(docs).collect()}
+    h = hashlib.sha256(b"a b c").hexdigest()
+    assert rows[h].n_copies == 3 and rows[h].keep_doc_id == 1
+    assert rows[hashlib.sha256(b"x y").hexdigest()].n_copies == 1
+
+
+def test_lsh_equals_brute_force(spark, docs_sf0001, docs_pandas_sf001):
+    # sf0.001: LSH candidate generation must not lose a single true pair.
+    pdf = docs_sf0001.toPandas()
+    expected = _brute_jaccard_pairs(pdf)
+    lsh = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in minhash_lsh_dedup(docs_sf0001).collect()
+    }
+    brute = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_sf0001).collect()
+    }
+    assert set(lsh) == set(expected) == set(brute)
+    for k, v in expected.items():
+        assert abs(lsh[k] - v) < 1e-9 and abs(brute[k] - v) < 1e-9
+
+
+def test_simhash_matches_reference(spark):
+    texts = [(0, "spark query engine query"), (1, "wholly unrelated words here")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    for doc_id, text in texts:
+        tf = Counter(_tok(text))
+        sig = 0
+        for b in range(60):
+            w = sum(t if (_h60(term) >> b) & 1 else -t for term, t in tf.items())
+            if w > 0:
+                sig |= 1 << b
+        assert got[doc_id] == sig, doc_id
+
+
+def test_simhash_dedup_finds_near_identical(spark):
+    # One word changed out of 30 → tiny hamming distance; chunk join must
+    # surface the pair, and an unrelated doc must not pair with either.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("zeta", "zetb", 1)),
+            (2, "totally different content about ships and harbors and tides"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in simhash_dedup(docs, max_hamming=10).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_fingerprints_match_reference(spark, docs_sf0001):
+    got = {}
+    for r in doc_fingerprints(docs_sf0001).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    pdf = docs_sf0001.toPandas()
+    for row in pdf.head(10).itertuples():
+        t = _tok(row.text)
+        khs = [_h60("|".join(t[i : i + 5])) for i in range(len(t) - 4)] or [_h60("|".join(t))]
+        if len(khs) >= 4:
+            fps = {min(khs[j : j + 4]) for j in range(len(khs) - 3)}
+        else:
+            fps = {min(khs)}
+        assert got[int(row.doc_id)] == fps, row.doc_id
+
+
+def test_lang_id_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is happy"),
+            (1, "der hund ist nicht mit der katze"),
+            (2, "le chat est dans la maison et les jardins"),
+            (3, "xylophone zebra quartz"),  # all-zero → tiebreak → en
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted_lang for r in lang_id(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "en"}
+
+
+def test_token_counts_reference(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello, World! foo_bar baz123 x")], "doc_id long, text string"
+    )
+    r = token_counts(docs).collect()[0]
+    words = _tok("Hello, World! foo_bar baz123 x")
+    assert r.n_word_tokens == len(words) == 5
+    assert r.n_ws_tokens == 5
+    assert r.n_subword_est == sum(-(-len(w) // 4) for w in words)
+
+
+def test_text_quality_components(spark):
+    docs = spark.createDataFrame(
+        [(0, "the " * 50 + "cat")], "doc_id long, text string"
+    )
+    r = text_quality(docs).collect()[0]
+    assert r.n_tokens == 51
+    assert r.stopword_ratio == pytest.approx(50 / 51, abs=1e-6)
+    # 51 tokens (len ≥ 100 → 0.4·0.51), mean len ≈ 3, stopword-saturated
+    assert 0 < r.quality_score <= 1
