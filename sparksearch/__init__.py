@@ -13,8 +13,15 @@ stats       A1–A6: tf / dl / df / cf / idf / global stats as built-in aggregat
 codec       pure-NumPy varint + delta-gap block codec (no Spark imports)
 build       B1–B5 + S4: salted repartition, sort, block encode, merge, segment sink
 querying    Q1–Q7: pure-DataFrame BM25 (Q5), DAAT block-max-WAND top-k (Q3), batch
-vectors     Q8: dense-vector cosine top-k over the embeddings table
+vectors     Q8 + ANN: cosine top-k, embedding near-dup, hyperplane-LSH ANN
 checkpoint  S5 + R1–R3: manifest sink, resume planning, task metrics
+textpipe    training-data pipeline: dedup (exact / MinHash+LSH / SimHash /
+            n-gram jaccard), winnowing fingerprints, lang-ID, quality, tokens
+multimodal  opaque binary payloads + typed metadata; mapInPandas features;
+            decode stub (codecs absent in this environment by design)
+relational  events/date/JSON/window coverage: rollups, sessionization
+streaming   incremental index maintenance (foreachBatch ≡ batch), watermarked
+            tumbling + session windows
 """
 
 BM25_K1 = 1.2

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .codec import BLOCK_SIZE, encode_sublist
 from .stats import bm25_term_score_col, doc_freq, term_freq, with_idf
-from .tokenize import explode_postings, tokenize_sql
+from .tokenize import explode_postings, tokenize
 
 SEGMENT_COLS = (
     "term string, range_id int, first_doc_id long, last_doc_id long, n int, "
@@ -133,7 +133,7 @@ def build_index(
     stages postings per source partition and then calls ``finalize_index``
     over the committed units' postings.
     """
-    tokenized = tokenize_sql(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    tokenized = tokenize(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
     postings = explode_postings(tokenized)
     # Single text pass: tf is the only child of tokenize; dl derives from tf.
     tf_df = term_freq(postings)
@@ -160,12 +160,21 @@ def finalize_index(
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tf_df = tf_df.persist()
-    # Cheap bounds scan: range_size for the deterministic doc-space salt.
-    bounds = tf_df.agg(F.max("doc_id").alias("max_id")).collect()[0]
-    range_size = max(1, math.ceil((int(bounds["max_id"]) + 1) / n_ranges))
-
+    # ONE driver round-trip for global stats + docID bounds (each collect is a
+    # full job — scheduling/codegen latency is serial driver time that caps
+    # scaling efficiency, so jobs are merged wherever granularities allow).
     dl_df = tf_df.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-    stats_df = dl_df.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    srow = dl_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.max("doc_id").alias("max_id"),
+    ).collect()[0]
+    range_size = max(1, math.ceil((int(srow["max_id"]) + 1) / n_ranges))
+    # Literal 1-row stats frame (already collected) — keeps every downstream
+    # plan free of an embedded re-aggregation of dl_df.
+    stats_df = spark.createDataFrame(
+        [(int(srow["n_docs"]), float(srow["avgdl"]))], "n_docs long, avgdl double"
+    )
     term_stats = with_idf(doc_freq(tf_df), stats_df)
 
     seg = build_segments(tf_df, dl_df, term_stats, range_size, n_buckets, block_size)
@@ -184,7 +193,6 @@ def finalize_index(
     dictionary = term_stats.select("term", "df", "cf", "idf").join(gmax, "term")
     dictionary.write.mode(mode).parquet(os.path.join(index_path, "dictionary"))
 
-    srow = stats_df.collect()[0]
     stats = {
         "n_docs": int(srow["n_docs"]),
         "avgdl": float(srow["avgdl"]),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .build import finalize_index
 from .stats import term_freq
-from .tokenize import explode_postings, tokenize_sql
+from .tokenize import explode_postings, tokenize
 
 
 def unit_col(id_col: str, n_units: int):
@@ -117,7 +117,7 @@ def build_unit(
     data) plus wall-clock around the unit job."""
     t0 = time.monotonic()
     docs_u = docs.filter(unit_col(id_col, n_units) == unit)
-    tokenized = tokenize_sql(docs_u.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    tokenized = tokenize(docs_u.select(F.col(id_col).alias("doc_id"), text_col), text_col)
     obs_docs = Observation(f"docs_u{unit}")
     tokenized = tokenized.observe(obs_docs, F.count(F.lit(1)).alias("n_docs"))
     tf = term_freq(explode_postings(tokenized))

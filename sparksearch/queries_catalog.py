@@ -132,6 +132,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import parse_queries, score_logical_conjunctive
+
+    tf_df, dl_df, ts, _ = corpus_stats(_docs(spark, sf_dir))
+    qterms = parse_queries(spark, reference_queries())
+    df = score_logical_conjunctive(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_df, _, _, _ = corpus_stats(_docs(spark, sf_dir))
     return tf_df.select("term", F.col("doc_id").cast("long"), F.col("tf").cast("long"))
@@ -252,6 +266,36 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
 FROM ranked WHERE rnk <= {K}""",
         "Q5/Q6 flagship: full BM25 (k1=1.2, b=0.75) top-10 over the reference query set",
+    ),
+    "bm25_topk_conjunctive": QuerySpec(
+        q_bm25_topk_conjunctive,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+nreq AS (
+  SELECT q.query_id, COUNT(DISTINCT q.term) AS n_req
+  FROM q JOIN termstats t USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score,
+         COUNT(DISTINCT q.term) AS n_hit
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+  FROM scored s JOIN nreq USING (query_id) WHERE s.n_hit = nreq.n_req
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "Q5-AND: conjunctive (posting-list intersection) BM25 top-10 — only "
+        "docs containing every resolved query term",
     ),
     "term_postings": QuerySpec(
         q_term_postings,

@@ -81,6 +81,35 @@ def score_logical(
     return topk_per_query(scored, k)
 
 
+def score_logical_conjunctive(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """Q5-AND: conjunctive ("posting-list intersection") BM25 top-k — only
+    documents containing EVERY resolved query term rank; scores are the same
+    BM25 sums as the disjunctive path. Queries whose terms are all unknown
+    return nothing. Same plan shape as score_logical plus one broadcast join
+    against the per-query required-term count."""
+    q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
+    n_req = q.groupBy("query_id").agg(F.count_distinct("term").alias("n_req"))
+    contrib = tf_df.join(F.broadcast(q), "term", "inner").join(dl_df, "doc_id")
+    scored = (
+        contrib.select(
+            "query_id", "doc_id", "term",
+            bm25_term_score_col(qtf="qtf").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("n_hit"))
+        .join(F.broadcast(n_req), "query_id")
+        .filter(F.col("n_hit") == F.col("n_req"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk_per_query(scored, k)
+
+
 def topk_per_query(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
     """Q4 (batched form): deterministic top-k per query via window row_number.
 

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Executors here have tens of GB of memory: dimension tables up to
+        # 64 MB (e.g. the doc-length table at bench scale) should broadcast
+        # instead of forcing a sort-merge shuffle of the postings fact table.
+        # At true cluster scale AQE re-plans joins whose small side exceeds
+        # this anyway, and genuinely huge dims (doclens at 10^12 docs) go
+        # through the shuffle join as they must.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

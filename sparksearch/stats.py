@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
-from .tokenize import explode_postings, tokenize_sql
+from .tokenize import explode_postings, tokenize
 
 
 def term_freq(postings: DataFrame) -> DataFrame:
@@ -85,7 +85,7 @@ def bm25_term_score_col(tf="tf", idf="idf", dl="dl", avgdl="avgdl", qtf=None):
 def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """Convenience: (tf_df, dl_df, term_stats_with_idf, global_stats_df) from a
     raw document table. One tokenize pass feeds both tf and dl branches."""
-    tokenized = tokenize_sql(docs.select(id_col, text_col), text_col)
+    tokenized = tokenize(docs.select(id_col, text_col), text_col)
     postings = explode_postings(tokenized, id_col)
     tf_df = term_freq(postings)
     dl_df = doc_len(tokenized, id_col)

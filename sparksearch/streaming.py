@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .stats import term_freq
-from .tokenize import explode_postings, tokenize_sql
+from .tokenize import explode_postings, tokenize
 
 DOCS_STREAM_SCHEMA = T.StructType(
     [
@@ -76,7 +76,7 @@ def incremental_postings(
     )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tokenized = tokenize_sql(batch_df.select("doc_id", "text"), "text")
+        tokenized = tokenize(batch_df.select("doc_id", "text"), "text")
         tf = term_freq(explode_postings(tokenized))
         # Idempotent on retry: same batch_id ⇒ same deterministic content.
         tf.write.mode("overwrite").parquet(

@@ -225,9 +225,9 @@ def simhash_signatures(
     60 counters into one NumPy array per batch if the exchange ever shows up
     in profiles — semantics are pinned by this version."""
     from .stats import term_freq
-    from .tokenize import explode_postings, tokenize_sql
+    from .tokenize import explode_postings, tokenize
 
-    toks = tokenize_sql(
+    toks = tokenize(
         docs.select(F.col(id_col).alias("doc_id"), text_col), text_col
     )
     tf = term_freq(explode_postings(toks))  # term, doc_id, tf
