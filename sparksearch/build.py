@@ -97,8 +97,10 @@ def build_segments(
         .select(
             "term",
             "doc_id",
-            "tf",
-            "dl",
+            # Narrow types through the B1 exchange + Arrow boundary: tf/dl
+            # fit int32 by construction (dl is a per-doc token count).
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
             bm25_term_score_col().alias("score"),
             (F.col("doc_id") / F.lit(int(range_size))).cast("int").alias("range_id"),
         )

@@ -59,6 +59,10 @@ def get_spark(
         # through the shuffle join as they must.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches across the JVM↔Python boundary: the grouped
+        # encode/DAAT UDFs do pure NumPy per batch, so fewer, larger batches
+        # amortize the per-batch pickle/FFI overhead.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKSEARCH_DRIVER_MEM", "8g"))
