@@ -19,8 +19,9 @@ Headline set (each is a full job, timed to action completion):
   registered in ``_PIPELINE_BENCHES`` below.
 
 Scaling-efficiency evidence (north rule N→4N) is produced by
-``jobs/bench_scaling.py``, which runs THIS module's index_build at local[8]
-and local[32] and appends to BENCH/BASELINE.md.
+``jobs/bench_scaling.py``, which runs THIS module's index_build at two
+parallelism levels 4× apart (default local[1] vs local[4] — see
+BASELINE.md §scaling protocol) and appends to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -34,6 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: Task slots actually used. Each slot here drives a JVM task thread PLUS an
+#: Arrow Python worker concurrently, and this host's 32 vCPUs are 16 physical
+#: cores + SMT — local[32] oversubscribes and measures SLOWER than local[16]
+#: (see CLAUDE.md / BENCH/BASELINE.md). Cap at 16; both numbers are reported.
+SLOTS = min(CPUS, 16)
 #: Deterministic input replication (scaling runs only): MULT copies of the
 #: documents table with doc_ids offset into disjoint ranges. The two-level
 #: scaling job needs enough compute that fixed costs don't dominate; both
@@ -57,8 +63,8 @@ def main() -> None:
 
     spark = get_spark(
         app_name="sparksearch-bench",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 8),
+        master=f"local[{SLOTS}]",
+        shuffle_partitions=max(SLOTS, 8),
     )
 
     # Warm the Python-UDF worker pool across all task slots BEFORE any timed
@@ -73,7 +79,7 @@ def main() -> None:
 
         yield from it
 
-    spark.range(CPUS * 4, numPartitions=CPUS * 2).mapInPandas(
+    spark.range(SLOTS * 4, numPartitions=SLOTS * 2).mapInPandas(
         _noop, "id long"
     ).count()
     from sparksearch import queries_catalog
@@ -89,7 +95,7 @@ def main() -> None:
     # hash repartition of the raw rows BEFORE any replication/tokenize work,
     # so the heavy map side actually fans out.
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    docs = docs.repartition(max(CPUS * 2, 16), "doc_id")
+    docs = docs.repartition(max(SLOTS * 2, 16), "doc_id")
     if MULT > 1:
         offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         docs = (
@@ -161,6 +167,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
+        "slots": SLOTS,
         **{k: round(v, 3) for k, v in extras.items()},
     }
     print(json.dumps(result))

@@ -199,6 +199,37 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return frame_sample(_docs(spark, sf_dir))
 
 
+def q_distinct_terms_per_lang(spark, sf_dir):
+    """count_distinct coverage: exact distinct vocabulary per language."""
+    from .tokenize import tokens_col
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("lang")
+        .agg(F.count_distinct("term").cast("long").alias("n_terms"))
+    )
+
+
+def q_shared_terms_setops(spark, sf_dir):
+    """Set-operation coverage (R2 family): terms used by BOTH src0 and src1
+    documents via intersect, minus single-source terms via exceptAll-style
+    anti logic — expressed with Spark's native set operators."""
+    from .tokenize import tokens_col
+
+    d = _docs(spark, sf_dir)
+    terms_of = lambda src: (
+        d.filter(F.col("source") == src)
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    both = terms_of("src0").intersect(terms_of("src1"))
+    only0 = terms_of("src0").exceptAll(terms_of("src1")).distinct()
+    return both.withColumn("which", F.lit("both")).unionByName(
+        only0.withColumn("which", F.lit("only_src0"))
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from .relational import events_hourly
 
@@ -424,6 +455,22 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(ord(substring(text, 1 + frame_idx * 7, 1)) AS BIGINT) AS frame_val
 FROM f""",
             "strided 'frame sampling' read pattern over the opaque payload",
+        ),
+        "distinct_terms_per_lang": QuerySpec(
+            q_distinct_terms_per_lang,
+            f"""SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+FROM (SELECT lang, unnest({_TS}) AS term FROM documents)
+GROUP BY 1""",
+            "count_distinct coverage: exact vocabulary size per language",
+        ),
+        "shared_terms_setops": QuerySpec(
+            q_shared_terms_setops,
+            f"""WITH t0 AS (SELECT DISTINCT unnest({_TS}) AS term FROM documents WHERE source = 'src0'),
+t1 AS (SELECT DISTINCT unnest({_TS}) AS term FROM documents WHERE source = 'src1')
+SELECT term, 'both' AS which FROM (SELECT term FROM t0 INTERSECT SELECT term FROM t1)
+UNION ALL
+SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term FROM t1)""",
+            "set-operation coverage: INTERSECT / EXCEPT over per-source vocabularies",
         ),
         "events_hourly": QuerySpec(
             q_events_hourly,
