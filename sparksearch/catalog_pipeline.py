@@ -175,6 +175,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from .vectors import ivf_ann_topk
+
+    return ivf_ann_topk(_emb(spark, sf_dir))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from .vectors import embedding_neardup_pairs
 
@@ -409,6 +415,13 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 
             None,
             "hyperplane-LSH bucketed ANN (rows-only: recall-vs-exact measured "
             "in tests/test_vectors.py; returned scores are exact cosines)",
+        ),
+        "ann_ivf_topk": QuerySpec(
+            q_ann_ivf_topk,
+            None,
+            "IVF ANN: deterministic Lloyd coarse quantizer, probe-4 inverted "
+            "lists, exact re-rank (rows-only: recall vs exact measured in "
+            "tests/test_vectors.py; returned scores are exact cosines)",
         ),
         "dedup_embedding_cosine": QuerySpec(
             q_dedup_embedding_cosine,

@@ -185,3 +185,105 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+IVF_ITERS = 2
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS,
+               n_iters: int = IVF_ITERS) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic Lloyd iterations, pure DataFrame.
+
+    Init = the n_centroids lowest vec_ids (deterministic, no rand()); each
+    iteration: assign every vector to its max-cosine centroid (broadcast
+    join — centroid table is tiny by construction), then recompute centroids
+    as element-wise means via posexplode + two hash aggregates. Returns
+    (assignments DF[vec_id, v, cid], centroids DF[cid, cv]).
+
+    Scale: the assign pass is a broadcast map-side join over the full table
+    (linear, no shuffle of the vectors); the centroid update shuffles only
+    (cid, pos) pairs — n_centroids × dim rows. This is the standard
+    IVF build shape; at 10^12 scale run it on a sample and assign the rest
+    in one final pass."""
+    vecs = _vecs(embeddings)
+    centroids = (
+        vecs.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .withColumn("cid", F.row_number().over(Window.orderBy("cid")) - 1)
+    )
+    for _ in range(n_iters):
+        assigned = _ivf_assign_pass(vecs, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+        )
+    return _ivf_assign_pass(vecs, centroids), centroids
+
+
+def _ivf_assign_pass(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One assignment pass: DF[vec_id, v, cid] — max cosine, ties → low cid."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        vecs.join(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cid",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k → DF[query_id, rank, vec_id, score]: probe the n_probe
+    nearest inverted lists per query, exact cosine re-rank inside them.
+
+    The scale path next to ``lsh_ann_topk``: the probe join touches
+    ~n_probe/n_centroids of the corpus instead of all of it; returned scores
+    are exact cosines (recall vs the exact scan measured in tests)."""
+    assigned, centroids = ivf_assign(embeddings, n_centroids)
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
+    )

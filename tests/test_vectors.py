@@ -90,3 +90,34 @@ def test_neardup_pairs_match_reference(emb, emb_np):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_ivf_ann_scores_exact_and_recall(emb, emb_np):
+    from sparksearch.vectors import ivf_ann_topk
+
+    ids, mat = emb_np
+    exact = _brute_topk(ids, mat)
+    got = {}
+    for r in ivf_ann_topk(emb).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    pos = {int(i): p for p, i in enumerate(ids)}
+    hits = total = 0
+    for qid, rows in got.items():
+        truth = {vid for _, vid in exact[qid]}
+        for vid, score in rows:
+            true_cos = float(normed[pos[qid]] @ normed[pos[vid]])
+            assert score == pytest.approx(round(true_cos, 6), abs=2e-6)
+        hits += sum(1 for vid, _ in rows if vid in truth)
+        total += len(exact[qid])
+    assert hits / total >= 0.3, f"IVF recall collapsed: {hits}/{total}"
+
+
+def test_ivf_assign_partitions_everything(emb):
+    from sparksearch.vectors import ivf_assign
+
+    assigned, centroids = ivf_assign(emb)
+    n = emb.count()
+    assert assigned.count() == n                      # every vector assigned
+    assert assigned.select("vec_id").distinct().count() == n  # exactly once
+    assert centroids.count() <= 16
