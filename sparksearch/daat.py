@@ -41,8 +41,16 @@ from .querying import parse_queries, topk_per_query
 _EPS = 1e-12
 
 
-def _daat_group_fn(k: int, avgdl: float, wand: bool):
-    """Group UDF over one doc-range shard: all query-term block rows in it."""
+def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
+    """Group UDF over one doc-range shard: all query-term block rows in it.
+
+    ``nreq`` switches on conjunctive (posting-list intersection) mode: map
+    query_id → number of globally-resolved query terms; only documents
+    matching ALL of them qualify. Regions partition docID space and every
+    term's posting for a doc surfaces in the doc's one region, so the
+    per-region distinct-term count is exact. The WAND region bound stays
+    valid (it upper-bounds any doc's score, conjunctive or not); θ is fed
+    only by fully-intersecting candidates."""
 
     def daat(pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import varint_decode
@@ -120,6 +128,13 @@ def _daat_group_fn(k: int, avgdl: float, wand: bool):
                 rsc = np.concatenate(sc_parts)
                 uids, inv = np.unique(rid, return_inverse=True)
                 usc = np.bincount(inv, weights=rsc)
+                if nreq is not None:
+                    # ≤1 posting per (term, doc) per region ⇒ multiplicity
+                    # of a doc in rid == number of matching query terms.
+                    full = np.bincount(inv) == nreq.get(int(qid), 0)
+                    uids, usc = uids[full], usc[full]
+                    if not uids.size:
+                        continue
                 cand_ids = np.concatenate([cand_ids, uids])
                 cand_sc = np.concatenate([cand_sc, usc])
                 if cand_ids.size > k:
@@ -155,8 +170,13 @@ def daat_topk(
     queries: list[tuple[int, str]],
     k: int = 10,
     wand: bool = True,
+    conjunctive: bool = False,
 ) -> DataFrame:
-    """Top-k over a built index → DF[query_id, rank, doc_id, score]."""
+    """Top-k over a built index → DF[query_id, rank, doc_id, score].
+
+    ``conjunctive=True`` = posting-list intersection semantics: only docs
+    containing every resolved query term rank (tested identical to the
+    logical path querying.score_logical_conjunctive)."""
     segments, dictionary, stats = load_index(spark, index_path)
     qterms = parse_queries(spark, queries)
     qinfo = dictionary.join(F.broadcast(qterms), "term").select(
@@ -182,8 +202,14 @@ def daat_topk(
     )
     qblocks = blocks.join(F.broadcast(qmeta), "term")
 
+    nreq = None
+    if conjunctive:
+        nreq = {}
+        for r in rows:
+            nreq[int(r["query_id"])] = nreq.get(int(r["query_id"]), 0) + 1
+
     partial = qblocks.groupBy("range_id").applyInPandas(
-        _daat_group_fn(k, float(stats["avgdl"]), wand),
+        _daat_group_fn(k, float(stats["avgdl"]), wand, nreq),
         "query_id long, doc_id long, score double",
     )
     return topk_per_query(partial, k)

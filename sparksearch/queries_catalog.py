@@ -210,6 +210,19 @@ def q_daat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daat_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .daat import daat_topk
+
+    idx = _index_for(spark, sf_dir)
+    df = daat_topk(spark, idx, reference_queries(), k=K, wand=True, conjunctive=True)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_index_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .build import decoded_postings, load_index
 
@@ -256,20 +269,7 @@ def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-CATALOG: dict[str, QuerySpec] = {
-    "bm25_topk": QuerySpec(
-        q_bm25_topk,
-        f"""WITH {TOK_SQL.strip()},
-{query_values_sql()},
-{BM25_SCORE_SQL.strip()}
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
-FROM ranked WHERE rnk <= {K}""",
-        "Q5/Q6 flagship: full BM25 (k1=1.2, b=0.75) top-10 over the reference query set",
-    ),
-    "bm25_topk_conjunctive": QuerySpec(
-        q_bm25_topk_conjunctive,
-        f"""WITH {TOK_SQL.strip()},
+CATALOG_CONJ_SQL = f"""WITH {TOK_SQL.strip()},
 {query_values_sql()},
 nreq AS (
   SELECT q.query_id, COUNT(DISTINCT q.term) AS n_req
@@ -293,7 +293,23 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+CATALOG: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(
+        q_bm25_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
 FROM ranked WHERE rnk <= {K}""",
+        "Q5/Q6 flagship: full BM25 (k1=1.2, b=0.75) top-10 over the reference query set",
+    ),
+    "bm25_topk_conjunctive": QuerySpec(
+        q_bm25_topk_conjunctive,
+        CATALOG_CONJ_SQL,
         "Q5-AND: conjunctive (posting-list intersection) BM25 top-10 — only "
         "docs containing every resolved query term",
     ),
@@ -342,6 +358,12 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
 FROM ranked WHERE rnk <= {K}""",
         "Q1–Q4 physical path: build compressed index, DAAT + block-max WAND + "
         "bounded heap — must equal the unpruned SQL BM25 exactly",
+    ),
+    "daat_topk_conjunctive": QuerySpec(
+        q_daat_conjunctive,
+        CATALOG_CONJ_SQL,
+        "Q3-AND physical path: DAAT intersection over the compressed index "
+        "with block-max WAND — must equal the logical conjunctive SQL",
     ),
     "index_decoded_postings": QuerySpec(
         q_index_decoded_postings,

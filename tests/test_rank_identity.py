@@ -43,3 +43,30 @@ def test_scores_strictly_ordered(spark, docs_sf001, oracle_sf001, qtext):
     got = _spark_rankings(spark, docs_sf001, [(1, qtext)])[1]
     scores = [s for _, _, s in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_daat_conjunctive_equals_logical(spark, docs_sf001, queries, tmp_path_factory):
+    from sparksearch.build import build_index
+    from sparksearch.daat import daat_topk
+    from sparksearch.querying import parse_queries, score_logical_conjunctive
+    from sparksearch.stats import corpus_stats
+
+    path = str(tmp_path_factory.mktemp("conj_idx"))
+    build_index(spark, docs_sf001, path, n_buckets=8, n_ranges=8)
+    tf_df, dl_df, ts, _ = corpus_stats(docs_sf001)
+    logical = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in score_logical_conjunctive(
+            parse_queries(spark, queries), tf_df, dl_df, ts, k=10
+        ).collect()
+    }
+    for wand in (True, False):
+        physical = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in daat_topk(spark, path, queries, k=10, wand=wand,
+                               conjunctive=True).collect()
+        }
+        assert set(physical) == set(logical), wand
+        for key, (doc, score) in logical.items():
+            pdoc, pscore = physical[key]
+            assert pdoc == doc and abs(pscore - score) < 1e-9, (key, wand)
