@@ -187,22 +187,36 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+def _ascii_docs(spark, sf_dir):
+    """Multimodal-oracle guard: Spark computes over the payload BYTES while
+    the DuckDB twins compute over CHARACTERS (ord/substring/length) — equal
+    only when every char is one byte. Restrict both engines to ASCII rows
+    (char length == UTF-8 byte length) so the twins agree on ANY corpus, not
+    just the all-ASCII fixture. The operators themselves stay byte-wise."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.length("text") == F.octet_length(F.encode(F.col("text"), "UTF-8")))
+
+
+#: DuckDB side of the same guard.
+_ASCII_WHERE = "length(text) = octet_length(encode(text))"
+
+
 def q_multimodal_meta(spark, sf_dir):
     from .multimodal import payload_meta
 
-    return payload_meta(_docs(spark, sf_dir))
+    return payload_meta(_ascii_docs(spark, sf_dir))
 
 
 def q_multimodal_byte_histogram(spark, sf_dir):
     from .multimodal import byte_histogram
 
-    return byte_histogram(_docs(spark, sf_dir))
+    return byte_histogram(_ascii_docs(spark, sf_dir))
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
     from .multimodal import frame_sample
 
-    return frame_sample(_docs(spark, sf_dir))
+    return frame_sample(_ascii_docs(spark, sf_dir))
 
 
 def q_distinct_terms_per_lang(spark, sf_dir):
@@ -384,8 +398,8 @@ FROM documents""",
 ),
 r AS (
   SELECT doc_id, n_chars, n_tokens,
-         ROUND(sum_len / n_tokens, 6) AS mean_token_len,
-         ROUND(sw / n_tokens, 6) AS stopword_ratio
+         ROUND(sum_len / nullif(n_tokens, 0), 6) AS mean_token_len,
+         ROUND(sw / nullif(n_tokens, 0), 6) AS stopword_ratio
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
@@ -437,20 +451,20 @@ WHERE ROUND(list_dot_product(a.v, b.v)
         ),
         "multimodal_meta": QuerySpec(
             q_multimodal_meta,
-            """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
        sha256(text) AS payload_sha256,
        lower(hex(substring(text, 1, 8))) AS head_hex
-FROM documents""",
+FROM documents WHERE {_ASCII_WHERE}""",
             "binary-payload metadata extracted JVM-side (sha256/hex over binary)",
         ),
         "multimodal_byte_histogram": QuerySpec(
             q_multimodal_byte_histogram,
-            """WITH ch AS (
+            f"""WITH ch AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          unnest(list_transform(generate_series(1, length(text)),
                                i -> ord(substring(text, i, 1)))) AS o
-  FROM documents
+  FROM documents WHERE {_ASCII_WHERE}
 )
 SELECT doc_id, CAST(o % 16 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
 FROM ch GROUP BY 1, 2""",
@@ -459,10 +473,10 @@ FROM ch GROUP BY 1, 2""",
         ),
         "multimodal_frame_sample": QuerySpec(
             q_multimodal_frame_sample,
-            """WITH f AS (
+            f"""WITH f AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
          unnest(generate_series(0, least(7, (length(text) - 1) // 7))) AS frame_idx
-  FROM documents WHERE length(text) > 0
+  FROM documents WHERE length(text) > 0 AND {_ASCII_WHERE}
 )
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(ord(substring(text, 1 + frame_idx * 7, 1)) AS BIGINT) AS frame_val

@@ -45,7 +45,9 @@ def events_json_props(events: DataFrame) -> DataFrame:
     return (
         parsed.select(
             "event_type",
-            (F.element_at(F.col("m"), "k") / F.lit(10)).cast("long").alias("k_bucket"),
+            # floor, not truncate-toward-zero: the DuckDB twin's `// 10` is
+            # floor division, and the two disagree on negative k otherwise.
+            F.floor(F.element_at(F.col("m"), "k") / F.lit(10)).cast("long").alias("k_bucket"),
         )
         .groupBy("event_type", "k_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -79,8 +79,9 @@ def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """DF[doc_id, shingle] — distinct word k-grams per document.
+def doc_shingle_arrays(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DF[doc_id, shs:array<string>] — distinct word k-grams per document,
+    kept as a bound array column so downstream MinHash work stays map-side.
 
     The token array is materialized as a bound column BEFORE the shingle
     lambda: an inline ``tokens_col(text)`` expression would be re-evaluated
@@ -89,9 +90,13 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(F.col(text_col)).alias("toks"),
-    ).select(
-        "doc_id",
-        F.explode(shingles_col(F.col("toks"))).alias("shingle"),
+    ).select("doc_id", shingles_col(F.col("toks")).alias("shs"))
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DF[doc_id, shingle] — exploded form of ``doc_shingle_arrays``."""
+    return doc_shingle_arrays(docs, text_col, id_col).select(
+        "doc_id", F.explode("shs").alias("shingle")
     )
 
 
@@ -122,7 +127,22 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     if pairs is not None:
-        a = a.join(pairs.select("doc_id_a").distinct(), "doc_id_a")
+        # BOTH sides are semi-joined to the candidate ids before the shingle
+        # join — an unrestricted build side would fan every candidate-a row
+        # across the FULL corpus's posting for each hot shingle (at 100 TB
+        # that is the whole df(shingle) per row, the pairs filter pruning it
+        # only after the blowup). The candidate-id sets are small relative to
+        # the corpus by LSH construction → broadcast, so the big shingle
+        # table never shuffles for the restriction. Same for cnt: only
+        # candidate docs need their shingle counts downstream.
+        ids_a = pairs.select("doc_id_a").distinct()
+        ids_b = pairs.select("doc_id_b").distinct()
+        a = a.join(F.broadcast(ids_a), "doc_id_a")
+        b = b.join(F.broadcast(ids_b), "doc_id_b")
+        ids = ids_a.select(F.col("doc_id_a").alias("doc_id")).union(
+            ids_b.select(F.col("doc_id_b").alias("doc_id"))
+        ).distinct()
+        cnt = cnt.join(F.broadcast(ids), "doc_id")
         inter = a.join(b, "shingle").join(pairs, ["doc_id_a", "doc_id_b"])
     else:
         inter = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -152,34 +172,60 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- MinHash + LSH
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = MINHASH_N) -> DataFrame:
-    """DF[doc_id, seed, minh]: minh = min over shingles of h60(seed|shingle).
+def minhash_sig_col(shs: Column, n_hashes: int = MINHASH_N) -> Column:
+    """array<long> MinHash signature: sig[seed] = min over shingles of
+    h60(seed|shingle) — identical values to the historical explode-by-seed →
+    groupBy(doc_id, seed) min plan, but computed ENTIRELY map-side as one
+    nested transform over the bound shingle array. The n_hashes × |shingles|
+    md5s are the same arithmetic; the n_hashes× row exchange is gone (the old
+    plan shuffled 24 rows per doc just to take per-seed mins that each task
+    already had locally). ``shs`` must be a bound column (see doc_shingle_
+    arrays — inline expressions re-evaluate inside lambdas)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shs, lambda s: h60(F.concat_ws("|", seed.cast("string"), s)))
+        ),
+    )
 
-    One explode by n_hashes then a map-side-combinable min aggregate — linear
-    in (shingles × n_hashes), no skew (doc_id keys)."""
-    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+
+def minhash_signatures(sharr: DataFrame, n_hashes: int = MINHASH_N) -> DataFrame:
+    """DF[doc_id, seed, minh] from DF[doc_id, shs] — posexplode of the
+    map-side signature array; shuffle-free."""
+    return sharr.select(
+        "doc_id",
+        F.posexplode(minhash_sig_col(F.col("shs"), n_hashes)).alias("seed", "minh"),
+    )
+
+
+def lsh_band_keys(
+    sharr: DataFrame, n_hashes: int = MINHASH_N, rows_per_band: int = LSH_ROWS
+) -> DataFrame:
+    """DF[doc_id, band, bkey] from DF[doc_id, shs]: band key = md5 of the
+    band's comma-joined signature slice, seeds ascending — byte-identical to
+    the DuckDB twin's string_agg(minh, ',' ORDER BY seed). Pure map-side:
+    signature array + band keys are computed in one projection, so the first
+    shuffle of the whole LSH pipeline is the candidate self-join itself."""
+    n_bands = n_hashes // rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bkey"),
+        ),
+    )
     return (
-        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            h60(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-    )
-
-
-def lsh_band_keys(sig: DataFrame, rows_per_band: int = LSH_ROWS) -> DataFrame:
-    """DF[doc_id, band, bkey]: band key = md5 of the band's signature slice,
-    seeds in ascending order (DuckDB twin: string_agg(... ORDER BY seed))."""
-    banded = sig.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
-    ordered = F.transform(
-        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-        lambda x: x["minh"].cast("string"),
-    )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.array_join(ordered, ",")).alias("bkey")
+        sharr.select("doc_id", minhash_sig_col(F.col("shs"), n_hashes).alias("sig"))
+        .select("doc_id", F.explode(bands).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     )
 
 
@@ -197,9 +243,14 @@ def minhash_lsh_dedup(
     jaccard-0.9 pair is missed with prob (1-0.9³)^8 ≈ 3e-5), then only
     candidates pay the exact jaccard join. Deterministic end-to-end (h60
     seeds, no rand()) — the DuckDB oracle reproduces the identical pipeline
-    and the driver compares actual pair sets and jaccard values."""
-    sh = doc_shingles(docs).persist()  # reused: signatures + exact verify
-    keys = lsh_band_keys(minhash_signatures(sh, n_hashes), rows_per_band)
+    and the driver compares actual pair sets and jaccard values.
+
+    Shuffle budget: shingling + signatures + band keys are ONE map-side
+    projection over the persisted shingle arrays; the first exchange in the
+    whole pipeline is the band-key self-join, the second is the (candidate-
+    restricted) verify join."""
+    sharr = doc_shingle_arrays(docs).persist()  # reused: band keys + verify
+    keys = lsh_band_keys(sharr, n_hashes, rows_per_band)
     a = keys.select(F.col("doc_id").alias("doc_id_a"), "band", "bkey")
     b = keys.select(F.col("doc_id").alias("doc_id_b"), "band", "bkey")
     cand = (
@@ -207,7 +258,9 @@ def minhash_lsh_dedup(
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         .distinct()
+        .persist()  # consumed 4× by the verify restrictions — don't re-derive
     )
+    sh = sharr.select("doc_id", F.explode("shs").alias("shingle"))
     return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
 
 
@@ -260,16 +313,29 @@ def simhash_dedup(
 ) -> DataFrame:
     """SimHash near-dup pairs → DF[doc_id_a, doc_id_b, hamming] (≤ max_hamming).
 
-    Exact at scale via pigeonhole: 60 bits in 4 chunks of 15 — a pair within
-    Hamming distance 3 must agree on ≥ 1 whole chunk, so the chunk-equality
-    self-join (small buckets, no n²) finds every such pair; bit_count(xor)
-    then verifies exactly. The DuckDB oracle brute-forces n² — results equal."""
+    Exact at scale via pigeonhole: the 60 signature bits are cut into
+    ``max_hamming + 1`` chunks — a pair within Hamming distance max_hamming
+    must agree on ≥ 1 whole chunk, so the chunk-equality self-join (small
+    buckets, no n²) finds every such pair; bit_count(xor) then verifies
+    exactly. The chunk count is DERIVED from the requested radius (not a
+    fixed 4), so the exactness guarantee holds for any max_hamming < 60 —
+    wider radii just mean narrower chunks / bigger buckets. The DuckDB
+    oracle brute-forces n² — results equal. Default radius 3 → the classic
+    4 × 15-bit layout."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS}), got {max_hamming}")
+    n_chunks = max_hamming + 1
+    bounds = [i * SIMHASH_BITS // n_chunks for i in range(n_chunks + 1)]
     sig = simhash_signatures(docs)
+    chunk_vals = F.array(*[
+        F.expr(f"(simhash >> {bounds[c]}) & {(1 << (bounds[c + 1] - bounds[c])) - 1}")
+        for c in range(n_chunks)
+    ])
     chunks = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
-    ).withColumn("chunk_val", F.expr("(simhash >> (15 * c)) & 32767"))
+        F.posexplode(chunk_vals).alias("c", "chunk_val"),
+    )
     a = chunks.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "c", "chunk_val"
     )
@@ -401,9 +467,12 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ).alias("sum_len"),
         _hits(t, EN_STOPWORDS).alias("sw"),
     )
+    # nullif guard: a zero-token document yields NULL ratios (and NULL score)
+    # on BOTH engines — without it Spark gives NULL but DuckDB gives inf/nan.
+    nt = F.nullif(F.col("n_tokens"), F.lit(0))
     d = d.withColumn(
-        "mean_token_len", F.round(F.col("sum_len") / F.col("n_tokens"), 6)
-    ).withColumn("stopword_ratio", F.round(F.col("sw") / F.col("n_tokens"), 6))
+        "mean_token_len", F.round(F.col("sum_len") / nt, 6)
+    ).withColumn("stopword_ratio", F.round(F.col("sw") / nt, 6))
     q = (
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
         + (

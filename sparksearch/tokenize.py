@@ -13,8 +13,9 @@ Two interchangeable implementations, tested equal (tests/test_tokenize.py):
   (BASELINE.json:15), kept as the demonstration of the UDF discipline and as
   the extension point for code-aware tokenization (identifier splitting).
 
-Plain per-row ``F.udf`` is banned in this repo (tests/test_no_per_row_udf.py
-greps for it).
+Plain per-row ``F.udf`` is banned in this repo — tests/test_plans.py
+(test_no_per_row_python_udf_anywhere) asserts no BatchEvalPython node ever
+appears in a plan.
 """
 
 from __future__ import annotations
