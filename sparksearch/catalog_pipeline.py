@@ -103,6 +103,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
 def q_dedup_exact(spark, sf_dir):
     from .textpipe import exact_dedup
 
@@ -250,6 +254,57 @@ def q_shared_terms_setops(spark, sf_dir):
     )
 
 
+def q_tpch_revenue_by_nation(spark, sf_dir):
+    from .joins import revenue_by_nation
+
+    return revenue_by_nation(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_supplier_geo(spark, sf_dir):
+    from .joins import supplier_geo
+
+    return supplier_geo(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_top_parts_per_brand(spark, sf_dir):
+    from .joins import top_parts_per_brand
+
+    return top_parts_per_brand(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    from .joins import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_orders_cube(spark, sf_dir):
+    from .joins import orders_cube
+
+    return orders_cube(_t(spark, sf_dir, "orders"))
+
+
+def q_orders_grouping_sets(spark, sf_dir):
+    from .joins import orders_grouping_sets
+
+    return orders_grouping_sets(_t(spark, sf_dir, "orders"))
+
+
+def q_customer_order_balance(spark, sf_dir):
+    from .joins import customer_order_balance
+
+    return customer_order_balance(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from .relational import events_hourly
 
@@ -284,6 +339,7 @@ def q_delta_encode_demo(spark, sf_dir):
 
 
 def build_pipeline_catalog():
+    from . import joins as _J
     from .queries_catalog import QuerySpec
 
     return {
@@ -498,6 +554,44 @@ SELECT term, 'both' AS which FROM (SELECT term FROM t0 INTERSECT SELECT term FRO
 UNION ALL
 SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term FROM t1)""",
             "set-operation coverage: INTERSECT / EXCEPT over per-source vocabularies",
+        ),
+        "tpch_revenue_by_nation": QuerySpec(
+            q_tpch_revenue_by_nation,
+            _J.REVENUE_BY_NATION_SQL,
+            "5-way star join (Q5-shaped): lineitem⋈orders⋈customer fact chain "
+            "(SMJ) ⋈ broadcast nation⋈region dims, revenue rollup",
+        ),
+        "tpch_supplier_geo": QuerySpec(
+            q_tpch_supplier_geo,
+            _J.SUPPLIER_GEO_SQL,
+            "region⋈nation⋈supplier pure-broadcast dim chain (BHJ, no shuffle "
+            "of the SF-growing side)",
+        ),
+        "tpch_top_parts_per_brand": QuerySpec(
+            q_tpch_top_parts_per_brand,
+            _J.TOP_PARTS_PER_BRAND_SQL,
+            "top-3-per-brand window over lineitem⋈part per-part revenue",
+        ),
+        "tpch_pricing_summary": QuerySpec(
+            q_tpch_pricing_summary,
+            _J.PRICING_SUMMARY_SQL,
+            "Q1-shaped pricing summary: exact-decimal sums, partial+final agg",
+        ),
+        "orders_cube": QuerySpec(
+            q_orders_cube,
+            _J.ORDERS_CUBE_SQL,
+            "A6: CUBE over (status, priority) — all four grouping combos",
+        ),
+        "orders_grouping_sets": QuerySpec(
+            q_orders_grouping_sets,
+            _J.ORDERS_GROUPING_SETS_SQL,
+            "A6: explicit GROUPING SETS ((status),(priority),()) in one pass",
+        ),
+        "customer_order_balance": QuerySpec(
+            q_customer_order_balance,
+            _J.CUSTOMER_ORDER_BALANCE_SQL,
+            "left-outer coverage: customers without orders surface with zeros; "
+            "orders pre-aggregated so the outer join moves 1 row/customer",
         ),
         "events_hourly": QuerySpec(
             q_events_hourly,

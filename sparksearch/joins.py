@@ -1,0 +1,284 @@
+"""Multi-way join coverage over the TPC-H-ish star schema (region, nation,
+customer, supplier, part, orders, lineitem — FIXTURES.md §A).
+
+Joins are the most common thing an analytics engine does; these operators
+demonstrate that join-STRATEGY selection is encoded for cluster scale rather
+than left to small-fixture statistics:
+
+* fact ⋈ fact (lineitem⋈orders, orders⋈customer, lineitem⋈part) carries an
+  explicit ``merge`` hint — all of these tables grow with the scale factor
+  (TPC-H: lineitem 6M×SF, orders 1.5M×SF, customer 0.15M×SF, part 0.2M×SF),
+  so a broadcast picked off 60k-row fixture stats would OOM the real cluster.
+  SortMergeJoin shuffles both sides on the equi-key; AQE handles skew splits.
+* dim ⋈ anything (nation 25 rows, region 5 rows — CONSTANT size at every SF)
+  is explicitly ``F.broadcast``: the fact side never shuffles for them, at
+  any scale.
+
+tests/test_plans.py asserts the physical plans: the fact chain contains
+SortMergeJoin, the dim chain is pure BroadcastHashJoin.
+
+Float policy (driver-hash invariant #5): every SUM over a double measure is
+accumulated as DECIMAL(28,6) on BOTH engines — decimal addition is exact and
+associative, so the partial+final aggregation order (which differs between
+Spark and DuckDB) cannot perturb the 6-decimal rounding. Per-row products
+(l_extendedprice·(1−l_discount)) are rounded to 6 decimals BEFORE the decimal
+cast so both engines quantize identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _rev():
+    """Per-row revenue contribution, quantized before exact accumulation.
+    (A function, not a module constant: Column construction needs an active
+    SparkContext, and this module is imported at catalog-registration time.)"""
+    return F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+
+
+_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))"
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join → DF[r_name, n_name, o_year, revenue,
+    n_lineitems]: lineitem⋈orders⋈customer (fact chain, SMJ) ⋈ nation⋈region
+    (broadcast dims). Revenue = Σ l_extendedprice·(1−l_discount)."""
+    facts = (
+        lineitem.select("l_orderkey", _rev().alias("rev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    dims = nation.select("n_nationkey", "n_name", "n_regionkey").join(
+        F.broadcast(region.select("r_regionkey", "r_name")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        facts.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT r_name, n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3"""
+
+
+def supplier_geo(supplier: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """region⋈nation⋈supplier broadcast chain → DF[r_name, n_name,
+    n_suppliers, total_acctbal]. Both dims are constant-size → the supplier
+    table (the only SF-growing side) is never shuffled: two BroadcastHashJoins
+    and one partial+final aggregate."""
+    return (
+        supplier.select("s_nationkey", F.col("s_acctbal").cast("decimal(28,6)").alias("bal"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum("bal").cast("double"), 6).alias("total_acctbal"),
+        )
+    )
+
+
+SUPPLIER_GEO_SQL = """
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2"""
+
+
+def top_parts_per_brand(lineitem: DataFrame, part: DataFrame, k: int = 3) -> DataFrame:
+    """Top-N-per-group window over a fact⋈fact join → DF[p_brand, rank,
+    p_partkey, revenue]: per-part revenue (lineitem⋈part, SMJ — part grows
+    with SF), then the engine-wide (revenue DESC, key ASC) total order ranks
+    parts within each brand; top k per brand survive.
+
+    Scale: the part-revenue aggregate is map-side combinable on l_partkey;
+    the window shuffles one row PER PART (not per lineitem) on p_brand."""
+    per_part = (
+        lineitem.select("l_partkey", _rev().alias("rev"))
+        .join(
+            part.select("p_partkey", "p_brand").hint("merge"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev"), F.asc("p_partkey"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "p_brand",
+            F.col("rank").cast("long").alias("rank"),
+            "p_partkey",
+            F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        )
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, SUM({_REV_SQL}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT p_brand, p_partkey, rev,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey ASC) AS rnk
+  FROM per_part
+)
+SELECT p_brand, CAST(rnk AS BIGINT) AS rank, p_partkey,
+       ROUND(CAST(rev AS DOUBLE), 6) AS revenue
+FROM r WHERE rnk <= 3"""
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary → one row per (l_returnflag,
+    l_linestatus) with exact-decimal sums and a double average. Pure
+    partial+final hash aggregate — the canonical scan-heavy rollup."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("sum_base_price"),
+            F.round(F.sum(_rev()).cast("double"), 6).alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_discount").cast("decimal(28,6)")).cast("double"), 6).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_base_price,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS sum_disc_price,
+       ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2"""
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """A6 completion: CUBE over (o_orderstatus, o_orderpriority) — all four
+    grouping combinations in one partial+final aggregate pass."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """A6 completion: explicit GROUPING SETS ((status), (priority), ()) —
+    the two independent one-column rollups plus the grand total, computed in
+    one pass (no self-union of three aggregates)."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_price
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+
+def customer_order_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Outer-join coverage: every customer with their order count and spend —
+    customers with NO orders surface with zeros (left outer ⋈ on the fact
+    side, aggregated pre-join so the outer join moves one row per customer,
+    not one per order)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("spend"),
+    )
+    return (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(per_cust.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_without_orders"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("spend"), F.lit(0)).cast("double"), 6).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+CUSTOMER_ORDER_BALANCE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+       CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_orders,
+       ROUND(CAST(COALESCE(SUM(spend), 0) AS DOUBLE), 6) AS total_spend
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1"""

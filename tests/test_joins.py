@@ -1,0 +1,102 @@
+"""Multi-way join operators vs independent pandas references (sf0.001).
+
+The DuckDB driver oracle checks these end-to-end at sf0.01; here the join
+semantics are pinned against from-scratch pandas merges — a third code path."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tpch(spark):
+    return {
+        name: spark.read.parquet(str(SF_SMOKE / f"{name}.parquet"))
+        for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    }
+
+
+def test_revenue_by_nation_matches_pandas(spark, tpch):
+    from sparksearch.joins import revenue_by_nation
+
+    got = {
+        (r.r_name, r.n_name, r.o_year): (round(float(r.revenue), 4), r.n_lineitems)
+        for r in revenue_by_nation(
+            tpch["lineitem"], tpch["orders"], tpch["customer"],
+            tpch["nation"], tpch["region"],
+        ).collect()
+    }
+    li = tpch["lineitem"].toPandas()
+    od = tpch["orders"].toPandas()
+    cu = tpch["customer"].toPandas()
+    na = tpch["nation"].toPandas()
+    re_ = tpch["region"].toPandas()
+    m = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(re_, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    m["rev"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    m["o_year"] = m.o_orderdate.dt.year
+    exp = m.groupby(["r_name", "n_name", "o_year"]).agg(
+        revenue=("rev", "sum"), n=("rev", "size")
+    )
+    assert len(got) == len(exp)
+    for key, row in exp.iterrows():
+        rev, n = got[key]
+        assert n == row["n"]
+        assert rev == pytest.approx(round(row["revenue"], 4), abs=1e-3)
+
+
+def test_outer_join_surfaces_orderless_customers(spark, tpch):
+    from sparksearch.joins import customer_order_balance
+
+    got = {r.c_mktsegment: r for r in customer_order_balance(
+        tpch["customer"], tpch["orders"]).collect()}
+    cu = tpch["customer"].toPandas()
+    od = tpch["orders"].toPandas()
+    without = set(cu.c_custkey) - set(od.o_custkey)
+    exp_without = cu[cu.c_custkey.isin(without)].groupby("c_mktsegment").size()
+    total_without = sum(r.n_without_orders for r in got.values())
+    assert total_without == len(without)
+    for seg, n in exp_without.items():
+        assert got[seg].n_without_orders == n
+    assert sum(r.n_orders for r in got.values()) == len(od)
+
+
+def test_cube_and_grouping_sets_shapes(spark, tpch):
+    from sparksearch.joins import orders_cube, orders_grouping_sets
+
+    od = tpch["orders"].toPandas()
+    ns, np_ = od.o_orderstatus.nunique(), od.o_orderpriority.nunique()
+    cube = orders_cube(tpch["orders"]).collect()
+    # cube = full cross + status subtotals + priority subtotals + grand total
+    n_pairs = len(od.groupby(["o_orderstatus", "o_orderpriority"]))
+    assert len(cube) == n_pairs + ns + np_ + 1
+    gs = orders_grouping_sets(tpch["orders"]).collect()
+    assert len(gs) == ns + np_ + 1
+    grand = [r for r in gs if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1 and grand[0].n_orders == len(od)
+    # every grouping-set row is also a cube row with identical measures
+    cube_map = {(r.o_orderstatus, r.o_orderpriority): (r.n_orders, r.total_price) for r in cube}
+    for r in gs:
+        assert cube_map[(r.o_orderstatus, r.o_orderpriority)] == (r.n_orders, r.total_price)
+
+
+def test_top_parts_per_brand_rank_and_ties(spark, tpch):
+    from sparksearch.joins import top_parts_per_brand
+
+    rows = top_parts_per_brand(tpch["lineitem"], tpch["part"]).collect()
+    by_brand: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.p_brand, r.rank)):
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, rs in by_brand.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # total order: revenue DESC, partkey ASC
+        for a, b in zip(rs, rs[1:]):
+            assert (a.revenue, -a.p_partkey) >= (b.revenue, -b.p_partkey)

@@ -79,6 +79,39 @@ def test_aggregates_are_partial_final(spark, docs_sf0001):
     assert "Exchange" in plan
 
 
+def _tpch(spark, name):
+    from tests.conftest import SF_SMOKE
+
+    return spark.read.parquet(str(SF_SMOKE / f"{name}.parquet"))
+
+
+def test_fact_chain_plans_sort_merge_join(spark):
+    # lineitem⋈orders⋈customer: every side grows with SF — the encoded merge
+    # hints must survive to the physical plan even though the 6k-row fixture
+    # would auto-broadcast (a broadcast here OOMs a real cluster).
+    from sparksearch.joins import revenue_by_nation
+
+    df = revenue_by_nation(
+        _tpch(spark, "lineitem"), _tpch(spark, "orders"),
+        _tpch(spark, "customer"), _tpch(spark, "nation"), _tpch(spark, "region"),
+    )
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") >= 2, plan   # lineitem⋈orders, ⋈customer
+    assert "BroadcastHashJoin" in plan              # nation⋈region dim side
+
+
+def test_dim_chain_plans_broadcast_only(spark):
+    # region⋈nation⋈supplier: dims are constant-size → pure BHJ, the
+    # SF-growing supplier side must never shuffle for a join.
+    from sparksearch.joins import supplier_geo
+
+    plan = _plan(supplier_geo(
+        _tpch(spark, "supplier"), _tpch(spark, "nation"), _tpch(spark, "region")
+    ))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_no_per_row_python_udf_anywhere(spark):
     # BatchEvalPython = per-row Python; only ArrowEvalPython / FlatMapGroups /
     # MapInPandas nodes are allowed in this codebase's plans.
