@@ -502,8 +502,9 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45""",
-            "embedding-cosine near-dup pairs (brute force at this scale; "
-            "LSH bucketing is the scale path)",
+            "embedding-cosine near-dup pairs via LSH bucket-mates + exact "
+            "re-check (the scale path — no n² join); the DuckDB twin brute-"
+            "forces n² and tests assert bucketed ≡ brute on the fixtures",
         ),
         "multimodal_meta": QuerySpec(
             q_multimodal_meta,

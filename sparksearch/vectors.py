@@ -87,18 +87,61 @@ def cosine_topk(
     )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_brute(
     embeddings: DataFrame, threshold: float = NEARDUP_COSINE_THRESHOLD
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs → DF[vec_id_a, vec_id_b, cosine_sim]
-    (a < b, sim ≥ threshold). Brute-force n² — the small-scale oracle path;
-    at corpus scale run ``lsh_ann_topk``-style bucketing first and verify
-    bucket-mates only (identical output for thresholds the LSH recalls)."""
+    """Brute-force n² embedding near-dup pairs — the small-scale ORACLE/test
+    path only (a cartesian with an inequality filter). The catalog/scale path
+    is ``embedding_neardup_pairs`` (LSH-bucketed candidates, exact re-check);
+    tests assert the two produce identical output on the fixtures."""
     vecs = _vecs(embeddings)
     a = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
     b = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+NEARDUP_LSH_TABLES = 24
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_COSINE_THRESHOLD,
+    n_tables: int = NEARDUP_LSH_TABLES,
+    n_bits: int = LSH_PLANE_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs → DF[vec_id_a, vec_id_b, cosine_sim]
+    (a < b, sim ≥ threshold) — the SCALE path: candidates are vectors sharing
+    a sign-pattern bucket in ≥ 1 of ``n_tables`` deterministic hyperplane
+    tables; only candidates pay the exact cosine re-check, so cost is
+    Σ bucket² per table instead of n². With 24 tables × 3 planes a pair at
+    cosine 0.45 (the threshold) collides in ≥1 table with prob ≈ 1 − 5e-4,
+    and the planes are h60-derived constants — recall is DETERMINISTIC per
+    pair, identical across sessions/engines. tests/test_vectors.py asserts
+    bucketed ≡ brute force on the fixtures; returned cosines are exact."""
+    vecs = _vecs(embeddings)
+    keyed = _lsh_keyed(vecs, n_tables, n_bits, dim).select("vec_id", "t", "key")
+    a = keyed.select(F.col("vec_id").alias("vec_id_a"), "t", "key")
+    b = keyed.select(F.col("vec_id").alias("vec_id_b"), "t", "key")
+    cand = (
+        a.join(b, ["t", "key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",
@@ -123,24 +166,13 @@ def _plane_weights(n_tables: int, n_bits: int, dim: int) -> list[list[list[float
     ]
 
 
-def lsh_ann_topk(
-    embeddings: DataFrame,
-    n_queries: int = 5,
-    k: int = 10,
-    n_tables: int = LSH_TABLES,
-    n_bits: int = LSH_PLANE_BITS,
-    dim: int = 64,
+def _lsh_keyed(
+    vecs: DataFrame, n_tables: int, n_bits: int, dim: int
 ) -> DataFrame:
-    """LSH-bucketed ANN top-k → DF[query_id, rank, vec_id, score].
-
-    Sign-pattern bucketing: vector → per-table n_bits-bit key (sign of dot
-    with each deterministic hyperplane); candidates = vectors sharing a
-    query's key in ≥ 1 table; exact cosine re-rank of candidates; top-k with
-    the standard tie-break. Scores of returned rows are exact — only recall
-    differs from ``cosine_topk`` (measured in tests). At cluster scale the
-    bucket join replaces the linear scan: cost ~ Σ bucket² per table."""
+    """DF[vec_id, v, t, key] — one row per (vector, table) with the table's
+    n_bits sign-pattern bucket key. Entirely map-side (the planes are
+    broadcast literals); shared by ANN top-k and the bucketed near-dup."""
     planes = _plane_weights(n_tables, n_bits, dim)
-    vecs = _vecs(embeddings)
 
     def key_col(t: int) -> Column:
         bits = [
@@ -159,13 +191,32 @@ def lsh_ann_topk(
             out = out + c
         return out.cast("int")
 
-    keyed = vecs.select(
+    return vecs.select(
         "vec_id",
         "v",
         F.explode(
             F.array(*[F.struct(F.lit(t).alias("t"), key_col(t).alias("key")) for t in range(n_tables)])
         ).alias("tk"),
     ).select("vec_id", "v", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_PLANE_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k → DF[query_id, rank, vec_id, score].
+
+    Sign-pattern bucketing: vector → per-table n_bits-bit key (sign of dot
+    with each deterministic hyperplane); candidates = vectors sharing a
+    query's key in ≥ 1 table; exact cosine re-rank of candidates; top-k with
+    the standard tie-break. Scores of returned rows are exact — only recall
+    differs from ``cosine_topk`` (measured in tests). At cluster scale the
+    bucket join replaces the linear scan: cost ~ Σ bucket² per table."""
+    keyed = _lsh_keyed(_vecs(embeddings), n_tables, n_bits, dim)
 
     q = keyed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "key"

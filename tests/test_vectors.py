@@ -87,9 +87,19 @@ def test_neardup_pairs_match_reference(emb, emb_np):
         (r.vec_id_a, r.vec_id_b): r.cosine_sim
         for r in embedding_neardup_pairs(emb).collect()
     }
+    # The LSH-bucketed scale path must lose NOTHING vs the NumPy brute force
+    # (deterministic planes → deterministic recall on this fixture) ...
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, abs=2e-6)
+    # ... and the in-engine brute-force oracle path must agree exactly too.
+    from sparksearch.vectors import embedding_neardup_pairs_brute
+
+    brute = {
+        (r.vec_id_a, r.vec_id_b): r.cosine_sim
+        for r in embedding_neardup_pairs_brute(emb).collect()
+    }
+    assert brute == got
 
 
 def test_ivf_ann_scores_exact_and_recall(emb, emb_np):
