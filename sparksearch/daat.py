@@ -41,7 +41,14 @@ from .querying import parse_queries, topk_per_query
 _EPS = 1e-12
 
 
-def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
+def _daat_group_fn(
+    k: int,
+    avgdl: float,
+    wand: bool,
+    nreq: dict | None = None,
+    prune_partial_regions: bool = True,
+    visit_log: list | None = None,
+):
     """Group UDF over one doc-range shard: all query-term block rows in it.
 
     ``nreq`` switches on conjunctive (posting-list intersection) mode: map
@@ -50,7 +57,20 @@ def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
     term's posting for a doc surfaces in the doc's one region, so the
     per-region distinct-term count is exact. The WAND region bound stays
     valid (it upper-bounds any doc's score, conjunctive or not); θ is fed
-    only by fully-intersecting candidates."""
+    only by fully-intersecting candidates.
+
+    ``prune_partial_regions`` (conjunctive only): a region overlapped by
+    blocks of FEWER than the query's required terms cannot contain a fully-
+    intersecting document (a term with no block over the region has no
+    posting there), so it is skipped outright — never decoded. Output is
+    bit-identical with the flag off (the per-doc multiplicity filter already
+    rejects those docs); the flag only removes wasted decode work. Exactness:
+    a term's blocks are disjoint docID intervals and regions subdivide block
+    edges, so a region lies inside ≤ 1 block per term — the per-region block
+    count IS the distinct-term count.
+
+    ``visit_log`` (tests only — plain-Python invocation, never on executors):
+    appends the number of regions actually decoded per query."""
 
     def daat(pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import varint_decode
@@ -71,13 +91,19 @@ def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
             # per region UB: each term's blocks are disjoint → at most one
             # block per (term, region); accumulate via interval membership.
             ub = np.zeros(n_regions, np.float64)
+            term_cnt = np.zeros(n_regions, np.int64)
             block_of_region = []  # per block: slice of region indices it covers
             r_starts = np.searchsorted(lo, firsts, side="left")
             r_ends = np.searchsorted(lo, lasts, side="right")
             for i in range(len(firsts)):
                 sl = slice(r_starts[i], r_ends[i])
                 ub[sl] += bmax[i]
+                term_cnt[sl] += 1  # ≤1 block per (term, region) ⇒ distinct terms
                 block_of_region.append(sl)
+
+            eligible = None
+            if nreq is not None and prune_partial_regions:
+                eligible = term_cnt >= nreq.get(int(qid), 0)
 
             order = np.argsort(-ub, kind="stable") if wand else np.arange(n_regions)
 
@@ -111,9 +137,13 @@ def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
             cand_ids = np.empty(0, np.int64)
             cand_sc = np.empty(0, np.float64)
             theta = -np.inf
+            visited = 0
             for r in order:
                 if wand and ub[r] < theta - _EPS:
                     break  # UB-descending order ⇒ nothing later can qualify
+                if eligible is not None and not eligible[r]:
+                    continue  # a required term has no block here — no full match
+                visited += 1
                 ids_parts, sc_parts = [], []
                 for i in regions_blocks[r]:
                     ids, sc = decode(i)
@@ -144,6 +174,8 @@ def _daat_group_fn(k: int, avgdl: float, wand: bool, nreq: dict | None = None):
                 elif cand_ids.size == k:
                     theta = cand_sc.min()
 
+            if visit_log is not None:
+                visit_log.append(visited)
             if cand_ids.size:
                 top = np.lexsort((cand_ids, -cand_sc))[:k]
                 out_q.append(np.repeat(np.int64(qid), top.size))

@@ -46,9 +46,32 @@ def _tokenize_udf(texts: pd.Series) -> pd.Series:
     return texts.str.lower().str.findall(TOKEN_RE)
 
 
-def tokenize_pandas(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
-    """T1b: same semantics as T1a through the Arrow/pandas-UDF boundary."""
-    return df.withColumn(out, _tokenize_udf(F.col(text_col)))
+#: camelCase boundary: lower/digit followed by upper (getValue → get Value).
+_CAMEL_RE = r"(?<=[a-z0-9])(?=[A-Z])"
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _tokenize_code_udf(texts: pd.Series) -> pd.Series:
+    # Code-aware mode (SURVEY.md §2.2 T1 extension point): split identifiers
+    # at camelCase boundaries and underscores BEFORE the standard lowercase
+    # token regex, so getValue / get_value / GET_VALUE all yield [get, value].
+    # Same vectorized Arrow shape as the plain tokenizer.
+    split = texts.str.replace(_CAMEL_RE, " ", regex=True).str.replace("_", " ")
+    return split.str.lower().str.findall(TOKEN_RE)
+
+
+def tokenize_pandas(
+    df: DataFrame, text_col: str = "text", out: str = "tokens",
+    code_aware: bool = False,
+) -> DataFrame:
+    """T1b: same semantics as T1a through the Arrow/pandas-UDF boundary.
+
+    ``code_aware=True`` (OPT-IN — default off so every golden test and the
+    pinned-tokenizer invariant stay untouched) additionally splits
+    snake_case / camelCase identifiers; for source-code corpora this makes
+    `getValue` findable by the query `value`."""
+    udf = _tokenize_code_udf if code_aware else _tokenize_udf
+    return df.withColumn(out, udf(F.col(text_col)))
 
 
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens",
@@ -79,3 +102,11 @@ def py_tokenize(text: str) -> list[str]:
     import re
 
     return re.findall(TOKEN_RE, text.lower())
+
+
+def py_tokenize_code(text: str) -> list[str]:
+    """Driver-side twin of the code-aware mode (identifier splitting)."""
+    import re
+
+    split = re.sub(_CAMEL_RE, " ", text).replace("_", " ")
+    return re.findall(TOKEN_RE, split.lower())

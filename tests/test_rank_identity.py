@@ -70,3 +70,54 @@ def test_daat_conjunctive_equals_logical(spark, docs_sf001, queries, tmp_path_fa
         for key, (doc, score) in logical.items():
             pdoc, pscore = physical[key]
             assert pdoc == doc and abs(pscore - score) < 1e-9, (key, wand)
+
+
+def test_conjunctive_region_prune_is_lossless_and_tighter(
+    spark, docs_sf001, queries, tmp_path_factory
+):
+    """Partial-region pruning (a region missing any required term's blocks is
+    skipped outright) must be bit-identical to the unpruned traversal while
+    decoding strictly fewer regions. The group UDF is driven as plain Python
+    over the real pruned block fetch so visits can be counted."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparksearch.build import build_index, load_index
+    from sparksearch.daat import _daat_group_fn
+    from sparksearch.querying import parse_queries
+
+    path = str(tmp_path_factory.mktemp("prune_idx"))
+    build_index(spark, docs_sf001, path, n_buckets=8, n_ranges=8)
+    segments, dictionary, stats = load_index(spark, path)
+    qterms = parse_queries(spark, queries)
+    rows = dictionary.join(F.broadcast(qterms), "term").select(
+        "term", "bucket", "query_id", "qtf", "idf"
+    ).collect()
+    terms = sorted({r["term"] for r in rows})
+    buckets = sorted({int(r["bucket"]) for r in rows})
+    qmeta = spark.createDataFrame(
+        [(r["term"], int(r["query_id"]), int(r["qtf"]), float(r["idf"])) for r in rows],
+        "term string, query_id int, qtf int, idf double",
+    )
+    qblocks = (
+        segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .join(F.broadcast(qmeta), "term")
+        .toPandas()
+    )
+    nreq = dict(Counter(int(r["query_id"]) for r in rows))
+
+    out, visits = {}, {}
+    for flag in (True, False):
+        log: list[int] = []
+        fn = _daat_group_fn(
+            10, float(stats["avgdl"]), True, nreq,
+            prune_partial_regions=flag, visit_log=log,
+        )
+        parts = [fn(g) for _, g in qblocks.groupby("range_id")]
+        pdf = pd.concat(parts, ignore_index=True)
+        out[flag] = sorted(map(tuple, pdf.itertuples(index=False)))
+        visits[flag] = sum(log)
+    assert out[True] == out[False]
+    assert visits[True] < visits[False], visits

@@ -76,6 +76,18 @@ def test_manifest_metrics(spark, docs_sf0001, tmp_path):
         assert r["postings_per_sec"] > 0
         assert r["docs_per_sec"] > 0
         assert r["committed_at"]
+    # Pin the lineage shape: resume_manifest is rows-only at the driver
+    # (timings aren't SQL-comparable), so this schema assertion is what
+    # keeps the check from silently degrading.
+    assert dict(m.dtypes) == {
+        "partition_id": "int", "n_docs": "bigint", "n_postings": "bigint",
+        "n_terms": "bigint", "build_secs": "double",
+        "postings_per_sec": "double", "docs_per_sec": "double",
+        "committed_at": "string",
+    }
+    # The catalog entry projects these four columns — they must keep existing.
+    proj = m.select("partition_id", "n_docs", "n_postings", "postings_per_sec")
+    assert proj.columns == ["partition_id", "n_docs", "n_postings", "postings_per_sec"]
 
 
 def test_ids_and_sha256_invariant(spark):
