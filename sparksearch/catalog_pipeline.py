@@ -371,7 +371,7 @@ mh AS (
 ),
 bk AS (
   SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS bkey
+         {_h60("string_agg(minh::VARCHAR, ',' ORDER BY seed)")} AS bkey
   FROM mh GROUP BY 1, 2
 ),
 pairs AS (
