@@ -41,14 +41,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, mult: int, build_reps: int = 3) -> dict:
+def run_level(cpus: int, sf_dir: str, mult: int, build_reps: int = 3,
+              pin: bool = True) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_MULT=str(mult), SPARK_GRAFT_SKIP_PIPELINE="1",
                SPARK_GRAFT_BUILD_ONLY="1", SPARK_GRAFT_BUILD_REPS=str(build_reps))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    # Pin the whole process tree (JVM task threads + Arrow Python workers +
+    # GC) to exactly `cpus` hardware threads. Without this, local[N]'s Python
+    # workers run OUTSIDE the N-thread cap, so the low level silently uses
+    # ~2N cores and the ratio under-reports true engine scaling. Pinning is
+    # the honest single-host analog of a cluster executor's cgroup quota.
+    if pin and os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     # bench.py prints exactly one JSON line on stdout.
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -71,11 +77,15 @@ def main() -> None:
     # Alternate the levels across repeats so a co-tenant CPU burst cannot
     # bias one level; keep the best (max-throughput) run per level.
     levels: dict[int, dict] = {}
-    for _ in range(args.repeat):
+    for rep in range(args.repeat):
         for cpus in (args.base_cpus, args.base_cpus * args.scale):
             r = run_level(cpus, args.sf_dir, args.mult)
             if cpus not in levels or r["docs_per_sec"] > levels[cpus]["docs_per_sec"]:
                 levels[cpus] = r
+            print(json.dumps({"rep": rep, "cpus": cpus,
+                              "docs_per_sec": r["docs_per_sec"],
+                              "build_sec": r["queries"]["index_build"]}),
+                  file=sys.stderr)
 
     lo, hi = levels[args.base_cpus], levels[args.base_cpus * args.scale]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / args.scale

@@ -42,13 +42,75 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import BLOCK_SIZE, encode_sublist
-from .stats import bm25_term_score_col, doc_freq, term_freq, with_idf
-from .tokenize import explode_postings, tokenize
+from .stats import bm25_term_score_col, doc_freq, with_idf
 
 SEGMENT_COLS = (
     "term string, range_id int, first_doc_id long, last_doc_id long, n int, "
     "doc_gaps binary, tfs binary, dls binary, max_score double"
 )
+
+
+def _tok_tf_kernel(text_col: str, id_col: str):
+    """mapInPandas kernel: raw docs → exploded (doc_id, term, tf, dl) postings
+    in ONE vectorized Arrow pass — tokenize, per-doc term counting and doc
+    length all happen map-side, so the postings frame needs NO occurrence
+    shuffle (the old explode → groupBy(term, doc_id) moved every token
+    occurrence — ~2.3× the posting count — through an exchange) and NO
+    doc-length join later (dl rides along as a column). Token-empty docs
+    contribute no rows — identical to the explode/groupBy semantics and the
+    DuckDB oracle's ``WHERE term <> ''``. Per-batch work is pandas/NumPy
+    C kernels (str.findall, hash groupby, repeat/concat) — no per-row Python
+    beyond the token-list flatten."""
+
+    def fn(it):
+        from itertools import chain
+
+        from .tokenize import TOKEN_RE
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            if int(lens.sum()) == 0:
+                continue
+            flat = np.asarray(list(chain.from_iterable(toks)), dtype=object)
+            didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            g = (
+                pd.DataFrame({"d": didx, "term": flat})
+                .groupby(["d", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            d = g["d"].to_numpy()
+            # lead: exactly one True row per document (its first posting) —
+            # lets per-DOC stats (n_docs, Σdl, doclens) ride the posting
+            # frame as map-only filters/Observations, no doc_id shuffle.
+            lead = np.empty(len(d), dtype=bool)
+            if len(d):
+                lead[0] = True
+                lead[1:] = d[1:] != d[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy()[d],
+                    "term": g["term"].to_numpy(),
+                    "tf": g["tf"].to_numpy().astype(np.int32),
+                    "dl": lens[d].astype(np.int32),
+                    "lead": lead,
+                }
+            )
+
+    return fn
+
+
+def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The build hot path's first stage: DF[doc_id, term, tf, dl, lead] via
+    the one-pass Arrow kernel. Tested equal to the declarative twin
+    term_freq(explode_postings(tokenize(docs))) ⋈ doc_len (test_index.py)."""
+    return docs.mapInPandas(
+        _tok_tf_kernel(text_col, id_col),
+        "doc_id long, term string, tf int, dl int, lead boolean",
+    )
 
 
 def _encode_group_fn(block_size: int):
@@ -89,11 +151,17 @@ def build_segments(
 ) -> DataFrame:
     """B1–B4: postings + stats → flat block rows with bucket column.
 
-    tf_df: [term, doc_id, tf]; dl_df: [doc_id, dl]; term_stats must carry
-    (term, idf, avgdl) (from stats.with_idf)."""
+    tf_df: [term, doc_id, tf(, dl)]; dl_df: [doc_id, dl]; term_stats must
+    carry (term, idf, avgdl) (from stats.with_idf). When tf_df already
+    carries dl (the one-pass tokenize_tf path) the doc-length join — a full
+    shuffle of the postings on doc_id — is skipped entirely: the salted
+    (term, range_id) repartition below is then the ONLY full-data exchange
+    in the whole build."""
+    base = tf_df.join(term_stats.select("term", "idf", "avgdl"), "term")
+    if "dl" not in tf_df.columns:
+        base = base.join(dl_df, "doc_id")
     scored = (
-        tf_df.join(term_stats.select("term", "idf", "avgdl"), "term")
-        .join(dl_df, "doc_id")
+        base
         .select(
             "term",
             "doc_id",
@@ -135,10 +203,8 @@ def build_index(
     stages postings per source partition and then calls ``finalize_index``
     over the committed units' postings.
     """
-    tokenized = tokenize(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
-    postings = explode_postings(tokenized)
-    # Single text pass: tf is the only child of tokenize; dl derives from tf.
-    tf_df = term_freq(postings)
+    # ONE Arrow pass: tokenize + per-doc tf + dl, all map-side (tokenize_tf).
+    tf_df = tokenize_tf(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
     return finalize_index(
         spark, tf_df, index_path,
         n_buckets=n_buckets, n_ranges=n_ranges, block_size=block_size, mode=mode,
@@ -154,55 +220,103 @@ def finalize_index(
     block_size: int = BLOCK_SIZE,
     mode: str = "overwrite",
 ) -> dict:
-    """Stage II: (term, doc_id, tf) postings → segments + dictionary + stats.
+    """Stage II: (term, doc_id, tf[, dl, lead]) postings → segments +
+    dictionary + stats.
 
     At cluster scale tf_df is the committed per-unit postings table on disk
     (checkpoint.build_resumable) — every downstream branch re-reads cheap
-    columnar postings instead of re-tokenizing raw text."""
+    columnar postings instead of re-tokenizing raw text.
+
+    Scaling-efficiency design (the serial/fixed costs here directly cap the
+    N→4N rule — every job barrier and every exchange was audited):
+
+    * global stats (n_docs, Σdl, max doc_id) ride an ``Observation`` on the
+      job that materializes the postings cache — no separate doc-aggregate
+      job, no doc_id exchange, one driver round-trip total. The ``lead``
+      flag (one True per doc) makes the per-doc sums exact over posting rows.
+    * dl_df is a map-only ``filter(lead)`` projection of the cache.
+    * the encoded block frame is cached once and the three sinks (segments,
+      doclens, dictionary) are written by CONCURRENT driver threads — writes
+      overlap instead of serializing three commit barriers; the dictionary's
+      global block-max aggregates the cached blocks, not a re-read of the
+      just-written files.
+    * the only full-data exchange left in the whole build is the salted
+      (term, range_id) repartition feeding the encoder (build_segments).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tf_df = tf_df.persist()
-    # ONE driver round-trip for global stats + docID bounds (each collect is a
-    # full job — scheduling/codegen latency is serial driver time that caps
-    # scaling efficiency, so jobs are merged wherever granularities allow).
-    dl_df = tf_df.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-    srow = dl_df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.max("doc_id").alias("max_id"),
-    ).collect()[0]
-    range_size = max(1, math.ceil((int(srow["max_id"]) + 1) / n_ranges))
+
+    has_lead = "lead" in tf_df.columns
+    if has_lead:
+        obs = Observation()
+        tf_df = tf_df.observe(
+            obs,
+            F.sum(F.when(F.col("lead"), 1).otherwise(0)).alias("n_docs"),
+            F.sum(F.when(F.col("lead"), F.col("dl")).otherwise(0)).alias("sum_dl"),
+            F.max("doc_id").alias("max_id"),
+        )
+        tf_df = tf_df.persist()
+        tf_df.count()  # materialize cache; stats ride this one job
+        m = obs.get
+        n_docs, avgdl, max_id = int(m["n_docs"]), m["sum_dl"] / m["n_docs"], int(m["max_id"])
+        dl_df = tf_df.filter("lead").select("doc_id", "dl")
+    else:
+        # Legacy path: bare (term, doc_id, tf) postings (no dl column).
+        tf_df = tf_df.persist()
+        dl_df = tf_df.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+        srow = dl_df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.max("doc_id").alias("max_id"),
+        ).collect()[0]
+        n_docs, avgdl, max_id = int(srow["n_docs"]), float(srow["avgdl"]), int(srow["max_id"])
+
+    range_size = max(1, math.ceil((max_id + 1) / n_ranges))
     # Literal 1-row stats frame (already collected) — keeps every downstream
     # plan free of an embedded re-aggregation of dl_df.
-    stats_df = spark.createDataFrame(
-        [(int(srow["n_docs"]), float(srow["avgdl"]))], "n_docs long, avgdl double"
-    )
+    stats_df = spark.createDataFrame([(n_docs, float(avgdl))], "n_docs long, avgdl double")
     term_stats = with_idf(doc_freq(tf_df), stats_df)
 
-    seg = build_segments(tf_df, dl_df, term_stats, range_size, n_buckets, block_size)
-    seg.write.mode(mode).partitionBy("bucket").parquet(os.path.join(index_path, "segments"))
-
-    # Doc-length sidecar (audits + rebuild checks; queries don't need it —
-    # blocks are self-contained via the dls stream).
-    dl_df.write.mode(mode).parquet(os.path.join(index_path, "doclens"))
-
-    # B5: dictionary — term stats + global block-max, from the written segments
-    # (re-reading parquet is cheap and avoids recomputing the encode DAG).
-    seg_r = spark.read.parquet(os.path.join(index_path, "segments"))
-    gmax = seg_r.groupBy("term").agg(
+    seg = build_segments(
+        tf_df, dl_df, term_stats, range_size, n_buckets, block_size
+    ).persist()
+    seg.count()  # run the one big exchange + encode; sinks below read cache
+    gmax = seg.groupBy("term").agg(
         F.max("max_score").alias("max_score"), F.first("bucket").alias("bucket")
     )
     dictionary = term_stats.select("term", "df", "cf", "idf").join(gmax, "term")
-    dictionary.write.mode(mode).parquet(os.path.join(index_path, "dictionary"))
+
+    def _w_segments():
+        seg.write.mode(mode).partitionBy("bucket").parquet(
+            os.path.join(index_path, "segments")
+        )
+
+    def _w_doclens():
+        # Doc-length sidecar (audits + rebuild checks; queries don't need it —
+        # blocks are self-contained via the dls stream).
+        dl_df.write.mode(mode).parquet(os.path.join(index_path, "doclens"))
+
+    def _w_dictionary():
+        dictionary.write.mode(mode).parquet(os.path.join(index_path, "dictionary"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(w) for w in (_w_segments, _w_doclens, _w_dictionary)]
+        for f in futures:
+            f.result()
 
     stats = {
-        "n_docs": int(srow["n_docs"]),
-        "avgdl": float(srow["avgdl"]),
+        "n_docs": n_docs,
+        "avgdl": float(avgdl),
         "range_size": int(range_size),
         "n_ranges": int(n_ranges),
         "n_buckets": int(n_buckets),
         "block_size": int(block_size),
     }
+    seg.unpersist()
     tf_df.unpersist()
     with open(os.path.join(index_path, "stats.json"), "w") as f:
         json.dump(stats, f)

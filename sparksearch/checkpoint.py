@@ -28,9 +28,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .build import finalize_index
-from .stats import term_freq
-from .tokenize import explode_postings, tokenize
+from .build import finalize_index, tokenize_tf
 
 
 def unit_col(id_col: str, n_units: int):
@@ -111,16 +109,18 @@ def build_unit(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
-    """Stage I for one unit: tokenize → explode → tf-agg → commit postings.
+    """Stage I for one unit: one-pass tokenize+tf (build.tokenize_tf) →
+    commit postings (with the dl column riding along for the finalize).
 
     Metrics come from an Observation riding the write (no extra pass over the
     data) plus wall-clock around the unit job."""
     t0 = time.monotonic()
     docs_u = docs.filter(unit_col(id_col, n_units) == unit)
-    tokenized = tokenize(docs_u.select(F.col(id_col).alias("doc_id"), text_col), text_col)
     obs_docs = Observation(f"docs_u{unit}")
-    tokenized = tokenized.observe(obs_docs, F.count(F.lit(1)).alias("n_docs"))
-    tf = term_freq(explode_postings(tokenized))
+    observed = docs_u.select(F.col(id_col).alias("doc_id"), text_col).observe(
+        obs_docs, F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = tokenize_tf(observed, text_col)
     obs_tf = Observation(f"tf_u{unit}")
     tf = tf.observe(
         obs_tf,
@@ -174,8 +174,10 @@ def build_resumable(
     if not finalize:
         return {"built_units": built}
     tf_all = spark.read.parquet(os.path.join(index_path, "postings"))
+    # lead stays valid globally: every doc lives in exactly one unit, so the
+    # one-True-row-per-doc invariant survives the union of unit postings.
     stats = finalize_index(
-        spark, tf_all.select("term", "doc_id", "tf"), index_path,
+        spark, tf_all.select("term", "doc_id", "tf", "dl", "lead"), index_path,
         n_buckets=n_buckets, n_ranges=n_ranges,
     )
     stats["built_units"] = built

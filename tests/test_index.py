@@ -117,3 +117,28 @@ def test_empty_and_unknown_queries(spark, index_sf001):
     path, _ = index_sf001
     res = daat_topk(spark, path, [(1, ""), (2, "zzz")], k=K)
     assert res.count() == 0
+
+
+def test_tokenize_tf_equals_declarative_twin(spark, docs_sf0001):
+    """The one-pass Arrow kernel (build.tokenize_tf) must equal the
+    declarative tokenize → explode → term_freq pipeline joined with
+    doc_len, row for row."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.build import tokenize_tf
+    from sparksearch.stats import doc_len, term_freq
+    from sparksearch.tokenize import explode_postings, tokenize_sql
+
+    got = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tok = tokenize_sql(docs_sf0001.select("doc_id", "text"), "text")
+    exp = term_freq(explode_postings(tok)).join(doc_len(tok), "doc_id")
+    diff = (
+        got.select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                   F.col("dl").cast("long").alias("dl"))
+        .exceptAll(
+            exp.select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                       F.col("dl").cast("long").alias("dl"))
+        )
+    )
+    assert got.count() == exp.count()
+    assert diff.count() == 0
