@@ -254,6 +254,46 @@ def q_shared_terms_setops(spark, sf_dir):
     )
 
 
+#: Fixed phrase-query set for the positional-search catalog entry (terms all
+#: exist in the fixture vocab; includes a 3-term phrase and a single term).
+PHRASES = [(1, "hash join"), (2, "sort merge join"), (3, "dup join"), (4, "join")]
+
+
+def q_phrase_topk(spark, sf_dir):
+    from .phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir), PHRASES, k=10)
+
+
+def _phrase_sql(k: int = 10) -> str:
+    """DuckDB twin of phrase_topk: per-doc contiguous-occurrence counts via a
+    positional scan of the token list, same (n DESC, doc_id ASC) order."""
+    from .tokenize import py_tokenize
+
+    branches = []
+    for qid, phrase in PHRASES:
+        ts = py_tokenize(phrase)
+        cond = " AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"       CAST(len(list_filter(generate_series(1, len(ts) - {len(ts) - 1}),"
+            f" i -> {cond})) AS BIGINT) AS n_occurrences\nFROM tokd"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+pc AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id ASC) AS rnk
+  FROM pc WHERE n_occurrences > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_occurrences
+FROM r WHERE rnk <= {k}"""
+
+
 def q_tpch_revenue_by_nation(spark, sf_dir):
     from .joins import revenue_by_nation
 
@@ -555,6 +595,12 @@ SELECT term, 'both' AS which FROM (SELECT term FROM t0 INTERSECT SELECT term FRO
 UNION ALL
 SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term FROM t1)""",
             "set-operation coverage: INTERSECT / EXCEPT over per-source vocabularies",
+        ),
+        "phrase_topk": QuerySpec(
+            q_phrase_topk,
+            _phrase_sql(),
+            "positional phrase search: contiguous-occurrence counts via the "
+            "per-doc (term → positions) map, top-10 per phrase",
         ),
         "tpch_revenue_by_nation": QuerySpec(
             q_tpch_revenue_by_nation,

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
-from .tokenize import explode_postings, tokenize
 
 
 def term_freq(postings: DataFrame) -> DataFrame:
@@ -84,11 +83,14 @@ def bm25_term_score_col(tf="tf", idf="idf", dl="dl", avgdl="avgdl", qtf=None):
 
 def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """Convenience: (tf_df, dl_df, term_stats_with_idf, global_stats_df) from a
-    raw document table. One tokenize pass feeds both tf and dl branches."""
-    tokenized = tokenize(docs.select(id_col, text_col), text_col)
-    postings = explode_postings(tokenized, id_col)
-    tf_df = term_freq(postings)
-    dl_df = doc_len(tokenized, id_col)
+    raw document table — via the one-pass Arrow kernel (build.tokenize_tf):
+    tf and dl are both map-side, no occurrence shuffle (same values as the
+    declarative tokenize → explode → term_freq twin, tested equal)."""
+    from .build import tokenize_tf
+
+    tt = tokenize_tf(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    tf_df = tt.select("term", "doc_id", "tf")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
     stats = global_stats_df(dl_df)
     ts = with_idf(doc_freq(tf_df), stats)
     return tf_df, dl_df, ts, stats

@@ -283,39 +283,58 @@ def simhash_signatures(
     """DF[doc_id, simhash]: 60-bit SimHash — per-bit tf-weighted majority over
     h60(term) of the document's terms.
 
-    Declarative plan: postings (term, doc_id, tf) × 60 bit positions →
-    two hash-aggregates. The 60× row blowup stays inside whole-stage codegen
-    (cheap long arithmetic); at 10^12 scale swap in a pandas_udf packing the
-    60 counters into one NumPy array per batch if the exchange ever shows up
-    in profiles — semantics are pinned by this version."""
-    from .stats import term_freq
-    from .tokenize import explode_postings, tokenize
+    Computed ENTIRELY map-side in one vectorized Arrow pass (mapInPandas):
+    tokenize → per-doc tf counts → h60 per distinct term → a NumPy
+    bit-matrix weighted sum → the packed 60-bit signature. Zero shuffle (the
+    historical declarative plan exploded postings × 60 bit positions through
+    two hash-aggregate exchanges). Values are pinned by the DuckDB oracle
+    twin (SIMHASH_SIG_SQL) and the pure-Python reference test — the plan
+    changed, the bits did not."""
+    import hashlib
 
-    toks = tokenize(
-        docs.select(F.col(id_col).alias("doc_id"), text_col), text_col
-    )
-    tf = term_freq(explode_postings(toks))  # term, doc_id, tf
-    bits = (
-        tf.withColumn("h", h60(F.col("term")))
-        .select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        )
-        .withColumn(
-            "w",
-            F.when(
-                F.expr("(h >> b) & 1") == 1, F.col("tf")
-            ).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("wsum"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("wsum") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(F.lit(0))
-        ).alias("simhash")
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        from .tokenize import TOKEN_RE
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        hcache: dict[str, int] = {}
+
+        def h(term: str) -> int:
+            v = hcache.get(term)
+            if v is None:
+                v = hcache[term] = int(
+                    hashlib.md5(term.encode()).hexdigest()[:15], 16
+                )
+            return v
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_ids, out_sigs = [], []
+            toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+            for doc_id, tl in zip(pdf[id_col].to_numpy(), toks):
+                if not tl:
+                    continue
+                u, c = np.unique(np.asarray(tl, dtype=object), return_counts=True)
+                hv = np.fromiter((h(t) for t in u), dtype=np.int64, count=len(u))
+                # ±tf per bit: bit set → +tf else −tf; majority per column
+                bits = ((hv[:, None] >> shifts) & 1) * 2 - 1
+                wsum = (bits * c[:, None]).sum(axis=0)
+                sig = int(((wsum > 0).astype(np.int64) << shifts).sum())
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(out_ids, dtype=np.int64),
+                        "simhash": np.asarray(out_sigs, dtype=np.int64),
+                    }
+                )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
+        kernel, "doc_id long, simhash long"
     )
 
 

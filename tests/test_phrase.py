@@ -1,0 +1,61 @@
+"""Phrase (positional) search vs a from-scratch Python reference."""
+
+from __future__ import annotations
+
+import re
+
+from sparksearch.phrase import phrase_counts, phrase_topk
+
+
+def _tok(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9_]+", text.lower())
+
+
+def _py_phrase_count(text: str, phrase: str) -> int:
+    t, p = _tok(text), _tok(phrase)
+    if not p or len(t) < len(p):
+        return 0
+    return sum(1 for i in range(len(t) - len(p) + 1) if t[i : i + len(p)] == p)
+
+
+def test_phrase_counts_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c x"),   # overlapping-window phrase twice
+            (2, "a a b b c"),       # "a b" once, "b c" once
+            (3, "c b a"),           # reversed — no match
+            (4, "a"),               # shorter than the phrase
+        ],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id: r.n_occurrences for r in phrase_counts(docs, "a b c").collect()} == {1: 2}
+    assert {r.doc_id: r.n_occurrences for r in phrase_counts(docs, "b c").collect()} == {1: 2, 2: 1}
+    # single-term phrase == tf; duplicate-term phrase probes one array twice
+    assert {r.doc_id: r.n_occurrences for r in phrase_counts(docs, "a").collect()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert phrase_counts(docs, "a b a").count() == 0
+    assert phrase_counts(docs, "").count() == 0
+    assert phrase_counts(docs, "zzz qqq").count() == 0
+
+
+def test_phrase_counts_match_reference_on_fixture(spark, docs_sf0001, docs_pandas_sf001):
+    pdf = docs_sf0001.toPandas()
+    for phrase in ("hash join", "sort merge join", "dup"):
+        exp = {
+            int(r.doc_id): n
+            for r in pdf.itertuples()
+            if (n := _py_phrase_count(r.text, phrase)) > 0
+        }
+        got = {r.doc_id: r.n_occurrences for r in phrase_counts(docs_sf0001, phrase).collect()}
+        assert got == exp, phrase
+
+
+def test_phrase_topk_order_and_rank(spark, docs_sf0001):
+    rows = phrase_topk(docs_sf0001, [(1, "hash join"), (2, "join")], k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for a, b in zip(rs, rs[1:]):
+            assert (-a.n_occurrences, a.doc_id) <= (-b.n_occurrences, b.doc_id)
