@@ -337,6 +337,18 @@ def q_orders_grouping_sets(spark, sf_dir):
     return orders_grouping_sets(_t(spark, sf_dir, "orders"))
 
 
+def q_lineitem_quantiles(spark, sf_dir):
+    from .joins import lineitem_quantiles
+
+    return lineitem_quantiles(_t(spark, sf_dir, "lineitem"))
+
+
+def q_orders_pivot(spark, sf_dir):
+    from .joins import orders_pivot
+
+    return orders_pivot(_t(spark, sf_dir, "orders"))
+
+
 def q_customer_order_balance(spark, sf_dir):
     from .joins import customer_order_balance
 
@@ -633,6 +645,18 @@ SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term F
             q_orders_grouping_sets,
             _J.ORDERS_GROUPING_SETS_SQL,
             "A6: explicit GROUPING SETS ((status),(priority),()) in one pass",
+        ),
+        "lineitem_quantiles": QuerySpec(
+            q_lineitem_quantiles,
+            _J.LINEITEM_QUANTILES_SQL,
+            "exact percentile aggregates (p25/p50/p75) per returnflag — "
+            "Spark percentile ≡ DuckDB quantile_cont (linear interpolation)",
+        ),
+        "orders_pivot": QuerySpec(
+            q_orders_pivot,
+            _J.ORDERS_PIVOT_SQL,
+            "pivot with explicit value list (no discovery job at scale); "
+            "oracle = conditional aggregation",
         ),
         "customer_order_balance": QuerySpec(
             q_customer_order_balance,

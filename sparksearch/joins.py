@@ -244,6 +244,61 @@ SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
 
 
+def lineitem_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Percentile-aggregate coverage → one row per l_returnflag with exact
+    p25/p50/p75 of l_extendedprice. Spark's ``percentile`` (exact, linear
+    interpolation) matches DuckDB's ``quantile_cont`` bit-for-bit on the
+    same input; the approx_percentile variant exists for the 100 TB path
+    (one-pass sketch) but the oracle pins the exact form."""
+    pcts = [0.25, 0.5, 0.75]
+    return lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in pcts
+        ],
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+LINEITEM_QUANTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1"""
+
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def orders_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot coverage → one row per o_orderpriority with per-status order
+    counts as columns (explicit value list — REQUIRED at scale: an implicit
+    pivot runs an extra distinct job over the fact table to discover
+    values). DuckDB twin = conditional aggregation."""
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}")
+            for s in ORDER_STATUSES
+        ],
+    )
+
+
+ORDERS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY 1"""
+
+
 def customer_order_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Outer-join coverage: every customer with their order count and spend —
     customers with NO orders surface with zeros (left outer ⋈ on the fact

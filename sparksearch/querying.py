@@ -68,7 +68,7 @@ def score_logical(
     groupBy(query_id, doc_id) is partial+final; top-k is a window per query.
     """
     q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
-    contrib = tf_df.join(F.broadcast(q), "term", "inner").join(dl_df, "doc_id")
+    contrib = _with_dl(tf_df, dl_df).join(F.broadcast(q), "term", "inner")
     scored = (
         contrib.select(
             "query_id",
@@ -79,6 +79,16 @@ def score_logical(
         .agg(F.sum("s").alias("score"))
     )
     return topk_per_query(scored, k)
+
+
+def _with_dl(tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:
+    """Postings with dl attached. When tf_df already carries dl (the one-pass
+    tokenize_tf shape) this is free; otherwise join — which at 10^12 docs is
+    a full unbroadcastable shuffle, which is exactly why the engine carries
+    dl on the postings."""
+    if "dl" in tf_df.columns:
+        return tf_df
+    return tf_df.join(dl_df, "doc_id")
 
 
 def score_logical_conjunctive(
@@ -95,7 +105,7 @@ def score_logical_conjunctive(
     against the per-query required-term count."""
     q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
     n_req = q.groupBy("query_id").agg(F.count_distinct("term").alias("n_req"))
-    contrib = tf_df.join(F.broadcast(q), "term", "inner").join(dl_df, "doc_id")
+    contrib = _with_dl(tf_df, dl_df).join(F.broadcast(q), "term", "inner")
     scored = (
         contrib.select(
             "query_id", "doc_id", "term",

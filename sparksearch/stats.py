@@ -89,7 +89,10 @@ def corpus_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     from .build import tokenize_tf
 
     tt = tokenize_tf(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
-    tf_df = tt.select("term", "doc_id", "tf")
+    # dl rides the postings — querying.score_logical* skip the doc-length
+    # join entirely when the column is present (at 10^12 docs that join is
+    # an unbroadcastable full shuffle; carrying 4 bytes/posting kills it).
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
     dl_df = tt.filter("lead").select("doc_id", "dl")
     stats = global_stats_df(dl_df)
     ts = with_idf(doc_freq(tf_df), stats)
