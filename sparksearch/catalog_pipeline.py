@@ -265,6 +265,31 @@ def q_phrase_topk(spark, sf_dir):
     return phrase_topk(_docs(spark, sf_dir), PHRASES, k=10)
 
 
+_POS_CACHE: dict[str, str] = {}
+
+
+def _positions_for(spark, sf_dir):
+    """Build (once per sf_dir per process) the positional sidecar index."""
+    key = sf_dir.rstrip("/")
+    if key not in _POS_CACHE:
+        import hashlib
+        import os
+
+        from .phrase import build_positions
+
+        path = f"/tmp/sparksearch_pos_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
+        os.makedirs(path, exist_ok=True)
+        build_positions(spark, _docs(spark, sf_dir), path, n_buckets=16)
+        _POS_CACHE[key] = path
+    return _POS_CACHE[key]
+
+
+def q_phrase_topk_indexed(spark, sf_dir):
+    from .phrase import phrase_topk_indexed
+
+    return phrase_topk_indexed(spark, _positions_for(spark, sf_dir), PHRASES, k=10)
+
+
 def _phrase_sql(k: int = 10) -> str:
     """DuckDB twin of phrase_topk: per-doc contiguous-occurrence counts via a
     positional scan of the token list, same (n DESC, doc_id ASC) order."""
@@ -613,6 +638,14 @@ SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term F
             _phrase_sql(),
             "positional phrase search: contiguous-occurrence counts via the "
             "per-doc (term → positions) map, top-10 per phrase",
+        ),
+        "phrase_topk_indexed": QuerySpec(
+            q_phrase_topk_indexed,
+            _phrase_sql(),
+            "index-backed phrase search: bucketed positional sidecar "
+            "(delta+varint positions), pruned fetch of the phrase terms "
+            "only, NumPy adjacency intersection — must equal the logical "
+            "path and the SQL oracle exactly",
         ),
         "tpch_revenue_by_nation": QuerySpec(
             q_tpch_revenue_by_nation,

@@ -88,6 +88,170 @@ def phrase_counts(docs: DataFrame, phrase: str, text_col: str = "text",
     )
 
 
+def build_positions(
+    spark,
+    docs: DataFrame,
+    index_path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Positional sidecar index: ``<index>/positions/bucket=<b>/*.parquet``
+    rows (term, doc_id, npos, pos_blob) — the 1-based occurrence positions
+    of term in doc, delta+varint encoded (first raw, then gaps; same LEB128
+    as the posting blocks). ADDITIVE artifact: the main segment layout is
+    untouched; phrase queries prune it by (bucket, term) exactly like Q2.
+
+    Build is one vectorized Arrow pass (map-side, like tokenize_tf) + the
+    bucketed write — no shuffle beyond the write's partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(it):
+        from .codec import varint_encode
+        from .tokenize import TOKEN_RE
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids_out, terms_out, npos_out, blobs_out = [], [], [], []
+            toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+            for doc_id, tl in zip(pdf[id_col].to_numpy(), toks):
+                if not tl:
+                    continue
+                arr = np.asarray(tl, dtype=object)
+                order = np.argsort(arr, kind="stable")  # stable ⇒ positions stay ascending per term
+                st = arr[order]
+                pos = (np.arange(arr.size, dtype=np.int64) + 1)[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], st[1:] != st[:-1]))
+                )
+                ends = np.concatenate((starts[1:], [st.size]))
+                for s, e in zip(starts, ends):
+                    p = pos[s:e]
+                    gaps = np.concatenate(([p[0]], np.diff(p))).astype(np.uint64)
+                    ids_out.append(doc_id)
+                    terms_out.append(st[s])
+                    npos_out.append(e - s)
+                    blobs_out.append(varint_encode(gaps))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.asarray(terms_out, dtype=object),
+                        "doc_id": np.asarray(ids_out, dtype=np.int64),
+                        "npos": np.asarray(npos_out, dtype=np.int32),
+                        "pos_blob": blobs_out,
+                    }
+                )
+
+    import os
+
+    out = docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(kernel, "term string, doc_id long, npos int, pos_blob binary")
+    out = out.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    out.write.mode(mode).partitionBy("bucket").parquet(
+        os.path.join(index_path, "positions")
+    )
+    import json
+
+    with open(os.path.join(index_path, "positions_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+
+
+def phrase_topk_indexed(
+    spark, index_path: str, phrases: list[tuple[int, str]], k: int = 10
+) -> DataFrame:
+    """Index-backed batch phrase search → DF[query_id, rank, doc_id,
+    n_occurrences] — identical output to the logical ``phrase_topk``
+    (tested), but reads ONLY the phrase terms' position rows from the
+    bucketed sidecar (partition pruning on bucket + predicate pushdown on
+    term, like Q2), then checks adjacency with NumPy set intersections in
+    one grouped Arrow pass per doc shard."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    qdefs = {int(qid): py_tokenize(p) for qid, p in phrases}
+    qdefs = {q: t for q, t in qdefs.items() if t}
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_occurrences long"
+        )
+    all_terms = sorted({t for ts in qdefs.values() for t in ts})
+    pos = spark.read.parquet(os.path.join(index_path, "positions"))
+    import json
+
+    with open(os.path.join(index_path, "positions_meta.json")) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    # bucket per term — same deterministic hash as the writer, tiny job
+    tdf = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in tdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+            ).collect()
+        }
+    )
+    pruned = pos.filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    qterms = spark.createDataFrame(
+        sorted({(q, t) for q, ts in qdefs.items() for t in ts}),
+        "query_id long, term string",
+    )
+    joined = pruned.join(F.broadcast(qterms), "term")
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import varint_decode
+
+        out_q, out_d, out_n = [], [], []
+        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
+            terms = qdefs[int(qid)]
+            have = dict(zip(g["term"].values, g["pos_blob"].values))
+            if len(have) < len(set(terms)):
+                continue  # some required term absent from this doc
+            dec: dict[str, np.ndarray] = {}
+
+            def ps(t: str) -> np.ndarray:
+                a = dec.get(t)
+                if a is None:
+                    a = dec[t] = np.cumsum(
+                        varint_decode(have[t]).astype(np.int64)
+                    )
+                return a
+
+            starts = ps(terms[0])
+            for i, t in enumerate(terms[1:], start=1):
+                starts = np.intersect1d(starts, ps(t) - i, assume_unique=True)
+                if not starts.size:
+                    break
+            if starts.size:
+                out_q.append(int(qid))
+                out_d.append(int(doc_id))
+                out_n.append(int(starts.size))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "n_occurrences": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    counts = joined.groupBy("doc_id").applyInPandas(
+        match, "query_id long, doc_id long, n_occurrences long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_occurrences")
+    )
+
+
 def phrase_topk(docs: DataFrame, phrases: list[tuple[int, str]], k: int = 10,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Batch phrase search → DF[query_id, rank, doc_id, n_occurrences]:

@@ -59,3 +59,36 @@ def test_phrase_topk_order_and_rank(spark, docs_sf0001):
         assert len(rs) <= 5
         for a, b in zip(rs, rs[1:]):
             assert (-a.n_occurrences, a.doc_id) <= (-b.n_occurrences, b.doc_id)
+
+
+def test_indexed_phrase_equals_logical(spark, docs_sf0001, tmp_path):
+    from sparksearch.phrase import build_positions, phrase_topk_indexed
+
+    path = str(tmp_path / "posidx")
+    build_positions(spark, docs_sf0001, path, n_buckets=8)
+    phrases = [(1, "hash join"), (2, "sort merge join"), (3, "dup"), (4, "join")]
+    logical = {
+        (r.query_id, r.rank): (r.doc_id, r.n_occurrences)
+        for r in phrase_topk(docs_sf0001, phrases, k=10).collect()
+    }
+    indexed = {
+        (r.query_id, r.rank): (r.doc_id, r.n_occurrences)
+        for r in phrase_topk_indexed(spark, path, phrases, k=10).collect()
+    }
+    assert indexed == logical and logical
+
+
+def test_indexed_phrase_edge_cases(spark, tmp_path):
+    from sparksearch.phrase import build_positions, phrase_topk_indexed
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c x"), (2, "a a b b c"), (3, "c b a")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "posidx2")
+    build_positions(spark, docs, path, n_buckets=4)
+    rows = phrase_topk_indexed(
+        spark, path, [(1, "a b c"), (2, "b c"), (3, "a b a"), (4, "zzz")], k=10
+    ).collect()
+    got = {(r.query_id, r.doc_id): r.n_occurrences for r in rows}
+    assert got == {(1, 1): 2, (2, 1): 2, (2, 2): 1}
