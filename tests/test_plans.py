@@ -85,6 +85,21 @@ def _tpch(spark, name):
     return spark.read.parquet(str(SF_SMOKE / f"{name}.parquet"))
 
 
+def test_bm25_logical_needs_no_doclength_join(spark, docs_sf0001, queries):
+    # dl rides the postings (tokenize_tf) — the scoring plan must contain
+    # exactly ONE join (the broadcast query-terms join), not a doc_id join:
+    # at 10^12 docs a doclens join is an unbroadcastable full shuffle.
+    from sparksearch.querying import bm25_topk_from_docs
+
+    plan = _plan(bm25_topk_from_docs(spark, docs_sf0001, queries[:5], k=10))
+    # exactly: qterms⋈term_stats and postings⋈broadcast(q); a third join
+    # would be the doc-length join this test exists to forbid. (Formatted
+    # plans list every node twice — tree line + ") Node" detail header —
+    # so count the detail headers.)
+    assert plan.count(") BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_fact_chain_plans_sort_merge_join(spark):
     # lineitem⋈orders⋈customer: every side grows with SF — the encoded merge
     # hints must survive to the physical plan even though the 6k-row fixture
