@@ -31,9 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .stats import term_freq
-from .tokenize import explode_postings, tokenize
-
 DOCS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -76,9 +73,12 @@ def incremental_postings(
     )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tokenized = tokenize(batch_df.select("doc_id", "text"), "text")
-        tf = term_freq(explode_postings(tokenized))
-        # Idempotent on retry: same batch_id ⇒ same deterministic content.
+        from .build import tokenize_tf
+
+        # Same one-pass kernel as the batch build (tf + dl + lead map-side);
+        # lead stays globally one-per-doc because a doc lives in exactly one
+        # micro-batch. Idempotent on retry: same batch_id ⇒ same rows.
+        tf = tokenize_tf(batch_df.select("doc_id", "text"))
         tf.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
@@ -88,6 +88,47 @@ def incremental_postings(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that survive across micro-batches in the state store —
+    the operator shape Spark's built-in windowed aggs can't express
+    (arbitrary user state + per-batch emission).
+
+    Emits one row per user per micro-batch with the UPDATED running state
+    (n_events, total_value). Batch equivalence (tests/test_streaming.py):
+    after all batches, each user's last emission equals the batch
+    groupBy totals exactly — state accumulation is associative and the
+    per-batch Arrow kernel is deterministic.
+
+    Scale: state is 16 bytes/user; the state store shuffles each batch's
+    rows once on user_id (uniform keys). Use GroupStateTimeout for eviction
+    in unbounded-key deployments (not needed for the bounded fixture)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": pd.Series([round(total, 6)], dtype="float64"),
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

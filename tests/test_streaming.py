@@ -87,3 +87,55 @@ def test_session_windows_match_sessionize_counts(spark, events):
     a = {r.user_id: (r.n_sessions, r.n_events) for r in stream_sessions.collect()}
     b = {r.user_id: (r.n_sessions, r.n_events) for r in batch_sessions.collect()}
     assert a == b
+
+
+def test_stateful_user_totals_equal_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: running per-user totals
+    accumulated across TWO micro-batches must end exactly at the batch
+    groupBy totals (state survives the batch boundary in the state store)."""
+    from sparksearch.streaming import EVENTS_STREAM_SCHEMA, stateful_user_totals
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    pdf = events.toPandas().sort_values("event_id")
+    cut = len(pdf) // 2
+    feed = str(tmp_path / "efeed")
+    os.makedirs(feed)
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(feed, mode="append")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = stateful_user_totals(stream)
+    # One continuous query; two files → two micro-batches (maxFilesPerTrigger=1),
+    # so the state store carries the running totals across the batch boundary.
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(feed, mode="append")
+    q.processAllAvailable()
+    q.stop()
+
+    # counts only grow → the max-n_events emission per user is the final state
+    final = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) AS rn
+                 FROM stateful_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == batch
