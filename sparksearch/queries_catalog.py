@@ -269,6 +269,35 @@ def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_query_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import term_suggestions
+
+    _, _, ts, _ = corpus_stats(_docs(spark, sf_dir))
+    qterms = parse_queries(spark, reference_queries())
+    return term_suggestions(qterms, ts, max_dist=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "term", "suggestion",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def q_bm25_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import topk_snippets
+
+    docs = _docs(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    topk = bm25_topk_from_docs(spark, docs, reference_queries(), k=K).select(
+        F.col("query_id").cast("long").alias("query_id"), "rank", "doc_id"
+    )
+    return topk_snippets(docs, topk, qterms).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "hit_pos", "snippet",
+    )
+
+
 CATALOG_CONJ_SQL = f"""WITH {TOK_SQL.strip()},
 {query_values_sql()},
 nreq AS (
@@ -386,6 +415,57 @@ FROM termstats""",
         q_resume_manifest,
         None,
         "S5/R3 rows-only: per-unit lineage + postings/sec metrics",
+    ),
+    "query_suggestions": QuerySpec(
+        q_query_suggestions,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+unknown AS (
+  SELECT q.query_id, q.term FROM q
+  WHERE NOT EXISTS (SELECT 1 FROM termstats t WHERE t.term = q.term)
+),
+cand AS (
+  SELECT u.query_id, u.term, t.term AS suggestion, t.df,
+         levenshtein(u.term, t.term) AS dist
+  FROM unknown u, termstats t
+  WHERE levenshtein(u.term, t.term) <= 3
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+              ORDER BY dist ASC, df DESC, suggestion ASC) AS rn
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, term, suggestion,
+       CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS df
+FROM r WHERE rn <= 3""",
+        "spell correction: top-3 dictionary terms within levenshtein 3 of "
+        "each unknown query term (dist ASC, df DESC, term ASC)",
+    ),
+    "bm25_topk_snippets": QuerySpec(
+        q_bm25_topk_snippets,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+rk AS (SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= {K}),
+tokarr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+           FROM documents),
+qs AS (SELECT query_id, list(DISTINCT term) AS qset FROM q GROUP BY 1),
+h AS (
+  SELECT r.query_id, r.rnk, r.doc_id, t.ts,
+         list_min(list_filter(
+           list_transform(generate_series(1, len(t.ts)),
+                          i -> CASE WHEN list_contains(s.qset, t.ts[i]) THEN i END),
+           p -> p IS NOT NULL)) AS hit_pos
+  FROM rk r JOIN tokarr t USING (doc_id) JOIN qs s USING (query_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(hit_pos AS BIGINT) AS hit_pos,
+       array_to_string(list_slice(ts, greatest(hit_pos - 3, 1),
+                                  greatest(hit_pos - 3, 1) + 6), ' ') AS snippet
+FROM h""",
+        "snippet extraction for the BM25 top-10: ±3 tokens around the first "
+        "query-term hit (deterministic center rule), pure array algebra",
     ),
     "unknown_terms": QuerySpec(
         q_unknown_terms,

@@ -162,6 +162,91 @@ def bm25_topk_from_docs(
     return score_logical(qterms, tf_df, dl_df, term_stats, k)
 
 
+def term_suggestions(
+    qterms: DataFrame,
+    term_stats: DataFrame,
+    max_dist: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Spell-correction for unknown query terms → DF[query_id, term,
+    suggestion, dist, df]: for each query term absent from the corpus, the
+    top-n dictionary terms within levenshtein distance ``max_dist``, ranked
+    (dist ASC, df DESC, suggestion ASC) — deterministic.
+
+    Scale: the unknown-terms side is tiny (per-query) → broadcast; the
+    dictionary side is scanned linearly ONCE with the levenshtein filter
+    fused into the scan (no shuffle of the vocabulary; the only exchange is
+    the per-(query, term) top-n window over the ≤ |unknown|·|near| hits)."""
+    unknown = unknown_terms(qterms, term_stats).select("query_id", "term")
+    cand = term_stats.select(
+        F.col("term").alias("suggestion"), F.col("df").cast("long").alias("df")
+    ).join(F.broadcast(unknown))
+    scored = cand.select(
+        "query_id", "term", "suggestion", "df",
+        F.levenshtein("term", "suggestion").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy("query_id", "term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("query_id", "term", "suggestion", "dist", "df")
+    )
+
+
+def topk_snippets(
+    docs: DataFrame,
+    topk: DataFrame,
+    qterms: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snippet extraction for ranked results → DF[query_id, rank, doc_id,
+    hit_pos, snippet]: for each (query, doc) in ``topk``, the ±window tokens
+    around the FIRST occurrence of any of the query's resolved terms
+    (deterministic center rule). Pure Catalyst array algebra over the bound
+    token array — no UDF.
+
+    Scale: only top-k rows (≤ queries × k) join the document table — a
+    broadcast of the result set against the corpus scan, never a shuffle of
+    the corpus."""
+    from .tokenize import tokens_col
+
+    qsets = qterms.groupBy("query_id").agg(
+        F.array_sort(F.collect_set("term")).alias("qset")
+    )
+    hits = (
+        topk.join(F.broadcast(qsets), "query_id")
+        .join(docs.select(F.col(id_col).cast("long").alias("doc_id"), text_col), "doc_id")
+        .select(
+            "query_id", "rank", "doc_id", "qset",
+            tokens_col(F.col(text_col)).alias("toks"),
+        )
+    )
+    pos = F.array_min(
+        F.filter(
+            F.transform(
+                F.col("toks"),
+                lambda x, i: F.when(F.array_contains(F.col("qset"), x), i + 1),
+            ),
+            lambda p: p.isNotNull(),
+        )
+    )
+    hits = hits.select("query_id", "rank", "doc_id", "toks", pos.alias("hit_pos"))
+    start = F.greatest(F.col("hit_pos") - window, F.lit(1))
+    return hits.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("hit_pos").cast("long").alias("hit_pos"),
+        F.array_join(
+            F.slice(F.col("toks"), start, F.lit(2 * window + 1)), " "
+        ).alias("snippet"),
+    )
+
+
 def rank_identity_report(actual: DataFrame, expected: DataFrame, tol: float = 1e-9) -> DataFrame:
     """Q7: mismatches between two (query_id, rank, doc_id, score) rankings —
     empty result ⟺ rank-identical with |Δscore| ≤ tol."""

@@ -74,3 +74,39 @@ def test_operator_matches_duckdb(spark, ddb, name):
     dc, dr = _canon(d_cols, d_rows)
     mism = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
     assert not mism, f"{name}: first mismatch {sr[mism[0]]} vs {dr[mism[0]]}"
+
+
+def test_term_suggestions_rank_misspellings(spark, docs_sf001):
+    from sparksearch.querying import parse_queries, term_suggestions
+    from sparksearch.stats import corpus_stats
+
+    _, _, ts, _ = corpus_stats(docs_sf001)
+    qterms = parse_queries(spark, [(1, "joinn zzz"), (2, "hasj")])
+    got = {}
+    for r in term_suggestions(qterms, ts, max_dist=2).collect():
+        got.setdefault((r.query_id, r.term), []).append((r.suggestion, r.dist))
+    # 1-edit misspellings resolve to the intended terms, ranked first
+    assert got[(1, "joinn")][0] == ("join", 1)
+    assert got[(2, "hasj")][0] == ("hash", 1)
+    # known terms get no suggestions (they are not unknown)
+    assert not any(t == "join" for (_, t) in got)
+
+
+def test_topk_snippets_contain_a_query_term(spark, docs_sf001):
+    from sparksearch.querying import (
+        bm25_topk_from_docs, parse_queries, topk_snippets,
+    )
+
+    queries = [(1, "hash join"), (2, "dup")]
+    topk = bm25_topk_from_docs(spark, docs_sf001, queries, k=5).select(
+        "query_id", "rank", "doc_id"
+    )
+    qterms = parse_queries(spark, queries)
+    rows = topk_snippets(docs_sf001, topk, qterms).collect()
+    assert len(rows) == topk.count()
+    terms = {1: {"hash", "join"}, 2: {"dup"}}
+    for r in rows:
+        toks = set(r.snippet.split())
+        assert toks & terms[r.query_id], r
+        assert r.hit_pos >= 1
+        assert len(r.snippet.split()) <= 7
