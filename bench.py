@@ -167,6 +167,8 @@ def main() -> None:
         "dedup_simhash",
         "ann_cosine_topk",
         "text_quality",
+        "phrase_topk_indexed",
+        "tpch_revenue_by_nation",
     )
     for name in pipeline_names:
         spec = queries_catalog.CATALOG.get(name)

@@ -50,7 +50,7 @@ SEGMENT_COLS = (
 )
 
 
-def _tok_tf_kernel(text_col: str, id_col: str):
+def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False):
     """mapInPandas kernel: raw docs → exploded (doc_id, term, tf, dl) postings
     in ONE vectorized Arrow pass — tokenize, per-doc term counting and doc
     length all happen map-side, so the postings frame needs NO occurrence
@@ -65,12 +65,17 @@ def _tok_tf_kernel(text_col: str, id_col: str):
     def fn(it):
         from itertools import chain
 
-        from .tokenize import TOKEN_RE
+        from .tokenize import _CAMEL_RE, TOKEN_RE
 
         for pdf in it:
             if not len(pdf):
                 continue
-            toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+            texts = pdf[text_col]
+            if code_aware:
+                # identifier splitting (snake_case/camelCase) — same
+                # semantics as tokenize._tokenize_code_udf / py_tokenize_code
+                texts = texts.str.replace(_CAMEL_RE, " ", regex=True).str.replace("_", " ")
+            toks = texts.str.lower().str.findall(TOKEN_RE)
             lens = toks.str.len().to_numpy(dtype=np.int64)
             if int(lens.sum()) == 0:
                 continue
@@ -103,12 +108,17 @@ def _tok_tf_kernel(text_col: str, id_col: str):
     return fn
 
 
-def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                code_aware: bool = False) -> DataFrame:
     """The build hot path's first stage: DF[doc_id, term, tf, dl, lead] via
     the one-pass Arrow kernel. Tested equal to the declarative twin
-    term_freq(explode_postings(tokenize(docs))) ⋈ doc_len (test_index.py)."""
+    term_freq(explode_postings(tokenize(docs))) ⋈ doc_len (test_index.py).
+
+    ``code_aware=True`` (opt-in, off by default — golden tests and oracles
+    pin the plain tokenizer) splits snake_case/camelCase identifiers before
+    tokenizing, for source-code corpora (BASELINE.json input_hint)."""
     return docs.mapInPandas(
-        _tok_tf_kernel(text_col, id_col),
+        _tok_tf_kernel(text_col, id_col, code_aware),
         "doc_id long, term string, tf int, dl int, lead boolean",
     )
 
@@ -196,15 +206,21 @@ def build_index(
     n_ranges: int | None = None,
     block_size: int = BLOCK_SIZE,
     mode: str = "overwrite",
+    code_aware: bool = False,
 ) -> dict:
     """Full single-shot build: documents → segments + dictionary + stats.json.
 
     For the resumable per-unit path see ``checkpoint.build_resumable`` — it
     stages postings per source partition and then calls ``finalize_index``
-    over the committed units' postings.
+    over the committed units' postings. ``code_aware`` opts into identifier
+    splitting for source-code corpora (queries must then be tokenized with
+    tokenize.py_tokenize_code to match).
     """
     # ONE Arrow pass: tokenize + per-doc tf + dl, all map-side (tokenize_tf).
-    tf_df = tokenize_tf(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    tf_df = tokenize_tf(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), text_col,
+        code_aware=code_aware,
+    )
     return finalize_index(
         spark, tf_df, index_path,
         n_buckets=n_buckets, n_ranges=n_ranges, block_size=block_size, mode=mode,

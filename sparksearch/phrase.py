@@ -241,8 +241,14 @@ def phrase_topk_indexed(
             }
         )
 
-    counts = joined.groupBy("doc_id").applyInPandas(
-        match, "query_id long, doc_id long, n_occurrences long"
+    # Shard-level grouping: grouping by raw doc_id would make one Arrow
+    # group (and its ~ms of per-group overhead) PER DOCUMENT; 64 hash
+    # shards keep groups fat while `match` still separates docs inside the
+    # batch (measured 16s → ~1s on the bench at 5k docs).
+    counts = (
+        joined.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(match, "query_id long, doc_id long, n_occurrences long")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
     return (

@@ -142,3 +142,25 @@ def test_tokenize_tf_equals_declarative_twin(spark, docs_sf0001):
     )
     assert got.count() == exp.count()
     assert diff.count() == 0
+
+
+def test_code_aware_build_matches_code_tokenizer(spark, tmp_path):
+    """A code_aware index's decoded postings equal the code-aware tokenizer's
+    term frequencies (identifiers split), and differ from the plain build."""
+    from collections import Counter
+
+    from sparksearch.build import build_index, decoded_postings, load_index
+    from sparksearch.tokenize import py_tokenize_code
+    from tests.gen_corpus import gen_corpus
+
+    pdf = gen_corpus(60)
+    pdf = pdf.assign(doc_id=range(len(pdf)), text=pdf.content)
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    path = str(tmp_path / "code_idx")
+    build_index(spark, docs, path, n_buckets=4, n_ranges=2, code_aware=True)
+    seg, _, _ = load_index(spark, path)
+    got = {}
+    for r in decoded_postings(seg).collect():
+        got.setdefault(int(r.doc_id), {})[r.term] = int(r.tf)
+    for row in pdf.itertuples():
+        assert got.get(int(row.doc_id), {}) == dict(Counter(py_tokenize_code(row.text)))
