@@ -382,6 +382,18 @@ def q_customer_order_balance(spark, sf_dir):
     )
 
 
+def q_dataset_splits(spark, sf_dir):
+    from .sampling import dataset_splits
+
+    return dataset_splits(_docs(spark, sf_dir))
+
+
+def q_split_contamination(spark, sf_dir):
+    from .sampling import split_contamination
+
+    return split_contamination(_docs(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     from .relational import events_hourly
 
@@ -696,6 +708,37 @@ SELECT term, 'only_src0' AS which FROM (SELECT term FROM t0 EXCEPT SELECT term F
             _J.CUSTOMER_ORDER_BALANCE_SQL,
             "left-outer coverage: customers without orders surface with zeros; "
             "orders pre-aggregated so the outer join moves 1 row/customer",
+        ),
+        "dataset_splits": QuerySpec(
+            q_dataset_splits,
+            f"""WITH s AS (
+  SELECT lang,
+         CASE WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 80 THEN 'train'
+              WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY 1, 2""",
+            "deterministic train/val/test assignment (h60 of doc id — no "
+            "rand(), survives retries/resumes) with per-(lang, split) counts",
+        ),
+        "split_contamination": QuerySpec(
+            q_split_contamination,
+            f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS h,
+         CASE WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 80 THEN 'train'
+              WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+p AS (
+  SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+  FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id AND a.split <> b.split
+)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1, 2""",
+            "cross-split exact-duplicate leakage (train/test contamination) "
+            "per split pair",
         ),
         "events_hourly": QuerySpec(
             q_events_hourly,

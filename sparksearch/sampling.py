@@ -1,0 +1,76 @@
+"""Deterministic dataset splitting + contamination checks — the two sampling
+operators every large-scale training-data pipeline needs.
+
+* ``dataset_splits`` — hash-deterministic train/val/test assignment (h60 of
+  the stable doc id, NOT rand(): assignments survive retries, resumes, and
+  cluster-size changes — repo invariant #1) with per-(lang, split) counts.
+* ``split_contamination`` — exact-duplicate leakage across splits: pairs of
+  distinct docs with identical content landing in different splits (the
+  classic train/test contamination check), reported per split pair.
+
+Both are pure Catalyst (hash, groupBy, self-join on content hash) and both
+have exact DuckDB twins (h60 and sha256 are cross-engine — textpipe.h60).
+
+Scale: split assignment is a map-side projection; the contamination join
+groups by content_sha256 (uniform keys, map-side combinable) and only
+multi-copy groups (tiny at any scale) reach the pair expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textpipe import h60
+
+SPLIT_BOUNDS = (80, 90)  # <80 train, 80-89 val, 90-99 test
+
+
+def split_col(id_col: str = "doc_id"):
+    """Deterministic 0-99 split bucket: h60 of the doc id string."""
+    return F.pmod(h60(F.col(id_col).cast("string")), F.lit(100))
+
+
+def split_name_col(id_col: str = "doc_id"):
+    b = split_col(id_col)
+    return (
+        F.when(b < SPLIT_BOUNDS[0], F.lit("train"))
+        .when(b < SPLIT_BOUNDS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def dataset_splits(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(lang, split) doc counts under the deterministic assignment →
+    DF[lang, split, n_docs]."""
+    return (
+        docs.select("lang", split_name_col(id_col).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def split_contamination(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-split exact-duplicate leakage → DF[split_a, split_b, n_pairs]:
+    pairs of distinct docs with identical content whose splits differ
+    (split_a < split_b lexicographically). Empty ⟺ no leakage."""
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+        split_name_col(id_col).alias("split"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), "h", F.col("split").alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), "h", F.col("split").alias("sb"))
+    pairs = (
+        a.join(b, "h")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("sa") != F.col("sb")))
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return pairs.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

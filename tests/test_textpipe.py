@@ -162,3 +162,33 @@ def test_text_quality_components(spark):
     assert r.stopword_ratio == pytest.approx(50 / 51, abs=1e-6)
     # 51 tokens (len ≥ 100 → 0.4·0.51), mean len ≈ 3, stopword-saturated
     assert 0 < r.quality_score <= 1
+
+
+def test_dataset_splits_deterministic_and_complete(spark, docs_sf0001):
+    from sparksearch.sampling import dataset_splits, split_contamination
+
+    a = {(r.lang, r.split): r.n_docs for r in dataset_splits(docs_sf0001).collect()}
+    b = {(r.lang, r.split): r.n_docs for r in dataset_splits(docs_sf0001).collect()}
+    assert a == b  # rebuild-identical (no rand())
+    assert sum(a.values()) == docs_sf0001.count()
+    assert {s for (_, s) in a} <= {"train", "val", "test"}
+    # ~80/10/10 by construction (hash-uniform)
+    tot = sum(a.values())
+    train = sum(n for (_, s), n in a.items() if s == "train")
+    assert 0.6 * tot < train < 0.95 * tot
+
+    # contamination detector: plant an exact duplicate across splits
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": range(200), "text": [f"doc {i}" for i in range(200)],
+                        "lang": ["en"] * 200})
+    # make doc 0..199 all unique except two copies of one text
+    pdf.loc[1, "text"] = pdf.loc[0, "text"]
+    docs = spark.createDataFrame(pdf)
+    from sparksearch.sampling import split_name_col
+    splits = {r.doc_id: r.s for r in docs.select("doc_id", split_name_col().alias("s")).collect()}
+    got = {(r.split_a, r.split_b): r.n_pairs for r in split_contamination(docs).collect()}
+    if splits[0] == splits[1]:
+        assert got == {}  # same split → not contamination
+    else:
+        assert got == {(min(splits[0], splits[1]), max(splits[0], splits[1])): 1}
