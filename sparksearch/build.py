@@ -70,7 +70,11 @@ def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False):
         for pdf in it:
             if not len(pdf):
                 continue
-            texts = pdf[text_col]
+            # NULL text ⇒ no tokens ⇒ no postings — same as the declarative
+            # twin (tokens_col of NULL is NULL, explode drops it) and the
+            # DuckDB oracle's WHERE term <> ''. Without the fillna,
+            # str.findall yields None rows and the flatten crashes.
+            texts = pdf[text_col].fillna("")
             if code_aware:
                 # identifier splitting (snake_case/camelCase) — same
                 # semantics as tokenize._tokenize_code_udf / py_tokenize_code

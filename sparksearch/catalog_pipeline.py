@@ -279,7 +279,10 @@ def _positions_for(spark, sf_dir):
 
         path = f"/tmp/sparksearch_pos_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
         os.makedirs(path, exist_ok=True)
-        build_positions(spark, _docs(spark, sf_dir), path, n_buckets=16)
+        # Deterministic content ⇒ a finished build from another process is
+        # byte-equivalent; reuse it instead of overwriting under its reader.
+        if not os.path.exists(os.path.join(path, "positions_meta.json")):
+            build_positions(spark, _docs(spark, sf_dir), path, n_buckets=16)
         _POS_CACHE[key] = path
     return _POS_CACHE[key]
 

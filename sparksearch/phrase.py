@@ -262,23 +262,51 @@ def phrase_topk(docs: DataFrame, phrases: list[tuple[int, str]], k: int = 10,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Batch phrase search → DF[query_id, rank, doc_id, n_occurrences]:
     top-k docs per phrase by (occurrences DESC, doc_id ASC) — the engine's
-    pinned total order."""
+    pinned total order.
+
+    ONE corpus pass for the whole batch: positional postings are computed
+    once, restricted to the union of all phrases' terms, aggregated into one
+    per-doc (term → positions) map, and every phrase's occurrence count is a
+    column expression over that single map (a per-phrase union of
+    phrase_counts calls would re-tokenize and re-shuffle the corpus once per
+    phrase)."""
     spark = docs.sparkSession
-    out = None
-    for qid, phrase in phrases:
-        c = phrase_counts(docs, phrase, text_col, id_col).select(
-            F.lit(int(qid)).cast("long").alias("query_id"), "doc_id", "n_occurrences"
-        )
-        out = c if out is None else out.unionByName(c)
-    if out is None:
+    qdefs = {int(qid): py_tokenize(p) for qid, p in phrases}
+    qdefs = {q: t for q, t in qdefs.items() if t}
+    if not qdefs:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, n_occurrences long"
         )
+    all_terms = sorted({t for ts in qdefs.values() for t in ts})
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    # size(NULL array) is NULL (a doc missing the phrase's first term), and
+    # a doc missing a later term filters down to an empty array (size 0) —
+    # both dropped by the > 0 filter below.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.size(_phrase_start_positions(terms)).cast("long").alias("n"),
+            )
+            for qid, terms in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_occurrences"), F.asc("doc_id")
     )
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_occurrences")
     )

@@ -42,7 +42,10 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 
         path = f"/tmp/sparksearch_index_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
         os.makedirs(path, exist_ok=True)
-        build_index(spark, _docs(spark, sf_dir), path, n_buckets=16, n_ranges=8)
+        # Deterministic content ⇒ a finished build from another process is
+        # byte-equivalent; reuse it instead of overwriting under its reader.
+        if not os.path.exists(os.path.join(path, "stats.json")):
+            build_index(spark, _docs(spark, sf_dir), path, n_buckets=16, n_ranges=8)
         _INDEX_CACHE[key] = path
     return _INDEX_CACHE[key]
 

@@ -68,7 +68,9 @@ def score_logical(
     groupBy(query_id, doc_id) is partial+final; top-k is a window per query.
     """
     q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
-    contrib = _with_dl(tf_df, dl_df).join(F.broadcast(q), "term", "inner")
+    contrib = _attach_dl(
+        tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df
+    )
     scored = (
         contrib.select(
             "query_id",
@@ -81,14 +83,16 @@ def score_logical(
     return topk_per_query(scored, k)
 
 
-def _with_dl(tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:
-    """Postings with dl attached. When tf_df already carries dl (the one-pass
-    tokenize_tf shape) this is free; otherwise join — which at 10^12 docs is
-    a full unbroadcastable shuffle, which is exactly why the engine carries
-    dl on the postings."""
+def _attach_dl(contrib: DataFrame, tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:
+    """Ensure the query-term-restricted posting rows carry dl. Free when
+    tf_df already has the column (the one-pass tokenize_tf shape); the
+    legacy fallback joins dl AFTER the broadcast query filter so only the
+    query terms' postings — not the whole table — meet the doc-length join
+    (at 10^12 docs the pre-filter join would be an unbroadcastable full
+    shuffle, which is exactly why the engine carries dl on the postings)."""
     if "dl" in tf_df.columns:
-        return tf_df
-    return tf_df.join(dl_df, "doc_id")
+        return contrib
+    return contrib.join(dl_df, "doc_id")
 
 
 def score_logical_conjunctive(
@@ -105,7 +109,9 @@ def score_logical_conjunctive(
     against the per-query required-term count."""
     q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
     n_req = q.groupBy("query_id").agg(F.count_distinct("term").alias("n_req"))
-    contrib = _with_dl(tf_df, dl_df).join(F.broadcast(q), "term", "inner")
+    contrib = _attach_dl(
+        tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df
+    )
     scored = (
         contrib.select(
             "query_id", "doc_id", "term",

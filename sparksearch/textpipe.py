@@ -211,8 +211,11 @@ def lsh_band_keys(
     sig-array column: Catalyst's projection collapse would inline the
     24-hash signature expression into each band's slice() and re-evaluate
     the full signature once PER BAND (measured 8×: 7.5s → 0.9s at sf0.1).
-    Here each seed's array_min is its own expression, evaluated once."""
-    n_bands = n_hashes // rows_per_band
+    Here each seed's array_min is its own expression, evaluated once.
+
+    Non-divisible n_hashes gets a partial final band (same banding as the
+    DuckDB twin's ``seed // rows_per_band`` — no seed is ever dropped)."""
+    n_bands = -(-n_hashes // rows_per_band)  # ceil: trailing seeds keep a band
 
     def minh(seed: int) -> Column:
         return F.array_min(
@@ -223,7 +226,8 @@ def lsh_band_keys(
 
     def bkey(b: int) -> Column:
         vals = [
-            minh(b * rows_per_band + r).cast("string") for r in range(rows_per_band)
+            minh(seed).cast("string")
+            for seed in range(b * rows_per_band, min((b + 1) * rows_per_band, n_hashes))
         ]
         return h60(F.concat_ws(",", *vals))
 
@@ -272,7 +276,16 @@ def minhash_lsh_dedup(
         .persist()  # consumed 4× by the verify restrictions — don't re-derive
     )
     sh = sharr.select("doc_id", F.explode("shs").alias("shingle"))
-    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+    out = _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+    # Eagerly materialize the (near-dup-pairs-sized, i.e. tiny) result and
+    # release the three intermediate caches — repeated invocations in one
+    # session (driver catalog run, bench reps) must not accumulate pinned
+    # storage. ``out`` itself stays cached; it IS the returned value.
+    out = out.persist()
+    out.count()
+    for df in (cand, keys, sharr):
+        df.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------- SimHash

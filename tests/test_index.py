@@ -164,3 +164,19 @@ def test_code_aware_build_matches_code_tokenizer(spark, tmp_path):
         got.setdefault(int(r.doc_id), {})[r.term] = int(r.tf)
     for row in pdf.itertuples():
         assert got.get(int(row.doc_id), {}) == dict(Counter(py_tokenize_code(row.text)))
+
+
+def test_tokenize_tf_handles_null_and_empty_text(spark):
+    """NULL/empty/whitespace-only docs contribute no postings — same as the
+    declarative twin and the oracle's WHERE term <> '' (regression: the
+    kernel used to crash flattening a None token list)."""
+    from sparksearch.build import tokenize_tf
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ... !!"), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    rows = tokenize_tf(docs).collect()
+    assert {r.doc_id for r in rows} == {4}
+    assert sorted(r.term for r in rows) == ["here", "real", "words"]
+    assert all(r.dl == 3 for r in rows)

@@ -192,3 +192,38 @@ def test_dataset_splits_deterministic_and_complete(spark, docs_sf0001):
         assert got == {}  # same split → not contamination
     else:
         assert got == {(min(splits[0], splits[1]), max(splits[0], splits[1])): 1}
+
+
+def test_minhash_signatures_match_reference(spark):
+    """Pins the public minhash_signatures/minhash_sig_col API against a
+    from-scratch Python MinHash (same h60 seed|shingle formula) — these feed
+    lsh_band_keys' semantics and must never drift."""
+    from sparksearch.textpipe import doc_shingle_arrays, minhash_signatures
+
+    texts = [(0, "a b c d e f"), (1, "x y z a b c")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in minhash_signatures(doc_shingle_arrays(docs), n_hashes=8).collect():
+        got.setdefault(r.doc_id, {})[r.seed] = r.minh
+    for doc_id, text in texts:
+        sh = _shingles(text)
+        for seed in range(8):
+            assert got[doc_id][seed] == min(_h60(f"{seed}|{s}") for s in sh)
+
+
+def test_lsh_band_keys_partial_band(spark):
+    """Non-divisible n_hashes: the trailing seeds form a partial band (no
+    seed silently dropped) — mirrors the oracle's seed // rows_per_band."""
+    from sparksearch.textpipe import doc_shingle_arrays, lsh_band_keys
+
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    rows = lsh_band_keys(doc_shingle_arrays(docs), n_hashes=7, rows_per_band=3).collect()
+    assert sorted(r.band for r in rows) == [0, 1, 2]  # 3+3+1 seeds
+    sh = _shingles("a b c d e")
+    mins = [min(_h60(f"{seed}|{s}") for s in sh) for seed in range(7)]
+    expect = {
+        0: _h60(",".join(map(str, mins[0:3]))),
+        1: _h60(",".join(map(str, mins[3:6]))),
+        2: _h60(",".join(map(str, mins[6:7]))),
+    }
+    assert {r.band: r.bkey for r in rows} == expect
