@@ -272,6 +272,39 @@ def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval: BM25 ranking restricted to lang='en' documents —
+    the filter composes BEFORE tokenization (predicate pushdown to the scan),
+    so non-matching docs never enter the index statistics, exactly like a
+    per-tenant / per-language index shard."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    df = bm25_topk_from_docs(spark, docs, reference_queries(), k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import rrf_fuse, score_logical_conjunctive
+
+    docs = _docs(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    tf_df, dl_df, ts, _ = corpus_stats(docs)
+    from .querying import score_logical
+
+    disj = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    conj = score_logical_conjunctive(qterms, tf_df, dl_df, ts, k=K)
+    return rrf_fuse([disj, conj], k=K).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "rank",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_score",
+    )
+
+
 def q_query_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .querying import term_suggestions
 
@@ -418,6 +451,57 @@ FROM termstats""",
         q_resume_manifest,
         None,
         "S5/R3 rows-only: per-unit lineage + postings/sec metrics",
+    ),
+    "bm25_topk_filtered": QuerySpec(
+        q_bm25_topk_filtered,
+        f"""WITH documents AS (SELECT * FROM main.documents WHERE lang = 'en'),
+{TOK_SQL.strip().lstrip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "filtered retrieval: BM25 over the lang='en' shard only — the filter "
+        "composes before tokenization (stats recomputed over the shard)",
+    ),
+    "bm25_rrf_fusion": QuerySpec(
+        q_bm25_rrf_fusion,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+nreq AS (
+  SELECT q.query_id, COUNT(DISTINCT q.term) AS n_req
+  FROM q JOIN termstats t USING (term) GROUP BY 1
+),
+cscored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score,
+         COUNT(DISTINCT q.term) AS n_hit
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+cranked AS (
+  SELECT s.query_id, s.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+  FROM cscored s JOIN nreq USING (query_id) WHERE s.n_hit = nreq.n_req
+),
+u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM ranked WHERE rnk <= {K}
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rnk) FROM cranked WHERE rnk <= {K}
+),
+f AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score FROM u GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf_score DESC, doc_id ASC) AS rk FROM f)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rank,
+       doc_id, rrf_score
+FROM r WHERE rk <= {K}""",
+        "reciprocal-rank fusion (k=60) of the disjunctive and conjunctive "
+        "BM25 rankings — the standard hybrid-search combiner",
     ),
     "query_suggestions": QuerySpec(
         q_query_suggestions,

@@ -168,6 +168,35 @@ def bm25_topk_from_docs(
     return score_logical(qterms, tf_df, dl_df, term_stats, k)
 
 
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = TOPK_DEFAULT, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of ≥2 (query_id, rank, doc_id) rankings →
+    DF[query_id, rank, doc_id, rrf_score]: score = Σ_r 1/(rrf_k + rank_r),
+    docs absent from a ranking contribute nothing for it. The standard
+    hybrid-search combiner (Cormack et al., SIGIR 2009) — deterministic with
+    the engine-wide (score DESC, doc_id ASC) total order.
+
+    Scale: each input is already a top-k (≤ queries·k rows), so the fusion
+    union + aggregate is driver-trivial at any corpus size."""
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            "query_id", "doc_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+    )
+
+
 def term_suggestions(
     qterms: DataFrame,
     term_stats: DataFrame,

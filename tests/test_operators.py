@@ -110,3 +110,21 @@ def test_topk_snippets_contain_a_query_term(spark, docs_sf001):
         assert toks & terms[r.query_id], r
         assert r.hit_pos >= 1
         assert len(r.snippet.split()) <= 7
+
+
+def test_rrf_fusion_semantics(spark):
+    from sparksearch.querying import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12)], "query_id long, rank long, doc_id long"
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 13)], "query_id long, rank long, doc_id long"
+    )
+    rows = {r.doc_id: (r.rank, r.rrf_score) for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 11: 1/62 + 1/61 wins over doc 10: 1/61 alone
+    assert rows[11][0] == 1
+    assert rows[11][1] == round(1 / 62 + 1 / 61, 6)
+    assert rows[10][0] == 2 and rows[10][1] == round(1 / 61, 6)
+    # tie between 12 (1/63) vs none; 13 (1/62) > 12 (1/63)
+    assert rows[13][0] == 3 and rows[12][0] == 4
