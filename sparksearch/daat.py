@@ -240,11 +240,15 @@ def daat_topk(
         for r in rows:
             nreq[int(r["query_id"])] = nreq.get(int(r["query_id"]), 0) + 1
 
-    # Shard per (doc-range, query): the group fn already handles one query
-    # at a time (per-query θ/candidate set), so the finer key changes no
-    # semantics — it just balances shards (measured ~17% at 8 cores on the
-    # 800k-doc index: a hot range with all queries' blocks was the straggler).
-    partial = qblocks.groupBy("range_id", "query_id").applyInPandas(
+    # Shard per (doc-range, query-shard): the group fn already handles any
+    # number of queries per group (per-query θ/candidate set), so a finer key
+    # changes no semantics — it balances shards (a hot range carrying every
+    # query's blocks was the 8-core straggler at 800k docs, ~17%). Capped at
+    # 4 query shards: fully per-query grouping quadruples the per-group Arrow
+    # overhead, which dominates at small corpora.
+    partial = qblocks.withColumn(
+        "qshard", F.pmod(F.col("query_id"), F.lit(4))
+    ).groupBy("range_id", "qshard").applyInPandas(
         _daat_group_fn(k, float(stats["avgdl"]), wand, nreq),
         "query_id long, doc_id long, score double",
     )
