@@ -4,10 +4,12 @@ Segment layout (flat block rows — parquet-native so term/bucket predicates
 push down to the scan, no nested decode needed for pruning):
 
     segments/bucket=<b>/*.parquet
-      term, range_id, first_doc_id, last_doc_id, n, doc_gaps, tfs, max_score
+      term, range_id, first_doc_id, last_doc_id, n, doc_gaps, tfs, dls,
+      max_tf, min_dl
     dictionary/*.parquet
-      term, bucket, df, cf, idf, max_score
-    stats.json   {n_docs, avgdl, range_size, n_ranges, n_buckets, block_size}
+      term, bucket, df, cf, idf, max_tf, min_dl
+    stats.json   {n_docs, sum_dl, avgdl, range_size, n_ranges, n_buckets,
+                  block_size}
 
 Scale design (BASELINE.json:6,14 — "salted repartitioning on term to defuse
 Zipfian term skew"):
@@ -25,9 +27,14 @@ Zipfian term skew"):
   repartition + partitionBy(bucket) write: ranges are disjoint and ordered,
   so the global docID-sorted list per term is the range-ordered concatenation
   of sub-lists — the k-way merge is positional, paid zero compute.
-* BM25 block-max scores are computed JVM-side (one Catalyst expression) and
-  travel into the encode UDF as a column; the Python side is pure NumPy over
-  Arrow batches (BASELINE.json:15 — no per-row Python).
+* Block-max WAND metadata is the stats-FREE impact pair (max_tf, min_dl) —
+  see codec.py. Consequences: (a) the encoder needs NO term-stats join at
+  all (the old per-posting BM25-score column and its broadcast join are
+  gone — the salted exchange moves 4 columns), and (b) a block's bytes
+  depend only on its own postings, so committed segments stay valid when
+  the corpus grows — the foundation of the incremental resume merge
+  (checkpoint.py). The Python side is pure NumPy over Arrow batches
+  (BASELINE.json:15 — no per-row Python).
 """
 
 from __future__ import annotations
@@ -42,15 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import BLOCK_SIZE, encode_sublist
-from .stats import bm25_term_score_col, doc_freq, with_idf
+from .stats import doc_freq, with_idf
 
 SEGMENT_COLS = (
     "term string, range_id int, first_doc_id long, last_doc_id long, n int, "
-    "doc_gaps binary, tfs binary, dls binary, max_score double"
+    "doc_gaps binary, tfs binary, dls binary, max_tf long, min_dl long"
 )
 
 
-def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False):
+def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False,
+                   with_positions: bool = False):
     """mapInPandas kernel: raw docs → exploded (doc_id, term, tf, dl) postings
     in ONE vectorized Arrow pass — tokenize, per-doc term counting and doc
     length all happen map-side, so the postings frame needs NO occurrence
@@ -60,11 +68,20 @@ def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False):
     contribute no rows — identical to the explode/groupBy semantics and the
     DuckDB oracle's ``WHERE term <> ''``. Per-batch work is pandas/NumPy
     C kernels (str.findall, hash groupby, repeat/concat) — no per-row Python
-    beyond the token-list flatten."""
+    beyond the token-list flatten.
+
+    ``with_positions=True`` additionally emits ``pos_blob`` — the 1-based
+    occurrence positions of term in doc, delta+varint encoded (first raw,
+    then gaps; same LEB128 as the posting blocks) — from the SAME tokenize
+    pass: tokenization is the dominant map cost at corpus scale, and the
+    positional sidecar must never pay it twice (round-2 verdict item #3).
+    The (doc_id, term, tf, dl, lead) values are identical in both modes
+    (tf ≡ number of positions; lead ≡ first emitted row per doc)."""
 
     def fn(it):
         from itertools import chain
 
+        from .codec import varint_encode
         from .tokenize import _CAMEL_RE, TOKEN_RE
 
         for pdf in it:
@@ -83,47 +100,94 @@ def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False):
             lens = toks.str.len().to_numpy(dtype=np.int64)
             if int(lens.sum()) == 0:
                 continue
-            flat = np.asarray(list(chain.from_iterable(toks)), dtype=object)
-            didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-            g = (
-                pd.DataFrame({"d": didx, "term": flat})
-                .groupby(["d", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
-            d = g["d"].to_numpy()
-            # lead: exactly one True row per document (its first posting) —
-            # lets per-DOC stats (n_docs, Σdl, doclens) ride the posting
-            # frame as map-only filters/Observations, no doc_id shuffle.
-            lead = np.empty(len(d), dtype=bool)
-            if len(d):
-                lead[0] = True
-                lead[1:] = d[1:] != d[:-1]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy()[d],
-                    "term": g["term"].to_numpy(),
-                    "tf": g["tf"].to_numpy().astype(np.int32),
-                    "dl": lens[d].astype(np.int32),
-                    "lead": lead,
-                }
-            )
+            if not with_positions:
+                flat = np.asarray(list(chain.from_iterable(toks)), dtype=object)
+                didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+                g = (
+                    pd.DataFrame({"d": didx, "term": flat})
+                    .groupby(["d", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                d = g["d"].to_numpy()
+                # lead: exactly one True row per document (its first posting)
+                # — lets per-DOC stats (n_docs, Σdl, doclens) ride the
+                # posting frame as map-only filters/Observations, no doc_id
+                # shuffle.
+                lead = np.empty(len(d), dtype=bool)
+                if len(d):
+                    lead[0] = True
+                    lead[1:] = d[1:] != d[:-1]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].to_numpy()[d],
+                        "term": g["term"].to_numpy(),
+                        "tf": g["tf"].to_numpy().astype(np.int32),
+                        "dl": lens[d].astype(np.int32),
+                        "lead": lead,
+                    }
+                )
+                continue
+            # Positional mode: per doc, stable-sort tokens so each term's
+            # occurrence positions stay ascending, then delta+varint-encode
+            # each (doc, term) run. tf/dl/lead come from the same runs —
+            # value-identical to the fast path above.
+            ids_in = pdf[id_col].to_numpy()
+            ids_out, terms_out, tf_out, dl_out, lead_out, blobs = [], [], [], [], [], []
+            for i, tl in enumerate(toks):
+                if not tl:
+                    continue
+                arr = np.asarray(tl, dtype=object)
+                order = np.argsort(arr, kind="stable")
+                st = arr[order]
+                pos = (np.arange(arr.size, dtype=np.int64) + 1)[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], st[1:] != st[:-1]))
+                )
+                ends = np.concatenate((starts[1:], [st.size]))
+                first = True
+                for s, e in zip(starts, ends):
+                    p = pos[s:e]
+                    gaps = np.concatenate(([p[0]], np.diff(p))).astype(np.uint64)
+                    ids_out.append(ids_in[i])
+                    terms_out.append(st[s])
+                    tf_out.append(e - s)
+                    dl_out.append(arr.size)
+                    lead_out.append(first)
+                    blobs.append(varint_encode(gaps))
+                    first = False
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids_out, dtype=np.int64),
+                        "term": np.asarray(terms_out, dtype=object),
+                        "tf": np.asarray(tf_out, dtype=np.int32),
+                        "dl": np.asarray(dl_out, dtype=np.int32),
+                        "lead": np.asarray(lead_out, dtype=bool),
+                        "pos_blob": blobs,
+                    }
+                )
 
     return fn
 
 
 def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                code_aware: bool = False) -> DataFrame:
-    """The build hot path's first stage: DF[doc_id, term, tf, dl, lead] via
-    the one-pass Arrow kernel. Tested equal to the declarative twin
-    term_freq(explode_postings(tokenize(docs))) ⋈ doc_len (test_index.py).
+                code_aware: bool = False, with_positions: bool = False) -> DataFrame:
+    """The build hot path's first stage: DF[doc_id, term, tf, dl, lead
+    (, pos_blob)] via the one-pass Arrow kernel. Tested equal to the
+    declarative twin term_freq(explode_postings(tokenize(docs))) ⋈ doc_len
+    (test_index.py).
 
     ``code_aware=True`` (opt-in, off by default — golden tests and oracles
     pin the plain tokenizer) splits snake_case/camelCase identifiers before
-    tokenizing, for source-code corpora (BASELINE.json input_hint)."""
+    tokenizing, for source-code corpora (BASELINE.json input_hint).
+    ``with_positions=True`` adds the delta+varint positional blob per
+    (doc, term) from the same pass (kernel docstring)."""
+    schema = "doc_id long, term string, tf int, dl int, lead boolean"
+    if with_positions:
+        schema += ", pos_blob binary"
     return docs.mapInPandas(
-        _tok_tf_kernel(text_col, id_col, code_aware),
-        "doc_id long, term string, tf int, dl int, lead boolean",
+        _tok_tf_kernel(text_col, id_col, code_aware, with_positions), schema
     )
 
 
@@ -134,8 +198,7 @@ def _encode_group_fn(block_size: int):
         ids = pdf["doc_id"].values[order]
         tfs = pdf["tf"].values[order]
         dls = pdf["dl"].values[order]
-        scores = pdf["score"].values[order]
-        enc = encode_sublist(ids, tfs, scores, block_size, dls=dls)
+        enc = encode_sublist(ids, tfs, block_size, dls=dls)
         nb = len(enc["n"])
         return pd.DataFrame(
             {
@@ -147,7 +210,8 @@ def _encode_group_fn(block_size: int):
                 "doc_gaps": enc["doc_gaps"],
                 "tfs": enc["tfs"],
                 "dls": enc["dls"],
-                "max_score": enc["max_score"],
+                "max_tf": enc["max_tf"],
+                "min_dl": enc["min_dl"],
             }
         )
 
@@ -156,22 +220,21 @@ def _encode_group_fn(block_size: int):
 
 def build_segments(
     tf_df: DataFrame,
-    dl_df: DataFrame,
-    term_stats: DataFrame,
+    dl_df: DataFrame | None,
     range_size: int,
     n_buckets: int = 64,
     block_size: int = BLOCK_SIZE,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """B1–B4: postings + stats → flat block rows with bucket column.
+    """B1–B4: postings → flat block rows with bucket column.
 
-    tf_df: [term, doc_id, tf(, dl)]; dl_df: [doc_id, dl]; term_stats must
-    carry (term, idf, avgdl) (from stats.with_idf). When tf_df already
-    carries dl (the one-pass tokenize_tf path) the doc-length join — a full
-    shuffle of the postings on doc_id — is skipped entirely: the salted
-    (term, range_id) repartition below is then the ONLY full-data exchange
-    in the whole build."""
-    base = tf_df.join(term_stats.select("term", "idf", "avgdl"), "term")
+    tf_df: [term, doc_id, tf(, dl)]; dl_df: [doc_id, dl] (legacy only). The
+    encoder is STATS-FREE (impact-pair block metadata, codec.py), so no
+    term-stats join touches the postings — when tf_df already carries dl
+    (the one-pass tokenize_tf path) the salted (term, range_id) repartition
+    below is the ONLY exchange this function adds, moving exactly 4 narrow
+    columns + the term string."""
+    base = tf_df
     if "dl" not in tf_df.columns:
         base = base.join(dl_df, "doc_id")
     scored = (
@@ -183,7 +246,6 @@ def build_segments(
             # fit int32 by construction (dl is a per-doc token count).
             F.col("tf").cast("int").alias("tf"),
             F.col("dl").cast("int").alias("dl"),
-            bm25_term_score_col().alias("score"),
             (F.col("doc_id") / F.lit(int(range_size))).cast("int").alias("range_id"),
         )
     )
@@ -211,6 +273,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     mode: str = "overwrite",
     code_aware: bool = False,
+    with_positions: bool = False,
 ) -> dict:
     """Full single-shot build: documents → segments + dictionary + stats.json.
 
@@ -218,12 +281,15 @@ def build_index(
     stages postings per source partition and then calls ``finalize_index``
     over the committed units' postings. ``code_aware`` opts into identifier
     splitting for source-code corpora (queries must then be tokenized with
-    tokenize.py_tokenize_code to match).
+    tokenize.py_tokenize_code to match). ``with_positions=True`` also writes
+    the positional sidecar (``<index>/positions``, phrase.py) — from the
+    SAME single tokenize pass: the corpus is read and tokenized exactly
+    once for both artifacts.
     """
-    # ONE Arrow pass: tokenize + per-doc tf + dl, all map-side (tokenize_tf).
+    # ONE Arrow pass: tokenize + per-doc tf + dl (+ positions), all map-side.
     tf_df = tokenize_tf(
         docs.select(F.col(id_col).alias("doc_id"), text_col), text_col,
-        code_aware=code_aware,
+        code_aware=code_aware, with_positions=with_positions,
     )
     return finalize_index(
         spark, tf_df, index_path,
@@ -282,7 +348,14 @@ def finalize_index(
         tf_df = tf_df.persist()
         tf_df.count()  # materialize cache; stats ride this one job
         m = obs.get
+        if not m["n_docs"]:  # None (no rows) or 0 — nothing to index
+            tf_df.unpersist()
+            raise ValueError(
+                "cannot build an index from an empty corpus "
+                "(0 documents with at least one token)"
+            )
         n_docs, avgdl, max_id = int(m["n_docs"]), m["sum_dl"] / m["n_docs"], int(m["max_id"])
+        sum_dl = int(m["sum_dl"])
         dl_df = tf_df.filter("lead").select("doc_id", "dl")
     else:
         # Legacy path: bare (term, doc_id, tf) postings (no dl column).
@@ -292,8 +365,16 @@ def finalize_index(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.max("doc_id").alias("max_id"),
+            F.sum("dl").alias("sum_dl"),
         ).collect()[0]
+        if not srow["n_docs"]:
+            tf_df.unpersist()
+            raise ValueError(
+                "cannot build an index from an empty corpus "
+                "(0 documents with at least one token)"
+            )
         n_docs, avgdl, max_id = int(srow["n_docs"]), float(srow["avgdl"]), int(srow["max_id"])
+        sum_dl = int(srow["sum_dl"])
 
     range_size = max(1, math.ceil((max_id + 1) / n_ranges))
     # Literal 1-row stats frame (already collected) — keeps every downstream
@@ -302,11 +383,14 @@ def finalize_index(
     term_stats = with_idf(doc_freq(tf_df), stats_df)
 
     seg = build_segments(
-        tf_df, dl_df, term_stats, range_size, n_buckets, block_size
+        tf_df, dl_df, range_size, n_buckets, block_size
     ).persist()
     seg.count()  # run the one big exchange + encode; sinks below read cache
+    # Per-term global impact pair (stats-free, like the per-block pair): the
+    # query-time bound for a term anywhere in the index.
     gmax = seg.groupBy("term").agg(
-        F.max("max_score").alias("max_score"), F.first("bucket").alias("bucket")
+        F.max("max_tf").alias("max_tf"), F.min("min_dl").alias("min_dl"),
+        F.first("bucket").alias("bucket"),
     )
     dictionary = term_stats.select("term", "df", "cf", "idf").join(gmax, "term")
 
@@ -323,13 +407,25 @@ def finalize_index(
     def _w_dictionary():
         dictionary.write.mode(mode).parquet(os.path.join(index_path, "dictionary"))
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [pool.submit(w) for w in (_w_segments, _w_doclens, _w_dictionary)]
+    writers = [_w_segments, _w_doclens, _w_dictionary]
+    if "pos_blob" in tf_df.columns:
+        # Positional sidecar (phrase.py) — a map-only projection of the SAME
+        # cached tokenize pass; the fourth concurrent sink, no extra corpus
+        # read or tokenize work.
+        from .phrase import write_positions
+
+        writers.append(
+            lambda: write_positions(tf_df, index_path, n_buckets, mode=mode)
+        )
+
+    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+        futures = [pool.submit(w) for w in writers]
         for f in futures:
             f.result()
 
     stats = {
         "n_docs": n_docs,
+        "sum_dl": sum_dl,  # avgdl's numerator — lets resumes update avgdl O(1)
         "avgdl": float(avgdl),
         "range_size": int(range_size),
         "n_ranges": int(n_ranges),
@@ -344,11 +440,19 @@ def finalize_index(
 
 
 def load_index(spark: SparkSession, index_path: str):
-    """(segments_df, dictionary_df, stats_dict) from an index directory."""
-    seg = spark.read.parquet(os.path.join(index_path, "segments"))
-    dic = spark.read.parquet(os.path.join(index_path, "dictionary"))
+    """(segments_df, dictionary_df, stats_dict) from an index directory.
+
+    Works for both layouts: the single-shot flat layout (segments/bucket=*,
+    dictionary/) and the resumable generational layout (segments/gen=*/
+    bucket=*, dictionary_gen_<g> recorded in stats.json) — partition
+    discovery surfaces the extra ``gen`` column transparently and bucket
+    pruning still applies (checkpoint.py module docstring)."""
     with open(os.path.join(index_path, "stats.json")) as f:
         stats = json.load(f)
+    seg = spark.read.parquet(os.path.join(index_path, "segments"))
+    dic = spark.read.parquet(
+        os.path.join(index_path, stats.get("dictionary_dir", "dictionary"))
+    )
     return seg, dic, stats
 
 

@@ -269,22 +269,14 @@ _POS_CACHE: dict[str, str] = {}
 
 
 def _positions_for(spark, sf_dir):
-    """Build (once per sf_dir per process) the positional sidecar index."""
-    key = sf_dir.rstrip("/")
-    if key not in _POS_CACHE:
-        import hashlib
-        import os
+    """Positional sidecar for the phrase entries: it lives INSIDE the shared
+    physical index (queries_catalog._index_for builds with
+    ``with_positions=True``), so the whole catalog sweep tokenizes the
+    corpus once for segments + dictionary + doclens + positions — no
+    separate sidecar build, no second corpus pass."""
+    from .queries_catalog import _index_for
 
-        from .phrase import build_positions
-
-        path = f"/tmp/sparksearch_pos_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
-        os.makedirs(path, exist_ok=True)
-        # Deterministic content ⇒ a finished build from another process is
-        # byte-equivalent; reuse it instead of overwriting under its reader.
-        if not os.path.exists(os.path.join(path, "positions_meta.json")):
-            build_positions(spark, _docs(spark, sf_dir), path, n_buckets=16)
-        _POS_CACHE[key] = path
-    return _POS_CACHE[key]
+    return _index_for(spark, sf_dir)
 
 
 def q_phrase_topk_indexed(spark, sf_dir):
@@ -428,6 +420,12 @@ def q_delta_encode_demo(spark, sf_dir):
 
 
 # ----------------------------------------------------------------- registry
+
+
+def _lsh_oracle_sql() -> str:
+    from .vectors import lsh_ann_oracle_sql
+
+    return lsh_ann_oracle_sql()
 
 
 def build_pipeline_catalog():
@@ -574,9 +572,11 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 
         ),
         "ann_lsh_topk": QuerySpec(
             q_ann_lsh_topk,
-            None,
-            "hyperplane-LSH bucketed ANN (rows-only: recall-vs-exact measured "
-            "in tests/test_vectors.py; returned scores are exact cosines)",
+            _lsh_oracle_sql(),
+            "hyperplane-LSH bucketed ANN — EXACT oracle: the DuckDB twin is "
+            "generated from the same h60-derived plane weights, so buckets, "
+            "candidates, cosines and ranks are value-identical; recall vs "
+            "the exact scan additionally measured in tests/test_vectors.py",
         ),
         "ann_ivf_topk": QuerySpec(
             q_ann_ivf_topk,

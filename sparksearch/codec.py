@@ -11,8 +11,18 @@ of ≤ ``block_size`` postings. Per block:
   dls              binary  — varint of the n document lengths (self-contained
                              scoring: query never joins a doc-length table —
                              the pruned term blocks alone answer the query)
-  max_score        double  — max BM25 term contribution over the block
-                             (block-max WAND metadata, BASELINE.json:6)
+  max_tf, min_dl   int64   — the block's score-dominating IMPACT PAIR: BM25's
+                             term contribution is monotone ↑tf and ↓dl, so
+                             idf·score(max_tf, min_dl) upper-bounds every
+                             posting in the block for ANY (idf, avgdl). This
+                             is the block-max WAND metadata (BASELINE.json:6)
+                             stored stats-FREE (Lucene-impact style): a block,
+                             once written, stays valid when the corpus grows
+                             and idf/avgdl shift — which is exactly what lets
+                             incremental/resumed builds append new segments
+                             without touching committed ones. The concrete
+                             BM25 bound is derived at query time from the
+                             current dictionary idf + stats avgdl (daat.py).
 
 Everything is vectorized: varint encode loops over byte *positions* (≤ 10),
 decode is one pass of NumPy segment ops — never per-value Python.
@@ -65,15 +75,18 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
 def encode_sublist(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    scores: np.ndarray,
     block_size: int = BLOCK_SIZE,
     dls: np.ndarray | None = None,
 ):
     """Pack one docID-sorted (term, range) sub-list into block rows.
 
     Returns a dict of parallel arrays/lists:
-      first_doc_id, last_doc_id, n, max_score (np arrays) and
+      first_doc_id, last_doc_id, n, max_tf, min_dl (np arrays) and
       doc_gaps, tfs, dls (lists of bytes), one entry per block.
+
+    ``max_tf``/``min_dl`` are the stats-free block-max impact pair (module
+    docstring): the bytes of a block depend ONLY on its own postings, never
+    on global corpus statistics — deterministic and append-stable.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
@@ -89,14 +102,15 @@ def encode_sublist(
             "doc_gaps": [],
             "tfs": [],
             "dls": [],
-            "max_score": np.empty(0, np.float64),
+            "max_tf": np.empty(0, np.int64),
+            "min_dl": np.empty(0, np.int64),
         }
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
     bounds = np.arange(0, n, block_size)
     ends = np.minimum(bounds + block_size, n)
     gaps_all = np.diff(doc_ids).astype(np.uint64)  # all ≥ 1
-    out_first, out_last, out_n, out_ms = [], [], [], []
+    out_first, out_last, out_n, out_mtf, out_mdl = [], [], [], [], []
     out_gaps, out_tfs, out_dls = [], [], []
     for s, e in zip(bounds, ends):
         out_first.append(doc_ids[s])
@@ -106,7 +120,8 @@ def encode_sublist(
         out_gaps.append(varint_encode(gaps_all[s : e - 1]))
         out_tfs.append(varint_encode(tfs[s:e]))
         out_dls.append(varint_encode(dls[s:e]))
-        out_ms.append(float(scores[s:e].max()))
+        out_mtf.append(int(tfs[s:e].max()))
+        out_mdl.append(int(dls[s:e].min()))
     return {
         "first_doc_id": np.array(out_first, np.int64),
         "last_doc_id": np.array(out_last, np.int64),
@@ -114,7 +129,8 @@ def encode_sublist(
         "doc_gaps": out_gaps,
         "tfs": out_tfs,
         "dls": out_dls,
-        "max_score": np.array(out_ms, np.float64),
+        "max_tf": np.array(out_mtf, np.int64),
+        "min_dl": np.array(out_mdl, np.int64),
     }
 
 

@@ -40,6 +40,35 @@ from .querying import parse_queries, topk_per_query
 
 _EPS = 1e-12
 
+def attach_block_bound(qblocks: DataFrame, avgdl: float) -> DataFrame:
+    """Derive each block's BM25 upper bound ``max_score`` from its stats-free
+    impact pair (max_tf, min_dl) — codec.py.
+
+    The pair is stored; the bound is computed HERE with the CURRENT
+    dictionary idf and stats avgdl: BM25's term contribution is monotone
+    ↑tf and ↓dl, so idf·score(max_tf, min_dl) ≥ every posting's contribution
+    in the block — a valid WAND bound even for blocks encoded before the
+    corpus grew (incremental resume). One constant-folded Catalyst
+    projection; the group UDF sees the same ``max_score`` column shape the
+    exact-max design had."""
+    return qblocks.withColumn(
+        "max_score",
+        F.col("idf")
+        * (F.col("max_tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("max_tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("min_dl") / F.lit(avgdl))
+        ),
+    )
+
+
+#: Minimum per-range posting volume (Σ df of the query's terms ÷ n_ranges)
+#: before query-sharding pays: below this, extra Arrow groups cost more in
+#: per-group overhead than they recover in balance (measured: 4-way sharding
+#: at sf0.1 regressed 2.5s → 3.4s; at 800k docs it saved ~17% on 8 cores).
+QSHARD_MIN_POSTINGS = 100_000
+
 
 def _daat_group_fn(
     k: int,
@@ -212,7 +241,7 @@ def daat_topk(
     segments, dictionary, stats = load_index(spark, index_path)
     qterms = parse_queries(spark, queries)
     qinfo = dictionary.join(F.broadcast(qterms), "term").select(
-        "term", "bucket", "query_id", "qtf", "idf"
+        "term", "bucket", "query_id", "qtf", "idf", "df"
     )
     # Q1 resolution is driver-side tiny (|queries|·|terms| rows) — collect it
     # to drive partition pruning with literal predicates.
@@ -232,7 +261,8 @@ def daat_topk(
         [(r["term"], int(r["query_id"]), int(r["qtf"]), float(r["idf"])) for r in rows],
         "term string, query_id int, qtf int, idf double",
     )
-    qblocks = blocks.join(F.broadcast(qmeta), "term")
+    avgdl = float(stats["avgdl"])
+    qblocks = attach_block_bound(blocks.join(F.broadcast(qmeta), "term"), avgdl)
 
     nreq = None
     if conjunctive:
@@ -243,13 +273,24 @@ def daat_topk(
     # Shard per (doc-range, query-shard): the group fn already handles any
     # number of queries per group (per-query θ/candidate set), so a finer key
     # changes no semantics — it balances shards (a hot range carrying every
-    # query's blocks was the 8-core straggler at 800k docs, ~17%). Capped at
-    # 4 query shards: fully per-query grouping quadruples the per-group Arrow
-    # overhead, which dominates at small corpora.
-    partial = qblocks.withColumn(
-        "qshard", F.pmod(F.col("query_id"), F.lit(4))
-    ).groupBy("range_id", "qshard").applyInPandas(
-        _daat_group_fn(k, float(stats["avgdl"]), wand, nreq),
+    # query's blocks was the 8-core straggler at 800k docs, ~17%). The shard
+    # count is ADAPTIVE, derived from the dictionary's df stats already on
+    # the driver: sharding only pays when per-range work is fat enough to
+    # amortize the extra Arrow groups' per-group overhead — at small corpora
+    # a static 4-way split quadrupled group count on tiny groups and
+    # regressed latency 34% (round-2 bench). Σ df over the resolved
+    # (query, term) rows IS the posting count the shards will decode.
+    work = sum(int(r["df"]) for r in rows)
+    per_range = work / max(int(stats.get("n_ranges", 1)), 1)
+    n_qshards = max(1, min(4, int(per_range // QSHARD_MIN_POSTINGS)))
+    if n_qshards > 1:
+        grouped = qblocks.withColumn(
+            "qshard", F.pmod(F.col("query_id"), F.lit(n_qshards))
+        ).groupBy("range_id", "qshard")
+    else:
+        grouped = qblocks.groupBy("range_id")
+    partial = grouped.applyInPandas(
+        _daat_group_fn(k, avgdl, wand, nreq),
         "query_id long, doc_id long, score double",
     )
     return topk_per_query(partial, k)

@@ -88,6 +88,35 @@ def phrase_counts(docs: DataFrame, phrase: str, text_col: str = "text",
     )
 
 
+def write_positions(
+    tt: DataFrame, index_path: str, n_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Write the positional sidecar ``<index>/positions/bucket=<b>`` from a
+    ``tokenize_tf(..., with_positions=True)`` frame (doc_id, term, tf,
+    pos_blob, …): rows (term, doc_id, npos, pos_blob) — the 1-based
+    occurrence positions of term in doc, delta+varint encoded (first raw,
+    then gaps; same LEB128 as the posting blocks). ADDITIVE artifact: the
+    main segment layout is untouched; phrase queries prune it by
+    (bucket, term) exactly like Q2. Map-only projection + bucketed write —
+    no shuffle, no extra tokenize."""
+    import json
+    import os
+
+    out = tt.select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("int").alias("npos"),  # npos ≡ tf by construction
+        "pos_blob",
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    out.write.mode(mode).partitionBy("bucket").parquet(
+        os.path.join(index_path, "positions")
+    )
+    with open(os.path.join(index_path, "positions_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+
+
 def build_positions(
     spark,
     docs: DataFrame,
@@ -97,69 +126,19 @@ def build_positions(
     id_col: str = "doc_id",
     mode: str = "overwrite",
 ) -> None:
-    """Positional sidecar index: ``<index>/positions/bucket=<b>/*.parquet``
-    rows (term, doc_id, npos, pos_blob) — the 1-based occurrence positions
-    of term in doc, delta+varint encoded (first raw, then gaps; same LEB128
-    as the posting blocks). ADDITIVE artifact: the main segment layout is
-    untouched; phrase queries prune it by (bucket, term) exactly like Q2.
+    """Standalone positional-sidecar build: ONE vectorized Arrow pass — the
+    same ``build.tokenize_tf(with_positions=True)`` kernel the main index
+    build uses, so positions are never produced by a second tokenize of the
+    corpus (round-2 verdict #3). When building index + sidecar together,
+    prefer ``build.build_index(..., with_positions=True)``: one corpus read
+    feeds all four sinks."""
+    from .build import tokenize_tf
 
-    Build is one vectorized Arrow pass (map-side, like tokenize_tf) + the
-    bucketed write — no shuffle beyond the write's partitioning."""
-    import numpy as np
-    import pandas as pd
-
-    def kernel(it):
-        from .codec import varint_encode
-        from .tokenize import TOKEN_RE
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids_out, terms_out, npos_out, blobs_out = [], [], [], []
-            toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
-            for doc_id, tl in zip(pdf[id_col].to_numpy(), toks):
-                if not tl:
-                    continue
-                arr = np.asarray(tl, dtype=object)
-                order = np.argsort(arr, kind="stable")  # stable ⇒ positions stay ascending per term
-                st = arr[order]
-                pos = (np.arange(arr.size, dtype=np.int64) + 1)[order]
-                starts = np.flatnonzero(
-                    np.concatenate(([True], st[1:] != st[:-1]))
-                )
-                ends = np.concatenate((starts[1:], [st.size]))
-                for s, e in zip(starts, ends):
-                    p = pos[s:e]
-                    gaps = np.concatenate(([p[0]], np.diff(p))).astype(np.uint64)
-                    ids_out.append(doc_id)
-                    terms_out.append(st[s])
-                    npos_out.append(e - s)
-                    blobs_out.append(varint_encode(gaps))
-            if ids_out:
-                yield pd.DataFrame(
-                    {
-                        "term": np.asarray(terms_out, dtype=object),
-                        "doc_id": np.asarray(ids_out, dtype=np.int64),
-                        "npos": np.asarray(npos_out, dtype=np.int32),
-                        "pos_blob": blobs_out,
-                    }
-                )
-
-    import os
-
-    out = docs.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(kernel, "term string, doc_id long, npos int, pos_blob binary")
-    out = out.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    tt = tokenize_tf(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), text_col),
+        text_col, with_positions=True,
     )
-    out.write.mode(mode).partitionBy("bucket").parquet(
-        os.path.join(index_path, "positions")
-    )
-    import json
-
-    with open(os.path.join(index_path, "positions_meta.json"), "w") as f:
-        json.dump({"n_buckets": int(n_buckets)}, f)
+    write_positions(tt, index_path, n_buckets, mode=mode)
 
 
 def phrase_topk_indexed(

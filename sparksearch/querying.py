@@ -260,6 +260,11 @@ def topk_snippets(
             tokens_col(F.col(text_col)).alias("toks"),
         )
     )
+    # hit_pos AND the snippet slice are computed in this ONE projection over
+    # the materialized toks/qset columns: a second select indexing into
+    # `toks` would be collapsed by Catalyst and re-inline the tokenize
+    # expression per use site (the projection-collapse sharp edge — see
+    # CLAUDE.md; same fix pattern as shingling / LSH band keys).
     pos = F.array_min(
         F.filter(
             F.transform(
@@ -269,13 +274,12 @@ def topk_snippets(
             lambda p: p.isNotNull(),
         )
     )
-    hits = hits.select("query_id", "rank", "doc_id", "toks", pos.alias("hit_pos"))
-    start = F.greatest(F.col("hit_pos") - window, F.lit(1))
+    start = F.greatest(pos - window, F.lit(1))
     return hits.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
-        F.col("hit_pos").cast("long").alias("hit_pos"),
+        pos.cast("long").alias("hit_pos"),
         F.array_join(
             F.slice(F.col("toks"), start, F.lit(2 * window + 1)), " "
         ).alias("snippet"),

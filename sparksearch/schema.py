@@ -42,7 +42,9 @@ POSTING_SCHEMA = T.StructType(
 
 #: One compressed posting-list block (SURVEY.md §1.1 "Posting list / segment"):
 #: docIDs delta-gap + varint in ``doc_gaps``; tfs varint in ``tfs``;
-#: ``max_score`` = max BM25 term score over the block (block-max WAND metadata).
+#: ``max_tf``/``min_dl`` = the stats-free block-max impact pair (codec.py) —
+#: the BM25 block upper bound is derived at query time from the current
+#: idf/avgdl (block-max WAND metadata that survives corpus growth).
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("first_doc_id", T.LongType(), False),
@@ -51,7 +53,8 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("range_id", T.IntegerType(), False),
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
-        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
     ]
 )
 
@@ -78,7 +81,8 @@ DICTIONARY_SCHEMA = T.StructType(
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("idf", T.DoubleType(), False),
-        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
     ]
 )
 

@@ -127,8 +127,13 @@ def embedding_neardup_pairs(
     and the planes are h60-derived constants — recall is DETERMINISTIC per
     pair, identical across sessions/engines. tests/test_vectors.py asserts
     bucketed ≡ brute force on the fixtures; returned cosines are exact."""
-    vecs = _vecs(embeddings)
-    keyed = _lsh_keyed(vecs, n_tables, n_bits, dim).select("vec_id", "t", "key")
+    # keyed feeds BOTH sides of the band self-join and vecs both exact-
+    # re-check sides — persist each so the LSH keying Arrow pass and the
+    # embedding scan run once, not once per consumer (the repo's self-join
+    # invariant; same persist/materialize/release lifecycle as
+    # textpipe.minhash_lsh_dedup).
+    vecs = _vecs(embeddings).persist()
+    keyed = _lsh_keyed(vecs, n_tables, n_bits, dim).select("vec_id", "t", "key").persist()
     a = keyed.select(F.col("vec_id").alias("vec_id_a"), "t", "key")
     b = keyed.select(F.col("vec_id").alias("vec_id_b"), "t", "key")
     cand = (
@@ -139,7 +144,7 @@ def embedding_neardup_pairs(
     )
     va = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
-    return (
+    out = (
         cand.join(va, "vec_id_a")
         .join(vb, "vec_id_b")
         .select(
@@ -149,6 +154,14 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    # Materialize the (near-dup-pairs-sized, tiny) result eagerly, then
+    # release the inputs so repeated invocations never accumulate pinned
+    # storage; ``out`` stays cached — it IS the returned value.
+    out = out.persist()
+    out.count()
+    keyed.unpersist()
+    vecs.unpersist()
+    return out
 
 
 def _plane_weights(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
@@ -220,7 +233,10 @@ def lsh_ann_topk(
     the standard tie-break. Scores of returned rows are exact — only recall
     differs from ``cosine_topk`` (measured in tests). At cluster scale the
     bucket join replaces the linear scan: cost ~ Σ bucket² per table."""
-    keyed = _lsh_keyed(_vecs(embeddings), n_tables, n_bits, dim)
+    # keyed is consumed by BOTH sides of the bucket join (query filter +
+    # corpus side) — persist so the keying Arrow pass runs once (repo
+    # self-join invariant), release after the top-k materializes.
+    keyed = _lsh_keyed(_vecs(embeddings), n_tables, n_bits, dim).persist()
 
     q = keyed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "key"
@@ -235,11 +251,70 @@ def lsh_ann_topk(
         "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
+        .persist()
     )
+    out.count()
+    keyed.unpersist()
+    return out
+
+
+def lsh_ann_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_PLANE_BITS,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB twin of ``lsh_ann_topk``, GENERATED from the same
+    h60-derived plane weights the Spark kernel uses (``_plane_weights``) —
+    the whole pipeline is deterministic (no rand()), so bucket keys,
+    candidate sets, cosines and ranks are value-identical across engines.
+    The weights are emitted as literal lists via repr(): Python float repr
+    round-trips, so DuckDB parses exactly the same doubles NumPy multiplies.
+    Sign rule matches the kernel's strict ``dot > 0``."""
+    planes = _plane_weights(n_tables, n_bits, dim)
+
+    def plane_lit(t: int, b: int) -> str:
+        return "[" + ", ".join(repr(w) for w in planes[t][b]) + "]"
+
+    branches = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(v, {plane_lit(t, b)}) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        )
+        branches.append(
+            f"SELECT vec_id, {t} AS t, ({bits}) AS key FROM e"
+        )
+    keyed = "\n  UNION ALL\n  ".join(branches)
+    cos = (
+        "list_dot_product(e.v, qe.v) / (sqrt(list_dot_product(e.v, e.v)) "
+        "* sqrt(list_dot_product(qe.v, qe.v)))"
+    )
+    return f"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+keyed AS (
+  {keyed}
+),
+q AS (SELECT vec_id AS query_id, t, key FROM keyed WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, k.vec_id
+  FROM q JOIN keyed k ON k.t = q.t AND k.key = q.key AND k.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, ROUND({cos}, 6) AS score
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score
+FROM r WHERE rnk <= {k}"""
 
 
 # ------------------------------------------------------------------ IVF ANN

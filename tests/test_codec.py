@@ -51,31 +51,33 @@ def test_block_roundtrip_random():
     for n in [1, 2, 127, 128, 129, 1000]:
         ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
         tfs = rng.integers(1, 200, n).astype(np.int64)
-        scores = rng.random(n)
-        enc = encode_sublist(ids, tfs, scores, block_size=128)
+        dls = rng.integers(1, 5000, n).astype(np.int64)
+        enc = encode_sublist(ids, tfs, block_size=128, dls=dls)
         got_ids, got_tfs = decode_blocks(enc["first_doc_id"], enc["doc_gaps"], enc["tfs"])
         assert (got_ids == ids).all()
         assert (got_tfs == tfs).all()
-        # block boundaries + metadata
+        # block boundaries + impact-pair metadata (stats-free block max)
         assert enc["n"].sum() == n
         k = 0
         for i in range(len(enc["n"])):
             bn = enc["n"][i]
             assert enc["first_doc_id"][i] == ids[k]
             assert enc["last_doc_id"][i] == ids[k + bn - 1]
-            assert enc["max_score"][i] == scores[k : k + bn].max()
+            assert enc["max_tf"][i] == tfs[k : k + bn].max()
+            assert enc["min_dl"][i] == dls[k : k + bn].min()
             k += bn
 
 
 def test_block_single_posting():
-    enc = encode_sublist(np.array([42]), np.array([3]), np.array([1.5]))
+    enc = encode_sublist(np.array([42]), np.array([3]), dls=np.array([7]))
     ids, tfs = decode_block(int(enc["first_doc_id"][0]), enc["doc_gaps"][0], enc["tfs"][0])
     assert list(ids) == [42] and list(tfs) == [3]
     assert enc["doc_gaps"][0] == b""
+    assert enc["max_tf"][0] == 3 and enc["min_dl"][0] == 7
 
 
 def test_nonmonotonic_rejected():
     with pytest.raises(ValueError):
-        encode_sublist(np.array([5, 5]), np.array([1, 1]), np.array([0.1, 0.2]))
+        encode_sublist(np.array([5, 5]), np.array([1, 1]))
     with pytest.raises(ValueError):
-        encode_sublist(np.array([5, 4]), np.array([1, 1]), np.array([0.1, 0.2]))
+        encode_sublist(np.array([5, 4]), np.array([1, 1]))

@@ -107,7 +107,7 @@ def test_deterministic_rebuild(spark, docs_sf001, index_sf001, tmp_path):
     seg2, _, s2 = load_index(spark, path2)
     assert s1 == s2
     cols = ["term", "range_id", "first_doc_id", "last_doc_id", "n",
-            "doc_gaps", "tfs", "dls", "max_score", "bucket"]
+            "doc_gaps", "tfs", "dls", "max_tf", "min_dl", "bucket"]
     d1 = sorted(map(tuple, seg1.select(cols).collect()))
     d2 = sorted(map(tuple, seg2.select(cols).collect()))
     assert d1 == d2  # byte-identical segments across rebuilds
@@ -164,6 +164,26 @@ def test_code_aware_build_matches_code_tokenizer(spark, tmp_path):
         got.setdefault(int(r.doc_id), {})[r.term] = int(r.tf)
     for row in pdf.itertuples():
         assert got.get(int(row.doc_id), {}) == dict(Counter(py_tokenize_code(row.text)))
+
+
+def test_tokenize_tf_positions_mode_matches_fast_path(spark, docs_sf0001):
+    """with_positions=True changes only the extra pos_blob column: the
+    (doc_id, term, tf, dl) values and the one-lead-per-doc invariant are
+    identical to the fast path (the segments built from a positional pass
+    must be byte-identical to a plain build)."""
+    from sparksearch.build import tokenize_tf
+
+    base = docs_sf0001.select("doc_id", "text")
+    fast = tokenize_tf(base).select("doc_id", "term", "tf", "dl")
+    slow = tokenize_tf(base, with_positions=True).select("doc_id", "term", "tf", "dl")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    per_doc = (
+        tokenize_tf(base, with_positions=True)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("lead").cast("int")).alias("n_lead"))
+    )
+    assert per_doc.filter("n_lead != 1").count() == 0
 
 
 def test_tokenize_tf_handles_null_and_empty_text(spark):

@@ -78,6 +78,42 @@ def test_indexed_phrase_equals_logical(spark, docs_sf0001, tmp_path):
     assert indexed == logical and logical
 
 
+def test_combined_build_positions_in_one_tokenize_pass(spark, docs_sf0001, tmp_path, monkeypatch):
+    """build_index(with_positions=True) must produce the positional sidecar
+    from the SAME single tokenize pass as the segments (round-2 verdict #3):
+    build.tokenize_tf is invoked exactly once, and the sidecar rows equal a
+    standalone build_positions byte for byte."""
+    import sparksearch.build as B
+    from sparksearch.phrase import build_positions, phrase_topk_indexed
+
+    calls = []
+    real = B.tokenize_tf
+
+    def counted(*a, **kw):
+        calls.append((a, kw))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(B, "tokenize_tf", counted)
+    combined = str(tmp_path / "combined")
+    B.build_index(spark, docs_sf0001, combined, n_buckets=8, n_ranges=4,
+                  with_positions=True)
+    assert len(calls) == 1 and calls[0][1].get("with_positions") is True
+    monkeypatch.undo()
+
+    standalone = str(tmp_path / "standalone")
+    build_positions(spark, docs_sf0001, standalone, n_buckets=8)
+    cols = ["term", "doc_id", "npos", "pos_blob", "bucket"]
+    a = sorted(map(tuple, spark.read.parquet(f"{combined}/positions").select(cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{standalone}/positions").select(cols).collect()))
+    assert a == b and a
+
+    # and the combined index answers phrase queries identically
+    phrases = [(1, "hash join"), (2, "join")]
+    ca = sorted(map(tuple, phrase_topk_indexed(spark, combined, phrases, k=5).collect()))
+    cb = sorted(map(tuple, phrase_topk_indexed(spark, standalone, phrases, k=5).collect()))
+    assert ca == cb and ca
+
+
 def test_indexed_phrase_edge_cases(spark, tmp_path):
     from sparksearch.phrase import build_positions, phrase_topk_indexed
 

@@ -46,8 +46,7 @@ def test_block_roundtrip_property(postings, block_size):
     ids = np.cumsum(gaps)
     tfs = np.array([t for _, t, _ in postings], dtype=np.uint64)
     dls = np.array([d for _, _, d in postings], dtype=np.uint64)
-    scores = tfs.astype(np.float64)
-    enc = encode_sublist(ids, tfs, scores, block_size, dls=dls)
+    enc = encode_sublist(ids, tfs, block_size, dls=dls)
     # coverage: block sizes sum to n, bounds nest, decode reproduces input
     assert int(enc["n"].sum()) == ids.size
     out_ids, out_tfs, out_dls = [], [], []
@@ -64,10 +63,22 @@ def test_block_roundtrip_property(postings, block_size):
     assert (np.concatenate(out_ids) == ids).all()
     assert (np.concatenate(out_tfs) == tfs).all()
     assert (np.concatenate(out_dls) == dls).all()
-    # block-max metadata really is the max of each block's scores
+    # impact-pair metadata: for ANY positive (idf, avgdl), the bound derived
+    # from (max_tf, min_dl) dominates every posting's BM25 contribution in
+    # the block — the property WAND exactness rests on (score is monotone
+    # ↑tf, ↓dl, so the pair's score is a per-block upper bound).
     bounds = np.concatenate(([0], np.cumsum(enc["n"])))
-    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
-        assert enc["max_score"][i] == scores[s:e].max()
+    k1, b = 1.2, 0.75
+    for avgdl in (1.0, 50.0, 5000.0):
+        def bm25(tf, dl):
+            return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+            assert enc["max_tf"][i] == tfs[s:e].max()
+            assert enc["min_dl"][i] == dls[s:e].min()
+            bound = bm25(float(enc["max_tf"][i]), float(enc["min_dl"][i]))
+            block_scores = bm25(tfs[s:e].astype(np.float64), dls[s:e].astype(np.float64))
+            assert (block_scores <= bound + 1e-12).all()
 
 
 # ----------------------------------------------------------------- tokenizer

@@ -101,11 +101,13 @@ def test_conjunctive_region_prune_is_lossless_and_tighter(
         [(r["term"], int(r["query_id"]), int(r["qtf"]), float(r["idf"])) for r in rows],
         "term string, query_id int, qtf int, idf double",
     )
-    qblocks = (
+    from sparksearch.daat import attach_block_bound
+
+    qblocks = attach_block_bound(
         segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .join(F.broadcast(qmeta), "term")
-        .toPandas()
-    )
+        .join(F.broadcast(qmeta), "term"),
+        float(stats["avgdl"]),
+    ).toPandas()
     nreq = dict(Counter(int(r["query_id"]) for r in rows))
 
     out, visits = {}, {}

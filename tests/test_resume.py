@@ -17,7 +17,7 @@ from sparksearch.checkpoint import (
 
 N_UNITS = 6
 SEG_COLS = ["term", "range_id", "first_doc_id", "last_doc_id", "n",
-            "doc_gaps", "tfs", "dls", "max_score", "bucket"]
+            "doc_gaps", "tfs", "dls", "max_tf", "min_dl", "bucket"]
 
 
 def _segments_sorted(spark, path):
@@ -49,6 +49,61 @@ def test_crash_resume_equals_single_shot(spark, docs_sf0001, tmp_path):
     s2.pop("n_units", None)
     assert s1 == s2
     assert d1 == d2  # byte-identical segments: resume ≡ single shot
+
+
+def test_incremental_finalize_encodes_only_new_units(spark, docs_sf0001, tmp_path):
+    """The round-3 resume contract (SURVEY.md §3.3): a finalize after new
+    units commit pushes ONLY the new units' postings through the exchange +
+    encoder (O(new), audited via finalize_input_postings), appends a new
+    segment generation, and the resulting index — blocks, stats, dictionary
+    — is identical to a single-shot build of the same corpus."""
+    from sparksearch.checkpoint import (
+        build_geometry,
+        build_unit,
+        finalize_incremental,
+    )
+
+    single = str(tmp_path / "single")
+    build_resumable(spark, docs_sf0001, single, n_units=4, n_buckets=8, n_ranges=4)
+
+    inc = str(tmp_path / "inc")
+    meta = build_geometry(spark, docs_sf0001, inc, 4, 4, 8, 128)
+    for u in (0, 1, 2):
+        build_unit(spark, docs_sf0001, inc, u, meta["unit_span"])
+    st1 = finalize_incremental(spark, inc)
+    man = committed_units(inc)
+    assert st1["finalize_input_postings"] == sum(
+        man[u]["n_postings"] for u in (0, 1, 2)
+    )
+    # a late unit arrives; the second finalize must encode ONLY its postings
+    rec3 = build_unit(spark, docs_sf0001, inc, 3, meta["unit_span"])
+    st2 = finalize_incremental(spark, inc)
+    assert st2["finalize_input_postings"] == rec3["n_postings"]
+    assert st2["n_gens"] == 2
+    assert st2["finalized_units"] == [0, 1, 2, 3]
+
+    # stored blocks + stats + dictionary all equal the single-shot build
+    d1, s1 = _segments_sorted(spark, single)
+    d2, s2 = _segments_sorted(spark, inc)
+    assert d1 == d2
+    for key in ("n_docs", "sum_dl", "avgdl", "range_size", "n_buckets",
+                "block_size", "finalized_units"):
+        assert s1[key] == s2[key], key
+    _, dic1, _ = load_index(spark, single)
+    _, dic2, _ = load_index(spark, inc)
+    cols = ["term", "df", "cf", "idf", "max_tf", "min_dl", "bucket"]
+    assert sorted(map(tuple, dic1.select(cols).collect())) == sorted(
+        map(tuple, dic2.select(cols).collect())
+    )
+
+    # and the 2-generation layout answers queries identically (gen partition
+    # column is transparent to the pruned fetch)
+    from sparksearch.daat import daat_topk
+
+    qs = [(1, "hash join"), (2, "merge sort")]
+    a = sorted(map(tuple, daat_topk(spark, single, qs, k=5).collect()))
+    b = sorted(map(tuple, daat_topk(spark, inc, qs, k=5).collect()))
+    assert a == b and a
 
 
 def test_noop_resume(spark, docs_sf0001, tmp_path):
