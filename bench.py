@@ -132,12 +132,14 @@ def main() -> None:
     extras["postings_per_sec"] = extras["n_postings"] / timings["index_build"]
     extras["avgdl"] = float(stats["avgdl"])
 
-    # Query timings are best-of-QUERY_REPS (default 2): the first run of a
+    # Query timings are best-of-QUERY_REPS (default 3): the first run of a
     # plan pays one-time janino codegen + broadcast-job setup that a
     # continuously-serving cluster pays once per deployment, not per query —
-    # and single runs on this co-tenant VM carry up to 7× noise (CLAUDE.md).
+    # and single runs on this co-tenant VM carry up to 7× noise (CLAUDE.md;
+    # round-3 measurements saw 4× swings BETWEEN whole bench invocations on
+    # identical code, so per-query reps are the cheapest stabilizer).
     # Same policy for every query, every parallelism level.
-    qreps = max(int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")), 1)
+    qreps = max(int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")), 1)
 
     def timed(name: str, fn) -> None:
         best = float("inf")

@@ -382,6 +382,43 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
     return stats
 
 
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Merge all segment generations into one (gen=0) — the operational
+    complement of incremental finalize: every resume appends a generation,
+    and at some point the accumulated small files cost more in scan/listing
+    overhead than one rewrite.
+
+    Because generations hold DISJOINT (term, range) groups (range-aligned
+    units), compaction is a pure columnar REWRITE — blocks are copied
+    as-is, never decoded, never re-encoded, never shuffled by key (the
+    partitionBy(bucket) write re-buckets rows into one file set per
+    bucket). Decoded content, dictionary and stats are unchanged; only
+    n_gens collapses to 1. Crash-safe the same way finalize is: the new
+    generation dir is renamed into a fresh segments root, and stats.json
+    (atomic replace) is the commit point."""
+    stats_path = os.path.join(index_path, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    n_gens = int(stats.get("n_gens", 1))
+    if n_gens <= 1:
+        return stats  # nothing to compact
+    seg_root = os.path.join(index_path, "segments")
+    seg = spark.read.parquet(seg_root).drop("gen")
+    tmp_root = os.path.join(index_path, "_segments_compacting")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    seg.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tmp_root, "gen=0")
+    )
+    old_root = os.path.join(index_path, "_segments_old")
+    shutil.rmtree(old_root, ignore_errors=True)
+    os.rename(seg_root, old_root)
+    os.rename(tmp_root, seg_root)
+    stats["n_gens"] = 1
+    _write_json_atomic(stats_path, stats)  # commit; old root now garbage
+    shutil.rmtree(old_root, ignore_errors=True)
+    return stats
+
+
 def build_resumable(
     spark: SparkSession,
     docs: DataFrame,

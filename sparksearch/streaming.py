@@ -91,6 +91,115 @@ def incremental_postings(
     )
 
 
+def stream_index_units(
+    spark: SparkSession,
+    feed_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """CONTINUOUS INDEXING: document feed → checkpoint units → incremental
+    index, tying Structured Streaming to the resumable build machinery.
+
+    Prereq: ``checkpoint.build_geometry`` has pinned the unit/range geometry
+    for ``index_path`` (build_meta.json). Each micro-batch runs the same
+    one-pass tokenize kernel as the batch build and appends its postings
+    bucketed by ``unit_id`` (doc_id // unit_span). Afterwards,
+    ``commit_stream_units`` turns fully-arrived units into manifest commits
+    and ``checkpoint.finalize_incremental`` folds them into segment
+    generations — identical bytes to a batch build of the same corpus
+    (tests/test_streaming.py).
+
+    Scale shape: the feed is append-only with non-decreasing doc ids (the
+    natural shape when ids are assigned per arriving source partition), so
+    a unit is COMPLETE exactly when a doc beyond its span has arrived; the
+    frontier unit stays open across finalizes. Idempotent on retry: same
+    batch_id ⇒ same deterministic rows, overwrite of the same directory."""
+    feed = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+
+    from .checkpoint import load_geometry, unit_col
+
+    span = int(load_geometry(index_path)["unit_span"])
+    out_root = os.path.join(index_path, "postings")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .build import tokenize_tf
+
+        tf = tokenize_tf(batch_df.select("doc_id", "text"))
+        tf.withColumn("unit_id", unit_col("doc_id", span)).write.mode(
+            "overwrite"
+        ).partitionBy("unit_id").parquet(
+            os.path.join(out_root, f"batch_id={batch_id}")
+        )
+
+    return (
+        feed.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def commit_stream_units(
+    spark: SparkSession, index_path: str, declare_complete: bool = False
+) -> list[int]:
+    """Turn fully-arrived streamed units into manifest commits (S5).
+
+    A unit is complete when a doc beyond its span has arrived (in-order
+    append feed); ``declare_complete=True`` marks end-of-corpus and commits
+    the frontier unit too. Per-unit doc/posting counts come from one pruned
+    aggregation over the streamed postings. Returns the committed unit ids;
+    ``checkpoint.finalize_incremental`` then folds exactly these."""
+    import time
+    from datetime import datetime, timezone
+
+    from .checkpoint import _commit_unit, committed_units, load_geometry
+
+    span = int(load_geometry(index_path)["unit_span"])
+    t0 = time.monotonic()
+    rows = (
+        spark.read.parquet(os.path.join(index_path, "postings"))
+        .groupBy("unit_id")
+        .agg(
+            F.sum(F.when(F.col("lead"), 1).otherwise(0)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.approx_count_distinct("term").alias("n_terms"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .collect()
+    )
+    secs = max(time.monotonic() - t0, 1e-9)
+    frontier = max(int(r["max_id"]) for r in rows) if rows else -1
+    already = set(committed_units(index_path))
+    committed = []
+    for r in rows:
+        u = int(r["unit_id"])
+        if u in already:
+            continue
+        # doc ids are unique and arrive in increasing order, so once the
+        # frontier reaches a unit's last possible id no further doc can
+        # land in its span — the unit is complete. The frontier unit stays
+        # open until then (or until end-of-corpus is declared).
+        if not declare_complete and (u + 1) * span - 1 > frontier:
+            continue
+        _commit_unit(index_path, {
+            "partition_id": u,
+            "n_docs": int(r["n_docs"]),
+            "n_postings": int(r["n_postings"]),
+            "n_terms": int(r["n_terms"]),
+            "build_secs": secs,
+            "postings_per_sec": int(r["n_postings"]) / secs,
+            "docs_per_sec": int(r["n_docs"]) / secs,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        })
+        committed.append(u)
+    return sorted(committed)
+
+
 def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals that survive across micro-batches in the state store —

@@ -76,6 +76,40 @@ def test_operator_matches_duckdb(spark, ddb, name):
     assert not mism, f"{name}: first mismatch {sr[mism[0]]} vs {dr[mism[0]]}"
 
 
+def test_build_artifact_atomic(tmp_path):
+    """Concurrency-safe artifact builds: marker only visible with a complete
+    build; a losing racer discards its tmp without disturbing the winner."""
+    import os
+
+    from sparksearch.queries_catalog import build_artifact_atomic
+
+    final = str(tmp_path / "artifact")
+
+    def build(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "data"), "w") as f:
+            f.write("payload")
+        with open(os.path.join(d, "MARKER"), "w") as f:
+            f.write("done")
+
+    build_artifact_atomic(final, "MARKER", build)
+    assert open(os.path.join(final, "data")).read() == "payload"
+    # second call: marker present → no rebuild (build fn would raise on
+    # the existing dir if invoked)
+    build_artifact_atomic(final, "MARKER", build)
+    # simulate losing a race: a concurrent process completes the final dir
+    # while our build is in flight — our rename must lose quietly
+    final2 = str(tmp_path / "artifact2")
+
+    def racer(d):
+        build(d)
+        build(final2)  # the "other process" finishes first
+
+    build_artifact_atomic(final2, "MARKER", racer)
+    assert open(os.path.join(final2, "data")).read() == "payload"
+    assert not [p for p in os.listdir(tmp_path) if ".tmp." in p]
+
+
 def test_term_suggestions_rank_misspellings(spark, docs_sf001):
     from sparksearch.querying import parse_queries, term_suggestions
     from sparksearch.stats import corpus_stats

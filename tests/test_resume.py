@@ -105,6 +105,21 @@ def test_incremental_finalize_encodes_only_new_units(spark, docs_sf0001, tmp_pat
     b = sorted(map(tuple, daat_topk(spark, inc, qs, k=5).collect()))
     assert a == b and a
 
+    # compaction: 2 generations → 1, pure rewrite — blocks, stats and query
+    # answers unchanged
+    from sparksearch.checkpoint import compact_index
+
+    st3 = compact_index(spark, inc)
+    assert st3["n_gens"] == 1
+    d3, s3 = _segments_sorted(spark, inc)
+    assert d3 == d1
+    import os
+
+    assert sorted(os.listdir(os.path.join(inc, "segments"))) == ["gen=0"]
+    c = sorted(map(tuple, daat_topk(spark, inc, qs, k=5).collect()))
+    assert c == a
+    assert compact_index(spark, inc)["n_gens"] == 1  # idempotent no-op
+
 
 def test_noop_resume(spark, docs_sf0001, tmp_path):
     path = str(tmp_path / "idx")

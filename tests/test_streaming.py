@@ -52,6 +52,63 @@ def test_incremental_postings_equal_batch(spark, docs_sf0001, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_index_units_equal_batch_build(spark, docs_sf0001, tmp_path):
+    """Continuous indexing end-to-end: in-order document feed → streamed
+    unit commits → incremental finalize ≡ a batch build_resumable of the
+    same corpus, byte for byte. The frontier unit stays open until the feed
+    declares end-of-corpus."""
+    from sparksearch.build import load_index
+    from sparksearch.checkpoint import (
+        build_geometry,
+        build_resumable,
+        committed_units,
+        finalize_incremental,
+    )
+    from sparksearch.streaming import commit_stream_units, stream_index_units
+
+    N_UNITS = 4
+    batch_idx = str(tmp_path / "batch_idx")
+    build_resumable(spark, docs_sf0001, batch_idx, n_units=N_UNITS,
+                    n_buckets=8, n_ranges=4)
+
+    stream_idx = str(tmp_path / "stream_idx")
+    meta = build_geometry(spark, docs_sf0001, stream_idx, N_UNITS, 4, 8, 128)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    pdf = docs_sf0001.toPandas().sort_values("doc_id")
+    cut = int(len(pdf) * 0.6)
+
+    # Arrival 1: first 60% — only fully-covered units commit.
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(feed, mode="append")
+    stream_index_units(spark, feed, stream_idx, ckpt).awaitTermination()
+    first = commit_stream_units(spark, stream_idx)
+    frontier = int(pdf.iloc[cut - 1]["doc_id"])
+    assert all((u + 1) * meta["unit_span"] - 1 <= frontier for u in first)
+    if first:
+        finalize_incremental(spark, stream_idx)  # partial fold, gen 0
+
+    # Arrival 2: the rest + end-of-corpus declaration.
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(feed, mode="append")
+    stream_index_units(spark, feed, stream_idx, ckpt).awaitTermination()
+    second = commit_stream_units(spark, stream_idx, declare_complete=True)
+    assert sorted(first + second) == sorted(committed_units(stream_idx))
+    stats = finalize_incremental(spark, stream_idx)
+    assert sorted(stats["finalized_units"]) == sorted(first + second)
+
+    cols = ["term", "range_id", "first_doc_id", "last_doc_id", "n",
+            "doc_gaps", "tfs", "dls", "max_tf", "min_dl", "bucket"]
+    seg_b, dic_b, st_b = load_index(spark, batch_idx)
+    seg_s, dic_s, st_s = load_index(spark, stream_idx)
+    assert sorted(map(tuple, seg_b.select(cols).collect())) == \
+        sorted(map(tuple, seg_s.select(cols).collect()))
+    dcols = ["term", "df", "cf", "idf", "max_tf", "min_dl", "bucket"]
+    assert sorted(map(tuple, dic_b.select(dcols).collect())) == \
+        sorted(map(tuple, dic_s.select(dcols).collect()))
+    for key in ("n_docs", "sum_dl", "avgdl", "range_size"):
+        assert st_b[key] == st_s[key], key
+
+
 @pytest.fixture(scope="module")
 def events(spark):
     return spark.read.parquet(str(SF_SMOKE / "events.parquet")).withColumn(
