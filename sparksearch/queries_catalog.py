@@ -723,3 +723,142 @@ CATALOG = {
     **{k: v for k, v in CATALOG.items() if k not in _SWEEP_TAIL},
     **{k: CATALOG[k] for k in _SWEEP_TAIL if k in CATALOG},
 }
+
+
+# ---------------------------------------------------------- round-3 tail set
+# New search-UX operators (facets / prefix expansion / more-like-this).
+# Appended AFTER the curated tail on purpose: if the driver truncates the
+# sweep (round 2 recorded exactly 50 entries), losing these costs less than
+# displacing any entry of round 2's proven-green set; all three are
+# oracle-checked by tests/test_operators.py regardless.
+
+
+def prefix_queries() -> list[tuple[int, str]]:
+    """Deterministic prefix-query set: the first 4 characters of each
+    reference query's first token (trailing-wildcard semantics)."""
+    out = []
+    for qid, text in reference_queries():
+        toks = py_tokenize(text)
+        if toks:
+            out.append((qid, toks[0][:4]))
+    return out
+
+
+MLT_SEEDS = [0, 1, 2]  # seed documents for more-like-this (exist at every sf)
+MLT_N_TERMS = 5
+
+
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import facet_counts
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = facet_counts(qterms, tf_df, dl_df, ts, _docs(spark, sf_dir), facet_col="lang")
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "top_score",
+    )
+
+
+def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import expand_prefix_queries, score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_prefix_queries(spark, prefix_queries(), ts)
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import more_like_this
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    df = more_like_this(MLT_SEEDS, tf_df, dl_df, ts, n_terms=MLT_N_TERMS, k=K)
+    return df.select(
+        F.col("seed_doc_id").cast("long").alias("seed_doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def prefix_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in prefix_queries())
+    return f"pq(query_id, prefix) AS (VALUES {rows})"
+
+
+CATALOG.update({
+    "bm25_facets": QuerySpec(
+        q_bm25_facets,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(s.query_id AS BIGINT) AS query_id, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(MAX(s.score), 6) AS top_score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY 1, 2""",
+        "faceted search: per-query match counts + best score grouped by "
+        "document language over the FULL disjunctive match set (the search-"
+        "UI sidebar aggregation; one forward-index join on doc_id)",
+    ),
+    "bm25_topk_prefix": QuerySpec(
+        q_bm25_topk_prefix,
+        f"""WITH {TOK_SQL.strip()},
+{prefix_values_sql()},
+q AS (
+  SELECT pq.query_id, t.term, 1 AS qtf
+  FROM pq JOIN termstats t ON starts_with(t.term, pq.prefix)
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "prefix (trailing-wildcard) retrieval: dictionary-expanded "
+        "disjunctive BM25 top-10 — Lucene PrefixQuery semantics, prefixes "
+        "broadcast against one linear dictionary scan",
+    ),
+    "more_like_this": QuerySpec(
+        q_more_like_this,
+        f"""WITH {TOK_SQL.strip()},
+seedterms AS (
+  SELECT p.doc_id AS query_id, p.term, ROUND(p.tf * t.idf, 6) AS w
+  FROM postings p JOIN termstats t USING (term)
+  WHERE p.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
+),
+q AS (
+  SELECT query_id, term, 1 AS qtf FROM (
+    SELECT query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+    FROM seedterms
+  ) WHERE rn <= {MLT_N_TERMS}
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored WHERE doc_id <> query_id
+)
+SELECT CAST(query_id AS BIGINT) AS seed_doc_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "more-like-this: top tf·idf terms of each seed document run as a "
+        "disjunctive BM25 query, seed self-excluded (Lucene MLT semantics; "
+        "deterministic round-then-tiebreak term selection)",
+    ),
+})

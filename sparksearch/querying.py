@@ -286,6 +286,132 @@ def topk_snippets(
     )
 
 
+def facet_counts(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    docs_meta: DataFrame,
+    facet_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Faceted search: per-query aggregates over the FULL (disjunctive) BM25
+    match set, grouped by a document-metadata facet → DF[query_id, <facet>,
+    n_docs, top_score]. The standard search-UI sidebar (counts per language /
+    source / tenant alongside the ranked page).
+
+    Plan: same two broadcast joins as ``score_logical`` (postings never
+    shuffle for the query join), then ONE metadata join on doc_id — the
+    forward-index lookup. The match set is already reduced to one row per
+    (query, doc) by the score aggregation before it meets the metadata
+    table, so the join input is |matches|, not |postings|; at cluster scale
+    Catalyst picks SMJ on doc_id, and the facet groupBy is partial+final on
+    (query_id, facet) — a handful of groups. Facet values could instead be
+    carried on the postings rows (index-time denormalization) to skip the
+    join; that trades index bytes for query latency and is deliberately NOT
+    done here — metadata stays one narrow columnar projection of the corpus.
+    """
+    q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
+    contrib = _attach_dl(tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df)
+    scored = (
+        contrib.select("query_id", "doc_id", bm25_term_score_col(qtf="qtf").alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    meta = docs_meta.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(facet_col).alias("facet")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.max("score"), 6).alias("top_score"),
+        )
+        .select("query_id", F.col("facet").alias(facet_col), "n_docs", "top_score")
+    )
+
+
+def expand_prefix_queries(
+    spark: SparkSession,
+    prefixes: list[tuple[int, str]],
+    term_stats: DataFrame,
+) -> DataFrame:
+    """Prefix (trailing-wildcard) query expansion via the dictionary →
+    qterms DF[query_id, term, qtf=1]: every vocabulary term starting with
+    the query's prefix becomes a disjunctive query term, Lucene
+    PrefixQuery-style (each expansion contributes its own BM25 weight; a doc
+    matching several expansions sums them).
+
+    Plan: the (tiny) prefix set broadcasts against ONE linear scan of the
+    dictionary — ``startswith`` fuses into the scan, no vocabulary shuffle.
+    The physical dictionary is term-bucketed, not term-sorted, so a range
+    scan is not available; at 10^12-doc vocabulary sizes the linear scan is
+    still a single narrow-column map stage (term + df), and a sorted
+    dictionary sidecar would be the upgrade path if prefix queries dominated.
+    """
+    p = spark.createDataFrame(
+        [(int(i), s) for i, s in prefixes], "query_id int, prefix string"
+    )
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(p), F.col("term").startswith(F.col("prefix")), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def more_like_this(
+    qdocs: list[int],
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    n_terms: int = 5,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """More-like-this: for each seed document, extract its ``n_terms``
+    highest-weight terms (tf·idf, the classic Lucene MLT selection) and run
+    them as a disjunctive BM25 query, excluding the seed itself →
+    DF[seed_doc_id, rank, doc_id, score].
+
+    Determinism: term selection orders by (round(tf·idf, 6) DESC, term ASC)
+    — rounding first makes near-ties exact ties, which the term tiebreak
+    then resolves identically in any engine (raw-float ordering could flip
+    on last-ulp idf differences across engines).
+
+    Plan: the seed filter pushes down to the postings scan (doc_id IN ...),
+    the per-seed top-n is a window over ≤ |seeds|·dl rows, and the scoring
+    reuses ``score_logical``'s broadcast shape; the self-exclusion is a
+    filter on the scored rows (query_id IS the seed doc_id), applied before
+    the top-k window so the seed never occupies a rank.
+    """
+    seed_terms = (
+        tf_df.filter(F.col("doc_id").isin([int(d) for d in qdocs]))
+        .join(term_stats.select("term", "idf"), "term", "inner")
+        .select(
+            F.col("doc_id").cast("int").alias("query_id"),
+            "term",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("w"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    qterms = (
+        seed_terms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_terms)
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+    q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
+    contrib = _attach_dl(tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df)
+    scored = (
+        contrib.select("query_id", "doc_id", bm25_term_score_col(qtf="qtf").alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    return topk_per_query(scored, k).select(
+        F.col("query_id").alias("seed_doc_id"), "rank", "doc_id", "score"
+    )
+
+
 def rank_identity_report(actual: DataFrame, expected: DataFrame, tol: float = 1e-9) -> DataFrame:
     """Q7: mismatches between two (query_id, rank, doc_id, score) rankings —
     empty result ⟺ rank-identical with |Δscore| ≤ tol."""
