@@ -40,6 +40,27 @@ sh AS (
 
 #: exact-jaccard tail shared by the brute-force and LSH-verified paths;
 #: expects a CTE ``pairs(doc_id_a, doc_id_b)`` of candidate pairs.
+#: MinHash(24) signatures → 8×3 band keys → LSH candidate pairs (twin of
+#: textpipe.lsh_band_keys + the band-key self-join) — shared by the pairwise
+#: dedup entry and the duplicate-cluster entry.
+MINHASH_CAND_SQL = f"""
+mh AS (
+  SELECT doc_id, g.seed,
+         MIN({_h60("g.seed::VARCHAR || '|' || shingle")}) AS minh
+  FROM sh, (SELECT unnest(generate_series(0, 23)) AS seed) g
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         {_h60("string_agg(minh::VARCHAR, ',' ORDER BY seed)")} AS bkey
+  FROM mh GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+"""
+
 JACCARD_TAIL_SQL = """
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -453,21 +474,7 @@ pairs AS (
         "dedup_minhash_lsh": QuerySpec(
             q_dedup_minhash_lsh,
             f"""WITH {SHINGLE_SQL.strip()},
-mh AS (
-  SELECT doc_id, g.seed,
-         MIN({_h60("g.seed::VARCHAR || '|' || shingle")}) AS minh
-  FROM sh, (SELECT unnest(generate_series(0, 23)) AS seed) g
-  GROUP BY 1, 2
-),
-bk AS (
-  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         {_h60("string_agg(minh::VARCHAR, ',' ORDER BY seed)")} AS bkey
-  FROM mh GROUP BY 1, 2
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
+{MINHASH_CAND_SQL.strip()},
 {JACCARD_TAIL_SQL.strip()}""",
             "MinHash(24)+LSH(8 bands × 3) candidates, exact-jaccard verified — "
             "identical pipeline both engines (h60 is cross-engine)",
@@ -806,5 +813,223 @@ SELECT user_id, CAST(len(ids) AS BIGINT) AS n_ids,
 FROM g""",
             "higher-order-function coverage: pure-SQL delta encoding of per-user "
             "event-id lists (cousin of codec.encode_sublist)",
+        ),
+    }
+
+
+# ------------------------------------------------------ round-3 extensions
+SLOP = 2  # proximity window for the sloppy-phrase entry
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from .graph import neardup_clusters
+
+    df = neardup_clusters(_docs(spark, sf_dir))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        F.col("is_keeper").cast("long").alias("is_keeper"),
+    )
+
+
+def q_phrase_topk_slop(spark, sf_dir):
+    from .phrase import phrase_topk_indexed
+
+    return phrase_topk_indexed(
+        spark, _positions_for(spark, sf_dir), PHRASES, k=10, slop=SLOP
+    )
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    from .textpipe import term_cooccurrence
+
+    return term_cooccurrence(_docs(spark, sf_dir)).select(
+        "rank", "term_a", "term_b", "n_both", "pmi"
+    )
+
+
+def q_training_data_stats(spark, sf_dir):
+    from .sampling import training_data_stats
+
+    return training_data_stats(_docs(spark, sf_dir))
+
+
+def _phrase_slop_sql(slop: int, k: int = 10) -> str:
+    """DuckDB twin of the sloppy-phrase entry: per-term position lists, then
+    the SAME greedy ordered-proximity chain (min next-position per step,
+    span ≤ k−1+slop) evaluated with nested list lambdas."""
+    from .tokenize import py_tokenize
+
+    branches = []
+    for qid, phrase in PHRASES:
+        ts = py_tokenize(phrase)
+        span = len(ts) - 1 + slop
+        joins = "".join(
+            f"\nJOIN (SELECT doc_id, ps AS ps{i} FROM pos WHERE term = '{t}') p{i} USING (doc_id)"
+            for i, t in enumerate(ts[1:], start=1)
+        )
+        cur = "p"
+        for i in range(1, len(ts)):
+            cur = f"list_min(list_filter(ps{i}, q{i} -> q{i} > {cur}))"
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"       CAST(len(list_filter(p0.ps, p -> COALESCE({cur}, 2147483647) - p <= {span})) AS BIGINT) AS n_occurrences\n"
+            f"FROM (SELECT doc_id, ps FROM pos WHERE term = '{ts[0]}') p0{joins}"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, u.term AS term, list(u.i ORDER BY u.i) AS ps
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+                                             i -> {{'i': i, 'term': ts[i]}})) AS u
+        FROM tokd)
+  GROUP BY doc_id, u.term
+),
+pc AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id ASC) AS rnk
+  FROM pc WHERE n_occurrences > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_occurrences
+FROM r WHERE rnk <= {k}"""
+
+
+_CLUSTERS_SQL = f"""WITH RECURSIVE {SHINGLE_SQL.strip()},
+{MINHASH_CAND_SQL.strip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.doc_id_a, i.doc_id_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_id_a
+  JOIN cnt cb ON cb.doc_id = i.doc_id_b
+  WHERE i.i / (ca.n + cb.n - i.i) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jp
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM jp
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       CAST(doc_id = cluster_id AS BIGINT) AS is_keeper
+FROM lbl"""
+
+
+_COOC_SQL = f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tokd),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+vocab AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn FROM dfreq
+  ) WHERE rn <= 32
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+prs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_both
+  FROM dt a
+  JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN vocab va ON va.term = a.term
+  JOIN vocab vb ON vb.term = b.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT term_a, term_b, CAST(n_both AS BIGINT) AS n_both,
+         ROUND(ln((n_both * nd.n)::DOUBLE / (va.df * vb.df)), 6) AS pmi
+  FROM prs, nd
+  JOIN vocab va ON va.term = prs.term_a
+  JOIN vocab vb ON vb.term = prs.term_b
+)
+SELECT CAST(rank AS BIGINT) AS rank, term_a, term_b, n_both, pmi FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, term_a ASC, term_b ASC) AS rank
+  FROM scored
+) WHERE rank <= 50"""
+
+
+_SPLIT_CASE = f"""CASE WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 80 THEN 'train'
+              WHEN {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 100 < 90 THEN 'val'
+              ELSE 'test' END"""
+
+_TRAINING_SQL = f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, sha256(text) AS h,
+         {_SPLIT_CASE} AS split,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN ('a','the','of','to','and','in','is','it','on','for'))) AS BIGINT) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, h, split, n_tokens,
+         ROUND(sum_len / nullif(n_tokens, 0), 6) AS mtl,
+         ROUND(sw / nullif(n_tokens, 0), 6) AS swr
+  FROM base
+),
+q AS (
+  SELECT doc_id, lang, h, split, n_tokens,
+         ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.3
+               + least(swr * 5.0, 1.0) * 0.3, 6) AS quality_score
+  FROM r
+),
+g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+s AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM g)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(quality_score), 6) AS avg_quality
+FROM s WHERE doc_id = keep_id GROUP BY 1, 2"""
+
+
+def build_round3_extras():
+    """Round-3 extension entries — appended to CATALOG *after* the existing
+    tail so driver-side truncation cannot displace previously-green entries."""
+    from .queries_catalog import QuerySpec
+
+    return {
+        "dedup_clusters": QuerySpec(
+            q_dedup_clusters,
+            _CLUSTERS_SQL,
+            "duplicate GROUPS, not pairs: MinHash+LSH verified pairs → "
+            "connected components (iterative min-label propagation on the "
+            "pairs-sized graph) → per-doc cluster id/size + canonical-"
+            "survivor flag; oracle = recursive-CTE transitive closure",
+        ),
+        "phrase_topk_slop": QuerySpec(
+            q_phrase_topk_slop,
+            _phrase_slop_sql(SLOP),
+            f"ordered proximity phrase search (slop={SLOP}): greedy minimal "
+            "chain over the positional sidecar (vectorized searchsorted per "
+            "doc shard), span ≤ k−1+slop — Lucene sloppy-PhraseQuery-style, "
+            "slop=0 degenerates to exact contiguity (tested)",
+        ),
+        "term_cooccurrence_pmi": QuerySpec(
+            q_term_cooccurrence,
+            _COOC_SQL,
+            "related-terms panel: top-50 within-document co-occurring term "
+            "pairs by PMI over the top-32-df vocabulary (vocabulary-bounded "
+            "pair expansion — map-combinable at any corpus size)",
+        ),
+        "training_data_stats": QuerySpec(
+            q_training_data_stats,
+            _TRAINING_SQL,
+            "the composed training-data gauntlet: quality gate → exact-dedup "
+            "survivors → deterministic splits → per-(split, lang) doc/token/"
+            "quality accounting in one plan",
         ),
     }

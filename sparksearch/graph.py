@@ -1,0 +1,131 @@
+"""Duplicate-cluster graph operators: connected components over a near-dup
+pair graph, and the end-to-end "LSH pairs → duplicate groups" pipeline a
+training-data dedup pass needs (keep one representative per component, not
+one per pair — pairwise output alone can keep both b and c of a chain
+a~b~c if only a is dropped).
+
+Spark-first shape:
+
+* The input graph is the NEAR-DUP PAIR SET, which is orders of magnitude
+  smaller than the corpus (it is the output of the banded LSH join, already
+  candidate-restricted and verified) — so component finding runs on a
+  pairs-sized frame, never corpus-sized.
+* ``connected_components`` is iterative min-label propagation expressed as
+  pure DataFrame joins/aggregations: label(v) ← min(label(v),
+  min_{u~v} label(u)) until fixpoint. Convergence is detected with a single
+  scalar aggregate per round (Σ labels is strictly decreasing until the
+  fixpoint — no row-wise old-vs-new join needed). Each round is one
+  shuffle of the (tiny) edge frame; rounds = graph diameter, which for
+  near-dup clusters is small (dup groups are quasi-cliques: LSH emits most
+  intra-group pairs directly). For adversarially long path-graphs the
+  classic O(log n)-round alternation (large-star/small-star, Kiveris et al.
+  "Connected Components in MapReduce and Beyond", SoCC'14) is the upgrade;
+  the propagation loop here is the same join pattern, so swapping the step
+  function is local.
+* Determinism: labels are doc_ids, the step function is min(), and the
+  result (min reachable doc_id = canonical representative) is
+  iteration-order independent — byte-identical across retries/partitionings,
+  per the repo invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """DF[node, component] — component = MIN node id reachable from ``node``
+    over the undirected pair graph (the canonical representative).
+
+    Only nodes that appear in at least one pair are emitted (isolated docs
+    are their own trivial component; emitting corpus-sized identity rows is
+    the caller's choice, not forced here).
+    """
+    edges = (
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .union(pairs.select(F.col(b_col).cast("long").alias("u"),
+                            F.col(a_col).cast("long").alias("v")))
+        .distinct()
+        .persist()  # re-joined every round — one materialization
+    )
+    # Seed: label(v) = min(v, min neighbor) — one round of propagation for
+    # free, and star graphs (the common dup-cluster shape) converge in the
+    # first check. localCheckpoint (NOT persist) each round: an iterative
+    # DataFrame loop must TRUNCATE lineage, or the analyzed plan nests once
+    # per round and planning blows up long before the data does. (Reliable
+    # checkpoint(dir) is the executor-loss-safe variant on a real cluster;
+    # content is deterministic either way.)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("nmin")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        # (a) neighbor labels flow along edges; (b) pointer jumping:
+        # label(label(node)) — composing the label map with itself halves
+        # pointer-chain depth every round, so convergence is O(log n) rounds
+        # even on path graphs (plain neighbor propagation alone is O(n)).
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+        )
+        jump = (
+            labels.select("node", F.col("label").alias("mid"))
+            .join(
+                labels.select(F.col("node").alias("mid"),
+                              F.col("label").alias("label")),
+                "mid",
+            )
+            .select("node", "label")
+        )
+        new_labels = (
+            nbr.unionByName(jump).unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # Σ min-labels strictly decreases until fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def neardup_clusters(docs: DataFrame) -> DataFrame:
+    """End-to-end duplicate grouping → DF[doc_id, cluster_id, cluster_size,
+    is_keeper]: MinHash+LSH verified pairs (textpipe.minhash_lsh_dedup) →
+    connected components → per-doc cluster assignment with the canonical
+    survivor flagged (min doc_id per component — the same survivor rule as
+    exact dedup's keep_doc_id).
+
+    The training-data contract: ``filter(~is_keeper)`` removes every
+    transitive duplicate while keeping exactly one representative per
+    group, which pairwise output alone cannot guarantee.
+    """
+    from .textpipe import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(docs)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").cast("long").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_keeper"),
+        )
+    )

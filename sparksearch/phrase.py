@@ -65,6 +65,43 @@ def _phrase_start_positions(terms: list[str]) -> Column:
     return starts
 
 
+def _phrase_slop_start_positions(terms: list[str], slop: int) -> Column:
+    """Start positions p admitting an ORDERED proximity match within slop:
+    ∃ q_0=p < q_1 < … < q_{k-1}, q_i ∈ positions(terms[i]), with total span
+    q_{k-1} − p ≤ (k−1) + slop. Checked with the GREEDY chain (each q_i =
+    smallest position of terms[i] after q_{i-1}), which minimizes q_{k-1}
+    by the classic exchange argument — so greedy-succeeds ⟺ a valid chain
+    exists, and slop=0 degenerates to exact contiguity. Expression over the
+    bound map column ``m`` (same contract as _phrase_start_positions)."""
+    span = len(terms) - 1 + slop
+
+    def next_after(t: str, cur: Column) -> Column:
+        return F.array_min(
+            F.filter(
+                F.coalesce(F.element_at(F.col("m"), t), F.array().cast("array<int>")),
+                lambda q: q > cur,
+            )
+        )
+
+    def pred(p: Column) -> Column:
+        cur = p
+        for t in terms[1:]:
+            cur = next_after(t, cur)
+        # NULL (chain broke: some term has no position after cur) → huge
+        # sentinel → fails the span check. One use of `cur`, no re-eval.
+        return (F.coalesce(cur, F.lit(2147483647)) - p) <= F.lit(span)
+
+    return F.filter(F.element_at(F.col("m"), terms[0]), pred)
+
+
+def _start_positions(terms: list[str], slop: int) -> Column:
+    # slop=0 keeps the cheaper array_contains adjacency probe (O(k·tf) per
+    # start with no nested min-scan); the greedy chain is provably identical
+    # there (tested), so the fast path is an optimization, not a semantic.
+    return (_phrase_start_positions(terms) if slop == 0
+            else _phrase_slop_start_positions(terms, slop))
+
+
 def phrase_counts(docs: DataFrame, phrase: str, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """DF[doc_id, n_occurrences] — docs containing the contiguous phrase,
@@ -142,7 +179,8 @@ def build_positions(
 
 
 def phrase_topk_indexed(
-    spark, index_path: str, phrases: list[tuple[int, str]], k: int = 10
+    spark, index_path: str, phrases: list[tuple[int, str]], k: int = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Index-backed batch phrase search → DF[query_id, rank, doc_id,
     n_occurrences] — identical output to the logical ``phrase_topk``
@@ -204,14 +242,32 @@ def phrase_topk_indexed(
                 return a
 
             starts = ps(terms[0])
-            for i, t in enumerate(terms[1:], start=1):
-                starts = np.intersect1d(starts, ps(t) - i, assume_unique=True)
-                if not starts.size:
-                    break
-            if starts.size:
+            if slop == 0:
+                for i, t in enumerate(terms[1:], start=1):
+                    starts = np.intersect1d(starts, ps(t) - i, assume_unique=True)
+                    if not starts.size:
+                        break
+                n_match = int(starts.size)
+            else:
+                # greedy ordered-proximity chain, vectorized over ALL start
+                # positions at once: q_i = smallest position of terms[i]
+                # strictly after q_{i-1} (searchsorted 'right'); a start
+                # survives iff the chain completes with span ≤ k-1+slop.
+                span = len(terms) - 1 + slop
+                cur = starts
+                ok = np.ones(starts.size, dtype=bool)
+                for t in terms[1:]:
+                    arr = ps(t)
+                    idx = np.searchsorted(arr, cur, side="right")
+                    ok &= idx < arr.size
+                    if not ok.any():
+                        break
+                    cur = arr[np.minimum(idx, arr.size - 1)]
+                n_match = int((ok & ((cur - starts) <= span)).sum()) if ok.any() else 0
+            if n_match:
                 out_q.append(int(qid))
                 out_d.append(int(doc_id))
-                out_n.append(int(starts.size))
+                out_n.append(n_match)
         return pd.DataFrame(
             {
                 "query_id": pd.Series(out_q, dtype="int64"),
@@ -238,7 +294,8 @@ def phrase_topk_indexed(
 
 
 def phrase_topk(docs: DataFrame, phrases: list[tuple[int, str]], k: int = 10,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                slop: int = 0) -> DataFrame:
     """Batch phrase search → DF[query_id, rank, doc_id, n_occurrences]:
     top-k docs per phrase by (occurrences DESC, doc_id ASC) — the engine's
     pinned total order.
@@ -270,7 +327,7 @@ def phrase_topk(docs: DataFrame, phrases: list[tuple[int, str]], k: int = 10,
         *[
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                F.size(_phrase_start_positions(terms)).cast("long").alias("n"),
+                F.size(_start_positions(terms, slop)).cast("long").alias("n"),
             )
             for qid, terms in sorted(qdefs.items())
         ]

@@ -862,3 +862,57 @@ FROM ranked WHERE rnk <= {K}""",
         "deterministic round-then-tiebreak term selection)",
     ),
 })
+
+
+# ------------------------------------------------------ round-3 extensions
+def suffix_queries() -> list[tuple[int, str]]:
+    """Deterministic suffix-query set (leading-wildcard ``*fix``): the last
+    3 characters of each reference query's first token."""
+    out = []
+    for qid, text in reference_queries():
+        toks = py_tokenize(text)
+        if toks:
+            out.append((qid, toks[0][-3:]))
+    return out
+
+
+def q_bm25_topk_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import expand_suffix_queries, score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_suffix_queries(spark, suffix_queries(), ts)
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def suffix_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{s}')" for qid, s in suffix_queries())
+    return f"sq(query_id, suffix) AS (VALUES {rows})"
+
+
+from .catalog_pipeline import build_round3_extras  # noqa: E402
+
+CATALOG.update(build_round3_extras())
+CATALOG.update({
+    "bm25_topk_suffix": QuerySpec(
+        q_bm25_topk_suffix,
+        f"""WITH {TOK_SQL.strip()},
+{suffix_values_sql()},
+q AS (
+  SELECT sq.query_id, t.term, 1 AS qtf
+  FROM sq JOIN termstats t ON ends_with(t.term, sq.suffix)
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "suffix (leading-wildcard) retrieval: dictionary-expanded "
+        "disjunctive BM25 top-10 — the reversed-field counterpart of the "
+        "prefix entry, same broadcast-against-linear-dictionary-scan plan",
+    ),
+})

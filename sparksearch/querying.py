@@ -360,6 +360,32 @@ def expand_prefix_queries(
     )
 
 
+def expand_suffix_queries(
+    spark: SparkSession,
+    suffixes: list[tuple[int, str]],
+    term_stats: DataFrame,
+) -> DataFrame:
+    """Suffix (leading-wildcard, ``*fix``) query expansion via the
+    dictionary → qterms DF[query_id, term, qtf=1] — the mirror of
+    ``expand_prefix_queries``: every vocabulary term ENDING with the query's
+    suffix becomes a disjunctive query term.
+
+    Plan: identical to the prefix path — the tiny suffix set broadcasts
+    against one linear (term, df) dictionary scan, ``endswith`` fused into
+    the scan. Lucene serves leading wildcards from a reversed-term field;
+    here the dictionary scan is already a single narrow map stage, and a
+    reversed-term sorted sidecar is the same upgrade path noted for
+    prefixes."""
+    s = spark.createDataFrame(
+        [(int(i), x) for i, x in suffixes], "query_id int, suffix string"
+    )
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(s), F.col("term").endswith(F.col("suffix")), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
 def more_like_this(
     qdocs: list[int],
     tf_df: DataFrame,

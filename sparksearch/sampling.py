@@ -74,3 +74,47 @@ def split_contamination(
     return pairs.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def training_data_stats(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end training-data gauntlet as ONE composed plan →
+    DF[split, lang, n_docs, n_tokens, avg_quality]: heuristic quality gate
+    (textpipe.text_quality ≥ threshold) → exact-dedup survivors (min doc_id
+    per sha256, the engine-wide survivor rule) → deterministic split
+    assignment → per-(split, lang) accounting (docs, total tokens, mean
+    quality).
+
+    This is the acceptance report a 100 TB pretraining-data build emits:
+    every stage is a map-side projection or a map-combinable aggregation
+    except the survivor selection, whose one shuffle keys on the content
+    hash (uniform by construction — no skew). Exact duplicates share text,
+    hence share quality scores, so gate-then-dedup ≡ dedup-then-gate; the
+    composed plan gates FIRST so the shuffle moves only passing rows."""
+    from pyspark.sql.window import Window
+
+    from .textpipe import text_quality
+
+    q = text_quality(docs, text_col, id_col).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        "lang",
+        F.sha2(F.col(text_col), 256).alias("h"),
+        split_name_col(id_col).alias("split"),
+    )
+    gated = d.join(q, "doc_id").filter(F.col("quality_score") >= quality_threshold)
+    w = Window.partitionBy("h")
+    surv = gated.withColumn("keep_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return surv.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )

@@ -529,3 +529,77 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         "doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
         F.round(q, 6).alias("quality_score"),
     )
+
+
+# ------------------------------------------------- term co-occurrence / PMI
+def term_cooccurrence(
+    docs: DataFrame,
+    top_v: int = 32,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k within-document co-occurring term pairs ranked by PMI →
+    DF[rank, term_a, term_b, n_both, pmi] — the corpus-statistics operator
+    behind related-terms / query-expansion panels (pointwise mutual
+    information over document-level co-occurrence, Church & Hanks 1990).
+
+    pmi(a,b) = ln( n_both · N / (df_a · df_b) ), rounded to 6 then ranked
+    (pmi DESC, term_a ASC, term_b ASC) — round-then-tiebreak determinism.
+
+    Scale contract: the pair expansion is VOCABULARY-BOUNDED — only the
+    ``top_v`` highest-df terms participate, so a doc contributes at most
+    C(top_v, 2) pairs regardless of length, and the pair-count aggregation
+    is map-side combinable over ≤ C(top_v, 2) distinct keys. The doc×term
+    frame never self-joins unrestricted: both sides are first semi-reduced
+    by a broadcast of the tiny vocabulary. The df ranking shuffles only the
+    (term, df) dictionary — narrow columns, vocabulary-sized."""
+    from pyspark.sql.window import Window
+
+    dt = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    n_docs = docs.count()  # one scalar; the PMI normalizer
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wv = Window.orderBy(F.desc("df"), F.asc("term"))
+    vocab = (
+        dfreq.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= top_v)
+        .select("term", "df")
+    )
+    # consumed by both sides of the self-join AND twice for df lookup —
+    # persist per the repo's self-join invariant.
+    dtv = dt.join(F.broadcast(vocab.select("term")), "term").persist()
+    a = dtv.select("doc_id", F.col("term").alias("term_a"))
+    b = dtv.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .select(
+            "term_a", "term_b", "n_both",
+            F.round(
+                F.log((F.col("n_both") * F.lit(n_docs)).cast("double")
+                      / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    wr = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term_a", "term_b", "n_both", "pmi")
+    )
+    out = out.persist()
+    out.count()
+    dtv.unpersist()
+    return out

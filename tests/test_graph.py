@@ -1,0 +1,94 @@
+"""Connected components + duplicate clustering (sparksearch.graph).
+
+The catalog-level oracle test covers the end-to-end dedup_clusters entry
+against a DuckDB recursive-CTE transitive closure; these tests pin the
+component-finding semantics on hand-built graphs (chain, star, disjoint
+components, adversarial edge order) and the transitive-grouping property
+pairwise dedup output cannot express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+
+
+def _cc(spark, edges):
+    from sparksearch.graph import connected_components
+
+    rows = connected_components(_pairs(spark, edges)).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_cc_chain_star_and_disjoint(spark):
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (3, 4),          # chain
+         (10, 11), (10, 12), (10, 13),    # star
+         (21, 20)],                       # reversed pair
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cc_long_chain_adversarial_order(spark):
+    # path graph 0-1-…-19 fed highest-first: needs real propagation, not
+    # just the seeded one-hop min.
+    edges = [(i + 1, i) for i in range(19)][::-1]
+    got = _cc(spark, edges)
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_cc_partitioning_invariance(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (6, 7), (3, 5)]
+    base = _cc(spark, edges)
+    from sparksearch.graph import connected_components
+
+    rep = connected_components(_pairs(spark, edges).repartition(7))
+    assert {r.node: r.component for r in rep.collect()} == base
+    assert set(base.values()) == {1}  # all one component via the 3-5 bridge
+
+
+def _chain_docs(spark):
+    """d1~d2 and d2~d3 are near-dups (one interior token changed → 3-gram
+    jaccard = 35/41 ≈ 0.854 ≥ 0.8) but d1~d3 is NOT (two well-separated
+    interior tokens changed → 32/44 ≈ 0.727): the pairwise output has no
+    (1,3) row, yet all three must land in one duplicate cluster."""
+    words = [f"w{i:02d}" for i in range(40)]
+    t2 = list(words); t2[10] = "xmid"
+    t3 = list(t2); t3[25] = "ymid"
+    d1, d2, d3 = " ".join(words), " ".join(t2), " ".join(t3)
+    far = " ".join(f"z{i:02d}" for i in range(40))
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (9, far)], "doc_id long, text string"
+    )
+
+
+def test_neardup_clusters_transitive_grouping(spark):
+    from sparksearch.graph import neardup_clusters
+    from sparksearch.textpipe import minhash_lsh_dedup
+
+    docs = _chain_docs(spark)
+    pair_set = {
+        (r.doc_id_a, r.doc_id_b) for r in minhash_lsh_dedup(docs).collect()
+    }
+    assert pair_set == {(1, 2), (2, 3)}  # (1,3) below threshold, 9 isolated
+
+    rows = neardup_clusters(docs).collect()
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper) for r in rows}
+    assert got == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+    }
+    # the training-data contract: dropping non-keepers removes every
+    # transitive duplicate, keeps exactly one survivor per group.
+    keepers = [d for d, (_, _, keep) in got.items() if keep]
+    assert keepers == [1]

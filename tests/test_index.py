@@ -200,3 +200,16 @@ def test_tokenize_tf_handles_null_and_empty_text(spark):
     assert {r.doc_id for r in rows} == {4}
     assert sorted(r.term for r in rows) == ["here", "real", "words"]
     assert all(r.dl == 3 for r in rows)
+
+
+def test_expand_suffix_queries_dictionary_semantics(spark):
+    from sparksearch.querying import expand_suffix_queries
+
+    ts = spark.createDataFrame(
+        [("join",), ("rejoin",), ("joint",), ("scan",)], "term string"
+    )
+    got = {
+        (r.query_id, r.term)
+        for r in expand_suffix_queries(spark, [(1, "oin"), (2, "an")], ts).collect()
+    }
+    assert got == {(1, "join"), (1, "rejoin"), (2, "scan")}

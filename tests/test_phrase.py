@@ -128,3 +128,94 @@ def test_indexed_phrase_edge_cases(spark, tmp_path):
     ).collect()
     got = {(r.query_id, r.doc_id): r.n_occurrences for r in rows}
     assert got == {(1, 1): 2, (2, 1): 2, (2, 2): 1}
+
+
+# ----------------------------------------------------- ordered proximity (slop)
+def _brute_slop_count(tokens: list[str], terms: list[str], slop: int) -> int:
+    """Reference semantics, O(n^k): #start positions p (1-based) with an
+    increasing chain q_0=p < q_1 < … matching terms in order, total span
+    q_last − p ≤ len(terms)−1+slop."""
+    span = len(terms) - 1 + slop
+    pos = {t: [i + 1 for i, x in enumerate(tokens) if x == t] for t in set(terms)}
+    n = 0
+    for p in pos.get(terms[0], []):
+        frontier = [p]
+        for t in terms[1:]:
+            frontier = [q for q in pos.get(t, []) if any(q > f for f in frontier)]
+            if not frontier:
+                break
+        if frontier and min(frontier) - p <= span:
+            n += 1
+    return n
+
+
+def test_slop_hand_cases(spark):
+    from sparksearch.phrase import phrase_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a x b"), (3, "b a")], "doc_id long, text string"
+    )
+
+    def counts(phrase, slop):
+        rows = phrase_topk(docs, [(1, phrase)], k=10, slop=slop).collect()
+        return {r.doc_id: r.n_occurrences for r in rows}
+
+    assert counts("a b", 0) == {1: 2}          # adjacency only
+    assert counts("a b", 1) == {1: 2, 2: 1}    # one-gap match in doc 2
+    assert counts("a c", 0) == {}              # "a c" never contiguous
+    assert counts("a c", 1) == {1: 1}          # a@1 → c@3, span 2 ≤ 1+1
+    assert counts("b a", 0) == {3: 1}          # ordered: b before a, adjacent
+    assert counts("b a", 1) == {1: 1, 3: 1}    # doc 1: b@2 → a@4, span 2
+
+
+def test_slop_matches_bruteforce_and_zero_equals_contiguous(spark):
+    """Greedy-chain counting (Catalyst array-algebra path) ≡ the exhaustive
+    reference semantics on a deterministic mixed corpus, for k=1..3-term
+    phrases and slop 0..2; slop=0 ≡ the contiguous phrase path."""
+    import itertools
+
+    from sparksearch.phrase import phrase_topk
+    from sparksearch.tokenize import py_tokenize
+
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(vocab[(i * 7 + j * 3) % 4] for j in range(5 + (i % 9)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    phrases = [(1, "a b"), (2, "b a c"), (3, "d"), (4, "c c")]
+    for slop in (0, 1, 2):
+        got = {
+            (r.query_id, r.doc_id): r.n_occurrences
+            for r in phrase_topk(docs, phrases, k=1000, slop=slop).collect()
+        }
+        want = {}
+        for qid, phrase in phrases:
+            terms = py_tokenize(phrase)
+            for did, text in enumerate(texts):
+                n = _brute_slop_count(py_tokenize(text), terms, slop)
+                if n:
+                    want[(qid, did)] = n
+        assert got == want, f"slop={slop}"
+    # slop=0 path (array_contains probe) ≡ greedy chain by construction:
+    contiguous = phrase_topk(docs, phrases, k=1000).collect()
+    assert {
+        (r.query_id, r.doc_id): r.n_occurrences for r in contiguous
+    } == {
+        (r.query_id, r.doc_id): r.n_occurrences
+        for r in phrase_topk(docs, phrases, k=1000, slop=0).collect()
+    }
+
+
+def test_indexed_slop_equals_logical(spark, docs_sf0001, tmp_path):
+    from sparksearch.catalog_pipeline import PHRASES
+    from sparksearch.phrase import build_positions, phrase_topk, phrase_topk_indexed
+
+    idx = str(tmp_path / "posidx")
+    build_positions(spark, docs_sf0001, idx)
+    for slop in (0, 2):
+        logical = phrase_topk(docs_sf0001, PHRASES, k=10, slop=slop).collect()
+        indexed = phrase_topk_indexed(spark, idx, PHRASES, k=10, slop=slop).collect()
+        assert sorted(map(tuple, logical)) == sorted(map(tuple, indexed)), f"slop={slop}"

@@ -227,3 +227,62 @@ def test_lsh_band_keys_partial_band(spark):
         2: _h60(",".join(map(str, mins[6:7]))),
     }
     assert {r.band: r.bkey for r in rows} == expect
+
+
+def test_term_cooccurrence_pmi_hand(spark):
+    """3-doc corpus with known document frequencies: PMI values and the
+    round-then-tiebreak ranking checked against hand math."""
+    import math
+
+    from sparksearch.textpipe import term_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple banana cherry"), (2, "apple date")],
+        "doc_id long, text string",
+    )
+    rows = term_cooccurrence(docs, top_v=10, k=10).collect()
+    got = {(r.term_a, r.term_b): (r.rank, r.n_both, r.pmi) for r in rows}
+    # df: apple 3, banana 2, cherry 1, date 1; N = 3
+    want_pmi = {
+        ("apple", "banana"): (2, 2 * 3 / (3 * 2)),   # ln(1) = 0
+        ("apple", "cherry"): (1, 1 * 3 / (3 * 1)),   # ln(1) = 0
+        ("apple", "date"): (1, 1 * 3 / (3 * 1)),     # ln(1) = 0
+        ("banana", "cherry"): (1, 1 * 3 / (2 * 1)),  # ln(1.5) > 0
+    }
+    assert set(got) == set(want_pmi)
+    for pair, (n, ratio) in want_pmi.items():
+        assert got[pair][1] == n
+        assert got[pair][2] == pytest.approx(round(math.log(ratio), 6))
+    # banana-cherry has the highest PMI → rank 1; the ln(1)=0 ties order
+    # lexicographically by (term_a, term_b).
+    ranked = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert [p for p, _ in ranked] == [
+        ("banana", "cherry"), ("apple", "banana"),
+        ("apple", "cherry"), ("apple", "date"),
+    ]
+
+
+def test_training_data_stats_gauntlet(spark):
+    """Exact duplicates collapse to one survivor; sub-threshold docs are
+    gated out; split/lang grouping keys are respected."""
+    from sparksearch.sampling import split_name_col, training_data_stats
+    from sparksearch.textpipe import text_quality
+
+    good = ("the fast key order sort table scan merge part window small "
+            "hash scan join order batch the of to and in is it on for a")
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, good, "en"),        # exact dups → one survivor
+         (3, "zz", "en"),                          # low quality → gated
+         (4, good + " extra tokens here", "de")],
+        "doc_id long, text string, lang string",
+    )
+    q = {r.doc_id: r.quality_score for r in text_quality(docs).collect()}
+    assert q[1] >= 0.5 and q[3] < 0.5
+    splits = {r.doc_id: r.s for r in docs.select(
+        "doc_id", split_name_col().alias("s")).collect()}
+    out = {(r.split, r.lang): (r.n_docs, r.n_tokens, r.avg_quality)
+           for r in training_data_stats(docs).collect()}
+    # doc 2 (dup of 1) and doc 3 (low quality) never appear; survivors are
+    # doc 1 and doc 4 under their own (split, lang) cells.
+    assert sum(n for n, _, _ in out.values()) == 2
+    assert (splits[1], "en") in out and (splits[4], "de") in out
