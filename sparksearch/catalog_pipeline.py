@@ -992,7 +992,7 @@ g AS (SELECT * FROM q WHERE quality_score >= 0.5),
 s AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM g)
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       ROUND(AVG(quality_score), 6) AS avg_quality
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
 FROM s WHERE doc_id = keep_id GROUP BY 1, 2"""
 
 

@@ -916,3 +916,117 @@ FROM ranked WHERE rnk <= {K}""",
         "prefix entry, same broadcast-against-linear-dictionary-scan plan",
     ),
 })
+
+
+BOOL_QUERIES = [
+    (1, "hash AND join"),
+    (2, "sort OR merge"),
+    (3, "join AND NOT batch"),
+    (4, "(hash OR sort) AND join AND NOT dup"),
+    (5, "scan AND (merge OR batch) AND NOT window"),
+]
+
+
+def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .boolq import boolean_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    df = boolean_topk(spark, BOOL_QUERIES, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging: results 11-20 under the deterministic total order.
+    Window-rank + filter is the logical form; the physical search_after
+    contract — (score, doc_id) cursor of the previous page, pushed as a
+    strict-ordering predicate so page N never rescans pages 1..N-1 — is
+    equivalent BECAUSE the order (score DESC, doc_id ASC) is total: no ties,
+    no skipped/duplicated docs across pages."""
+    from .querying import score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = score_logical(qterms, tf_df, dl_df, ts, k=2 * K)
+    return df.filter(F.col("rank") > K).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def bool_oracle_sql() -> str:
+    """Oracle generated from the SAME parse tree as the Spark side: positive
+    literals feed the BM25 VALUES CTE, the predicate compiles to a per-query
+    CASE over the doc's literal-presence list."""
+    from .boolq import literals, parse_bool, positive_literals, pred_sql
+
+    trees = {int(qid): parse_bool(q) for qid, q in BOOL_QUERIES}
+    all_lits = sorted(set().union(*(literals(t) for t in trees.values())))
+    qrows = ", ".join(
+        f"({qid}, '{t}', 1)"
+        for qid, tree in sorted(trees.items())
+        for t in sorted(positive_literals(tree))
+    )
+    in_list = ", ".join(f"'{t}'" for t in all_lits)
+    cases = "\n".join(
+        f"    WHEN {qid} THEN {pred_sql(tree, 'c.ts')}"
+        for qid, tree in sorted(trees.items())
+    )
+    return f"""WITH {TOK_SQL.strip()},
+q(query_id, term, qtf) AS (VALUES {qrows}),
+cand AS (
+  SELECT doc_id, list(DISTINCT term) AS ts FROM postings
+  WHERE term IN ({in_list}) GROUP BY doc_id
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM q JOIN termstats t USING (term) JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id GROUP BY 1, 2
+),
+m AS (
+  SELECT s.query_id, s.doc_id, ROUND(s.score, 6) AS score
+  FROM scored s JOIN cand c ON s.doc_id = c.doc_id
+  WHERE CASE s.query_id
+{cases}
+    ELSE FALSE END
+),
+rnkd AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM m
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM rnkd WHERE rnk <= {K}"""
+
+
+CATALOG.update({
+    "boolean_topk": QuerySpec(
+        q_boolean_topk,
+        bool_oracle_sql(),
+        "Lucene BooleanQuery-style AND/OR/NOT retrieval: boolean tree as a "
+        "filter over dictionary-pruned presence sets, BM25 over positive "
+        "literals only, pure-negative queries rejected at parse — one "
+        "posting shuffle, predicate is a map-side CASE, no UDF",
+    ),
+    "bm25_topk_page2": QuerySpec(
+        q_bm25_topk_page2,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk > {K} AND rnk <= {2 * K}""",
+        "deep paging (search_after): results 11-20 under the total order "
+        "(score DESC, doc_id ASC) — cursor-predicate equivalence holds "
+        "because the order is total",
+    ),
+})

@@ -113,8 +113,16 @@ def training_data_stats(
     surv = gated.withColumn("keep_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("keep_id")
     )
+    # quality_score is exactly-6-decimal, so the group mean is computed from
+    # an EXACT decimal sum (order-independent under any partitioning) and one
+    # double division — plain F.avg over doubles is partial-agg-order
+    # sensitive and can flip the 6th rounded decimal between runs.
     return surv.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
     )
