@@ -1030,3 +1030,198 @@ FROM ranked WHERE rnk > {K} AND rnk <= {2 * K}""",
         "because the order is total",
     ),
 })
+
+
+# --------------------------------------------- round-3 extensions, batch 2
+
+#: Infix-wildcard query set (pre*suf) over the corpus vocabulary.
+WILD_QUERIES = [
+    (1, "s", "t"),     # sort
+    (2, "s", "k"),     # spark
+    (3, "c", "n"),     # column
+    (4, "b", "h"),     # batch
+    (5, "w", "w"),     # window
+    (6, "qu", "y"),    # query
+    (7, "f", "er"),    # filter
+    (8, "gr", "p"),    # group
+]
+
+#: Synonym-group query set: each query is a list of groups; a group scores
+#: as ONE blended term (Lucene SynonymQuery). 'quick' is absent from the
+#: corpus — the group degrades to its present members (unknown-term rule).
+SYN_QUERIES = [
+    (1, [["hash"], ["join", "merge"]]),
+    (2, [["sort", "order"]]),
+    (3, [["fast", "quick"]]),
+    (4, [["scan"], ["filter", "query"]]),
+    (5, [["big", "small"]]),
+]
+
+TV_DOCS = [0, 1, 2, 3, 4]  # term-vector request set (exist at every sf)
+SIG_MIN_DF = 5
+
+
+def q_bm25_topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import score_logical
+    from .search_ext import expand_wildcard_queries
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_wildcard_queries(spark, WILD_QUERIES, ts)
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import synonym_topk
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    df = synonym_topk(spark, SYN_QUERIES, tf_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import significant_terms
+
+    tf_df, _, ts, gstats = _stats_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    df = significant_terms(docs, tf_df, ts, gstats, min_df=SIG_MIN_DF, k=K)
+    return df.select(
+        F.col("facet").alias("facet"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        "score",
+    )
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import term_vectors
+
+    return term_vectors(_docs(spark, sf_dir), TV_DOCS)
+
+
+def syn_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, {gi}, '{t}')"
+        for qid, groups in SYN_QUERIES
+        for gi, group in enumerate(groups)
+        for t in group
+    )
+    return f"syn(query_id, group_id, term) AS (VALUES {rows})"
+
+
+def wild_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}', '{s}')" for qid, p, s in WILD_QUERIES)
+    return f"wq(query_id, pre, suf) AS (VALUES {rows})"
+
+
+CATALOG.update({
+    "bm25_topk_wildcard": QuerySpec(
+        q_bm25_topk_wildcard,
+        f"""WITH {TOK_SQL.strip()},
+{wild_values_sql()},
+q AS (
+  SELECT wq.query_id, t.term, 1 AS qtf
+  FROM wq JOIN termstats t
+    ON starts_with(t.term, wq.pre) AND ends_with(t.term, wq.suf)
+   AND length(t.term) >= length(wq.pre) + length(wq.suf)
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "infix wildcard (pre*suf) retrieval: dictionary-expanded disjunctive "
+        "BM25 — Lucene WildcardQuery semantics with non-overlapping anchors, "
+        "same broadcast-against-linear-dictionary-scan plan as prefix/suffix",
+    ),
+    "synonym_topk": QuerySpec(
+        q_synonym_topk,
+        f"""WITH {TOK_SQL.strip()},
+{syn_values_sql()},
+gidf AS (
+  SELECT s.query_id, s.group_id,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - MAX(t.df) + 0.5)
+                  / (MAX(t.df) + 0.5)) AS idf_g
+  FROM syn s JOIN termstats t USING (term) GROUP BY 1, 2
+),
+blended AS (
+  SELECT s.query_id, s.group_id, p.doc_id, SUM(p.tf) AS tf_g
+  FROM syn s JOIN postings p USING (term) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT b.query_id, b.doc_id,
+         SUM(g.idf_g * (b.tf_g * 2.2)
+             / (b.tf_g + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM blended b
+  JOIN gidf g ON b.query_id = g.query_id AND b.group_id = g.group_id
+  JOIN doclen d ON b.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "Lucene SynonymQuery blended retrieval: synonym groups score as one "
+        "term (tf summed across members, idf from the max member df) — "
+        "absent members degrade per the unknown-term rule",
+    ),
+    "significant_terms": QuerySpec(
+        q_significant_terms,
+        f"""WITH {TOK_SQL.strip()},
+fg AS (
+  SELECT d.lang AS facet, p.term, COUNT(*) AS df_fg
+  FROM postings p JOIN documents d ON p.doc_id = CAST(d.doc_id AS BIGINT)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {SIG_MIN_DF}
+),
+nfg AS (SELECT lang AS facet, COUNT(*) AS n_fg FROM documents GROUP BY 1),
+scored AS (
+  SELECT fg.facet, fg.term, fg.df_fg,
+         ROUND(CAST(fg.df_fg * (SELECT CAST(n_docs AS BIGINT) FROM gstats) AS DOUBLE)
+               / (t.df * nfg.n_fg), 6) AS score
+  FROM fg JOIN nfg USING (facet) JOIN termstats t USING (term)
+),
+rnkd AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY facet ORDER BY score DESC, df_fg DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT facet, CAST(rnk AS BIGINT) AS rank, term,
+       CAST(df_fg AS BIGINT) AS df_fg, score
+FROM rnkd WHERE rnk <= {K}""",
+        "significant-terms facet aggregation (Elasticsearch analog): per-"
+        "language top-10 overrepresented terms by exact foreground/background "
+        "lift — one postings-forward-index join, integer-exact score",
+    ),
+    "term_vectors": QuerySpec(
+        q_term_vectors,
+        f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id IN ({", ".join(str(d) for d in TV_DOCS)})
+),
+terms AS (SELECT doc_id, unnest(list_distinct(ts)) AS term, ts FROM tokd)
+SELECT doc_id, term,
+       CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf,
+       CAST(list_position(ts, term) AS BIGINT) AS first_pos
+FROM terms""",
+        "forward-index term vectors (Lucene TermVectors API): per-term tf + "
+        "1-based first-occurrence position for a requested doc set — the "
+        "doc_id filter pushes to the scan, work is O(requested docs)",
+    ),
+})

@@ -1,0 +1,210 @@
+"""Search-engine extension operators, batch 2 (round 3): infix wildcards,
+Lucene-SynonymQuery blended scoring, significant-terms facet analysis, and
+forward-index term vectors.
+
+All four follow the engine invariants: pinned tokenizer, no per-row Python
+UDFs (everything here is pure Catalyst), deterministic total order
+(score DESC, then id/term ASC), floats rounded to 6 decimals at the catalog
+boundary with any order-sensitive arithmetic kept exact (integer products
+before the single double division in significant_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .tokenize import tokens_col
+
+
+def expand_wildcard_queries(
+    spark: SparkSession,
+    wilds: list[tuple[int, str, str]],
+    term_stats: DataFrame,
+) -> DataFrame:
+    """Infix wildcard (``pre*suf``) query expansion via the dictionary →
+    qterms DF[query_id, term, qtf=1] — Lucene WildcardQuery semantics with
+    a single inner ``*``: every vocabulary term that starts with ``pre``,
+    ends with ``suf`` and is long enough that the two anchors don't overlap
+    becomes a disjunctive query term.
+
+    Plan: same shape as the prefix/suffix entries — the tiny wildcard set
+    broadcasts against ONE linear (term) dictionary scan with the
+    startswith/endswith/length predicate fused into the scan. At 10^12-doc
+    vocabulary sizes this stays a single narrow-column map stage; Lucene's
+    automaton-over-sorted-terms is the upgrade path if wildcards dominated.
+    """
+    w = spark.createDataFrame(
+        [(int(i), p, s) for i, p, s in wilds],
+        "query_id int, pre string, suf string",
+    )
+    cond = (
+        F.col("term").startswith(F.col("pre"))
+        & F.col("term").endswith(F.col("suf"))
+        & (F.length("term") >= F.length("pre") + F.length("suf"))
+    )
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(w), cond, "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def _idf_from_df(df_c: Column, n_docs_c: Column) -> Column:
+    """The engine's BM25 idf as a function of df — shared by stats.with_idf
+    (per-term) and the synonym path (per-GROUP, from the blended df)."""
+    return F.log(
+        F.lit(1.0) + (n_docs_c - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+    )
+
+
+def synonym_topk(
+    spark: SparkSession,
+    syn_queries: list[tuple[int, list[list[str]]]],
+    tf_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene SynonymQuery-style blended retrieval → DF[query_id, rank,
+    doc_id, score]: each query is a list of synonym GROUPS; a group scores
+    as if its members were one term — tf blends additively across members
+    (tf_g = Σ member tf in the doc) and the group's document frequency is
+    the max member df (Lucene SynonymQuery.docFreq), so one idf per group.
+    Group members absent from the corpus simply drop (unknown-term rule);
+    a group with no present member contributes nothing.
+
+    Plan: the (tiny) (query, group, term) table broadcasts against the
+    postings for the member-term fetch (the big side never shuffles for the
+    join); blending is one groupBy(query, group, doc) partial+final agg; the
+    per-group idf comes from a broadcast join of the same table against the
+    dictionary. Two shuffles total, both on (query, group/doc) keys.
+    """
+    from .querying import topk_per_query
+
+    rows = [
+        (int(qid), gi, t)
+        for qid, groups in syn_queries
+        for gi, group in enumerate(groups)
+        for t in group
+    ]
+    syn = spark.createDataFrame(rows, "query_id int, group_id int, term string")
+
+    # per-group blended df → idf (groups × members rows: tiny, broadcastable;
+    # term_stats already carries n_docs/avgdl from with_idf's stats crossJoin)
+    gidf = (
+        syn.join(term_stats.select("term", "df", "n_docs", "avgdl"), "term")
+        .groupBy("query_id", "group_id")
+        .agg(
+            F.max("df").alias("df_g"),
+            F.max("n_docs").alias("n_docs"),
+            F.max("avgdl").alias("avgdl"),
+        )
+        .select(
+            "query_id",
+            "group_id",
+            _idf_from_df(F.col("df_g"), F.col("n_docs")).alias("idf_g"),
+            "avgdl",
+        )
+    )
+
+    blended = (
+        tf_df.join(F.broadcast(syn), "term", "inner")
+        .groupBy("query_id", "group_id", "doc_id")
+        .agg(F.sum("tf").alias("tf_g"), F.max("dl").alias("dl"))
+    )
+    contrib = blended.join(F.broadcast(gidf), ["query_id", "group_id"]).select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("idf_g")
+            * (F.col("tf_g") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf_g")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("s"),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    return topk_per_query(scored, k)
+
+
+def significant_terms(
+    docs: DataFrame,
+    tf_df: DataFrame,
+    term_stats: DataFrame,
+    stats: DataFrame,
+    facet_col: str = "lang",
+    min_df: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Significant-terms facet aggregation (the Elasticsearch
+    significant_terms analog) → DF[facet, rank, term, df_fg, score]: for
+    each facet value, the top-k terms most overrepresented in the facet's
+    documents vs the whole corpus, by foreground/background lift
+    score = (df_fg / n_fg) / (df_bg / N).
+
+    Determinism: both ratios are integer-valued counts, so the score is
+    computed as ONE double division of two exact long products — no
+    accumulation-order sensitivity — then rounded to 6 decimals; rank
+    tie-break is (score DESC, df_fg DESC, term ASC).
+
+    Plan: df_fg is a postings ⋈ forward-index join (co-partitioned on
+    doc_id at scale — same shape as the facets entry) into ONE
+    groupBy(facet, term) map-combinable count; facet sizes and the
+    background df/N are broadcast onto the (≤ facets × vocab)-sized result.
+    """
+    fg = (
+        tf_df.select("doc_id", "term")
+        .join(docs.select("doc_id", F.col(facet_col).alias("facet")), "doc_id")
+        .groupBy("facet", "term")
+        .agg(F.count(F.lit(1)).alias("df_fg"))
+        .filter(F.col("df_fg") >= min_df)
+    )
+    n_fg = docs.groupBy(F.col(facet_col).alias("facet")).agg(
+        F.count(F.lit(1)).alias("n_fg")
+    )
+    scored = (
+        fg.join(F.broadcast(n_fg), "facet")
+        .join(F.broadcast(term_stats.select("term", F.col("df").alias("df_bg"))), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "facet",
+            "term",
+            "df_fg",
+            F.round(
+                (F.col("df_fg") * F.col("n_docs")).cast("double")
+                / (F.col("df_bg") * F.col("n_fg")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("facet").orderBy(
+        F.desc("score"), F.desc("df_fg"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("facet", "rank", "term", "df_fg", "score")
+    )
+
+
+def term_vectors(docs: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """Forward-index term-vector API (Lucene TermVectors / ES termvectors
+    endpoint) → DF[doc_id, term, tf, first_pos] for a small doc set:
+    per-term frequency plus the 1-based position of the first occurrence.
+
+    Plan: the doc_id IN filter pushes to the parquet scan, so only the
+    requested docs are tokenized; posexplode + one groupBy(doc, term) — at
+    any corpus size the work is O(requested docs), not O(corpus)."""
+    ids = [int(d) for d in doc_ids]
+    toks = (
+        docs.filter(F.col("doc_id").isin(ids))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), tokens_col("text").alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        (F.min("pos") + F.lit(1)).cast("long").alias("first_pos"),
+    )

@@ -1,0 +1,164 @@
+"""Unit tests for search_ext: infix wildcards, SynonymQuery blending,
+significant terms, term vectors — each against a hand-computable micro
+corpus plus semantics checks the catalog oracles can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch import BM25_B, BM25_K1
+from sparksearch.search_ext import (
+    expand_wildcard_queries,
+    significant_terms,
+    synonym_topk,
+    term_vectors,
+)
+from sparksearch.tokenize import py_tokenize
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    """4-doc corpus with known tf/df; returns (docs, tf_df, dl_df, ts, gstats)."""
+    from sparksearch.build import tokenize_tf
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    rows = [
+        (0, "hash join join", "en"),
+        (1, "merge sort merge", "en"),
+        (2, "hash merge scan", "de"),
+        (3, "sort scan scan scan", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tt = tokenize_tf(docs.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    gstats = global_stats_df(dl_df)
+    ts = with_idf(doc_freq(tf_df), gstats)
+    return docs, tf_df, dl_df, ts, gstats
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _bm25(tf: float, idf: float, dl: int, avgdl: float) -> float:
+    return idf * tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+
+
+def test_wildcard_expansion_semantics(spark, micro):
+    _, _, _, ts, _ = micro
+    got = {
+        (r.query_id, r.term)
+        for r in expand_wildcard_queries(
+            spark, [(1, "s", "n"), (2, "h", "h"), (3, "m", "e")], ts
+        ).collect()
+    }
+    # s*n -> scan; h*h -> hash (anchors may abut but not overlap: len 4 >= 2);
+    # m*e -> merge
+    assert got == {(1, "scan"), (2, "hash"), (3, "merge")}
+
+
+def test_wildcard_no_overlap_guard(spark, micro):
+    _, _, _, ts, _ = micro
+    # 'so*rt' requires length >= 4 and both anchors: sort matches ('so'+'rt'
+    # exactly abut); 'sor*rt' must NOT match sort (would need overlap).
+    got = {
+        (r.query_id, r.term)
+        for r in expand_wildcard_queries(
+            spark, [(1, "so", "rt"), (2, "sor", "rt")], ts
+        ).collect()
+    }
+    assert got == {(1, "sort")}
+
+
+def test_synonym_blended_scores_hand_math(spark, micro):
+    _, tf_df, _, ts, _ = micro
+    # group {hash, merge}: df(hash)=2, df(merge)=2 -> df_g=2; doc tfs blend:
+    # doc0 tf=1, doc1 tf=2, doc2 tf=2 (hash 1 + merge 1), doc3 absent.
+    out = {
+        r.doc_id: r.score
+        for r in synonym_topk(
+            spark, [(1, [["hash", "merge"]])], tf_df, ts, k=10
+        ).collect()
+    }
+    n, avgdl = 4, (3 + 3 + 3 + 4) / 4.0
+    idf_g = _idf(2, n)
+    exp = {
+        0: _bm25(1, idf_g, 3, avgdl),
+        1: _bm25(2, idf_g, 3, avgdl),
+        2: _bm25(2, idf_g, 3, avgdl),
+    }
+    assert set(out) == set(exp)
+    for d, s in exp.items():
+        assert out[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_synonym_absent_member_degrades(spark, micro):
+    _, tf_df, _, ts, _ = micro
+    # {sort, zzz}: zzz has no postings -> group df = df(sort) = 2, and only
+    # sort occurrences blend — identical to querying plain 'sort'.
+    a = {
+        (r.doc_id, round(r.score, 9))
+        for r in synonym_topk(spark, [(1, [["sort", "zzz"]])], tf_df, ts).collect()
+    }
+    b = {
+        (r.doc_id, round(r.score, 9))
+        for r in synonym_topk(spark, [(1, [["sort"]])], tf_df, ts).collect()
+    }
+    assert a == b and len(a) == 2  # docs 1 and 3
+
+
+def test_significant_terms_hand_math(spark, micro):
+    docs, tf_df, _, ts, gstats = micro
+    out = {
+        (r.facet, r.term): (r.df_fg, r.score)
+        for r in significant_terms(
+            docs.select("doc_id", "lang"), tf_df, ts, gstats, min_df=1, k=10
+        ).collect()
+    }
+    # scan: df_bg=2 (docs 2,3 both 'de'), n_fg(de)=2, N=4 ->
+    # lift = (2/2)/(2/4) = 2.0; in 'en' scan absent.
+    assert out[("de", "scan")] == (2, 2.0)
+    assert ("en", "scan") not in out
+    # join: only doc0 (en) -> (1/2)/(1/4) = 2.0
+    assert out[("en", "join")] == (1, 2.0)
+    # hash: doc0 (en), doc2 (de) -> each facet (1/2)/(2/4) = 1.0
+    assert out[("en", "hash")] == (1, 1.0)
+    assert out[("de", "hash")] == (1, 1.0)
+
+
+def test_significant_terms_rank_order(spark, micro):
+    docs, tf_df, _, ts, gstats = micro
+    rows = significant_terms(
+        docs.select("doc_id", "lang"), tf_df, ts, gstats, min_df=1, k=10
+    ).collect()
+    for facet in {"en", "de"}:
+        fr = sorted((r for r in rows if r.facet == facet), key=lambda r: r.rank)
+        keys = [(-r.score, -r.df_fg, r.term) for r in fr]
+        assert keys == sorted(keys)
+        assert [r.rank for r in fr] == list(range(1, len(fr) + 1))
+
+
+def test_term_vectors_vs_py_tokenize(spark, docs_sf0001):
+    ids = [0, 3, 7]
+    got = {
+        (r.doc_id, r.term): (r.tf, r.first_pos)
+        for r in term_vectors(docs_sf0001, ids).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in docs_sf0001.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    exp = {}
+    for did, text in texts.items():
+        toks = py_tokenize(text)
+        for i, t in enumerate(toks):
+            if (did, t) not in exp:
+                exp[(did, t)] = [0, i + 1]
+            exp[(did, t)][0] += 1
+    assert got == {k: tuple(v) for k, v in exp.items()}
