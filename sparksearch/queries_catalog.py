@@ -1225,3 +1225,132 @@ FROM terms""",
         "doc_id filter pushes to the scan, work is O(requested docs)",
     ),
 })
+
+
+def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankers import qlm_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = qlm_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankers import bm25f_topk
+
+    _, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = bm25f_topk(qterms, _docs(spark, sf_dir), dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+CATALOG.update({
+    "qlm_topk": QuerySpec(
+        q_qlm_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM doclen),
+qk AS (
+  SELECT q.query_id, q.term, q.qtf, 1000.0 * t.cf / (SELECT c FROM coll) AS mu_p
+  FROM q JOIN termstats t USING (term)
+),
+qconst AS (
+  SELECT query_id, SUM(qtf * LN(mu_p)) AS qc, SUM(qtf) AS qlen FROM qk GROUP BY 1
+),
+matched AS (
+  SELECT qk.query_id, p.doc_id,
+         SUM(qk.qtf * LN(1.0 + p.tf / qk.mu_p)) AS ms, MAX(d.dl) AS dl
+  FROM qk JOIN postings p USING (term) JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         m.ms + qc.qc - qc.qlen * LN(m.dl + 1000.0) AS score
+  FROM matched m JOIN qconst qc USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "Dirichlet-smoothed query-likelihood ranking (mu=1000, the Indri/"
+        "Galago default): full-query log-likelihood over candidates via the "
+        "matched-postings decomposition — absent terms contribute background "
+        "probability without ever touching unmatched postings",
+    ),
+    "bm25f_topk": QuerySpec(
+        q_bm25f_topk,
+        f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+occ AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+ftf AS (
+  SELECT doc_id, dl, term,
+         SUM(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS tf_t,
+         SUM(CASE WHEN pos > 5 THEN 1 ELSE 0 END) AS tf_b
+  FROM occ GROUP BY 1, 2, 3
+),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tokd WHERE len(ts) > 0),
+termstats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+  FROM occ GROUP BY 1
+),
+favg AS (
+  SELECT CAST(SUM(LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_t,
+         CAST(SUM(dl - LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_b
+  FROM tokd, LATERAL (SELECT len(ts) AS dl) WHERE dl > 0
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         q.qtf * t.idf * tfw / (1.2 + tfw) AS s
+  FROM ftf f
+  JOIN q USING (term)
+  JOIN termstats t USING (term)
+  CROSS JOIN favg
+  CROSS JOIN LATERAL (
+    SELECT 2.0 * f.tf_t / (1.0 - 0.75 + 0.75 * LEAST(f.dl, 5) / favg.avg_t)
+           + CASE WHEN favg.avg_b > 0
+                  THEN 1.0 * f.tf_b / (1.0 - 0.75 + 0.75 * (f.dl - LEAST(f.dl, 5)) / favg.avg_b)
+                  ELSE 0.0 END AS tfw
+  )
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(s) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "BM25F multi-field ranking (title = first 5 tokens, w=2.0; body = "
+        "rest, w=1.0): per-field length-normalized tf blended into one "
+        "pseudo-frequency before saturation — one tokenize, one posexplode, "
+        "one groupBy with conditional sums; field avg lengths broadcast",
+    ),
+})

@@ -1,0 +1,179 @@
+"""Alternative ranking models beyond BM25: Dirichlet-smoothed query
+likelihood (the Indri/Galago default) and BM25F multi-field scoring (the
+Lucene/Elasticsearch ``combined_fields`` model).
+
+Both reuse the engine's retrieval skeleton — broadcast the (tiny) per-query
+term table against the postings, one partial+final aggregation per
+(query, doc), window top-k under the pinned total order (score DESC,
+doc_id ASC) — so the big side never shuffles for a join and every plan
+survives a 100× scale-up exactly like the flagship BM25 path.
+
+Float discipline: per-row ln()/division is bit-deterministic on both
+engines; the only accumulated sums are over a query's few matched terms
+(the same risk profile as the long-green BM25 entries). Integer quantities
+(tf, dl, field lengths, C) are summed exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .tokenize import tokens_col
+
+QLM_MU = 1000.0
+
+
+def qlm_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=1000) →
+    DF[query_id, rank, doc_id, score]:
+
+        score(q,d) = Σ_t qtf_t · ln( (tf_td + μ·p_t) / (dl_d + μ) )
+
+    over the query's KNOWN terms (unknown terms drop, the engine-wide
+    rule), where p_t = cf_t / C is the collection language model. The sum
+    runs over ALL known query terms — absent terms contribute their
+    background probability — yet the plan only touches matched postings via
+    the standard decomposition:
+
+        score = Σ_matched qtf·ln(1 + tf/(μ·p_t))           (postings join)
+              + Σ_known  qtf·ln(μ·p_t)                      (per-query const)
+              - qlen_known · ln(dl_d + μ)                   (per-doc term)
+
+    Candidates = docs matching ≥1 known term (an all-background doc scores
+    below any candidate for ranking purposes and is never retrievable by
+    index lookup — same contract as the boolean path).
+    """
+    from .querying import topk_per_query
+
+    # C = total collection tokens, exact integer sum (NOT n_docs·avgdl,
+    # which would reintroduce a double rounding).
+    coll = dl_df.agg(F.sum("dl").cast("double").alias("coll_len"))
+    q = (
+        qterms.join(term_stats.select("term", "cf"), "term", "inner")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "query_id",
+            "term",
+            "qtf",
+            (F.lit(QLM_MU) * F.col("cf") / F.col("coll_len")).alias("mu_p"),
+        )
+    )
+    qconst = q.groupBy("query_id").agg(
+        F.sum(F.col("qtf") * F.log(F.col("mu_p"))).alias("qc"),
+        F.sum("qtf").alias("qlen"),
+    )
+    matched = (
+        tf_df.join(F.broadcast(q), "term", "inner")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("qtf") * F.log(F.lit(1.0) + F.col("tf") / F.col("mu_p"))
+            ).alias("ms"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    scored = matched.join(F.broadcast(qconst), "query_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("ms")
+            + F.col("qc")
+            - F.col("qlen") * F.log(F.col("dl") + F.lit(QLM_MU))
+        ).alias("score"),
+    )
+    return topk_per_query(scored, k)
+
+
+BM25F_TITLE_LEN = 5      # first T tokens form the 'title' field
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+
+
+def bm25f_topk(
+    qterms: DataFrame,
+    docs: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+    title_len: int = BM25F_TITLE_LEN,
+    w_title: float = BM25F_W_TITLE,
+    w_body: float = BM25F_W_BODY,
+) -> DataFrame:
+    """BM25F multi-field retrieval → DF[query_id, rank, doc_id, score]
+    (simple BM25F, Robertson/Zaragoza): per-field tf is length-normalized
+    then weight-blended into ONE pseudo-frequency before saturation —
+
+        tf̃(t,d) = Σ_f  w_f · tf_f / B_f,   B_f = (1-b) + b·len_f/avglen_f
+        score    = Σ_t  qtf · idf_t · tf̃ / (k1 + tf̃)
+
+    Fields here are a deterministic positional split (the corpus is a
+    single text column): title = first ``title_len`` tokens, body = rest.
+    Because the fields partition the token stream, document-level df — and
+    hence the engine's standard idf — is unchanged.
+
+    Plan: ONE tokenize + ONE posexplode produce both fields' tf in a single
+    groupBy(doc, term) with conditional sums (no second corpus pass, no
+    per-field shuffle); per-doc field lengths are pure functions of dl
+    (len_t = min(dl, T)), so they're computed map-side from the carried dl
+    and the field average lengths ride a 1-row broadcast off the existing
+    doc-length table; the query join is the usual broadcast-against-
+    postings shape. An all-short corpus (avg body length 0) zeroes the
+    body contribution instead of dividing by zero.
+    """
+    from .querying import topk_per_query
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col("text").alias("toks"),
+    )
+    occ = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    ftf = occ.groupBy("doc_id", "term").agg(
+        F.sum(F.when(F.col("pos") < title_len, 1).otherwise(0)).alias("tf_t"),
+        F.sum(F.when(F.col("pos") >= title_len, 1).otherwise(0)).alias("tf_b"),
+        F.max("dl").alias("dl"),
+    )
+    lt = F.least(F.col("dl"), F.lit(title_len))
+    favg = dl_df.agg(
+        (F.sum(lt).cast("double") / F.count(F.lit(1))).alias("avg_t"),
+        (F.sum(F.col("dl") - lt).cast("double") / F.count(F.lit(1))).alias("avg_b"),
+    )
+    q = qterms.join(term_stats.select("term", "idf"), "term", "inner")
+    b, k1 = F.lit(BM25_B), F.lit(BM25_K1)
+    len_t = F.least(F.col("dl"), F.lit(title_len))
+    len_b = F.col("dl") - len_t
+    tfw = F.lit(w_title) * F.col("tf_t") / (
+        F.lit(1.0) - b + b * len_t / F.col("avg_t")
+    ) + F.when(
+        F.col("avg_b") > 0,
+        F.lit(w_body) * F.col("tf_b") / (F.lit(1.0) - b + b * len_b / F.col("avg_b")),
+    ).otherwise(F.lit(0.0))
+    contrib = (
+        ftf.join(F.broadcast(q), "term", "inner")
+        .crossJoin(F.broadcast(favg))
+        .select(
+            "query_id",
+            "doc_id",
+            tfw.alias("tfw"),
+            "qtf",
+            "idf",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("qtf") * F.col("idf") * F.col("tfw") / (k1 + F.col("tfw"))).alias("s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    return topk_per_query(scored, k)
