@@ -346,3 +346,92 @@ def phrase_topk(docs: DataFrame, phrases: list[tuple[int, str]], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_occurrences")
     )
+
+
+def _min_cover_span(terms: list[str]) -> Column:
+    """Minimal cover span over a bound map column ``m: map<string,
+    array<int>>``: the smallest (max−min) over choices of ONE occurrence
+    position per term — the k-sorted-lists minimum-range problem. NULL when
+    some term is absent.
+
+    Right-endpoint formulation (linear in total occurrences instead of the
+    oracle's brute-force cross product): the optimal window's right edge is
+    an occurrence e of some term, and for each candidate e the tightest
+    window ending there picks every term's LAST position ≤ e — so
+
+        span = min over e ∈ ∪positions of [ e − min_t max{p ∈ P_t : p ≤ e} ]
+
+    (e is itself the max of those picks since e ∈ P_{t_e}). Candidates where
+    any term has no position ≤ e yield NULL and drop out of array_min."""
+
+    def pos(t: str) -> Column:
+        return F.coalesce(F.element_at(F.col("m"), t), F.array().cast("array<int>"))
+
+    all_pos = F.flatten(F.array(*[pos(t) for t in terms]))
+
+    def width(e: Column) -> Column:
+        lasts = F.array(
+            *[F.array_max(F.filter(pos(t), lambda q: q <= e)) for t in terms]
+        )
+        return F.when(
+            F.exists(lasts, lambda x: x.isNull()), F.lit(None).cast("int")
+        ).otherwise(e - F.array_min(lasts))
+
+    return F.array_min(F.transform(all_pos, width))
+
+
+def span_near_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
+                   k: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unordered proximity retrieval (Lucene SpanNearQuery, inOrder=false)
+    → DF[query_id, rank, doc_id, min_span]: docs where one occurrence of
+    EACH query term fits in a window of span ≤ (k_terms−1) + slop, in any
+    order, ranked by tightest window (min_span ASC, doc_id ASC).
+
+    Same single-corpus-pass batch shape as phrase_topk: positional postings
+    restricted to the union of all queries' terms, ONE per-doc term→positions
+    map, every query's minimal cover span a column expression over that map.
+    The positional-sidecar fetch (phrase_topk_indexed) is the upgrade path
+    at index-backed scale; semantics are pinned here."""
+    spark = docs.sparkSession
+    qdefs = {}
+    for qid, text, slop in queries:
+        terms = sorted(set(py_tokenize(text)))
+        if terms:
+            qdefs[int(qid)] = (terms, int(slop))
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, min_span long"
+        )
+    all_terms = sorted({t for ts, _ in qdefs.values() for t in ts})
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(len(terms) - 1 + slop).cast("long").alias("max_span"),
+                _min_cover_span(terms).cast("long").alias("min_span"),
+            )
+            for qid, (terms, slop) in sorted(qdefs.items())
+        ]
+    )
+    spans = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.min_span").alias("min_span"),
+                F.col("e.max_span").alias("max_span"))
+        .filter(F.col("min_span") <= F.col("max_span"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("min_span"), F.asc("doc_id")
+    )
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "min_span")
+    )

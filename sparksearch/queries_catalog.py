@@ -1354,3 +1354,76 @@ FROM ranked WHERE rnk <= {K}""",
         "one groupBy with conditional sums; field avg lengths broadcast",
     ),
 })
+
+
+#: Unordered-proximity query set: (query_id, text, slop). A doc matches when
+#: one occurrence of each term fits in a window of span <= (k_terms-1)+slop.
+SPAN_QUERIES = [
+    (1, "hash join", 3),
+    (2, "sort merge", 2),
+    (3, "scan filter query", 6),
+    (4, "window group", 1),
+    (5, "customer order line", 8),
+]
+
+
+def q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .phrase import span_near_topk
+
+    return span_near_topk(_docs(spark, sf_dir), SPAN_QUERIES, k=K)
+
+
+def span_near_oracle_sql() -> str:
+    """Brute-force oracle GENERATED from the same query list: min span as a
+    MIN over the full cross product of one-position-per-term choices — an
+    independent formulation of the Spark side's right-endpoint scan."""
+    parts = []
+    for qid, text, slop in SPAN_QUERIES:
+        terms = sorted(set(py_tokenize(text)))
+        span = len(terms) - 1 + slop
+        aliases = [f"t{i}" for i in range(len(terms))]
+        frm = " JOIN ".join(
+            f"(SELECT doc_id, pos FROM occ WHERE term = '{t}') {a}"
+            + ("" if i == 0 else f" ON t0.doc_id = {a}.doc_id")
+            for i, (t, a) in enumerate(zip(terms, aliases))
+        )
+        plist = ", ".join(f"{a}.pos" for a in aliases)
+        parts.append(
+            f"""SELECT {qid} AS query_id, t0.doc_id,
+       MIN(GREATEST({plist}) - LEAST({plist})) AS min_span
+FROM {frm}
+GROUP BY 1, 2 HAVING MIN(GREATEST({plist}) - LEAST({plist})) <= {span}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, min_span,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY min_span ASC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(min_span AS BIGINT) AS min_span
+FROM rnkd WHERE rnk <= {K}"""
+
+
+CATALOG.update({
+    "span_near_topk": QuerySpec(
+        q_span_near_topk,
+        span_near_oracle_sql(),
+        "unordered proximity retrieval (Lucene SpanNearQuery inOrder=false): "
+        "minimal cover window over one occurrence per term, ranked tightest-"
+        "first — right-endpoint linear scan per doc vs the oracle's brute-"
+        "force cross product",
+    ),
+})

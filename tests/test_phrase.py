@@ -219,3 +219,97 @@ def test_indexed_slop_equals_logical(spark, docs_sf0001, tmp_path):
         logical = phrase_topk(docs_sf0001, PHRASES, k=10, slop=slop).collect()
         indexed = phrase_topk_indexed(spark, idx, PHRASES, k=10, slop=slop).collect()
         assert sorted(map(tuple, logical)) == sorted(map(tuple, indexed)), f"slop={slop}"
+
+
+# ----------------------------------------------------- unordered span-near
+
+
+def _brute_min_span(toks: list[str], terms: list[str]):
+    import itertools
+
+    plists = [[i + 1 for i, t in enumerate(toks) if t == q] for q in terms]
+    if any(not p for p in plists):
+        return None
+    return min(
+        max(c) - min(c) for c in itertools.product(*plists)
+    )
+
+
+def test_span_near_hand_math(spark):
+    from sparksearch.phrase import span_near_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash x x join"),        # span 3
+            (1, "join hash"),            # span 1 (unordered!)
+            (2, "hash x x x x join"),    # span 5 — over slop 3 budget (max 4)
+            (3, "hash only here"),       # missing 'join'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.query_id, r.doc_id): (r.rank, r.min_span)
+        for r in span_near_topk(docs, [(1, "hash join", 3)]).collect()
+    }
+    assert out == {(1, 1): (1, 1), (1, 0): (2, 3)}
+
+
+def test_span_near_matches_brute_force(spark, docs_sf0001):
+    from sparksearch.phrase import span_near_topk
+    from sparksearch.tokenize import py_tokenize
+
+    queries = [(1, "hash join", 2), (2, "scan filter query", 5)]
+    got = {
+        (r.query_id, r.doc_id): r.min_span
+        for r in span_near_topk(docs_sf0001, queries, k=10**9).collect()
+    }
+    texts = {r.doc_id: py_tokenize(r.text) for r in docs_sf0001.collect()}
+    exp = {}
+    for qid, text, slop in queries:
+        terms = sorted(set(py_tokenize(text)))
+        bound = len(terms) - 1 + slop
+        for did, toks in texts.items():
+            ms = _brute_min_span(toks, terms)
+            if ms is not None and ms <= bound:
+                exp[(qid, did)] = ms
+    assert got == exp
+
+
+def test_span_near_ordered_match_implies_unordered(spark, docs_sf0001):
+    """Every doc the ORDERED sloppy phrase matches must also match the
+    unordered span-near with the same terms and slop (ordered chains are a
+    subset of unordered selections)."""
+    from sparksearch.phrase import phrase_topk, span_near_topk
+
+    slop = 2
+    ordered = {
+        r.doc_id
+        for r in phrase_topk(
+            docs_sf0001, [(1, "hash join")], k=10**9, slop=slop
+        ).collect()
+    }
+    unordered = {
+        r.doc_id
+        for r in span_near_topk(
+            docs_sf0001, [(1, "hash join", slop)], k=10**9
+        ).collect()
+    }
+    assert ordered <= unordered
+
+
+def test_span_near_huge_slop_is_conjunctive_containment(spark, docs_sf0001):
+    from sparksearch.phrase import span_near_topk
+    from sparksearch.tokenize import py_tokenize
+
+    got = {
+        r.doc_id
+        for r in span_near_topk(
+            docs_sf0001, [(1, "sort merge", 10**6)], k=10**9
+        ).collect()
+    }
+    exp = {
+        r.doc_id
+        for r in docs_sf0001.collect()
+        if {"sort", "merge"} <= set(py_tokenize(r.text))
+    }
+    assert got == exp
