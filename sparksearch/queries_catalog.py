@@ -1427,3 +1427,70 @@ CATALOG.update({
         "force cross product",
     ),
 })
+
+
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .feedback import prf_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = prf_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+CATALOG.update({
+    "bm25_prf_topk": QuerySpec(
+        q_bm25_prf_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+fb AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= 3),
+cand AS (
+  SELECT fb.query_id, p.term,
+         CAST(SUM(CAST(ROUND(p.tf * t.idf, 6) AS DECIMAL(28,6))) AS DOUBLE) AS w
+  FROM fb JOIN postings p USING (doc_id) JOIN termstats t USING (term)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q WHERE q.query_id = fb.query_id AND q.term = p.term
+  )
+  GROUP BY 1, 2
+),
+exp AS (
+  SELECT query_id, term, 0.5 AS qtf FROM (
+    SELECT query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+q2 AS (
+  SELECT query_id, term, CAST(qtf AS DOUBLE) AS qtf FROM q
+  UNION ALL SELECT query_id, term, qtf FROM exp
+),
+scored2 AS (
+  SELECT q2.query_id, p.doc_id,
+         SUM(q2.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM q2
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked2 WHERE rnk <= {K}""",
+        "pseudo-relevance feedback (blind Rocchio-lite): BM25 top-3 feedback "
+        "docs per query → top-5 tf·idf expansion terms (decimal-exact weight "
+        "sum, original terms anti-joined out) at weight 0.5 → re-retrieve — "
+        "expansion work is O(feedback postings), never a corpus shuffle",
+    ),
+})
