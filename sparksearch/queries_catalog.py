@@ -1494,3 +1494,200 @@ FROM ranked2 WHERE rnk <= {K}""",
         "expansion work is O(feedback postings), never a corpus shuffle",
     ),
 })
+
+
+#: Fuzzy query set: misspelled vocabulary terms (Lucene FuzzyQuery, maxEdits=2).
+FUZZY_QUERIES = [
+    (1, "jion"),
+    (2, "soft"),
+    (3, "merg"),
+    (4, "qurey"),
+    (5, "windoe"),
+]
+
+#: Regexp query set (substring semantics; anchor with ^$ for whole-term).
+REGEX_QUERIES = [
+    (1, "^s.*t$"),
+    (2, "^.{3}$"),
+    (3, "a.*a"),
+    (4, "^(join|merge)$"),
+    (5, "er$"),
+]
+
+#: liveDocs tombstone rule: docs with doc_id % 17 == 0 are deleted.
+LIVE_MOD = 17
+EXPLAIN_DOCS = 3
+
+
+def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import score_logical
+    from .search_ext import expand_fuzzy_queries
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_fuzzy_queries(spark, FUZZY_QUERIES, ts, max_edits=2)
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import score_logical
+    from .search_ext import expand_regexp_queries
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_regexp_queries(spark, REGEX_QUERIES, ts)
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware retrieval with Lucene liveDocs semantics: tombstoned
+    docs (doc_id % LIVE_MOD == 0) are excluded from RESULTS via a map-side
+    filter on the postings, but corpus statistics (df/idf/avgdl) still
+    count them — exactly how Lucene scores against a reader with deletions
+    until segments merge. The tombstone predicate pushes to the scan; no
+    reindex, no stats rebuild."""
+    from .querying import score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    live_tf = tf_df.filter(F.col("doc_id") % LIVE_MOD != 0)
+    df = score_logical(qterms, live_tf, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-explain API (Lucene IndexSearcher.explain): the per-term BM25
+    contribution breakdown (tf, dl, idf, contribution) for each of the top
+    EXPLAIN_DOCS docs per query — the result set broadcasts back against
+    the query-term postings, O(queries × docs × terms) rows."""
+    from .querying import score_logical
+    from .stats import bm25_term_score_col
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    top = score_logical(qterms, tf_df, dl_df, ts, k=EXPLAIN_DOCS).select(
+        "query_id", "doc_id"
+    )
+    q = qterms.join(ts.select("term", "idf", "avgdl"), "term")
+    contrib = tf_df.join(F.broadcast(q), "term").join(
+        F.broadcast(top), ["query_id", "doc_id"]
+    )
+    return contrib.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.round("idf", 6).alias("idf"),
+        F.round(bm25_term_score_col(qtf="qtf"), 6).alias("contrib"),
+    )
+
+
+def fuzzy_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    return f"fq(query_id, fterm) AS (VALUES {rows})"
+
+
+def regex_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in REGEX_QUERIES)
+    return f"rq(query_id, pat) AS (VALUES {rows})"
+
+
+CATALOG.update({
+    "bm25_topk_fuzzy": QuerySpec(
+        q_bm25_topk_fuzzy,
+        f"""WITH {TOK_SQL.strip()},
+{fuzzy_values_sql()},
+q AS (
+  SELECT fq.query_id, t.term, 1 AS qtf
+  FROM fq JOIN termstats t ON levenshtein(t.term, fq.fterm) <= 2
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "fuzzy retrieval (Lucene FuzzyQuery, maxEdits=2): misspelled query "
+        "terms expanded to all vocabulary terms within 2 Levenshtein edits "
+        "— same broadcast-against-linear-dictionary-scan plan; the "
+        "Levenshtein-automaton-over-sorted-terms is the documented upgrade",
+    ),
+    "bm25_topk_regexp": QuerySpec(
+        q_bm25_topk_regexp,
+        f"""WITH {TOK_SQL.strip()},
+{regex_values_sql()},
+q AS (
+  SELECT rq.query_id, t.term, 1 AS qtf
+  FROM rq JOIN termstats t ON regexp_matches(t.term, rq.pat)
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "regexp retrieval (Lucene RegexpQuery): dictionary terms matching "
+        "the pattern become disjunctive BM25 terms — substring match "
+        "semantics on both engines, anchors for whole-term",
+    ),
+    "bm25_topk_live": QuerySpec(
+        q_bm25_topk_live,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  WHERE p.doc_id % {LIVE_MOD} <> 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "delete-aware retrieval (Lucene liveDocs): tombstoned docs excluded "
+        "from results by a scan-pushed predicate while df/idf/avgdl still "
+        "count them until compaction — no reindex on delete",
+    ),
+    "bm25_explain": QuerySpec(
+        q_bm25_explain,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(r.query_id AS BIGINT) AS query_id, r.doc_id, q.term,
+       CAST(p.tf AS BIGINT) AS tf, CAST(d.dl AS BIGINT) AS dl,
+       ROUND(t.idf, 6) AS idf,
+       ROUND(t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))
+             * q.qtf, 6) AS contrib
+FROM ranked r
+JOIN q ON q.query_id = r.query_id
+JOIN postings p ON p.term = q.term AND p.doc_id = r.doc_id
+JOIN termstats t ON t.term = q.term
+JOIN doclen d ON d.doc_id = r.doc_id
+WHERE r.rnk <= {EXPLAIN_DOCS}""",
+        "score-explain API (Lucene explain): per-term BM25 contribution "
+        "breakdown (tf, dl, idf, contribution) for each top-3 doc per query "
+        "— result set broadcast back against the query-term postings",
+    ),
+})

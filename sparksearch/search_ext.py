@@ -208,3 +208,52 @@ def term_vectors(docs: DataFrame, doc_ids: list[int]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf"),
         (F.min("pos") + F.lit(1)).cast("long").alias("first_pos"),
     )
+
+
+def expand_fuzzy_queries(
+    spark: SparkSession,
+    fuzzies: list[tuple[int, str]],
+    term_stats: DataFrame,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Fuzzy query expansion (Lucene FuzzyQuery, maxEdits=2 default) via the
+    dictionary → qterms DF[query_id, term, qtf=1]: every vocabulary term
+    within ``max_edits`` Levenshtein edits of the query term becomes a
+    disjunctive query term.
+
+    Plan: the tiny fuzzy set broadcasts against one linear dictionary scan
+    with the levenshtein predicate fused in — the same shape as
+    prefix/suffix/wildcard. Lucene's Levenshtein automaton intersection with
+    the sorted term dict is the upgrade path if fuzzy queries dominated; the
+    spell-correction entry (query_suggestions) already shares this scan."""
+    fz = spark.createDataFrame(
+        [(int(i), s) for i, s in fuzzies], "query_id int, fterm string"
+    )
+    return (
+        term_stats.select("term")
+        .join(
+            F.broadcast(fz),
+            F.levenshtein(F.col("term"), F.col("fterm")) <= max_edits,
+            "inner",
+        )
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def expand_regexp_queries(
+    spark: SparkSession,
+    regexes: list[tuple[int, str]],
+    term_stats: DataFrame,
+) -> DataFrame:
+    """Regexp query expansion (Lucene RegexpQuery) via the dictionary →
+    qterms DF[query_id, term, qtf=1]: every vocabulary term matching the
+    pattern (substring semantics — anchor with ^$ for whole-term) becomes a
+    disjunctive query term. Same broadcast-vs-linear-dictionary-scan plan."""
+    rx = spark.createDataFrame(
+        [(int(i), p) for i, p in regexes], "query_id int, pat string"
+    )
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(rx), F.expr("rlike(term, pat)"), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )

@@ -162,3 +162,86 @@ def test_term_vectors_vs_py_tokenize(spark, docs_sf0001):
                 exp[(did, t)] = [0, i + 1]
             exp[(did, t)][0] += 1
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+# ------------------------------------------- fuzzy / regexp / live / explain
+
+
+def test_fuzzy_expansion_edit_distance_boundary(spark, micro):
+    from sparksearch.search_ext import expand_fuzzy_queries
+
+    _, _, _, ts, _ = micro  # vocab: hash join merge sort scan
+    got = {
+        (r.query_id, r.term)
+        for r in expand_fuzzy_queries(
+            spark, [(1, "scan"), (2, "merg"), (3, "xxxxxxx")], ts, max_edits=2
+        ).collect()
+    }
+    assert (1, "scan") in got            # distance 0 included
+    assert (2, "merge") in got           # distance 1
+    assert all(q != 3 for q, _ in got)   # nothing within 2 edits of xxxxxxx
+    # 'scan' vs 'sort': s-c-a-n / s-o-r-t = 3 edits -> excluded
+    assert (1, "sort") not in got
+
+
+def test_regexp_expansion_anchoring(spark, micro):
+    from sparksearch.search_ext import expand_regexp_queries
+
+    _, _, _, ts, _ = micro
+    got = {
+        (r.query_id, r.term)
+        for r in expand_regexp_queries(
+            spark, [(1, "^s"), (2, "^sc.n$"), (3, "a")], ts
+        ).collect()
+    }
+    assert {t for q, t in got if q == 1} == {"sort", "scan"}
+    assert {t for q, t in got if q == 2} == {"scan"}
+    # substring semantics: every term containing an 'a'
+    assert {t for q, t in got if q == 3} == {"hash", "scan"}
+
+
+def test_live_docs_excluded_but_scores_unchanged(spark, micro):
+    """liveDocs: tombstoned docs vanish from results; surviving docs keep
+    the exact score they had against the full index (stats still count
+    deleted docs, Lucene-style)."""
+    from sparksearch.querying import parse_queries, score_logical
+
+    _, tf_df, dl_df, ts, _ = micro
+    q = parse_queries(spark, [(1, "hash merge scan")])
+    full = {r.doc_id: r.score for r in score_logical(q, tf_df, dl_df, ts).collect()}
+    live_tf = tf_df.filter(F.col("doc_id") != 2)  # tombstone doc 2
+    live = {
+        r.doc_id: r.score
+        for r in score_logical(q, live_tf, dl_df, ts).collect()
+    }
+    assert 2 in full and 2 not in live
+    for d, s in live.items():
+        assert s == pytest.approx(full[d], abs=0.0)
+
+
+def test_explain_contribs_sum_to_score(spark, docs_sf0001):
+    """Per-term explain contributions must sum (within rounding) to the
+    doc's total BM25 score from the flagship path."""
+    from sparksearch.build import tokenize_tf
+    from sparksearch.querying import parse_queries, score_logical
+    from sparksearch.stats import bm25_term_score_col, doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    qterms = parse_queries(spark, [(1, "hash join"), (2, "sort merge scan")])
+    top = score_logical(qterms, tf_df, dl_df, ts, k=3)
+    scores = {(r.query_id, r.doc_id): r.score for r in top.collect()}
+    qx = qterms.join(ts.select("term", "idf", "avgdl"), "term")
+    contrib = (
+        tf_df.join(F.broadcast(qx), "term")
+        .join(F.broadcast(top.select("query_id", "doc_id")), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", bm25_term_score_col(qtf="qtf").alias("c"))
+    )
+    sums: dict = {}
+    for r in contrib.collect():
+        sums[(r.query_id, r.doc_id)] = sums.get((r.query_id, r.doc_id), 0.0) + r.c
+    assert set(sums) == set(scores)
+    for key, s in sums.items():
+        assert s == pytest.approx(scores[key], abs=1e-9)
