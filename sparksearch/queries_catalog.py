@@ -1691,3 +1691,48 @@ WHERE r.rnk <= {EXPLAIN_DOCS}""",
         "— result set broadcast back against the query-term postings",
     ),
 })
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import cms_term_estimates
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    return cms_term_estimates(tf_df, ts).select(
+        "term",
+        F.col("cf_true").cast("long").alias("cf_true"),
+        F.col("cf_est").cast("long").alias("cf_est"),
+    )
+
+
+def _cms_h60_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 15))::BIGINT)"
+
+
+CATALOG.update({
+    "cms_term_counts": QuerySpec(
+        q_cms_term_counts,
+        f"""WITH {TOK_SQL.strip()},
+rowsrc AS (SELECT unnest(generate_series(0, 3)) AS row),
+keyed AS (
+  SELECT i.row,
+         {_cms_h60_sql("CAST(i.row AS VARCHAR) || ':' || p.term")} % 256 AS bucket,
+         p.tf
+  FROM postings p, rowsrc i
+),
+counters AS (
+  SELECT row, bucket, CAST(SUM(tf) AS BIGINT) AS cnt FROM keyed GROUP BY 1, 2
+),
+probes AS (
+  SELECT t.term, CAST(t.cf AS BIGINT) AS cf_true, i.row,
+         {_cms_h60_sql("CAST(i.row AS VARCHAR) || ':' || t.term")} % 256 AS bucket
+  FROM termstats t, rowsrc i
+)
+SELECT pr.term, pr.cf_true, MIN(c.cnt) AS cf_est
+FROM probes pr JOIN counters c ON pr.row = c.row AND pr.bucket = c.bucket
+GROUP BY 1, 2""",
+        "count-min sketch term counting (4×256, h60-keyed — deterministic "
+        "across engines/retries): map-combinable bounded-memory counters "
+        "for heavy-hitter accounting at any vocabulary size; point queries "
+        "joined back give cf_est >= cf_true by the sketch guarantee",
+    ),
+})

@@ -257,3 +257,72 @@ def expand_regexp_queries(
         .join(F.broadcast(rx), F.expr("rlike(term, pat)"), "inner")
         .select("query_id", "term", F.lit(1).alias("qtf"))
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_counters(
+    tf_df: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of collection term frequencies →
+    DF[row, bucket, cnt]: ``depth`` hash rows × ``width`` counters, each
+    counter the exact sum of tf over every term hashing into it. Hash row i
+    of term t is h60(i || ':' || t) % width — data-derived (the engine's
+    no-rand invariant), so the sketch is byte-identical across engines,
+    retries and partitionings.
+
+    This is the bounded-memory heavy-hitter structure for 10^12-doc
+    streams: the aggregation is map-combinable (depth × width partial
+    states per task, here 1024 longs) no matter how large the vocabulary —
+    the full dictionary never materializes."""
+    from .textpipe import h60
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    keyed = tf_df.select("term", "tf", rows).select(
+        "row",
+        F.pmod(
+            h60(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))),
+            F.lit(width),
+        ).alias("bucket"),
+        "tf",
+    )
+    return keyed.groupBy("row", "bucket").agg(F.sum("tf").cast("long").alias("cnt"))
+
+
+def cms_term_estimates(
+    tf_df: DataFrame,
+    term_stats: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query every dictionary term against the sketch →
+    DF[term, cf_true, cf_est]: cf_est = min over rows of the term's
+    counter, with the CMS guarantee cf_est ≥ cf_true (collisions only ever
+    inflate). The dictionary side broadcasts its (term, row, bucket) probes
+    against the (depth × width)-row counter table — both sides tiny, the
+    only big-data pass is the counter build itself."""
+    from .textpipe import h60
+
+    counters = cms_counters(tf_df, depth, width)
+    probes = term_stats.select("term", F.col("cf").cast("long").alias("cf_true")).select(
+        "term",
+        "cf_true",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).select(
+        "term",
+        "cf_true",
+        "row",
+        F.pmod(
+            h60(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(counters, ["row", "bucket"])
+        .groupBy("term", "cf_true")
+        .agg(F.min("cnt").alias("cf_est"))
+    )

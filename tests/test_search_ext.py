@@ -245,3 +245,39 @@ def test_explain_contribs_sum_to_score(spark, docs_sf0001):
     assert set(sums) == set(scores)
     for key, s in sums.items():
         assert s == pytest.approx(scores[key], abs=1e-9)
+
+
+# ----------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_never_under(spark, micro):
+    from sparksearch.search_ext import cms_term_estimates
+
+    _, tf_df, _, ts, _ = micro
+    rows = cms_term_estimates(tf_df, ts).collect()
+    assert len(rows) == 5  # vocab size
+    for r in rows:
+        assert r.cf_est >= r.cf_true  # the CMS guarantee
+
+
+def test_cms_exact_when_width_exceeds_vocab(spark, micro):
+    """With width >> vocab the chance of collision in ALL rows is nil for
+    this fixed vocabulary — estimates must be exact."""
+    from sparksearch.search_ext import cms_term_estimates
+
+    _, tf_df, _, ts, _ = micro
+    rows = cms_term_estimates(tf_df, ts, depth=4, width=1 << 20).collect()
+    for r in rows:
+        assert r.cf_est == r.cf_true
+
+
+def test_cms_counters_deterministic_and_mass_preserving(spark, micro):
+    from sparksearch.search_ext import cms_counters
+
+    _, tf_df, _, _, _ = micro
+    a = sorted(map(tuple, cms_counters(tf_df).collect()))
+    b = sorted(map(tuple, cms_counters(tf_df.repartition(7)).collect()))
+    assert a == b  # partitioning-invariant (h60 keying, exact sums)
+    total = 13  # total tokens in the micro corpus
+    for row in range(4):
+        assert sum(c for r, _, c in a if r == row) == total
