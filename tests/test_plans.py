@@ -136,3 +136,51 @@ def test_no_per_row_python_udf_anywhere(spark):
     plan = _plan(tokenize_pandas(df))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_synonym_postings_join_broadcasts(spark, docs_sf0001):
+    # The blended-group fetch must broadcast the tiny (query, group, term)
+    # table against the postings — at 10^12 docs a shuffle join here moves
+    # the whole postings table.
+    from sparksearch.build import tokenize_tf
+    from sparksearch.search_ext import synonym_topk
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(tt.filter("lead").select("doc_id", "dl")))
+    plan = _plan(synonym_topk(spark, [(1, [["hash", "join"]])], tf_df, ts))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_qlm_postings_join_broadcasts(spark, docs_sf0001, queries):
+    from sparksearch.build import tokenize_tf
+    from sparksearch.querying import parse_queries
+    from sparksearch.rankers import qlm_topk
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    plan = _plan(qlm_topk(parse_queries(spark, queries[:5]), tf_df, dl_df, ts))
+    # matched-postings join + per-query-const join both broadcast; the only
+    # shuffles are the (query, doc) aggregation and the top-k window.
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_dictionary_expansion_is_single_scan_broadcast(spark, docs_sf0001):
+    # Wildcard/fuzzy/regexp expansion: tiny query set broadcast against ONE
+    # linear dictionary scan — a BroadcastNestedLoopJoin over (vocab × tiny)
+    # with the predicate fused, never a shuffle of the dictionary.
+    from sparksearch.build import tokenize_tf
+    from sparksearch.search_ext import expand_fuzzy_queries
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(tt.filter("lead").select("doc_id", "dl")))
+    plan = _plan(expand_fuzzy_queries(spark, [(1, "jion")], ts))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
