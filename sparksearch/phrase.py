@@ -178,31 +178,18 @@ def build_positions(
     write_positions(tt, index_path, n_buckets, mode=mode)
 
 
-def phrase_topk_indexed(
-    spark, index_path: str, phrases: list[tuple[int, str]], k: int = 10,
-    slop: int = 0,
+def _pruned_position_fetch(
+    spark, index_path: str, qterm_pairs: set[tuple[int, str]]
 ) -> DataFrame:
-    """Index-backed batch phrase search → DF[query_id, rank, doc_id,
-    n_occurrences] — identical output to the logical ``phrase_topk``
-    (tested), but reads ONLY the phrase terms' position rows from the
-    bucketed sidecar (partition pruning on bucket + predicate pushdown on
-    term, like Q2), then checks adjacency with NumPy set intersections in
-    one grouped Arrow pass per doc shard."""
+    """Shared sidecar fetch for every index-backed positional query: read
+    ONLY the requested terms' position rows (partition pruning on bucket +
+    predicate pushdown on term, like Q2) and attach query_ids via a
+    broadcast join → DF[term, doc_id, npos, pos_blob, bucket, query_id]."""
+    import json
     import os
 
-    import numpy as np
-    import pandas as pd
-
-    qdefs = {int(qid): py_tokenize(p) for qid, p in phrases}
-    qdefs = {q: t for q, t in qdefs.items() if t}
-    if not qdefs:
-        return spark.createDataFrame(
-            [], "query_id long, rank long, doc_id long, n_occurrences long"
-        )
-    all_terms = sorted({t for ts in qdefs.values() for t in ts})
+    all_terms = sorted({t for _, t in qterm_pairs})
     pos = spark.read.parquet(os.path.join(index_path, "positions"))
-    import json
-
     with open(os.path.join(index_path, "positions_meta.json")) as f:
         n_buckets = int(json.load(f)["n_buckets"])
     # bucket per term — same deterministic hash as the writer, tiny job
@@ -217,10 +204,33 @@ def phrase_topk_indexed(
     )
     pruned = pos.filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
     qterms = spark.createDataFrame(
-        sorted({(q, t) for q, ts in qdefs.items() for t in ts}),
-        "query_id long, term string",
+        sorted(qterm_pairs), "query_id long, term string"
     )
-    joined = pruned.join(F.broadcast(qterms), "term")
+    return pruned.join(F.broadcast(qterms), "term")
+
+
+def phrase_topk_indexed(
+    spark, index_path: str, phrases: list[tuple[int, str]], k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """Index-backed batch phrase search → DF[query_id, rank, doc_id,
+    n_occurrences] — identical output to the logical ``phrase_topk``
+    (tested), but reads ONLY the phrase terms' position rows from the
+    bucketed sidecar (partition pruning on bucket + predicate pushdown on
+    term, like Q2), then checks adjacency with NumPy set intersections in
+    one grouped Arrow pass per doc shard."""
+    import numpy as np
+    import pandas as pd
+
+    qdefs = {int(qid): py_tokenize(p) for qid, p in phrases}
+    qdefs = {q: t for q, t in qdefs.items() if t}
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_occurrences long"
+        )
+    joined = _pruned_position_fetch(
+        spark, index_path, {(q, t) for q, ts in qdefs.items() for t in ts}
+    )
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import varint_decode
@@ -430,6 +440,79 @@ def span_near_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
     w = Window.partitionBy("query_id").orderBy(
         F.asc("min_span"), F.asc("doc_id")
     )
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "min_span")
+    )
+
+
+def span_near_topk_indexed(
+    spark, index_path: str, queries: list[tuple[int, str, int]], k: int = 10
+) -> DataFrame:
+    """Index-backed unordered span-near → DF[query_id, rank, doc_id,
+    min_span] — identical output to the logical ``span_near_topk`` (tested),
+    served from the positional sidecar: pruned (bucket, term) fetch, then
+    the minimal cover span per (query, doc) via the same right-endpoint
+    formulation vectorized in NumPy (k searchsorteds over the union of
+    occurrence positions) in one grouped Arrow pass per doc shard."""
+    import numpy as np
+    import pandas as pd
+
+    qdefs = {}
+    for qid, text, slop in queries:
+        terms = sorted(set(py_tokenize(text)))
+        if terms:
+            qdefs[int(qid)] = (terms, len(terms) - 1 + int(slop))
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, min_span long"
+        )
+    joined = _pruned_position_fetch(
+        spark, index_path, {(q, t) for q, (ts, _) in qdefs.items() for t in ts}
+    )
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import varint_decode
+
+        out_q, out_d, out_s = [], [], []
+        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
+            terms, bound = qdefs[int(qid)]
+            have = dict(zip(g["term"].values, g["pos_blob"].values))
+            if len(have) < len(terms):
+                continue  # some required term absent from this doc
+            arrs = [
+                np.cumsum(varint_decode(have[t]).astype(np.int64)) for t in terms
+            ]
+            all_pos = np.concatenate(arrs)
+            lasts = np.empty((len(arrs), all_pos.size), dtype=np.int64)
+            valid = np.ones(all_pos.size, dtype=bool)
+            for i, a in enumerate(arrs):
+                idx = np.searchsorted(a, all_pos, side="right")
+                valid &= idx > 0
+                lasts[i] = a[np.maximum(idx, 1) - 1]
+            if not valid.any():
+                continue
+            widths = all_pos[valid] - lasts[:, valid].min(axis=0)
+            ms = int(widths.min())
+            if ms <= bound:
+                out_q.append(int(qid))
+                out_d.append(int(doc_id))
+                out_s.append(ms)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "min_span": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    spans = (
+        joined.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(match, "query_id long, doc_id long, min_span long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("min_span"), F.asc("doc_id"))
     return (
         spans.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

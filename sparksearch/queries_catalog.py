@@ -1736,3 +1736,24 @@ GROUP BY 1, 2""",
         "joined back give cf_est >= cf_true by the sketch guarantee",
     ),
 })
+
+
+def q_span_near_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _positions_for
+    from .phrase import span_near_topk_indexed
+
+    return span_near_topk_indexed(
+        spark, _positions_for(spark, sf_dir), SPAN_QUERIES, k=K
+    )
+
+
+CATALOG.update({
+    "span_near_topk_indexed": QuerySpec(
+        q_span_near_topk_indexed,
+        span_near_oracle_sql(),
+        "index-backed unordered span-near: pruned (bucket, term) fetch from "
+        "the positional sidecar, minimal cover span vectorized in NumPy "
+        "(k searchsorteds over the occurrence union) per doc shard — "
+        "identical output to the logical path, physical-index plan",
+    ),
+})

@@ -313,3 +313,25 @@ def test_span_near_huge_slop_is_conjunctive_containment(spark, docs_sf0001):
         if {"sort", "merge"} <= set(py_tokenize(r.text))
     }
     assert got == exp
+
+
+def test_indexed_span_near_equals_logical(spark, docs_sf0001, tmp_path):
+    from sparksearch.phrase import build_positions, span_near_topk, span_near_topk_indexed
+
+    path = str(tmp_path / "posidx_sn")
+    build_positions(spark, docs_sf0001, path, n_buckets=8)
+    queries = [
+        (1, "hash join", 3),
+        (2, "scan filter query", 5),
+        (3, "sort merge", 0),
+        (4, "zzz join", 2),          # zzz absent -> no matches
+    ]
+    logical = {
+        (r.query_id, r.rank): (r.doc_id, r.min_span)
+        for r in span_near_topk(docs_sf0001, queries, k=10**9).collect()
+    }
+    indexed = {
+        (r.query_id, r.rank): (r.doc_id, r.min_span)
+        for r in span_near_topk_indexed(spark, path, queries, k=10**9).collect()
+    }
+    assert indexed == logical and logical
