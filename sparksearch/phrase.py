@@ -518,3 +518,89 @@ def span_near_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "min_span")
     )
+
+
+def _min_ordered_span(terms: list[str]) -> Column:
+    """Minimal ORDERED span (Lucene SpanNearQuery inOrder=true) over a bound
+    per-doc map column ``m: map<string, array<int>>``: the smallest
+    ``p_m − p_1`` with one occurrence per term at strictly increasing
+    positions in query order.
+
+    Vectorized greedy chase, all Catalyst array algebra: ``v1 = P_1``; then
+    level by level ``v_{i+1} = transform(v_i, p → min{q ∈ P_{i+1} : q > p})``
+    (greedy next-occurrence is optimal: any later choice only pushes the
+    chain right). A missing successor yields NULL, which the next level's
+    filter predicate propagates (q > NULL keeps nothing) and array_min
+    drops at the end. Each transform's input array is evaluated once per
+    row — the chain is linear in #terms, not nested-quadratic."""
+
+    def pos(t: str) -> Column:
+        return F.coalesce(F.element_at(F.col("m"), t), F.array().cast("array<int>"))
+
+    def chase(t: str):
+        # closure factory, NOT default-arg lambdas: PySpark derives the
+        # higher-order-function arity from the lambda's full signature, so a
+        # `lambda p, _t=t:` would be called as the 2-arg (element, index)
+        # form and _t would silently receive the index column.
+        return lambda p: F.array_min(F.filter(pos(t), lambda q: q > p))
+
+    chain = pos(terms[0])
+    for t in terms[1:]:
+        chain = F.transform(chain, chase(t))
+    return F.array_min(F.zip_with(pos(terms[0]), chain, lambda a, b: b - a))
+
+
+def span_near_ordered_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
+                           k: int = 10, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Ordered proximity retrieval (Lucene SpanNearQuery, inOrder=true)
+    → DF[query_id, rank, doc_id, min_span]: docs where one occurrence of
+    each query term appears in QUERY ORDER (strictly increasing positions)
+    within a window of span ≤ (k_terms−1) + slop, ranked tightest-first.
+
+    Terms keep their first-appearance order in the query text (duplicates
+    collapse to the first occurrence). Same single-corpus-pass batch shape
+    as ``span_near_topk``: one per-doc term→positions map, every query's
+    minimal ordered span a column expression over it."""
+    spark = docs.sparkSession
+    qdefs = {}
+    for qid, text, slop in queries:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        if terms:
+            qdefs[int(qid)] = (terms, int(slop))
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, min_span long"
+        )
+    all_terms = sorted({t for ts, _ in qdefs.values() for t in ts})
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(len(terms) - 1 + slop).cast("long").alias("max_span"),
+                _min_ordered_span(terms).cast("long").alias("min_span"),
+            )
+            for qid, (terms, slop) in sorted(qdefs.items())
+        ]
+    )
+    spans = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.min_span").alias("min_span"),
+                F.col("e.max_span").alias("max_span"))
+        .filter(F.col("min_span") <= F.col("max_span"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("min_span"), F.asc("doc_id")
+    )
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "min_span")
+    )

@@ -1757,3 +1757,84 @@ CATALOG.update({
         "identical output to the logical path, physical-index plan",
     ),
 })
+
+
+#: Ordered-proximity query set: (query_id, text, slop). A doc matches when
+#: one occurrence of each term appears in QUERY ORDER (strictly increasing
+#: positions) within span <= (k_terms-1)+slop. Pairs 1/2 and 3/4 are term
+#: reversals of each other — ordered semantics make them distinct queries
+#: (the unordered operator would return identical results for each pair).
+SPAN_ORDERED_QUERIES = [
+    (1, "hash join", 3),
+    (2, "join hash", 3),
+    (3, "scan filter query", 6),
+    (4, "query filter scan", 6),
+    (5, "customer order line", 8),
+]
+
+
+def q_span_near_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .phrase import span_near_ordered_topk
+
+    return span_near_ordered_topk(_docs(spark, sf_dir), SPAN_ORDERED_QUERIES, k=K)
+
+
+def span_near_ordered_oracle_sql() -> str:
+    """Brute-force ordered oracle GENERATED from the same query list: min of
+    (p_last − p_first) over the cross product of one-position-per-term
+    choices constrained to strictly increasing positions in query order —
+    an independent formulation of the Spark side's greedy chase (greedy is
+    optimal per start position, so the minima agree)."""
+    parts = []
+    for qid, text, slop in SPAN_ORDERED_QUERIES:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        span = len(terms) - 1 + slop
+        aliases = [f"t{i}" for i in range(len(terms))]
+        frm = f"(SELECT doc_id, pos FROM occ WHERE term = '{terms[0]}') t0"
+        for i in range(1, len(terms)):
+            a, prev = aliases[i], aliases[i - 1]
+            frm += (
+                f" JOIN (SELECT doc_id, pos FROM occ WHERE term = '{terms[i]}') {a}"
+                f" ON {a}.doc_id = t0.doc_id AND {a}.pos > {prev}.pos"
+            )
+        last = aliases[-1]
+        parts.append(
+            f"""SELECT {qid} AS query_id, t0.doc_id,
+       MIN({last}.pos - t0.pos) AS min_span
+FROM {frm}
+GROUP BY 1, 2 HAVING MIN({last}.pos - t0.pos) <= {span}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, min_span,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY min_span ASC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(min_span AS BIGINT) AS min_span
+FROM rnkd WHERE rnk <= {K}"""
+
+
+CATALOG.update({
+    "span_near_ordered_topk": QuerySpec(
+        q_span_near_ordered_topk,
+        span_near_ordered_oracle_sql(),
+        "ordered proximity retrieval (Lucene SpanNearQuery inOrder=true): "
+        "one occurrence per term at strictly increasing positions in query "
+        "order within span <= (k-1)+slop, ranked tightest-first — "
+        "vectorized greedy next-occurrence chase in Catalyst array algebra "
+        "vs the oracle's order-constrained brute-force cross product",
+    ),
+})

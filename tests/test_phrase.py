@@ -335,3 +335,79 @@ def test_indexed_span_near_equals_logical(spark, docs_sf0001, tmp_path):
         for r in span_near_topk_indexed(spark, path, queries, k=10**9).collect()
     }
     assert indexed == logical and logical
+
+
+def _brute_min_ordered_span(toks: list[str], terms: list[str]):
+    import itertools
+
+    plists = [[i + 1 for i, t in enumerate(toks) if t == q] for q in terms]
+    if any(not p for p in plists):
+        return None
+    spans = [
+        c[-1] - c[0]
+        for c in itertools.product(*plists)
+        if all(a < b for a, b in zip(c, c[1:]))
+    ]
+    return min(spans) if spans else None
+
+
+def test_span_near_ordered_hand_math(spark):
+    from sparksearch.phrase import span_near_ordered_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash x x join"),          # ordered span 3
+            (1, "join hash"),              # wrong order -> no ordered match
+            (2, "join hash x join"),       # hash@2 -> join@4: span 2 (greedy
+                                           # must skip the leading join)
+            (3, "hash x x x x join"),      # span 5 — over slop-3 budget
+            (4, "hash only here"),         # missing 'join'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.query_id, r.doc_id): (r.rank, r.min_span)
+        for r in span_near_ordered_topk(docs, [(1, "hash join", 3)]).collect()
+    }
+    assert out == {(1, 2): (1, 2), (1, 0): (2, 3)}
+
+
+def test_span_near_ordered_matches_brute_force(spark, docs_sf0001):
+    from sparksearch.phrase import span_near_ordered_topk
+    from sparksearch.tokenize import py_tokenize
+
+    queries = [(1, "hash join", 2), (2, "join hash", 2),
+               (3, "scan filter query", 5)]
+    got = {
+        (r.query_id, r.doc_id): r.min_span
+        for r in span_near_ordered_topk(docs_sf0001, queries, k=10**9).collect()
+    }
+    texts = {r.doc_id: py_tokenize(r.text) for r in docs_sf0001.collect()}
+    exp = {}
+    for qid, text, slop in queries:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        bound = len(terms) - 1 + slop
+        for did, toks in texts.items():
+            ms = _brute_min_ordered_span(toks, terms)
+            if ms is not None and ms <= bound:
+                exp[(qid, did)] = ms
+    assert got == exp
+
+
+def test_span_near_ordered_dominated_by_unordered(spark, docs_sf0001):
+    """Ordered chains are a subset of unordered selections: every ordered
+    match is an unordered match, with ordered min_span >= unordered."""
+    from sparksearch.phrase import span_near_ordered_topk, span_near_topk
+
+    q = [(1, "hash join", 4), (2, "scan filter query", 6)]
+    unordered = {
+        (r.query_id, r.doc_id): r.min_span
+        for r in span_near_topk(docs_sf0001, q, k=10**9).collect()
+    }
+    ordered = {
+        (r.query_id, r.doc_id): r.min_span
+        for r in span_near_ordered_topk(docs_sf0001, q, k=10**9).collect()
+    }
+    assert ordered, "fixture should produce ordered matches"
+    for key, ms in ordered.items():
+        assert key in unordered and ms >= unordered[key]
