@@ -1838,3 +1838,215 @@ CATALOG.update({
         "vs the oracle's order-constrained brute-force cross product",
     ),
 })
+
+
+#: The `scored` CTE of BM25_SCORE_SQL alone (no ranking window) — the shared
+#: base for result-shaping variants that rank AFTER collapsing/boosting.
+BM25_SCORED_SQL = BM25_SCORE_SQL.strip().rsplit(",\nranked AS", 1)[0]
+
+
+def q_bm25_topk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import collapse_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    df = collapse_topk(qterms, tf_df, dl_df, ts, meta, "source", k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.round("score", 6).alias("score"),
+    )
+
+
+MSM_N = 2
+
+
+def q_bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import msm_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = msm_topk(qterms, tf_df, dl_df, ts, msm=MSM_N, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import function_score_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    df = function_score_topk(qterms, tf_df, dl_df, ts, meta, "n_chars", k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import dismax_topk
+
+    _, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = dismax_topk(qterms, _docs(spark, sf_dir), dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+CATALOG.update({
+    "bm25_topk_collapse": QuerySpec(
+        q_bm25_topk_collapse,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+meta AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+grp AS (
+  SELECT s.query_id, s.doc_id, m.source, s.score,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id, m.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN meta m USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM grp WHERE rn = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, source, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "field collapsing (ES collapse): top-10 keeping only the best-"
+        "scoring doc per (query, source) — result-time dedup by metadata "
+        "field; best-per-group + per-query windows under the engine total "
+        "order, metadata joined onto matched docs only",
+    ),
+    "bm25_topk_msm": QuerySpec(
+        q_bm25_topk_msm,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score,
+         COUNT(DISTINCT q.term) AS n_hit
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored WHERE n_hit >= {MSM_N}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        f"minimum_should_match={MSM_N} retrieval (Lucene BooleanQuery msm): "
+        "docs matching >= 2 distinct resolved terms, BM25 over the matches "
+        "— between the disjunctive (msm=1) and conjunctive (msm=n) paths, "
+        "same broadcast-against-postings plan",
+    ),
+    "bm25_function_score": QuerySpec(
+        q_bm25_function_score,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+meta AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars FROM documents),
+final AS (
+  SELECT s.query_id, s.doc_id, s.score * LN(1.0 + m.n_chars) AS score
+  FROM scored s JOIN meta m USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "function_score field_value_factor (ES): final = bm25 * ln(1 + "
+        "n_chars), multiply mode — static per-doc signals folded into "
+        "relevance without touching the index; factor join hits matched "
+        "docs only (ln(1+int) is bitwise log1p for integer factors)",
+    ),
+    "dismax_topk": QuerySpec(
+        q_dismax_topk,
+        f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+occ AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+ftf AS (
+  SELECT doc_id, dl, term,
+         SUM(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS tf_t,
+         SUM(CASE WHEN pos > 5 THEN 1 ELSE 0 END) AS tf_b
+  FROM occ GROUP BY 1, 2, 3
+),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tokd WHERE len(ts) > 0),
+termstats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+  FROM occ GROUP BY 1
+),
+favg AS (
+  SELECT CAST(SUM(LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_t,
+         CAST(SUM(dl - LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_b
+  FROM tokd, LATERAL (SELECT len(ts) AS dl) WHERE dl > 0
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id, q.qtf * (GREATEST(s_t, s_b)
+         + 0.3 * (s_t + s_b - GREATEST(s_t, s_b))) AS s
+  FROM ftf f
+  JOIN q USING (term)
+  JOIN termstats t USING (term)
+  CROSS JOIN favg
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN favg.avg_t > 0 AND f.tf_t > 0
+                THEN t.idf * f.tf_t * 2.2
+                     / (f.tf_t + 1.2 * (0.25 + 0.75 * LEAST(f.dl, 5) / favg.avg_t))
+                ELSE 0.0 END AS s_t,
+           CASE WHEN favg.avg_b > 0 AND f.tf_b > 0
+                THEN t.idf * f.tf_b * 2.2
+                     / (f.tf_b + 1.2 * (0.25 + 0.75 * (f.dl - LEAST(f.dl, 5)) / favg.avg_b))
+                ELSE 0.0 END AS s_b
+  )
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(s) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "disjunction-max multi-field retrieval (Lucene DisjunctionMaxQuery "
+        "/ ES best_fields, tie_breaker=0.3): per-field BM25 saturation "
+        "(title = first 5 tokens, body = rest), best field wins per term — "
+        "vs BM25F's blend-before-saturation; same one-pass field-tf plan",
+    ),
+})

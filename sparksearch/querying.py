@@ -67,11 +67,25 @@ def score_logical(
     fixture scale, sort-merge at cluster scale — Catalyst/AQE decides);
     groupBy(query_id, doc_id) is partial+final; top-k is a window per query.
     """
+    return topk_per_query(score_all(qterms, tf_df, dl_df, term_stats), k)
+
+
+def score_all(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+) -> DataFrame:
+    """The pre-rank scored frame DF[query_id, doc_id, score] behind
+    score_logical — exposed so ranking variants (field collapsing,
+    minimum_should_match, function_score, rescoring) reuse the exact same
+    broadcast-against-postings plan and float behavior instead of
+    re-deriving BM25."""
     q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
     contrib = _attach_dl(
         tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df
     )
-    scored = (
+    return (
         contrib.select(
             "query_id",
             "doc_id",
@@ -80,7 +94,6 @@ def score_logical(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"))
     )
-    return topk_per_query(scored, k)
 
 
 def _attach_dl(contrib: DataFrame, tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:

@@ -1,0 +1,211 @@
+"""Result-shaping and score-shaping retrieval variants on top of the
+flagship BM25 path: field collapsing, minimum_should_match, function_score
+(field-value-factor), and disjunction-max (DisMax) multi-field scoring —
+the Elasticsearch/Lucene result-quality toolkit.
+
+All four reuse ``querying.score_all``'s plan skeleton (broadcast the tiny
+per-query term table against the postings; one partial+final aggregation
+per (query, doc)) so nothing here adds a corpus-sized shuffle beyond what
+the flagship already pays:
+
+* collapse/function_score join document METADATA (a narrow forward-index
+  projection) onto the matched-doc set only — at cluster scale that is a
+  doc_id-keyed join of |matches| rows against a column-pruned scan, never
+  text.
+* minimum_should_match is the conjunctive plan with the n_hit predicate
+  relaxed — identical shuffle structure.
+* dismax computes both fields' tf in the SAME single posexplode+groupBy
+  pass bm25f uses (no second corpus pass), then takes max + tie_break
+  instead of blending before saturation.
+
+Float discipline matches the long-green BM25 entries: per-row ln/division,
+sums only over a query's few matched terms, ROUND(…, 6) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .querying import score_all, topk_per_query
+from .rankers import BM25F_TITLE_LEN
+from .tokenize import tokens_col
+
+
+def collapse_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    doc_meta: DataFrame,
+    collapse_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse``) →
+    DF[query_id, rank, doc_id, <collapse_col>, score]: the top-k results
+    keeping only the best-scoring document per (query, collapse-key) —
+    dedup-by-field at result time, e.g. one hit per source/site/domain.
+
+    Two windows: best-per-group under the engine total order
+    (score DESC, doc_id ASC), then the usual per-query top-k over the
+    group winners. The metadata join touches only matched docs."""
+    scored = score_all(qterms, tf_df, dl_df, term_stats).join(
+        doc_meta.select(F.col("doc_id").cast("long").alias("doc_id"), collapse_col),
+        "doc_id",
+    )
+    wg = Window.partitionBy("query_id", collapse_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", collapse_col, "score")
+    )
+
+
+def msm_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    msm: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """minimum_should_match retrieval (Lucene BooleanQuery.setMinimumNumber-
+    ShouldMatch) → DF[query_id, rank, doc_id, score]: docs matching at
+    least ``msm`` DISTINCT resolved query terms, BM25-scored over the
+    matches. Lucene semantics exactly: a query with fewer resolved optional
+    clauses than ``msm`` matches nothing (no silent cap). msm=1 degenerates
+    to the disjunctive flagship; msm=n_terms to the conjunctive path."""
+    from .querying import _attach_dl
+    from .stats import bm25_term_score_col
+
+    q = qterms.join(term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner")
+    contrib = _attach_dl(tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df)
+    scored = (
+        contrib.select(
+            "query_id", "doc_id", "term",
+            bm25_term_score_col(qtf="qtf").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("n_hit"))
+        .filter(F.col("n_hit") >= msm)
+        .select("query_id", "doc_id", "score")
+    )
+    return topk_per_query(scored, k)
+
+
+def function_score_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    doc_meta: DataFrame,
+    factor_col: str = "n_chars",
+    k: int = 10,
+) -> DataFrame:
+    """function_score with a field_value_factor (Elasticsearch), multiply
+    mode with a log1p modifier → DF[query_id, rank, doc_id, score]:
+
+        final = bm25 · ln(1 + factor_col)
+
+    Static document signals (length priors, pagerank-style quality, click
+    counts) folded into relevance without touching the index. The factor
+    join hits only matched docs; the factor column is a pruned scan."""
+    scored = score_all(qterms, tf_df, dl_df, term_stats).join(
+        doc_meta.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(factor_col).cast("double").alias("_fv"),
+        ),
+        "doc_id",
+    )
+    final = scored.select(
+        "query_id", "doc_id",
+        (F.col("score") * F.log1p(F.col("_fv"))).alias("score"),
+    )
+    return topk_per_query(final, k)
+
+
+DISMAX_TIE_BREAK = 0.3
+
+
+def dismax_topk(
+    qterms: DataFrame,
+    docs: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+    title_len: int = BM25F_TITLE_LEN,
+    tie_break: float = DISMAX_TIE_BREAK,
+) -> DataFrame:
+    """Disjunction-max multi-field retrieval (Lucene DisjunctionMaxQuery /
+    ES ``best_fields``) → DF[query_id, rank, doc_id, score]: each term
+    scores independently per field (title = first ``title_len`` tokens,
+    body = rest — the same deterministic positional split as BM25F), then
+
+        term_score = max_f s_f + tie_break · (Σ_f s_f − max_f s_f)
+        score      = Σ_t qtf · term_score
+
+    Where BM25F blends tf across fields BEFORE saturation (combined_fields),
+    DisMax saturates per field and takes the best — the classic
+    best-field-wins behavior for short-field boosting.
+
+    Per-field BM25 uses the engine's k1/b with field-specific length
+    normalization (field length / field avg length); idf is the document-
+    level idf (fields partition the token stream, so df is unchanged).
+    Plan: ONE tokenize + posexplode + conditional-sum groupBy (shared shape
+    with bm25f_topk), field averages a 1-row broadcast, query join
+    broadcast-against-postings."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col("text").alias("toks"),
+    )
+    occ = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    ftf = occ.groupBy("doc_id", "term").agg(
+        F.sum(F.when(F.col("pos") < title_len, 1).otherwise(0)).alias("tf_t"),
+        F.sum(F.when(F.col("pos") >= title_len, 1).otherwise(0)).alias("tf_b"),
+        F.max("dl").alias("dl"),
+    )
+    lt = F.least(F.col("dl"), F.lit(title_len))
+    favg = dl_df.agg(
+        (F.sum(lt).cast("double") / F.count(F.lit(1))).alias("avg_t"),
+        (F.sum(F.col("dl") - lt).cast("double") / F.count(F.lit(1))).alias("avg_b"),
+    )
+    q = qterms.join(term_stats.select("term", "idf"), "term", "inner")
+    b, k1 = F.lit(BM25_B), F.lit(BM25_K1)
+    len_t = F.least(F.col("dl"), F.lit(title_len))
+    len_b = F.col("dl") - len_t
+
+    def field_score(tf: Column, flen: Column, favg_c: Column) -> Column:
+        # idf · tf·(k1+1) / (tf + k1·(1−b + b·len/avg)); 0 when the field is
+        # empty corpus-wide (avg 0) or the term is absent from the field.
+        norm = tf * (k1 + F.lit(1.0)) / (
+            tf + k1 * (F.lit(1.0) - b + b * flen / favg_c)
+        )
+        return F.when((favg_c > 0) & (tf > 0), F.col("idf") * norm).otherwise(
+            F.lit(0.0)
+        )
+
+    s_t = field_score(F.col("tf_t"), len_t, F.col("avg_t"))
+    s_b = field_score(F.col("tf_b"), len_b, F.col("avg_b"))
+    term_score = F.greatest(s_t, s_b) + F.lit(tie_break) * (
+        s_t + s_b - F.greatest(s_t, s_b)
+    )
+    contrib = (
+        ftf.join(F.broadcast(q), "term", "inner")
+        .crossJoin(F.broadcast(favg))
+        .select("query_id", "doc_id", (F.col("qtf") * term_score).alias("s"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    return topk_per_query(scored, k)

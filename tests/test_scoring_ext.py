@@ -1,0 +1,135 @@
+"""Semantic properties of the result/score-shaping family (scoring_ext):
+degenerate-parameter identities against the flagship paths, plus hand-math
+collapsing behavior. Catalog-level DuckDB equality runs in test_operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.querying import parse_queries, score_logical, score_logical_conjunctive
+from sparksearch.stats import corpus_stats
+
+QUERIES = [(1, "hash join"), (2, "scan filter query"), (3, "sort merge")]
+
+
+@pytest.fixture(scope="module")
+def stats(docs_sf0001):
+    tf_df, dl_df, ts, gs = corpus_stats(docs_sf0001)
+    tf_df = tf_df.persist()
+    yield tf_df, dl_df, ts
+    tf_df.unpersist()
+
+
+def _ranks(df):
+    return {(r.query_id, r.rank): (r.doc_id, round(r.score, 9)) for r in df.collect()}
+
+
+def test_msm_1_is_disjunctive(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import msm_topk
+
+    tf_df, dl_df, ts = stats
+    q = parse_queries(spark, QUERIES)
+    assert _ranks(msm_topk(q, tf_df, dl_df, ts, msm=1, k=20)) == _ranks(
+        score_logical(q, tf_df, dl_df, ts, k=20)
+    )
+
+
+def test_msm_nterms_is_conjunctive(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import msm_topk
+
+    tf_df, dl_df, ts = stats
+    # single multi-term query so msm = its resolved term count exactly
+    q = parse_queries(spark, [(1, "scan filter query")])
+    n = q.count()
+    assert _ranks(msm_topk(q, tf_df, dl_df, ts, msm=n, k=20)) == _ranks(
+        score_logical_conjunctive(q, tf_df, dl_df, ts, k=20)
+    )
+
+
+def test_msm_exceeding_terms_matches_nothing(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import msm_topk
+
+    tf_df, dl_df, ts = stats
+    q = parse_queries(spark, [(1, "hash join")])
+    assert msm_topk(q, tf_df, dl_df, ts, msm=5, k=20).count() == 0
+
+
+def test_collapse_hand_math(spark):
+    from sparksearch.scoring_ext import collapse_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash hash hash", "a"),   # best of source a for 'hash'
+            (1, "hash hash x y z", "a"),  # suppressed: same source, lower tf
+            (2, "hash x", "b"),           # best of source b
+            (3, "x y", "b"),              # no match
+        ],
+        "doc_id long, text string, source string",
+    )
+    tf_df, dl_df, ts, _ = corpus_stats(docs)
+    q = parse_queries(spark, [(1, "hash")])
+    out = collapse_topk(q, tf_df, dl_df, ts, docs.select("doc_id", "source"),
+                        "source", k=10)
+    rows = {(r.rank): (r.doc_id, r.source) for r in out.collect()}
+    assert rows == {1: (0, "a"), 2: (2, "b")}
+    # without collapsing, doc 1 would also rank
+    flat = {r.doc_id for r in score_logical(q, tf_df, dl_df, ts, k=10).collect()}
+    assert flat == {0, 1, 2}
+
+
+def test_function_score_is_bm25_times_log1p(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import function_score_topk
+
+    tf_df, dl_df, ts = stats
+    q = parse_queries(spark, QUERIES)
+    meta = docs_sf0001.select("doc_id", "n_chars")
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in function_score_topk(q, tf_df, dl_df, ts, meta, k=10**9).collect()
+    }
+    base = {
+        (r.query_id, r.doc_id): r.score
+        for r in score_logical(q, tf_df, dl_df, ts, k=10**9).collect()
+    }
+    nchars = {r.doc_id: r.n_chars for r in meta.collect()}
+    assert got
+    for (qid, did), s in got.items():
+        assert s == pytest.approx(base[(qid, did)] * math.log1p(nchars[did]), rel=1e-12)
+
+
+def test_dismax_degenerates_to_bm25_without_title_field(spark, docs_sf0001, stats):
+    """title_len=0 ⇒ every token is body, body avg = avgdl ⇒ the per-field
+    saturation IS the engine BM25 formula: ranks and scores must match the
+    flagship exactly (any tie_break: the max is over one field)."""
+    from sparksearch.scoring_ext import dismax_topk
+
+    tf_df, dl_df, ts = stats
+    q = parse_queries(spark, QUERIES)
+    dm = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in dismax_topk(q, docs_sf0001, dl_df, ts, k=20, title_len=0).collect()
+    }
+    assert dm == _ranks(score_logical(q, tf_df, dl_df, ts, k=20))
+
+
+def test_dismax_title_hit_beats_body_hit(spark):
+    from sparksearch.scoring_ext import dismax_topk
+
+    # doc 0 hits 'hash' in a longer-than-average body (norm > 1 damps it);
+    # doc 1 hits it in the title at exactly average title length (norm = 1).
+    # The title hit must outrank DESPITE the higher doc_id — i.e. by score,
+    # not by the (score DESC, doc_id ASC) tie-break.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j hash"),
+            (1, "hash a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    tf_df, dl_df, ts, _ = corpus_stats(docs)
+    q = parse_queries(spark, [(1, "hash")])
+    out = {r.rank: r.doc_id for r in dismax_topk(q, docs, dl_df, ts, k=2).collect()}
+    assert out[1] == 1 and out[2] == 0
