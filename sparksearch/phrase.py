@@ -604,3 +604,151 @@ def span_near_ordered_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "min_span")
     )
+
+
+def span_near_ordered_topk_indexed(
+    spark, index_path: str, queries: list[tuple[int, str, int]], k: int = 10
+) -> DataFrame:
+    """Index-backed ORDERED span-near → DF[query_id, rank, doc_id,
+    min_span] — identical output to the logical ``span_near_ordered_topk``
+    (tested), served from the positional sidecar: pruned (bucket, term)
+    fetch, then the greedy next-occurrence chase vectorized in NumPy (one
+    searchsorted per query term over ALL start positions at once) in one
+    grouped Arrow pass per doc shard."""
+    import numpy as np
+    import pandas as pd
+
+    qdefs = {}
+    for qid, text, slop in queries:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        if terms:
+            qdefs[int(qid)] = (terms, len(terms) - 1 + int(slop))
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, min_span long"
+        )
+    joined = _pruned_position_fetch(
+        spark, index_path, {(q, t) for q, (ts, _) in qdefs.items() for t in ts}
+    )
+    SENTINEL = np.int64(2**62)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import varint_decode
+
+        out_q, out_d, out_s = [], [], []
+        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
+            terms, bound = qdefs[int(qid)]
+            have = dict(zip(g["term"].values, g["pos_blob"].values))
+            if len(have) < len(terms):
+                continue  # some required term absent from this doc
+            arrs = [
+                np.cumsum(varint_decode(have[t]).astype(np.int64)) for t in terms
+            ]
+            # greedy chase: v[j] = end of the minimal ordered chain that
+            # starts at arrs[0][j]; a broken chain saturates at SENTINEL
+            # (searchsorted keeps returning len(a), so it stays broken).
+            v = arrs[0]
+            for a in arrs[1:]:
+                idx = np.searchsorted(a, v, side="right")
+                v = np.where(idx < a.size, a[np.minimum(idx, a.size - 1)], SENTINEL)
+            spans = v - arrs[0]
+            ms = int(spans.min())
+            if ms <= bound:
+                out_q.append(int(qid))
+                out_d.append(int(doc_id))
+                out_s.append(ms)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "min_span": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    spans = (
+        joined.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(match, "query_id long, doc_id long, min_span long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("min_span"), F.asc("doc_id"))
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "min_span")
+    )
+
+
+def _min_ordered_end(terms: list[str]) -> Column:
+    """Minimal END position of an ordered chain (one occurrence per term at
+    strictly increasing positions in query order) over the bound per-doc map
+    column ``m`` — the same greedy chase as _min_ordered_span, but the
+    answer is min over starts of the chain's LAST position (greedy minimizes
+    the end for each start, so the min over starts is the global min end)."""
+
+    def pos(t: str) -> Column:
+        return F.coalesce(F.element_at(F.col("m"), t), F.array().cast("array<int>"))
+
+    def chase(t: str):
+        return lambda p: F.array_min(F.filter(pos(t), lambda q: q > p))
+
+    chain = pos(terms[0])
+    for t in terms[1:]:
+        chain = F.transform(chain, chase(t))
+    return F.array_min(chain)
+
+
+def span_first_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
+                    k: int = 10, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Position-limited retrieval (Lucene SpanFirstQuery) →
+    DF[query_id, rank, doc_id, first_end]: docs where an ordered occurrence
+    of the query terms COMPLETES within the first ``limit`` positions
+    (1-based end position ≤ limit), ranked earliest-completion-first.
+    Single-term queries degenerate to "term within the first N tokens" —
+    the classic lead-paragraph / headline restriction.
+
+    Same single-corpus-pass batch shape as the span-near family: one
+    per-doc term→positions map, every query's minimal chain end a column
+    expression over it."""
+    spark = docs.sparkSession
+    qdefs = {}
+    for qid, text, limit in queries:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        if terms:
+            qdefs[int(qid)] = (terms, int(limit))
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, first_end long"
+        )
+    all_terms = sorted({t for ts, _ in qdefs.values() for t in ts})
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(limit).cast("long").alias("limit"),
+                _min_ordered_end(terms).cast("long").alias("first_end"),
+            )
+            for qid, (terms, limit) in sorted(qdefs.items())
+        ]
+    )
+    spans = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.first_end").alias("first_end"),
+                F.col("e.limit").alias("limit"))
+        .filter(F.col("first_end") <= F.col("limit"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("first_end"), F.asc("doc_id")
+    )
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "first_end")
+    )

@@ -2050,3 +2050,95 @@ FROM ranked WHERE rnk <= {K}""",
         "vs BM25F's blend-before-saturation; same one-pass field-tf plan",
     ),
 })
+
+
+def q_span_near_ordered_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _positions_for
+    from .phrase import span_near_ordered_topk_indexed
+
+    return span_near_ordered_topk_indexed(
+        spark, _positions_for(spark, sf_dir), SPAN_ORDERED_QUERIES, k=K
+    )
+
+
+#: SpanFirstQuery set: (query_id, text, limit) — an ordered occurrence of
+#: the terms must COMPLETE within the first `limit` token positions.
+SPAN_FIRST_QUERIES = [
+    (1, "hash", 3),
+    (2, "table", 1),
+    (3, "hash join", 12),
+    (4, "key value", 10),
+    (5, "scan filter", 20),
+]
+
+
+def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .phrase import span_first_topk
+
+    return span_first_topk(_docs(spark, sf_dir), SPAN_FIRST_QUERIES, k=K)
+
+
+def span_first_oracle_sql() -> str:
+    """Brute-force SpanFirst oracle GENERATED from the same query list: min
+    chain END over the order-constrained cross product, kept when it lands
+    within the first `limit` positions."""
+    parts = []
+    for qid, text, limit in SPAN_FIRST_QUERIES:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        aliases = [f"t{i}" for i in range(len(terms))]
+        frm = f"(SELECT doc_id, pos FROM occ WHERE term = '{terms[0]}') t0"
+        for i in range(1, len(terms)):
+            a, prev = aliases[i], aliases[i - 1]
+            frm += (
+                f" JOIN (SELECT doc_id, pos FROM occ WHERE term = '{terms[i]}') {a}"
+                f" ON {a}.doc_id = t0.doc_id AND {a}.pos > {prev}.pos"
+            )
+        last = aliases[-1]
+        parts.append(
+            f"""SELECT {qid} AS query_id, t0.doc_id,
+       MIN({last}.pos) AS first_end
+FROM {frm}
+GROUP BY 1, 2 HAVING MIN({last}.pos) <= {limit}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, first_end,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY first_end ASC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(first_end AS BIGINT) AS first_end
+FROM rnkd WHERE rnk <= {K}"""
+
+
+CATALOG.update({
+    "span_near_ordered_topk_indexed": QuerySpec(
+        q_span_near_ordered_topk_indexed,
+        span_near_ordered_oracle_sql(),
+        "index-backed ordered span-near: pruned (bucket, term) fetch from "
+        "the positional sidecar, greedy next-occurrence chase vectorized in "
+        "NumPy (one searchsorted per term over all starts) per doc shard — "
+        "identical output to the logical path, physical-index plan",
+    ),
+    "span_first_topk": QuerySpec(
+        q_span_first_topk,
+        span_first_oracle_sql(),
+        "position-limited retrieval (Lucene SpanFirstQuery): an ordered "
+        "occurrence of the terms must complete within the first N token "
+        "positions (headline/lead-paragraph restriction), ranked earliest-"
+        "completion-first — minimal chain end via the same greedy chase, "
+        "vs the oracle's order-constrained cross product",
+    ),
+})

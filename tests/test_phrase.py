@@ -411,3 +411,69 @@ def test_span_near_ordered_dominated_by_unordered(spark, docs_sf0001):
     assert ordered, "fixture should produce ordered matches"
     for key, ms in ordered.items():
         assert key in unordered and ms >= unordered[key]
+
+
+def test_indexed_ordered_span_near_equals_logical(spark, docs_sf0001, tmp_path):
+    from sparksearch.phrase import (
+        build_positions,
+        span_near_ordered_topk,
+        span_near_ordered_topk_indexed,
+    )
+
+    path = str(tmp_path / "posidx_osn")
+    build_positions(spark, docs_sf0001, path, n_buckets=8)
+    queries = [
+        (1, "hash join", 3),
+        (2, "join hash", 3),             # reversal — distinct ordered result
+        (3, "scan filter query", 5),
+        (4, "zzz join", 2),              # zzz absent -> no matches
+    ]
+    logical = {
+        (r.query_id, r.rank): (r.doc_id, r.min_span)
+        for r in span_near_ordered_topk(docs_sf0001, queries, k=10**9).collect()
+    }
+    indexed = {
+        (r.query_id, r.rank): (r.doc_id, r.min_span)
+        for r in span_near_ordered_topk_indexed(
+            spark, path, queries, k=10**9
+        ).collect()
+    }
+    assert indexed == logical and logical
+
+
+def test_span_first_hand_math(spark):
+    from sparksearch.phrase import span_first_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join x y"),        # chain ends at pos 2
+            (1, "x hash y join"),        # ends at pos 4 — over limit 3
+            (2, "x hash join"),          # ends at pos 3
+            (3, "join hash join x"),     # hash@2 -> join@3
+            (4, "hash x y z"),           # no join
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.query_id, r.doc_id): (r.rank, r.first_end)
+        for r in span_first_topk(docs, [(1, "hash join", 3)]).collect()
+    }
+    assert out == {(1, 0): (1, 2), (1, 2): (2, 3), (1, 3): (3, 3)}
+
+
+def test_span_first_single_term_is_position_filter(spark, docs_sf0001):
+    from sparksearch.phrase import span_first_topk
+    from sparksearch.tokenize import py_tokenize
+
+    limit = 3
+    got = {
+        (r.doc_id): r.first_end
+        for r in span_first_topk(docs_sf0001, [(1, "hash", limit)], k=10**9).collect()
+    }
+    exp = {}
+    for r in docs_sf0001.collect():
+        toks = py_tokenize(r.text)
+        pos = [i + 1 for i, t in enumerate(toks) if t == "hash"]
+        if pos and min(pos) <= limit:
+            exp[r.doc_id] = min(pos)
+    assert got == exp
