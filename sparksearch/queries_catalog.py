@@ -2142,3 +2142,108 @@ CATALOG.update({
         "vs the oracle's order-constrained cross product",
     ),
 })
+
+
+#: Rescore query set: 2–3-term queries (the proximity chain oracle is a
+#: generated cross product — kept off the 31-term stress query by design).
+#: Query 5 carries an unknown term: its proximity chain can never complete,
+#: so rescoring degrades to pure BM25 for it (tested both engines).
+RESCORE_QUERIES = [
+    (1, "hash join"),
+    (2, "sort merge join"),
+    (3, "query filter scan"),
+    (4, "customer order line"),
+    (5, "join zzz"),
+]
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import rescore_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    df = rescore_topk(_docs(spark, sf_dir), RESCORE_QUERIES, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def rescore_oracle_sql() -> str:
+    """BM25 window-50 candidates + ordered-proximity boost, both generated
+    from RESCORE_QUERIES: final = bm25 + 2·1/(1+min_ordered_span), span via
+    the order-constrained cross product (no slop bound — any chain counts)."""
+    from .scoring_ext import RESCORE_WEIGHT, RESCORE_WINDOW
+
+    qrows = []
+    for qid, text in RESCORE_QUERIES:
+        for term, qtf in sorted(Counter(py_tokenize(text)).items()):
+            qrows.append(f"({qid}, '{term}', {qtf})")
+    qcte = "q(query_id, term, qtf) AS (VALUES " + ", ".join(qrows) + ")"
+    parts = []
+    for qid, text in RESCORE_QUERIES:
+        terms = list(dict.fromkeys(py_tokenize(text)))
+        aliases = [f"t{i}" for i in range(len(terms))]
+        frm = f"(SELECT doc_id, pos FROM occ WHERE term = '{terms[0]}') t0"
+        for i in range(1, len(terms)):
+            a, prev = aliases[i], aliases[i - 1]
+            frm += (
+                f" JOIN (SELECT doc_id, pos FROM occ WHERE term = '{terms[i]}') {a}"
+                f" ON {a}.doc_id = t0.doc_id AND {a}.pos > {prev}.pos"
+            )
+        last = aliases[-1]
+        parts.append(
+            f"""SELECT {qid} AS query_id, t0.doc_id,
+       MIN({last}.pos - t0.pos) AS min_span
+FROM {frm} GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH {TOK_SQL.strip()},
+{qcte},
+{BM25_SCORED_SQL},
+cand AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+spans AS (
+{union}
+),
+final AS (
+  SELECT c.query_id, c.doc_id,
+         c.score + {RESCORE_WEIGHT} * COALESCE(1.0 / (1.0 + s.min_span), 0.0) AS score
+  FROM cand c
+  LEFT JOIN spans s ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+  WHERE c.rn <= {RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+CATALOG.update({
+    "bm25_rescore": QuerySpec(
+        q_bm25_rescore,
+        rescore_oracle_sql(),
+        "two-stage retrieval (ES rescore, window=50): BM25 selects "
+        "candidates, then ONLY those are re-scored with an ordered-"
+        "proximity boost 2/(1+min_span) — position data touched for "
+        "k*window docs (candidate set broadcast-semi-joined into the "
+        "positional fetch), cost independent of corpus size",
+    ),
+})

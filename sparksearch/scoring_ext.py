@@ -209,3 +209,93 @@ def dismax_topk(
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
     return topk_per_query(scored, k)
+
+
+RESCORE_WINDOW = 50
+RESCORE_WEIGHT = 2.0
+
+
+def rescore_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    window: int = RESCORE_WINDOW,
+    query_weight: float = 1.0,
+    rescore_weight: float = RESCORE_WEIGHT,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval (Elasticsearch ``rescore``) →
+    DF[query_id, rank, doc_id, score]: a cheap BM25 pass selects the top
+    ``window`` candidates per query, then ONLY those are re-scored with an
+    expensive proximity signal —
+
+        final = query_weight · bm25
+              + rescore_weight · 1/(1 + min_ordered_span)     (0 if no chain)
+
+    where min_ordered_span is the tightest in-order occurrence of the query
+    terms (the span_near_ordered measure, unbounded slop). The classic
+    cluster-scale pattern: position data is touched for k·window docs, not
+    for every match — the positional fetch is semi-joined down to the
+    candidate set (broadcast: it is k·window rows by construction), so the
+    expensive stage's cost is independent of corpus size.
+    """
+    from .phrase import _min_ordered_span, positional_postings
+    from .querying import parse_queries
+    from .tokenize import py_tokenize
+
+    spark = docs.sparkSession
+    qterms = parse_queries(spark, queries)
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= window)
+        .drop("rn")
+    )
+    qdefs = {
+        int(qid): list(dict.fromkeys(py_tokenize(text)))
+        for qid, text in queries
+        if py_tokenize(text)
+    }
+    all_terms = sorted({t for ts in qdefs.values() for t in ts})
+    cand_docs = cand.select("doc_id").distinct()
+    pp = (
+        positional_postings(docs)
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("int").alias("query_id"),
+                _min_ordered_span(terms).cast("long").alias("min_span"),
+            )
+            for qid, terms in sorted(qdefs.items())
+        ]
+    )
+    prox = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.query_id").alias("query_id"),
+            F.col("e.min_span").alias("min_span"),
+        )
+        .filter(F.col("min_span").isNotNull())
+    )
+    final = cand.join(prox, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.lit(query_weight) * F.col("score")
+            + F.lit(rescore_weight)
+            * F.coalesce(
+                F.lit(1.0) / (F.lit(1.0) + F.col("min_span")), F.lit(0.0)
+            )
+        ).alias("score"),
+    )
+    return topk_per_query(final, k)

@@ -133,3 +133,54 @@ def test_dismax_title_hit_beats_body_hit(spark):
     q = parse_queries(spark, [(1, "hash")])
     out = {r.rank: r.doc_id for r in dismax_topk(q, docs, dl_df, ts, k=2).collect()}
     assert out[1] == 1 and out[2] == 0
+
+
+def test_rescore_weight_zero_is_bm25(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import rescore_topk
+
+    tf_df, dl_df, ts = stats
+    q = parse_queries(spark, QUERIES)
+    got = _ranks(
+        rescore_topk(docs_sf0001, QUERIES, tf_df, dl_df, ts,
+                     window=10**6, rescore_weight=0.0, k=20)
+    )
+    assert got == _ranks(score_logical(q, tf_df, dl_df, ts, k=20))
+
+
+def test_rescore_promotes_tight_phrase(spark):
+    from sparksearch.scoring_ext import rescore_topk
+
+    # doc 0: higher tf of both terms but every join precedes every hash —
+    # no ordered hash->join chain exists, boost 0; doc 1: single tight
+    # ordered occurrence, boost 2*1/(1+1) = 1.0.
+    docs = spark.createDataFrame(
+        [
+            (0, "join join join x hash x x hash x x hash"),
+            (1, "hash join x x x x x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    tf_df, dl_df, ts, _ = corpus_stats(docs)
+    queries = [(1, "hash join")]
+    base = {
+        r.rank: r.doc_id
+        for r in score_logical(parse_queries(spark, queries), tf_df, dl_df, ts, k=2).collect()
+    }
+    assert base[1] == 0  # BM25 alone prefers the tf-heavy doc
+    resc = {
+        r.rank: r.doc_id
+        for r in rescore_topk(docs, queries, tf_df, dl_df, ts, k=2).collect()
+    }
+    # hand-math: BM25 gap ~ 0.99*ln(1.2) ~ 0.18 < boost gap 1.0 -> the
+    # ordered tight doc must flip to rank 1.
+    assert resc == {1: 1, 2: 0}
+
+
+def test_rescore_unknown_term_query_degrades_to_bm25(spark, docs_sf0001, stats):
+    from sparksearch.scoring_ext import rescore_topk
+
+    tf_df, dl_df, ts = stats
+    queries = [(1, "join zzz")]
+    got = _ranks(rescore_topk(docs_sf0001, queries, tf_df, dl_df, ts, window=10**6, k=20))
+    base = _ranks(score_logical(parse_queries(spark, queries), tf_df, dl_df, ts, k=20))
+    assert got == base  # the zzz chain never completes: boost is 0 everywhere
