@@ -188,25 +188,58 @@ def _pruned_position_fetch(
     import json
     import os
 
+    from .hashing import term_bucket
+
     all_terms = sorted({t for _, t in qterm_pairs})
     pos = spark.read.parquet(os.path.join(index_path, "positions"))
     with open(os.path.join(index_path, "positions_meta.json")) as f:
         n_buckets = int(json.load(f)["n_buckets"])
-    # bucket per term — same deterministic hash as the writer, tiny job
-    tdf = spark.createDataFrame([(t,) for t in all_terms], "term string")
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in tdf.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-            ).collect()
-        }
-    )
+    # bucket per term — the driver-side xxhash64 replica (bit-identical to
+    # the writer's pmod(xxhash64(term), n); tests/test_hashing.py) computes
+    # the pruning literals WITHOUT a Spark job (was ~0.7 s per query here).
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
     pruned = pos.filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
     qterms = spark.createDataFrame(
         sorted(qterm_pairs), "query_id long, term string"
     )
     return pruned.join(F.broadcast(qterms), "term")
+
+
+def _group_term_keys(qg, uniq_terms):
+    """Vectorized bulk decode of one query group's position rows into flat
+    (doc, pos) KEY SPACE: key = local_doc_index << 32 | position.
+
+    Returns (udocs, {term: sorted int64 keys}) or None if some required
+    term is absent from the whole group. LEB128 streams are self-delimiting,
+    so ALL of a term's pos_blobs decode in ONE vectorized varint_decode of
+    the concatenated bytes; per-row absolute positions come from a global
+    cumsum minus repeated segment bases (positions are stored first-raw-
+    then-gaps). Keys are doc-major sorted, so every per-doc check becomes
+    one searchsorted over the whole group — no per-(query, doc) Python
+    loop (that loop was ~17k iterations/shard = seconds at sf0.1; this is
+    ~len(terms) numpy passes). Local doc indexes (np.unique) keep the
+    packing safe for 64-bit hashed doc_ids."""
+    import numpy as np
+
+    from .codec import varint_decode
+
+    udocs, dinv = np.unique(qg["doc_id"].values, return_inverse=True)
+    tvals = qg["term"].values
+    keys = {}
+    for t in uniq_terms:
+        sel = tvals == t
+        if not sel.any():
+            return None
+        lens = qg["npos"].values[sel].astype(np.int64)
+        vals = varint_decode(b"".join(qg["pos_blob"].values[sel])).astype(np.int64)
+        ends = np.cumsum(lens)
+        c = np.cumsum(vals)
+        seg_base = np.concatenate(([np.int64(0)], c[ends[:-1] - 1]))
+        pos = c - np.repeat(seg_base, lens)
+        key = (dinv[sel].astype(np.int64).repeat(lens) << np.int64(32)) | pos
+        key.sort()
+        keys[t] = key
+    return udocs, keys
 
 
 def phrase_topk_indexed(
@@ -233,58 +266,68 @@ def phrase_topk_indexed(
     )
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import varint_decode
-
-        out_q, out_d, out_n = [], [], []
-        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
-            terms = qdefs[int(qid)]
-            have = dict(zip(g["term"].values, g["pos_blob"].values))
-            if len(have) < len(set(terms)):
-                continue  # some required term absent from this doc
-            dec: dict[str, np.ndarray] = {}
-
-            def ps(t: str) -> np.ndarray:
-                a = dec.get(t)
-                if a is None:
-                    a = dec[t] = np.cumsum(
-                        varint_decode(have[t]).astype(np.int64)
-                    )
-                return a
-
-            starts = ps(terms[0])
-            if slop == 0:
-                for i, t in enumerate(terms[1:], start=1):
-                    starts = np.intersect1d(starts, ps(t) - i, assume_unique=True)
-                    if not starts.size:
-                        break
-                n_match = int(starts.size)
-            else:
-                # greedy ordered-proximity chain, vectorized over ALL start
-                # positions at once: q_i = smallest position of terms[i]
-                # strictly after q_{i-1} (searchsorted 'right'); a start
-                # survives iff the chain completes with span ≤ k-1+slop.
-                span = len(terms) - 1 + slop
-                cur = starts
-                ok = np.ones(starts.size, dtype=bool)
-                for t in terms[1:]:
-                    arr = ps(t)
-                    idx = np.searchsorted(arr, cur, side="right")
-                    ok &= idx < arr.size
-                    if not ok.any():
-                        break
-                    cur = arr[np.minimum(idx, arr.size - 1)]
-                n_match = int((ok & ((cur - starts) <= span)).sum()) if ok.any() else 0
-            if n_match:
-                out_q.append(int(qid))
-                out_d.append(int(doc_id))
-                out_n.append(n_match)
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "query_id": pd.Series(out_q, dtype="int64"),
-                "doc_id": pd.Series(out_d, dtype="int64"),
-                "n_occurrences": pd.Series(out_n, dtype="int64"),
+                "query_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
             }
         )
+        out = []
+        # ONE group per query (|queries| iterations), all docs vectorized in
+        # flat key space — not one group per (query, doc).
+        for qid, qg in pdf.groupby("query_id", sort=False):
+            terms = qdefs[int(qid)]
+            got = _group_term_keys(qg, list(dict.fromkeys(terms)))
+            if got is None:
+                continue  # a required term is absent from this whole shard
+            udocs, keys = got
+            starts = keys[terms[0]]
+            if slop == 0:
+                # contiguity: key(start)+i must exist exactly in term i's
+                # keys — same doc by construction (pos+i stays in the low
+                # 32 bits for any real document length).
+                surv = starts
+                for i, t in enumerate(terms[1:], start=1):
+                    arr = keys[t]
+                    tgt = surv + i
+                    idx = np.searchsorted(arr, tgt)
+                    hit = idx < arr.size
+                    hit[hit] = arr[idx[hit]] == tgt[hit]
+                    surv = surv[hit]
+                    if not surv.size:
+                        break
+            else:
+                # greedy ordered-proximity chain over flat keys: the next
+                # key after cur (searchsorted 'right') is the next
+                # occurrence IN THE SAME DOC iff its high bits match.
+                span = len(terms) - 1 + slop
+                cur = starts
+                alive = starts
+                for t in terms[1:]:
+                    arr = keys[t]
+                    idx = np.searchsorted(arr, cur, side="right")
+                    nxt = arr[np.minimum(idx, arr.size - 1)]
+                    ok = (idx < arr.size) & ((nxt >> 32) == (cur >> 32))
+                    cur, alive = nxt[ok], alive[ok]
+                    if not cur.size:
+                        break
+                surv = (
+                    alive[(cur - alive) <= span] if cur.size
+                    else np.empty(0, dtype=np.int64)
+                )
+            if surv.size:
+                d_idx, counts = np.unique(surv >> 32, return_counts=True)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(d_idx.size, int(qid), dtype=np.int64),
+                            "doc_id": udocs[d_idx].astype(np.int64),
+                            "n_occurrences": counts.astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     # Shard-level grouping: grouping by raw doc_id would make one Arrow
     # group (and its ~ms of per-group overhead) PER DOCUMENT; 64 hash
@@ -473,39 +516,54 @@ def span_near_topk_indexed(
     )
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import varint_decode
-
-        out_q, out_d, out_s = [], [], []
-        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
-            terms, bound = qdefs[int(qid)]
-            have = dict(zip(g["term"].values, g["pos_blob"].values))
-            if len(have) < len(terms):
-                continue  # some required term absent from this doc
-            arrs = [
-                np.cumsum(varint_decode(have[t]).astype(np.int64)) for t in terms
-            ]
-            all_pos = np.concatenate(arrs)
-            lasts = np.empty((len(arrs), all_pos.size), dtype=np.int64)
-            valid = np.ones(all_pos.size, dtype=bool)
-            for i, a in enumerate(arrs):
-                idx = np.searchsorted(a, all_pos, side="right")
-                valid &= idx > 0
-                lasts[i] = a[np.maximum(idx, 1) - 1]
-            if not valid.any():
-                continue
-            widths = all_pos[valid] - lasts[:, valid].min(axis=0)
-            ms = int(widths.min())
-            if ms <= bound:
-                out_q.append(int(qid))
-                out_d.append(int(doc_id))
-                out_s.append(ms)
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "query_id": pd.Series(out_q, dtype="int64"),
-                "doc_id": pd.Series(out_d, dtype="int64"),
-                "min_span": pd.Series(out_s, dtype="int64"),
+                "query_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "min_span": pd.Series([], dtype="int64"),
             }
         )
+        out = []
+        # ONE group per query, every doc's minimal cover span computed in
+        # flat key space (see _group_term_keys): each union key is a
+        # candidate RIGHT endpoint; per term, its last occurrence ≤ the
+        # endpoint must exist in the SAME doc (high bits match).
+        for qid, qg in pdf.groupby("query_id", sort=False):
+            terms, bound = qdefs[int(qid)]
+            got = _group_term_keys(qg, terms)
+            if got is None:
+                continue
+            udocs, keys = got
+            all_keys = np.sort(np.concatenate([keys[t] for t in terms]))
+            valid = np.ones(all_keys.size, dtype=bool)
+            min_last = np.full(all_keys.size, np.iinfo(np.int64).max)
+            for t in terms:
+                arr = keys[t]
+                idx = np.searchsorted(arr, all_keys, side="right")
+                last = arr[np.maximum(idx, 1) - 1]
+                valid &= (idx > 0) & ((last >> 32) == (all_keys >> 32))
+                min_last = np.minimum(min_last, last)
+            if not valid.any():
+                continue
+            widths = all_keys[valid] - min_last[valid]
+            docs = all_keys[valid] >> 32
+            # per-doc minimum width: keys are sorted, so docs is sorted —
+            # reduceat over the doc-boundary segments.
+            bnd = np.concatenate(([0], np.flatnonzero(np.diff(docs)) + 1))
+            mins = np.minimum.reduceat(widths, bnd)
+            d_idx = docs[bnd]
+            keep = mins <= bound
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), int(qid), dtype=np.int64),
+                            "doc_id": udocs[d_idx[keep]].astype(np.int64),
+                            "min_span": mins[keep].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     spans = (
         joined.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
@@ -630,40 +688,55 @@ def span_near_ordered_topk_indexed(
     joined = _pruned_position_fetch(
         spark, index_path, {(q, t) for q, (ts, _) in qdefs.items() for t in ts}
     )
-    SENTINEL = np.int64(2**62)
-
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import varint_decode
-
-        out_q, out_d, out_s = [], [], []
-        for (qid, doc_id), g in pdf.groupby(["query_id", "doc_id"], sort=False):
-            terms, bound = qdefs[int(qid)]
-            have = dict(zip(g["term"].values, g["pos_blob"].values))
-            if len(have) < len(terms):
-                continue  # some required term absent from this doc
-            arrs = [
-                np.cumsum(varint_decode(have[t]).astype(np.int64)) for t in terms
-            ]
-            # greedy chase: v[j] = end of the minimal ordered chain that
-            # starts at arrs[0][j]; a broken chain saturates at SENTINEL
-            # (searchsorted keeps returning len(a), so it stays broken).
-            v = arrs[0]
-            for a in arrs[1:]:
-                idx = np.searchsorted(a, v, side="right")
-                v = np.where(idx < a.size, a[np.minimum(idx, a.size - 1)], SENTINEL)
-            spans = v - arrs[0]
-            ms = int(spans.min())
-            if ms <= bound:
-                out_q.append(int(qid))
-                out_d.append(int(doc_id))
-                out_s.append(ms)
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "query_id": pd.Series(out_q, dtype="int64"),
-                "doc_id": pd.Series(out_d, dtype="int64"),
-                "min_span": pd.Series(out_s, dtype="int64"),
+                "query_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "min_span": pd.Series([], dtype="int64"),
             }
         )
+        out = []
+        # ONE group per query; the greedy next-occurrence chase runs over
+        # flat keys (see _group_term_keys) for ALL docs' start positions at
+        # once — the successor must be in the SAME doc (high bits match).
+        for qid, qg in pdf.groupby("query_id", sort=False):
+            terms, bound = qdefs[int(qid)]
+            got = _group_term_keys(qg, terms)
+            if got is None:
+                continue
+            udocs, keys = got
+            cur = keys[terms[0]]
+            alive = cur
+            for t in terms[1:]:
+                arr = keys[t]
+                idx = np.searchsorted(arr, cur, side="right")
+                nxt = arr[np.minimum(idx, arr.size - 1)]
+                ok = (idx < arr.size) & ((nxt >> 32) == (cur >> 32))
+                cur, alive = nxt[ok], alive[ok]
+                if not cur.size:
+                    break
+            if not cur.size:
+                continue
+            spans = cur - alive
+            docs = alive >> 32
+            # alive stayed ascending through the masked chase → doc-major
+            # sorted; per-doc min span via reduceat on doc boundaries.
+            bnd = np.concatenate(([0], np.flatnonzero(np.diff(docs)) + 1))
+            mins = np.minimum.reduceat(spans, bnd)
+            d_idx = docs[bnd]
+            keep = mins <= bound
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), int(qid), dtype=np.int64),
+                            "doc_id": udocs[d_idx[keep]].astype(np.int64),
+                            "min_span": mins[keep].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     spans = (
         joined.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
