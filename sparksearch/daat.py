@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
 from .build import load_index
-from .querying import parse_queries, topk_per_query
+from .querying import topk_per_query
 
 _EPS = 1e-12
 
@@ -238,14 +238,36 @@ def daat_topk(
     ``conjunctive=True`` = posting-list intersection semantics: only docs
     containing every resolved query term rank (tested identical to the
     logical path querying.score_logical_conjunctive)."""
+    from collections import Counter
+
+    from .tokenize import py_tokenize
+
     segments, dictionary, stats = load_index(spark, index_path)
-    qterms = parse_queries(spark, queries)
-    qinfo = dictionary.join(F.broadcast(qterms), "term").select(
-        "term", "bucket", "query_id", "qtf", "idf", "df"
-    )
-    # Q1 resolution is driver-side tiny (|queries|·|terms| rows) — collect it
-    # to drive partition pruning with literal predicates.
-    rows = qinfo.collect()
+    # Q1 resolution: queries tokenize on the driver (they are a driver-side
+    # list already), and the dictionary lookup is ONE pushdown-filtered scan
+    # of the needed terms — no broadcast-join job for a |queries|·|terms|-
+    # sized result (the join ran a broadcast exchange + join stage only to
+    # produce rows we immediately collect; at vocab scale the isin predicate
+    # prunes the dictionary scan by row-group stats just as well).
+    qtf_map: dict[tuple[int, str], int] = {}
+    for qid, text in queries:
+        for t, c in sorted(Counter(py_tokenize(text)).items()):
+            qtf_map[(int(qid), t)] = int(c)
+    needed = sorted({t for _, t in qtf_map})
+    dinfo = {
+        r["term"]: r
+        for r in dictionary.filter(F.col("term").isin(needed))
+        .select("term", "bucket", "idf", "df")
+        .collect()
+    } if needed else {}
+    rows = [
+        {
+            "term": t, "bucket": dinfo[t]["bucket"], "query_id": qid,
+            "qtf": qtf, "idf": dinfo[t]["idf"], "df": dinfo[t]["df"],
+        }
+        for (qid, t), qtf in sorted(qtf_map.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+        if t in dinfo
+    ]
     if not rows:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
