@@ -2247,3 +2247,98 @@ CATALOG.update({
         "positional fetch), cost independent of corpus size",
     ),
 })
+
+
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textpipe import keyword_extraction
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    return keyword_extraction(tf_df, ts, topn=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "tfidf",
+    )
+
+
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textpipe import unigram_xent
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    return unigram_xent(tf_df, ts).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "xent"
+    )
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textpipe import ngram_repetition
+
+    return ngram_repetition(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_grams", "dup_frac"
+    )
+
+
+CATALOG.update({
+    "keyword_extraction": QuerySpec(
+        q_keyword_extraction,
+        f"""WITH {TOK_SQL.strip()},
+scored AS (
+  SELECT p.doc_id, p.term, p.tf * t.idf AS tfidf
+  FROM postings p JOIN termstats t USING (term)
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, ROUND(tfidf, 6) AS tfidf
+FROM r WHERE rnk <= 3""",
+        "per-document keyword extraction: top-3 terms by tf*idf per doc "
+        "(corpus descriptors / MoreLikeThis seed selection corpus-wide) — "
+        "postings x vocabulary join, doc-keyed window, per-row product only",
+    ),
+    "unigram_xent": QuerySpec(
+        q_unigram_xent,
+        f"""WITH {TOK_SQL.strip()},
+coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c FROM termstats),
+lp AS (
+  SELECT term, CAST(ROUND(LN(cf / (SELECT c FROM coll)), 9) AS DECIMAL(28,9)) AS lp
+  FROM termstats
+),
+x AS (
+  SELECT p.doc_id, SUM(p.tf * l.lp) AS s, MAX(d.dl) AS dl
+  FROM postings p JOIN lp l USING (term) JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1
+)
+SELECT doc_id, ROUND(-(CAST(s AS DOUBLE)) / dl, 6) AS xent FROM x""",
+        "per-document cross-entropy vs the corpus unigram LM (CCNet-style "
+        "quality signal): -(1/dl) sum tf*ln(cf/C), per-term log-probs "
+        "quantized to 9 decimals then summed EXACTLY (order-independent "
+        "under any partitioning), one double division per doc",
+    ),
+    "ngram_repetition": QuerySpec(
+        q_ngram_repetition,
+        """WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_transform(generate_series(1, len(ts) - 2),
+                                  i -> ts[i] || '|' || ts[i+1] || '|' || ts[i+2])
+              ELSE []::VARCHAR[] END AS g
+  FROM tokd
+)
+SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       ROUND(CASE WHEN len(g) > 0
+                  THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM g""",
+        "duplicate-3-gram fraction per doc (the Gopher/MassiveText "
+        "repetition rule for pretraining-data filtering): raw k-gram array "
+        "vs its distinct size, entirely map-side — zero shuffle at any "
+        "corpus size",
+    ),
+})

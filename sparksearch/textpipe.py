@@ -33,7 +33,7 @@ Scale design notes (per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .tokenize import tokens_col
@@ -603,3 +603,114 @@ def term_cooccurrence(
     out.count()
     dtv.unpersist()
     return out
+
+
+def keyword_extraction(
+    tf_df: DataFrame, term_stats: DataFrame, topn: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction → DF[doc_id, rank, term, tfidf]: the
+    top-``topn`` terms of every doc by tf·idf (ties → term ASC) — the
+    classic corpus-descriptor / tag-suggestion primitive of a training-data
+    pipeline (and Lucene's MoreLikeThis seed selection applied corpus-wide).
+
+    Plan: postings ⋈ vocabulary on term (broadcast at fixture scale; at
+    10^8-term vocabulary this is the one sort-merge the corpus-wide tf·idf
+    definition inherently requires), then a doc_id-keyed window — uniform
+    keys, no skew. tf·idf itself is a per-row product, no float
+    accumulation."""
+    scored = tf_df.join(term_stats.select("term", "idf"), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "rank", "term", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+def unigram_xent(tf_df: DataFrame, term_stats: DataFrame) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram language model
+    (the CCNet/KenLM-style quality signal, unigram order) →
+    DF[doc_id, xent]:
+
+        xent(d) = −(1/dl_d) Σ_t tf_td · ln(cf_t / C)
+
+    Low xent = doc looks like the corpus; high = outlier (boilerplate,
+    noise, wrong language). Float discipline: each term's log-probability
+    is quantized ONCE (9 decimals — part of the operator's definition) and
+    the per-doc sum runs over exact decimals, so the result is independent
+    of aggregation order on both engines (the training_data_stats remedy);
+    the only double ops are one ln per vocab term and one division per doc.
+    Plan: the same postings ⋈ vocabulary join as keyword_extraction plus a
+    1-row broadcast of C — no extra corpus pass (dl rides the postings)."""
+    coll = term_stats.agg(F.sum("cf").cast("double").alias("coll_len"))
+    lp = (
+        term_stats.crossJoin(F.broadcast(coll))
+        .select(
+            "term",
+            F.round(F.log(F.col("cf") / F.col("coll_len")), 9)
+            .cast("decimal(28,9)")
+            .alias("lp"),
+        )
+    )
+    return (
+        tf_df.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -(F.sum(F.col("tf") * F.col("lp")).cast("double"))
+                / F.max("dl"),
+                6,
+            ).alias("xent")
+        )
+        .select("doc_id", "xent")
+    )
+
+
+NGRAM_REP_K = 3
+
+
+def ngram_repetition(
+    docs: DataFrame, k: int = NGRAM_REP_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-k-gram fraction (the Gopher/MassiveText
+    repetition quality rule) → DF[doc_id, n_grams, dup_frac]:
+
+        dup_frac = (n_grams − n_distinct_grams) / n_grams     (0 when < k
+                                                               tokens)
+
+    High values flag templated/boilerplate text a pretraining pipeline
+    drops. Entirely map-side: token array → raw k-gram array (NOT the
+    deduped shingles_col — duplicates are the signal here) → two sizes and
+    one division per row. Zero shuffle at any corpus size."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)),
+        lambda i: F.concat_ws(
+            "|", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
+        ),
+    )
+    # sequence(1, n) counts DOWN for n < 1 — short docs get an empty array.
+    garr = toks.select(
+        "doc_id",
+        F.when(F.size("toks") >= k, grams)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    return garr.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_grams"),
+        F.round(
+            F.when(
+                F.size("g") > 0,
+                (F.size("g") - F.size(F.array_distinct("g")))
+                / F.size("g").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

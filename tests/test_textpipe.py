@@ -286,3 +286,64 @@ def test_training_data_stats_gauntlet(spark):
     # doc 1 and doc 4 under their own (split, lang) cells.
     assert sum(n for n, _, _ in out.values()) == 2
     assert (splits[1], "en") in out and (splits[4], "de") in out
+
+
+def test_keyword_extraction_hand_math(spark):
+    import math
+
+    from sparksearch.stats import corpus_stats
+    from sparksearch.textpipe import keyword_extraction
+
+    docs = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common common common")],
+        "doc_id long, text string",
+    )
+    tf_df, _, ts, _ = corpus_stats(docs)
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in keyword_extraction(tf_df, ts, topn=2).collect()
+    }
+    idf_rare = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))    # df=1, N=2
+    idf_common = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))  # df=2
+    assert out[(0, 1)] == ("rare", round(1 * idf_rare, 6))
+    assert out[(0, 2)] == ("common", round(2 * idf_common, 6))
+    assert out[(1, 1)] == ("common", round(3 * idf_common, 6))
+
+
+def test_unigram_xent_hand_math(spark):
+    import math
+
+    from sparksearch.stats import corpus_stats
+    from sparksearch.textpipe import unigram_xent
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b c")],
+        "doc_id long, text string",
+    )
+    tf_df, _, ts, _ = corpus_stats(docs)
+    out = {r.doc_id: r.xent for r in unigram_xent(tf_df, ts).collect()}
+    C = 7.0
+    lp = {t: round(math.log(cf / C), 9) for t, cf in {"a": 3, "b": 3, "c": 1}.items()}
+    exp0 = round(-(2 * lp["a"] + 1 * lp["b"]) / 3, 6)
+    exp1 = round(-(1 * lp["a"] + 2 * lp["b"] + 1 * lp["c"]) / 4, 6)
+    assert out == {0: exp0, 1: exp1}
+    # the common-only doc is closer to the corpus LM than the one with the
+    # rare term
+    assert out[0] < out[1]
+
+
+def test_ngram_repetition_hand_math(spark):
+    from sparksearch.textpipe import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),   # 7 grams: abc,bca,cab,abc,bca,cab,abc -> 3 distinct
+            (1, "a b c d e"),           # 3 grams, all distinct
+            (2, "a b"),                 # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.dup_frac) for r in ngram_repetition(docs).collect()}
+    assert out[0] == (7, round(4 / 7, 6))
+    assert out[1] == (3, 0.0)
+    assert out[2] == (0, 0.0)
