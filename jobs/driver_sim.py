@@ -1,0 +1,127 @@
+"""Full-catalog driver simulation: run EVERY `queries()` entry side-by-side
+with its DuckDB `oracle_sql()` twin and record the per-entry verdict, exactly
+like the grading driver's CORRECTNESS_r{N}.json but with no truncation.
+
+Round 2's driver recorded only the first 50 dict entries; this job is the
+committed, re-runnable evidence for the full catalog (all 91 entries as of
+round 3).  Output schema matches the driver's records:
+
+    {"<name>": {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+                "spark_rows": int, "oracle_rows": int, "err": str|None}, ...}
+
+Usage:
+    python jobs/driver_sim.py [--sf-dir /root/testdata/sf0.01] \
+                              [--out CORRECTNESS_LOCAL.json] [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v) -> str:
+    """The driver's value normalization: floats at 6 decimals, NULLs unified."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6f}"
+    return str(v)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as contract
+    from sparksearch.session import get_spark
+
+    spark = get_spark("driver-sim", master=args.master)
+    t0 = time.time()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = contract.queries(), contract.oracle_sql()
+    records: dict[str, dict] = {}
+    n_green = n_rows_only = 0
+    for name, fn in qs.items():  # catalog order, same as the driver
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": 0, "oracle_rows": 0, "err": None,
+        }
+        try:
+            sdf = fn(spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
+            if name not in osql:
+                rec["err"] = "no_oracle"
+                rec["rows_match"] = len(srows) >= 0
+                n_rows_only += 1
+            else:
+                res = con.execute(osql[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+                rec["oracle_rows"] = len(drows)
+                rec["rows_match"] = len(srows) == len(drows)
+                rec["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+                so = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                rec["hash_match"] = rec["schema_match"] and sorted(
+                    tuple(_norm(r[i]) for i in so) for r in srows
+                ) == sorted(tuple(_norm(r[i]) for i in do) for r in drows)
+                if rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+                    n_green += 1
+        except Exception as e:  # noqa: BLE001 — record, don't abort the sweep
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        records[name] = rec
+        status = (
+            "rows-only" if rec["err"] == "no_oracle"
+            else "MATCH" if rec["hash_match"]
+            else f"FAIL({rec['err']})"
+        )
+        print(f"{name}: {status} {rec['spark_rows']}", flush=True)
+
+    wall = round(time.time() - t0, 1)
+    out = {
+        "sf_dir": args.sf_dir,
+        "master": args.master,
+        "n_entries": len(records),
+        "n_oracle_green": n_green,
+        "n_rows_only": n_rows_only,
+        "wall_seconds": wall,
+        "records": records,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        f"\n{len(records)} entries: {n_green} oracle-green, "
+        f"{n_rows_only} rows-only, "
+        f"{len(records) - n_green - n_rows_only} FAILED in {wall}s "
+        f"-> {args.out}"
+    )
+    spark.stop()
+    return 0 if n_green + n_rows_only == len(records) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
