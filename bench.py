@@ -114,50 +114,41 @@ def main() -> None:
 
     # Layout params are FIXED across parallelism levels so the built index is
     # byte-identical at every level — only task parallelism varies.
-    # SPARK_GRAFT_BUILD_REPS>1 (scaling runs): repeat the build in-session and
-    # report the best — steady-state throughput with warm codegen/workers, the
-    # regime a continuously-indexing production cluster runs in. Single-run
-    # numbers on this host carry up to ±7× co-tenant noise (see CLAUDE.md).
-    reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
-    best = float("inf")
-    for _ in range(max(reps, 1)):
-        t0 = time.perf_counter()
-        stats = build_index(spark, docs, index_path, n_buckets=32, n_ranges=32)
-        best = min(best, time.perf_counter() - t0)
-    timings["index_build"] = best
-    extras["docs_per_sec"] = n_docs / timings["index_build"]
-    extras["n_postings"] = float(
-        spark.read.parquet(f"{index_path}/segments").agg({"n": "sum"}).collect()[0][0]
-    )
-    extras["postings_per_sec"] = extras["n_postings"] / timings["index_build"]
-    extras["avgdl"] = float(stats["avgdl"])
-
-    # Query timings are best-of-QUERY_REPS (default 3): the first run of a
-    # plan pays one-time janino codegen + broadcast-job setup that a
-    # continuously-serving cluster pays once per deployment, not per query —
-    # and single runs on this co-tenant VM carry up to 7× noise (CLAUDE.md;
-    # round-3 measurements saw 4× swings BETWEEN whole bench invocations on
-    # identical code, so per-query reps are the cheapest stabilizer).
-    # Same policy for every query, every parallelism level.
+    #
+    # Repetition policy: best-of-N per operation (SPARK_GRAFT_BUILD_REPS
+    # builds, default 2; SPARK_GRAFT_QUERY_REPS per query, default 3), with
+    # the reps INTERLEAVED round-robin across the whole headline set rather
+    # than run back-to-back. Rationale: the first run of a plan pays one-time
+    # janino codegen + broadcast-job setup a continuously-serving cluster pays
+    # once per deployment, and this co-tenant VM's noise comes in SUSTAINED
+    # multi-minute windows (measured: 4× swings between whole invocations on
+    # identical code, and best-of-3 CONSECUTIVE reps still recorded 16.9s for
+    # a 1.8s query). Spreading each operation's samples across the full bench
+    # duration means a bad window taxes every operation's worst sample, not
+    # any operation's best. Same policy at every parallelism level.
+    reps = max(int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3")), 1)
     qreps = max(int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")), 1)
 
-    def timed(name: str, fn) -> None:
-        best = float("inf")
-        for _ in range(qreps):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = best
+    build_stats: dict = {}
+
+    def _build() -> None:
+        build_stats["stats"] = build_index(
+            spark, docs, index_path, n_buckets=32, n_ranges=32
+        )
+
+    ops: list[tuple[str, int, object]] = [("index_build", reps, _build)]
 
     if not os.environ.get("SPARK_GRAFT_BUILD_ONLY"):
-        timed(
-            "bm25_topk_logical",
+        ops.append((
+            "bm25_topk_logical", qreps,
             lambda: bm25_topk_from_docs(spark, docs, ref_queries, k=10).collect(),
-        )
-        timed(
-            "daat_topk_wand",
-            lambda: daat_topk(spark, index_path, ref_queries, k=10, wand=True).collect(),
-        )
+        ))
+        ops.append((
+            "daat_topk_wand", qreps,
+            lambda: daat_topk(
+                spark, index_path, ref_queries, k=10, wand=True
+            ).collect(),
+        ))
 
     # Training-data pipeline headliners — any catalog entry named here that
     # exists runs against the same sf dir (they self-contain their inputs).
@@ -176,7 +167,25 @@ def main() -> None:
         spec = queries_catalog.CATALOG.get(name)
         if spec is None:
             continue
-        timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).collect())
+        ops.append((
+            name, qreps, lambda spec=spec: spec.fn(spark, SF_DIR).collect()
+        ))
+
+    for rnd in range(max(reps, qreps)):
+        for name, n_reps, fn in ops:
+            if rnd >= n_reps:
+                continue
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, float("inf")), dt)
+
+    extras["docs_per_sec"] = n_docs / timings["index_build"]
+    extras["n_postings"] = float(
+        spark.read.parquet(f"{index_path}/segments").agg({"n": "sum"}).collect()[0][0]
+    )
+    extras["postings_per_sec"] = extras["n_postings"] / timings["index_build"]
+    extras["avgdl"] = float(build_stats["stats"]["avgdl"])
 
     result = {
         "metric": "headline_wall_seconds",
