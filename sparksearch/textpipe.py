@@ -654,12 +654,16 @@ def unigram_xent(tf_df: DataFrame, term_stats: DataFrame) -> DataFrame:
             .alias("lp"),
         )
     )
+    # tf as decimal(9,0) keeps the product at decimal(38,9) exactly —
+    # long×decimal(28,9) would blow Spark's 38-digit precision cap and
+    # silently lose the 9th decimal (see sampling.dsir_log_weights).
+    tfd = F.col("tf").cast("decimal(9,0)")
     return (
         tf_df.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.round(
-                -(F.sum(F.col("tf") * F.col("lp")).cast("double"))
+                -(F.sum(tfd * F.col("lp")).cast("double"))
                 / F.max("dl"),
                 6,
             ).alias("xent")

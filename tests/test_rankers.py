@@ -134,3 +134,52 @@ def test_bm25f_all_short_corpus_no_nan(spark):
         _qterms(spark, [(1, "hash")]), docs, dl_df, ts, title_len=5
     ).collect()
     assert len(out) == 1 and math.isfinite(out[0].score) and out[0].score > 0
+
+
+def test_vsm_cosine_hand_math(spark, micro):
+    from sparksearch.rankers import vsm_cosine_topk
+
+    _, tf_df, _, ts = micro
+    out = {
+        r.doc_id: (r.rank, r.score)
+        for r in vsm_cosine_topk(
+            _qterms(spark, [(1, "hash scan")]), tf_df, ts
+        ).collect()
+    }
+    N = 4.0
+    dfs = {"hash": 2, "join": 1, "merge": 2, "sort": 2, "scan": 2}
+    idf = {t: math.log(1 + (N - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
+    tfs = {
+        0: {"hash": 1, "join": 2},
+        1: {"merge": 2, "sort": 1},
+        2: {"hash": 1, "merge": 1, "scan": 1},
+        3: {"sort": 1, "scan": 3},
+    }
+    dnorm = {
+        d: math.sqrt(sum(round((tf * idf[t]) ** 2, 9) for t, tf in terms.items()))
+        for d, terms in tfs.items()
+    }
+    qnorm = math.sqrt(round(idf["hash"] ** 2, 9) + round(idf["scan"] ** 2, 9))
+    exp = {}
+    for d, terms in tfs.items():
+        dot = sum(
+            round(1 * idf[t] * terms[t] * idf[t], 9)
+            for t in ("hash", "scan")
+            if t in terms
+        )
+        if dot:
+            exp[d] = round(dot / (dnorm[d] * qnorm), 6)
+    assert {d: s for d, (_, s) in out.items()} == pytest.approx(exp, abs=2e-6)
+    # doc 2 matches both terms; docs 0/3 one each
+    assert set(out) == {0, 2, 3}
+
+
+def test_vsm_cosine_self_similarity(spark, micro):
+    """A query that IS a document's token multiset scores cosine 1 on it."""
+    from sparksearch.rankers import vsm_cosine_topk
+
+    _, tf_df, _, ts = micro
+    out = vsm_cosine_topk(_qterms(spark, [(9, "hash join join")]), tf_df, ts).collect()
+    best = min(out, key=lambda r: r.rank)
+    assert best.doc_id == 0 and abs(best.score - 1.0) <= 2e-6
+    assert all(r.score <= best.score + 1e-12 for r in out)

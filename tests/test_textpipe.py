@@ -347,3 +347,33 @@ def test_ngram_repetition_hand_math(spark):
     assert out[0] == (7, round(4 / 7, 6))
     assert out[1] == (3, 0.0)
     assert out[2] == (0, 0.0)
+
+
+def test_dsir_log_weights_hand_math(spark):
+    import math
+
+    from sparksearch.sampling import dsir_log_weights
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "b c", "de"), (2, "a c c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    tf_df, _, ts, _ = corpus_stats(docs)
+    out = {r.doc_id: r.logw for r in dsir_log_weights(tf_df, docs, ts).collect()}
+    cf = {"a": 3, "b": 2, "c": 3}          # source counts, C_src=8, V=3
+    cf_t = {"a": 3, "b": 1, "c": 2}        # target (en) counts, C_tgt=6
+    lr = {
+        t: round(
+            math.log((cf_t[t] + 1) / (6 + 3)) - math.log((cf[t] + 1) / (8 + 3)), 9
+        )
+        for t in cf
+    }
+    tfs = {0: {"a": 2, "b": 1}, 1: {"b": 1, "c": 1}, 2: {"a": 1, "c": 2}}
+    exp = {
+        d: round(sum(n * lr[t] for t, n in terms.items()), 6)
+        for d, terms in tfs.items()
+    }
+    assert out == exp
+    # the pure-target-looking docs outscore the out-of-domain one
+    assert out[1] < out[0] and out[1] < out[2]
