@@ -2329,6 +2329,8 @@ FROM g""",
 
 # --------------------------------- session-3 extras: VSM / stemming / DSIR
 
+from .catalog_pipeline import _h60  # noqa: E402 — the shared DuckDB h60 twin
+
 
 def q_vsm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rankers import vsm_cosine_topk
@@ -2368,6 +2370,50 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_df, _, ts, _ = _stats_for(spark, sf_dir)
     df = dsir_log_weights(tf_df, _docs(spark, sf_dir), ts, target_lang="en")
     return df.select(F.col("doc_id").cast("long").alias("doc_id"), "logw")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import sequence_packing
+
+    _, dl_df, _, _ = _stats_for(spark, sf_dir)
+    return sequence_packing(dl_df)
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import importance_resample
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    df = importance_resample(tf_df, _docs(spark, sf_dir), ts, k=50)
+    return df.select(
+        "rank", F.col("doc_id").cast("long").alias("doc_id"), "skey"
+    )
+
+
+#: The DSIR log-weight CTE chain (through x(doc_id, s) with s the exact
+#: decimal sum) — shared by the dsir_weights and importance_resample twins.
+DSIR_SQL = """tgt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE lang = 'en'),
+tcf AS (
+  SELECT p.term, SUM(p.tf) AS cf_t FROM postings p JOIN tgt USING (doc_id) GROUP BY 1
+),
+lm AS (
+  SELECT t.term, t.cf, COALESCE(c.cf_t, 0) AS cf_t
+  FROM termstats t LEFT JOIN tcf c USING (term)
+),
+consts AS (
+  SELECT CAST(SUM(cf) AS DOUBLE) AS c_src, CAST(SUM(cf_t) AS DOUBLE) AS c_tgt,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM lm
+),
+lr AS (
+  SELECT term,
+         CAST(ROUND(LN((cf_t + 1) / ((SELECT c_tgt FROM consts) + (SELECT v FROM consts)))
+                  - LN((cf + 1) / ((SELECT c_src FROM consts) + (SELECT v FROM consts))), 9)
+              AS DECIMAL(28,9)) AS lr
+  FROM lm
+),
+x AS (
+  SELECT p.doc_id, SUM(p.tf * l.lr) AS s FROM postings p JOIN lr l USING (term) GROUP BY 1
+)"""
 
 
 def _stem_tok_sql() -> str:
@@ -2469,34 +2515,63 @@ FROM ranked WHERE rnk <= {K}""",
     "dsir_weights": QuerySpec(
         q_dsir_weights,
         f"""WITH {TOK_SQL.strip()},
-tgt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE lang = 'en'),
-tcf AS (
-  SELECT p.term, SUM(p.tf) AS cf_t FROM postings p JOIN tgt USING (doc_id) GROUP BY 1
-),
-lm AS (
-  SELECT t.term, t.cf, COALESCE(c.cf_t, 0) AS cf_t
-  FROM termstats t LEFT JOIN tcf c USING (term)
-),
-consts AS (
-  SELECT CAST(SUM(cf) AS DOUBLE) AS c_src, CAST(SUM(cf_t) AS DOUBLE) AS c_tgt,
-         CAST(COUNT(*) AS DOUBLE) AS v
-  FROM lm
-),
-lr AS (
-  SELECT term,
-         CAST(ROUND(LN((cf_t + 1) / ((SELECT c_tgt FROM consts) + (SELECT v FROM consts)))
-                  - LN((cf + 1) / ((SELECT c_src FROM consts) + (SELECT v FROM consts))), 9)
-              AS DECIMAL(28,9)) AS lr
-  FROM lm
-),
-x AS (
-  SELECT p.doc_id, SUM(p.tf * l.lr) AS s FROM postings p JOIN lr l USING (term) GROUP BY 1
-)
+{DSIR_SQL}
 SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS logw FROM x""",
         "DSIR-style importance-resampling log-weights (target LM = lang='en' "
         "docs, source LM = corpus; Laplace smoothing over the joint vocab): "
         "per-term log-ratio quantized once then exact-decimal per-doc sums — "
         "the data-selection signal a pretraining pipeline resamples by",
+    ),
+    "sequence_packing": QuerySpec(
+        q_sequence_packing,
+        f"""WITH {TOK_SQL.strip()},
+d AS (
+  SELECT doc_id, dl,
+         {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 8 AS shard
+  FROM doclen
+),
+o AS (
+  SELECT shard, doc_id, dl,
+         SUM(dl) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dl AS start
+  FROM d
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(start / 256.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN FLOOR(start / 256.0) <> FLOOR((start + dl - 1) / 256.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM o GROUP BY 1, 2""",
+        "GPT-style concat-and-chunk sequence packing accounting: docs "
+        "concatenated in id order within h60-deterministic shards, token "
+        "stream chunked into 256-token training sequences; per-sequence doc/"
+        "token/boundary-spanning counts — per-shard window cumsum only, "
+        "embarrassingly parallel (no global order at any scale)",
+    ),
+    "importance_resample": QuerySpec(
+        q_importance_resample,
+        f"""WITH {TOK_SQL.strip()},
+{DSIR_SQL},
+lw AS (SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS logw FROM x),
+keyed AS (
+  SELECT doc_id,
+         LN(({_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 1000000 + 0.5) / 1000000.0)
+           / EXP(logw) AS skey
+  FROM lw
+),
+ranked AS (
+  SELECT doc_id, skey,
+         ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS rnk
+  FROM keyed
+)
+SELECT CAST(rnk AS BIGINT) AS rank, doc_id, ROUND(skey, 6) AS skey
+FROM ranked WHERE rnk <= 50""",
+        "deterministic weighted sampling without replacement (Efraimidis-"
+        "Spirakis A-Res, log keys) of 50 docs with probability ~ exp(DSIR "
+        "logw): h60-hash uniforms (no rand — identical across retries/"
+        "cluster sizes), map-side keys + TakeOrderedAndProject top-k — the "
+        "selection step importance weights exist for",
     ),
 })
 
@@ -2552,7 +2627,10 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: Second tier: entries added AFTER the head was frozen at 50 — recorded
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
-_SWEEP_NEXT = ["vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights"]
+_SWEEP_NEXT = [
+    "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
+    "sequence_packing", "importance_resample",
+]
 _missing = [k for k in _SWEEP_HEAD + _SWEEP_NEXT if k not in CATALOG]
 assert not _missing, f"sweep-order names absent from CATALOG: {_missing}"
 CATALOG = {

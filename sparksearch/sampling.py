@@ -144,6 +144,103 @@ def dsir_log_weights(
     )
 
 
+PACK_BUDGET = 256     # tokens per training sequence (fixture-scaled)
+PACK_SHARDS = 8       # packing shards — scales with the cluster
+
+
+def sequence_packing(
+    dl_df: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing accounting →
+    DF[shard, seq_id, n_docs, n_tokens, n_spanning]: docs are concatenated
+    in doc_id order within each deterministic shard and the token stream is
+    chunked into fixed ``budget``-token training sequences; each output row
+    is one sequence with the number of documents STARTING in it, their
+    total tokens, and how many of them span into the next sequence (the
+    cross-boundary fraction is the classic packing-efficiency diagnostic).
+
+    Shard assignment is h60-deterministic (repo invariant #1 — identical
+    across retries/cluster sizes), and packing is per-shard: the only
+    non-map work is a window cumsum PARTITIONED by shard, so the operator
+    is embarrassingly parallel — shards scale with the cluster and no
+    global order is ever materialized (a single global concat order would
+    be the 100 TB antipattern)."""
+    from pyspark.sql.window import Window
+
+    from .textpipe import h60
+
+    d = dl_df.select(
+        "doc_id",
+        "dl",
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(n_shards)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = d.withColumn("start", F.sum("dl").over(w) - F.col("dl"))
+    seq = F.floor(F.col("start") / budget)
+    last = F.floor((F.col("start") + F.col("dl") - 1) / budget)
+    return (
+        o.select(
+            F.col("shard").cast("long").alias("shard"),
+            seq.cast("long").alias("seq_id"),
+            "dl",
+            (seq != last).cast("int").alias("sp"),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+            F.sum("sp").cast("long").alias("n_spanning"),
+        )
+    )
+
+
+def importance_resample(
+    tf_df: DataFrame,
+    docs: DataFrame,
+    term_stats: DataFrame,
+    k: int = 50,
+    target_lang: str = "en",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` docs
+    with probability ∝ exp(dsir logw) — Efraimidis–Spirakis A-Res reservoir
+    keys in log form → DF[rank, doc_id, skey]:
+
+        key(d) = ln(u_d) / w_d,   w_d = exp(logw_d),   take top-k by key
+
+    where u_d ∈ (0,1) is the h60-hash uniform of the doc id (repo
+    invariant #1: no rand() — the sample is identical across retries,
+    resumes and cluster sizes). This is the selection step DSIR's
+    importance weights exist for, as one deterministic distributed
+    operator: keys are map-side, the top-k is a TakeOrderedAndProject
+    (per-partition bounded heaps merged on the driver — no global sort),
+    exactly the flagship ranking shape. Ties break (key DESC, doc_id ASC),
+    the engine-wide total order."""
+    from pyspark.sql.window import Window
+
+    from .textpipe import h60
+
+    lw = dsir_log_weights(tf_df, docs, term_stats, target_lang=target_lang)
+    u = (
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(1_000_000)).cast("double")
+        + 0.5
+    ) / 1_000_000.0
+    sel = (
+        lw.select("doc_id", (F.log(u) / F.exp(F.col("logw"))).alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return sel.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", F.round("skey", 6).alias("skey")
+    )
+
+
 def training_data_stats(
     docs: DataFrame,
     quality_threshold: float = 0.5,

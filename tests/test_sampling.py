@@ -1,0 +1,100 @@
+"""Sequence packing and importance resampling: hand-math + determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from sparksearch.sampling import importance_resample, sequence_packing
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_sequence_packing_hand_math(spark):
+    dl_df = spark.createDataFrame(
+        [(0, 4), (1, 5), (2, 3), (3, 10), (4, 2)], "doc_id long, dl long"
+    )
+    out = {
+        (r.shard, r.seq_id): (r.n_docs, r.n_tokens, r.n_spanning)
+        for r in sequence_packing(dl_df, budget=10, n_shards=1).collect()
+    }
+    # one shard; starts: 0,4,9,12,22 -> seqs 0,0,0,1,2
+    assert out == {
+        (0, 0): (3, 12, 1),  # docs 0,1,2 start here; doc 2 (9..11) spans
+        (0, 1): (1, 10, 1),  # doc 3 (12..21) spans into seq 2
+        (0, 2): (1, 2, 0),   # doc 4 fits
+    }
+
+
+def test_sequence_packing_sharding_is_h60(spark):
+    dl_df = spark.createDataFrame(
+        [(i, 5) for i in range(20)], "doc_id long, dl long"
+    )
+    got = {
+        r.shard
+        for r in sequence_packing(dl_df, budget=100, n_shards=4).collect()
+    }
+    assert got == {_h60_py(str(i)) % 4 for i in range(20)}
+    # per-shard token totals must equal the shard's doc count x 5
+    tot = {
+        r.shard: r.n_tokens
+        for r in sequence_packing(dl_df, budget=100, n_shards=4).collect()
+    }
+    from collections import Counter
+
+    want = Counter(_h60_py(str(i)) % 4 for i in range(20))
+    assert tot == {s: n * 5 for s, n in want.items()}
+
+
+def test_importance_resample_matches_brute_force(spark):
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "b c", "de"), (2, "a c c", "en"), (3, "c c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    tf_df, _, ts, _ = corpus_stats(docs)
+    out = [
+        (r.rank, r.doc_id, r.skey)
+        for r in sorted(
+            importance_resample(tf_df, docs, ts, k=3).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    # brute-force twin: DSIR logw (Laplace over joint vocab) then A-Res keys
+    cf = {"a": 3, "b": 2, "c": 5}
+    cf_t = {"a": 3, "b": 1, "c": 2}
+    c_src, c_tgt, v = 10, 6, 3
+    lr = {
+        t: round(
+            math.log((cf_t[t] + 1) / (c_tgt + v)) - math.log((cf[t] + 1) / (c_src + v)),
+            9,
+        )
+        for t in cf
+    }
+    tfs = {0: {"a": 2, "b": 1}, 1: {"b": 1, "c": 1}, 2: {"a": 1, "c": 2}, 3: {"c": 2}}
+    keys = []
+    for d, terms in tfs.items():
+        logw = round(sum(n * lr[t] for t, n in terms.items()), 6)
+        u = (_h60_py(str(d)) % 1_000_000 + 0.5) / 1_000_000.0
+        keys.append((math.log(u) / math.exp(logw), -d))
+    keys.sort(reverse=True)
+    exp = [(i + 1, -nd, round(key, 6)) for i, (key, nd) in enumerate(keys[:3])]
+    assert out == exp
+
+
+def test_importance_resample_is_deterministic(spark):
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c token{i % 5}", "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    tf_df, _, ts, _ = corpus_stats(docs)
+    a = importance_resample(tf_df, docs, ts, k=10).collect()
+    b = importance_resample(
+        tf_df.repartition(7), docs, ts, k=10
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
