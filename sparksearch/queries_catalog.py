@@ -2416,6 +2416,19 @@ x AS (
 )"""
 
 
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import complete_prefixes
+
+    _, _, ts, _ = _stats_for(spark, sf_dir)
+    df = complete_prefixes(spark, prefix_queries(), ts, n=3)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
 def _stem_tok_sql() -> str:
     """TOK_SQL twin with the S-stemmer between tokenization and the postings
     aggregation — the identical STEM_CASE_SQL string the Spark path compiles
@@ -2573,6 +2586,27 @@ FROM ranked WHERE rnk <= 50""",
         "cluster sizes), map-side keys + TakeOrderedAndProject top-k — the "
         "selection step importance weights exist for",
     ),
+    "completion_suggest": QuerySpec(
+        q_completion_suggest,
+        f"""WITH {TOK_SQL.strip()},
+{prefix_values_sql()},
+cand AS (
+  SELECT pq.query_id, t.term, t.cf
+  FROM termstats t JOIN pq ON starts_with(t.term, pq.prefix)
+),
+ranked AS (
+  SELECT query_id, term, cf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cf DESC, term ASC) AS rnk
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       term, CAST(cf AS BIGINT) AS cf
+FROM ranked WHERE rnk <= 3""",
+        "suggest-as-you-type completion (AnalyzingSuggester semantics, "
+        "weight = collection frequency): top-3 dictionary completions per "
+        "typed prefix — prefixes broadcast against one linear dictionary "
+        "scan, zero corpus access, cost independent of corpus size",
+    ),
 })
 
 
@@ -2629,7 +2663,7 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
     "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
-    "sequence_packing", "importance_resample",
+    "sequence_packing", "importance_resample", "completion_suggest",
 ]
 _missing = [k for k in _SWEEP_HEAD + _SWEEP_NEXT if k not in CATALOG]
 assert not _missing, f"sweep-order names absent from CATALOG: {_missing}"

@@ -373,6 +373,36 @@ def expand_prefix_queries(
     )
 
 
+def complete_prefixes(
+    spark: SparkSession,
+    prefixes: list[tuple[int, str]],
+    term_stats: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Suggest-as-you-type completion (Lucene AnalyzingSuggester semantics,
+    weight = collection frequency) → DF[query_id, rank, term, cf]: the top-n
+    dictionary terms completing each typed prefix, most-frequent first
+    (cf DESC, term ASC — deterministic total order).
+
+    Plan: same shape as expand_prefix_queries — the (tiny) prefix set
+    broadcasts against ONE linear dictionary scan, then a per-prefix window
+    over candidate sets that are vocabulary-bounded. No corpus access at
+    all: completion is a dictionary-only operation, cost independent of
+    corpus size."""
+    p = spark.createDataFrame(
+        [(int(i), s) for i, s in prefixes], "query_id int, prefix string"
+    )
+    cand = term_stats.select("term", "cf").join(
+        F.broadcast(p), F.col("term").startswith(F.col("prefix")), "inner"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "term", "cf")
+    )
+
+
 def expand_suffix_queries(
     spark: SparkSession,
     suffixes: list[tuple[int, str]],

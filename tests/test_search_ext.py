@@ -281,3 +281,39 @@ def test_cms_counters_deterministic_and_mass_preserving(spark, micro):
     total = 13  # total tokens in the micro corpus
     for row in range(4):
         assert sum(c for r, _, c in a if r == row) == total
+
+
+def test_complete_prefixes_orders_by_cf(spark):
+    from sparksearch.querying import complete_prefixes
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "scan scan scan scatter"), (1, "scan scale scatter scatter")],
+        "doc_id long, text string",
+    )
+    _, _, ts, _ = corpus_stats(docs)
+    out = [
+        (r.rank, r.term, r.cf)
+        for r in sorted(
+            complete_prefixes(spark, [(1, "sca")], ts, n=3).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    # cf: scan=4, scatter=3, scale=1
+    assert out == [(1, "scan", 4), (2, "scatter", 3), (3, "scale", 1)]
+
+
+def test_complete_prefixes_no_match_and_tiebreak(spark):
+    from sparksearch.querying import complete_prefixes
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta bead")], "doc_id long, text string"
+    )
+    _, _, ts, _ = corpus_stats(docs)
+    got = {
+        r.query_id: (r.rank, r.term)
+        for r in complete_prefixes(spark, [(1, "zz"), (2, "bea")], ts, n=1).collect()
+    }
+    assert 1 not in got           # no vocabulary completion -> no rows
+    assert got[2] == (1, "bead")  # 'bea' matches only 'bead', not 'beta'
