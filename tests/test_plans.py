@@ -184,3 +184,79 @@ def test_dictionary_expansion_is_single_scan_broadcast(spark, docs_sf0001):
     plan = _plan(expand_fuzzy_queries(spark, [(1, "jion")], ts))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def _micro_stats(spark, docs_sf0001):
+    from sparksearch.build import tokenize_tf
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    return tf_df, dl_df, ts
+
+
+def test_vsm_query_join_broadcasts_no_python(spark, docs_sf0001, queries):
+    from sparksearch.querying import parse_queries
+    from sparksearch.rankers import vsm_cosine_topk
+
+    tf_df, _, ts = _micro_stats(spark, docs_sf0001)
+    plan = _plan(vsm_cosine_topk(parse_queries(spark, queries[:5]), tf_df, ts))
+    # dot product: tiny query-term table broadcast against postings; the
+    # doc-norm join on doc_id may legitimately shuffle at scale, so only
+    # the broadcast presence and UDF discipline are pinned.
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stem_postings_is_one_exchange_no_python(spark, docs_sf0001):
+    from sparksearch.analyzers import stem_postings
+
+    tf_df, _, _ = _micro_stats(spark, docs_sf0001)
+    plan = _plan(stem_postings(tf_df))
+    # pure re-key + partial/final hash agg: exactly ONE shuffle, JVM-side
+    # CASE expression (no Python), no corpus re-scan beyond tf's own.
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dsir_logratio_broadcasts_onto_postings(spark, docs_sf0001):
+    from sparksearch.sampling import dsir_log_weights
+
+    tf_df, _, ts = _micro_stats(spark, docs_sf0001)
+    docs = docs_sf0001.select("doc_id", "lang")
+    plan = _plan(dsir_log_weights(tf_df, docs, ts))
+    # the vocabulary-sized log-ratio table broadcasts back onto postings
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_importance_resample_topk_is_take_ordered(spark, docs_sf0001):
+    from sparksearch.sampling import importance_resample
+
+    tf_df, _, ts = _micro_stats(spark, docs_sf0001)
+    docs = docs_sf0001.select("doc_id", "lang")
+    plan = _plan(importance_resample(tf_df, docs, ts, k=10))
+    # global top-k = per-partition bounded heaps, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_shuffles_once_on_shard(spark, docs_sf0001):
+    from sparksearch.sampling import sequence_packing
+
+    tf_df, dl_df, _ = _micro_stats(spark, docs_sf0001)
+    plan = _plan(sequence_packing(dl_df))
+    # ONE hash exchange on shard serves both the window cumsum and the
+    # (shard, seq_id) aggregation (subset-clustered distribution)
+    import re
+
+    # formatted explain prints each Exchange's partitioning on its own
+    # "Arguments: hashpartitioning(...)" line
+    n_exchanges = len(re.findall(r"hashpartitioning\(", plan))
+    assert n_exchanges == 1, plan
+    assert "BatchEvalPython" not in plan
