@@ -2429,6 +2429,31 @@ def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import percolate
+
+    tf_df, _, _, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    return percolate(qterms, tf_df).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import sort_by_field_topk
+
+    tf_df, _, _, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = sort_by_field_topk(qterms, tf_df, _docs(spark, sf_dir), field="n_chars", k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def _stem_tok_sql() -> str:
     """TOK_SQL twin with the S-stemmer between tokenization and the postings
     aggregation — the identical STEM_CASE_SQL string the Spark path compiles
@@ -2607,6 +2632,47 @@ FROM ranked WHERE rnk <= 3""",
         "typed prefix — prefixes broadcast against one linear dictionary "
         "scan, zero corpus access, cost independent of corpus size",
     ),
+    "percolate_queries": QuerySpec(
+        q_percolate,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+nreq AS (SELECT query_id, COUNT(*) AS n_req FROM q GROUP BY 1),
+hits AS (
+  SELECT q.query_id, p.doc_id, COUNT(*) AS n_hit
+  FROM q JOIN postings p USING (term) GROUP BY 1, 2
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id
+FROM hits h JOIN nreq USING (query_id) WHERE h.n_hit = nreq.n_req""",
+        "reverse search (ES percolator / Lucene Monitor): every (stored "
+        "conjunctive query, doc) match pair — the index-time alerting "
+        "primitive; stored-query terms broadcast against postings, "
+        "map-combinable hit counts vs per-query required counts, queries "
+        "with unindexed terms correctly match nothing",
+    ),
+    "sort_by_field_topk": QuerySpec(
+        q_sort_by_field,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+matched AS (
+  SELECT DISTINCT q.query_id, p.doc_id FROM q JOIN postings p USING (term)
+),
+keyed AS (
+  SELECT m.query_id, m.doc_id, d.n_chars
+  FROM matched m JOIN documents d ON m.doc_id = CAST(d.doc_id AS BIGINT)
+),
+ranked AS (
+  SELECT query_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM keyed
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rnk <= {K}""",
+        "Lucene Sort-by-field retrieval: the disjunctive match set ranked "
+        "by a stored doc field (n_chars DESC, id ASC) instead of relevance "
+        "— zero scoring work, candidate-restricted forward-index join for "
+        "the sort key, standard bounded per-query window",
+    ),
 })
 
 
@@ -2664,6 +2730,7 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 _SWEEP_NEXT = [
     "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
     "sequence_packing", "importance_resample", "completion_suggest",
+    "percolate_queries", "sort_by_field_topk",
 ]
 _missing = [k for k in _SWEEP_HEAD + _SWEEP_NEXT if k not in CATALOG]
 assert not _missing, f"sweep-order names absent from CATALOG: {_missing}"

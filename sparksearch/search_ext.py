@@ -326,3 +326,69 @@ def cms_term_estimates(
         .groupBy("term", "cf_true")
         .agg(F.min("cnt").alias("cf_est"))
     )
+
+
+def percolate(qterms: DataFrame, tf_df: DataFrame) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator / Lucene Monitor):
+    given the corpus and a set of STORED conjunctive queries, emit every
+    (query_id, doc_id) where the doc contains ALL of the query's terms —
+    the index-time alerting primitive ("which saved searches does this new
+    document trigger?").
+
+    Plan: the stored-query term table (queries ≪ corpus, by definition of
+    the feature) broadcasts against the postings; rows of tf_df are
+    already distinct per (term, doc), so the per-(query, doc) hit count is
+    a plain map-combinable count compared against the per-query required
+    count (1-row-per-query broadcast). Per-doc work is bounded by the
+    doc's matched terms — the plan is a transpose of the conjunctive
+    retrieval path and survives 100× the same way."""
+    qd = qterms.select("query_id", "term").distinct()
+    nreq = qd.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    hits = (
+        tf_df.join(F.broadcast(qd), "term", "inner")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(nreq), "query_id")
+        .filter(F.col("n_hit") == F.col("n_req"))
+        .select("query_id", "doc_id")
+    )
+
+
+def sort_by_field_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    docs: DataFrame,
+    field: str = "n_chars",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``Sort``-by-field retrieval → DF[query_id, rank, doc_id,
+    <field>]: candidates are the docs matching ≥1 query term (the standard
+    disjunctive match set), but ranked by a stored document field instead
+    of relevance — field DESC, doc_id ASC, top-k per query (the "newest
+    matching documents" pattern).
+
+    Plan: match set = broadcast query terms against postings with a
+    DISTINCT (query, doc) projection (no scoring work at all); the sort
+    key joins from the forward index on doc_id; per-query top-k is the
+    standard bounded window. At scale the field join is doc_id-keyed and
+    candidate-restricted — never corpus × queries."""
+    from pyspark.sql.window import Window
+
+    qd = qterms.select("query_id", "term").distinct()
+    matched = (
+        tf_df.join(F.broadcast(qd), "term", "inner")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    keyed = matched.join(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), field), "doc_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(field), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", field)
+    )

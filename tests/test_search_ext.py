@@ -317,3 +317,66 @@ def test_complete_prefixes_no_match_and_tiebreak(spark):
     }
     assert 1 not in got           # no vocabulary completion -> no rows
     assert got[2] == (1, "bead")  # 'bea' matches only 'bead', not 'beta'
+
+
+def test_percolate_conjunctive_semantics(spark):
+    from sparksearch.querying import parse_queries
+    from sparksearch.search_ext import percolate
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "hash join"), (1, "hash scan"), (2, "join scan hash")],
+        "doc_id long, text string",
+    )
+    tf_df, _, _, _ = corpus_stats(docs)
+    qs = [(1, "hash join"), (2, "scan"), (3, "hash zzz")]
+    got = {
+        (r.query_id, r.doc_id)
+        for r in percolate(parse_queries(spark, qs), tf_df).collect()
+    }
+    assert got == {
+        (1, 0), (1, 2),          # both terms required
+        (2, 1), (2, 2),          # single-term query
+        # query 3 has an unindexed term -> matches nothing
+    }
+
+
+def test_percolate_repeated_query_token(spark):
+    from sparksearch.querying import parse_queries
+    from sparksearch.search_ext import percolate
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame([(0, "hash x")], "doc_id long, text string")
+    tf_df, _, _, _ = corpus_stats(docs)
+    got = {
+        (r.query_id, r.doc_id)
+        for r in percolate(parse_queries(spark, [(9, "hash hash")]), tf_df).collect()
+    }
+    assert got == {(9, 0)}  # duplicates in the query don't double-require
+
+
+def test_sort_by_field_orders_by_field_not_score(spark):
+    from sparksearch.querying import parse_queries
+    from sparksearch.search_ext import sort_by_field_topk
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash hash hash hash", "en", "w", 5),   # most relevant, small field
+            (1, "hash pad pad", "en", "w", 50),
+            (2, "hash pad", "en", "w", 20),
+            (3, "nomatch", "en", "w", 999),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tf_df, _, _, _ = corpus_stats(docs)
+    out = [
+        (r.rank, r.doc_id, r.n_chars)
+        for r in sorted(
+            sort_by_field_topk(
+                parse_queries(spark, [(1, "hash")]), tf_df, docs, k=2
+            ).collect()
+        )
+    ]
+    # ranked by n_chars DESC regardless of tf; non-matching doc 3 excluded
+    assert out == [(1, 1, 50), (2, 2, 20)]
