@@ -116,7 +116,7 @@ def main() -> None:
     # byte-identical at every level — only task parallelism varies.
     #
     # Repetition policy: best-of-N per operation (SPARK_GRAFT_BUILD_REPS
-    # builds, default 2; SPARK_GRAFT_QUERY_REPS per query, default 3), with
+    # builds, default 3; SPARK_GRAFT_QUERY_REPS per query, default 3), with
     # the reps INTERLEAVED round-robin across the whole headline set rather
     # than run back-to-back. Rationale: the first run of a plan pays one-time
     # janino codegen + broadcast-job setup a continuously-serving cluster pays

@@ -2330,6 +2330,8 @@ FROM g""",
 # --------------------------------- session-3 extras: VSM / stemming / DSIR
 
 from .catalog_pipeline import _h60  # noqa: E402 — the shared DuckDB h60 twin
+from .sampling import PACK_BUDGET, PACK_SHARDS  # noqa: E402 — oracle twins
+                                                # must track the tunables
 
 
 def q_vsm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,6 +2374,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("doc_id").cast("long").alias("doc_id"), "logw")
 
 
+RESAMPLE_K = 50   # importance_resample sample size (shared fn + oracle)
+SUGGEST_N = 3     # completion_suggest completions per prefix
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import sequence_packing
 
@@ -2383,7 +2389,7 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import importance_resample
 
     tf_df, _, ts, _ = _stats_for(spark, sf_dir)
-    df = importance_resample(tf_df, _docs(spark, sf_dir), ts, k=50)
+    df = importance_resample(tf_df, _docs(spark, sf_dir), ts, k=RESAMPLE_K)
     return df.select(
         "rank", F.col("doc_id").cast("long").alias("doc_id"), "skey"
     )
@@ -2420,7 +2426,7 @@ def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .querying import complete_prefixes
 
     _, _, ts, _ = _stats_for(spark, sf_dir)
-    df = complete_prefixes(spark, prefix_queries(), ts, n=3)
+    df = complete_prefixes(spark, prefix_queries(), ts, n=SUGGEST_N)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
@@ -2565,7 +2571,7 @@ SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS logw FROM x""",
         f"""WITH {TOK_SQL.strip()},
 d AS (
   SELECT doc_id, dl,
-         {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 8 AS shard
+         {_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % {PACK_SHARDS} AS shard
   FROM doclen
 ),
 o AS (
@@ -2575,10 +2581,10 @@ o AS (
   FROM d
 )
 SELECT CAST(shard AS BIGINT) AS shard,
-       CAST(FLOOR(start / 256.0) AS BIGINT) AS seq_id,
+       CAST(FLOOR(start / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(dl) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN FLOOR(start / 256.0) <> FLOOR((start + dl - 1) / 256.0)
+       CAST(SUM(CASE WHEN FLOOR(start / {PACK_BUDGET}.0) <> FLOOR((start + dl - 1) / {PACK_BUDGET}.0)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
 FROM o GROUP BY 1, 2""",
         "GPT-style concat-and-chunk sequence packing accounting: docs "
@@ -2594,8 +2600,7 @@ FROM o GROUP BY 1, 2""",
 lw AS (SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS logw FROM x),
 keyed AS (
   SELECT doc_id,
-         LN(({_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 1000000 + 0.5) / 1000000.0)
-           / EXP(logw) AS skey
+         logw - LN(-LN(({_h60("CAST(doc_id AS BIGINT)::VARCHAR")} % 1000000 + 0.5) / 1000000.0)) AS skey
   FROM lw
 ),
 ranked AS (
@@ -2604,12 +2609,13 @@ ranked AS (
   FROM keyed
 )
 SELECT CAST(rnk AS BIGINT) AS rank, doc_id, ROUND(skey, 6) AS skey
-FROM ranked WHERE rnk <= 50""",
-        "deterministic weighted sampling without replacement (Efraimidis-"
-        "Spirakis A-Res, log keys) of 50 docs with probability ~ exp(DSIR "
-        "logw): h60-hash uniforms (no rand — identical across retries/"
-        "cluster sizes), map-side keys + TakeOrderedAndProject top-k — the "
-        "selection step importance weights exist for",
+FROM ranked WHERE rnk <= {RESAMPLE_K}""",
+        f"deterministic weighted sampling without replacement (Efraimidis-"
+        f"Spirakis A-Res, fully-log keys logw - ln(-ln u) — overflow-free "
+        f"for any |logw|) of {RESAMPLE_K} docs with probability ~ exp(DSIR "
+        f"logw): h60-hash uniforms (no rand — identical across retries/"
+        f"cluster sizes), map-side keys + TakeOrderedAndProject top-k — the "
+        f"selection step importance weights exist for",
     ),
     "completion_suggest": QuerySpec(
         q_completion_suggest,
@@ -2626,9 +2632,9 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        term, CAST(cf AS BIGINT) AS cf
-FROM ranked WHERE rnk <= 3""",
-        "suggest-as-you-type completion (AnalyzingSuggester semantics, "
-        "weight = collection frequency): top-3 dictionary completions per "
+FROM ranked WHERE rnk <= {SUGGEST_N}""",
+        f"suggest-as-you-type completion (AnalyzingSuggester semantics, "
+        f"weight = collection frequency): top-{SUGGEST_N} dictionary completions per "
         "typed prefix — prefixes broadcast against one linear dictionary "
         "scan, zero corpus access, cost independent of corpus size",
     ),

@@ -209,18 +209,27 @@ def importance_resample(
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement of ``k`` docs
     with probability ∝ exp(dsir logw) — Efraimidis–Spirakis A-Res reservoir
-    keys in log form → DF[rank, doc_id, skey]:
+    keys in FULLY-log form → DF[rank, doc_id, skey]:
 
-        key(d) = ln(u_d) / w_d,   w_d = exp(logw_d),   take top-k by key
+        A-Res picks the top-k by u_d^(1/w_d), w_d = exp(logw_d). Taking
+        ln twice (ln u < 0, so negate first) gives the order-equivalent
 
-    where u_d ∈ (0,1) is the h60-hash uniform of the doc id (repo
-    invariant #1: no rand() — the sample is identical across retries,
-    resumes and cluster sizes). This is the selection step DSIR's
-    importance weights exist for, as one deterministic distributed
-    operator: keys are map-side, the top-k is a TakeOrderedAndProject
-    (per-partition bounded heaps merged on the driver — no global sort),
-    exactly the flagship ranking shape. Ties break (key DESC, doc_id ASC),
-    the engine-wide total order."""
+            skey(d) = logw_d − ln(−ln u_d)
+
+        which never materializes exp(logw): the naive ln(u)/exp(logw) key
+        overflows to ±0/−inf for |logw| ≳ 710 (routine for long docs at
+        corpus scale), silently collapsing all extreme-weight docs into a
+        doc_id-ordered tie. Both −ln u and logw are finite here by
+        construction.
+
+    u_d ∈ (0,1) is the h60-hash uniform of the doc id (repo invariant #1:
+    no rand() — the sample is identical across retries, resumes and
+    cluster sizes). This is the selection step DSIR's importance weights
+    exist for, as one deterministic distributed operator: keys are
+    map-side, the top-k is a TakeOrderedAndProject (per-partition bounded
+    heaps merged on the driver — no global sort), exactly the flagship
+    ranking shape. Ties break (key DESC, doc_id ASC), the engine-wide
+    total order."""
     from pyspark.sql.window import Window
 
     from .textpipe import h60
@@ -231,7 +240,7 @@ def importance_resample(
         + 0.5
     ) / 1_000_000.0
     sel = (
-        lw.select("doc_id", (F.log(u) / F.exp(F.col("logw"))).alias("skey"))
+        lw.select("doc_id", (F.col("logw") - F.log(-F.log(u))).alias("skey"))
         .orderBy(F.desc("skey"), F.asc("doc_id"))
         .limit(k)
     )

@@ -187,14 +187,9 @@ def test_dictionary_expansion_is_single_scan_broadcast(spark, docs_sf0001):
 
 
 def _micro_stats(spark, docs_sf0001):
-    from sparksearch.build import tokenize_tf
-    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+    from sparksearch.stats import corpus_stats
 
-    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
-    tf_df = tt.select("term", "doc_id", "tf", "dl")
-    dl_df = tt.filter("lead").select("doc_id", "dl")
-    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
-    return tf_df, dl_df, ts
+    return corpus_stats(docs_sf0001.select("doc_id", "text"))[:3]
 
 
 def test_vsm_query_join_broadcasts_no_python(spark, docs_sf0001, queries):

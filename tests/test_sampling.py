@@ -79,7 +79,8 @@ def test_importance_resample_matches_brute_force(spark):
     for d, terms in tfs.items():
         logw = round(sum(n * lr[t] for t, n in terms.items()), 6)
         u = (_h60_py(str(d)) % 1_000_000 + 0.5) / 1_000_000.0
-        keys.append((math.log(u) / math.exp(logw), -d))
+        # fully-log A-Res key: order-equivalent to u^(1/w), overflow-free
+        keys.append((logw - math.log(-math.log(u)), -d))
     keys.sort(reverse=True)
     exp = [(i + 1, -nd, round(key, 6)) for i, (key, nd) in enumerate(keys[:3])]
     assert out == exp
