@@ -24,6 +24,12 @@ def _h60(expr: str) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
+def _r6(expr: str) -> str:
+    """DuckDB twin of stats.round6 — exact-decimal 6-dp output rounding
+    (plain ROUND(double, 6) disagrees with Spark on half-boundary values)."""
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+
+
 #: tokenized docs + distinct 3-gram shingles (twin of textpipe.doc_shingles)
 SHINGLE_SQL = f"""
 tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
@@ -443,6 +449,12 @@ def q_delta_encode_demo(spark, sf_dir):
 # ----------------------------------------------------------------- registry
 
 
+def _neardup_oracle_sql() -> str:
+    from .vectors import neardup_oracle_sql
+
+    return neardup_oracle_sql()
+
+
 def _lsh_oracle_sql() -> str:
     from .vectors import lsh_ann_oracle_sql
 
@@ -551,14 +563,14 @@ FROM documents""",
 ),
 r AS (
   SELECT doc_id, n_chars, n_tokens,
-         ROUND(sum_len / nullif(n_tokens, 0), 6) AS mean_token_len,
-         ROUND(sw / nullif(n_tokens, 0), 6) AS stopword_ratio
+         CAST(ROUND(CAST(sum_len / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_token_len,
+         CAST(ROUND(CAST(sw / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS stopword_ratio
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
-       ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+       CAST(ROUND(CAST(least(n_tokens / 100.0, 1.0) * 0.4
              + (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3
-             + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+             + least(stopword_ratio * 5.0, 1.0) * 0.3 AS DECIMAL(28,9)), 6) AS DOUBLE) AS quality_score
 FROM r""",
             "heuristic quality score: length, token shape, stopword naturalness",
         ),
@@ -594,16 +606,13 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 
         ),
         "dedup_embedding_cosine": QuerySpec(
             q_dedup_embedding_cosine,
-            f"""WITH {EMB_SQL.strip()}
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45""",
+            _neardup_oracle_sql(),
             "embedding-cosine near-dup pairs via LSH bucket-mates + exact "
-            "re-check (the scale path — no n² join); the DuckDB twin brute-"
-            "forces n² and tests assert bucketed ≡ brute on the fixtures",
+            "re-check (the scale path — no n² join); the DuckDB twin is "
+            "GENERATED from the same h60 planes (same buckets, candidates, "
+            "quantized cosines) — an LSH dedup is approximate BY DESIGN "
+            "(miss prob ~5e-4 per threshold-grade pair), so recall vs brute "
+            "force is a pytest property at fixture scale, not the oracle",
         ),
         "multimodal_meta": QuerySpec(
             q_multimodal_meta,

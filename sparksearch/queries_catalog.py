@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .querying import bm25_topk_from_docs, parse_queries, unknown_terms
-from .stats import corpus_profile
+from .stats import corpus_profile, round6 as _round6
 from .tokenize import py_tokenize
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -203,7 +203,7 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 """
@@ -222,7 +222,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -255,7 +255,7 @@ def q_bm25_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -269,7 +269,7 @@ def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -324,30 +324,44 @@ def q_unknown_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_daat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Heap slack for the DAAT entries' round-then-tiebreak re-rank: the kernel's
+#: bounded heap keeps the top (K + slack) by RAW score; the catalog re-ranks
+#: that superset under the engine-wide quantized order (round6(score) DESC,
+#: doc_id ASC) so rank identity with the SQL oracle holds even when raw ULP
+#: noise straddles a 6-decimal tie at the cut (measured at sf0.1). 16 extra
+#: candidates cover any plausible tie run at the boundary.
+DAAT_RERANK_SLACK = 16
+
+
+def _daat_requantized(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from .daat import daat_topk
 
     idx = _index_for(spark, sf_dir)
-    df = daat_topk(spark, idx, reference_queries(), k=K, wand=True)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+    df = daat_topk(spark, idx, reference_queries(), k=K + DAAT_RERANK_SLACK, **kw)
+    w = Window.partitionBy("query_id").orderBy(
+        _round6("score").desc(), F.asc("doc_id")
     )
+    return (
+        df.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _round6("score").alias("score"),
+        )
+    )
+
+
+def q_daat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daat_requantized(spark, sf_dir, wand=True)
 
 
 def q_daat_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .daat import daat_topk
-
-    idx = _index_for(spark, sf_dir)
-    df = daat_topk(spark, idx, reference_queries(), k=K, wand=True, conjunctive=True)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+    return _daat_requantized(spark, sf_dir, wand=True, conjunctive=True)
 
 
 def q_index_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,7 +421,7 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -477,11 +491,11 @@ scored AS (
 ),
 ranked AS (
   SELECT s.query_id, s.doc_id, s.score,
-         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, s.doc_id ASC) AS rnk
   FROM scored s JOIN nreq USING (query_id) WHERE s.n_hit = nreq.n_req
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}"""
 
 
@@ -492,7 +506,7 @@ CATALOG: dict[str, QuerySpec] = {
 {query_values_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "Q5/Q6 flagship: full BM25 (k1=1.2, b=0.75) top-10 over the reference query set",
     ),
@@ -508,7 +522,7 @@ FROM ranked WHERE rnk <= {K}""",
 {query_values_code_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "code-aware retrieval: corpus + queries tokenized with identifier "
         "splitting (camelCase/snake_case), full BM25 top-10 — the source-"
@@ -556,7 +570,7 @@ FROM documents GROUP BY ROLLUP (lang, source)""",
 {query_values_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "Q1–Q4 physical path: build compressed index, DAAT + block-max WAND + "
         "bounded heap — must equal the unpruned SQL BM25 exactly",
@@ -596,7 +610,7 @@ FROM termstats""",
 {query_values_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "filtered retrieval: BM25 over the lang='en' shard only — the filter "
         "composes before tokenization (stats recomputed over the shard)",
@@ -623,7 +637,7 @@ cscored AS (
 ),
 cranked AS (
   SELECT s.query_id, s.doc_id,
-         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, s.doc_id ASC) AS rnk
   FROM cscored s JOIN nreq USING (query_id) WHERE s.n_hit = nreq.n_req
 ),
 u AS (
@@ -631,7 +645,7 @@ u AS (
   UNION ALL
   SELECT query_id, doc_id, 1.0 / (60 + rnk) FROM cranked WHERE rnk <= {K}
 ),
-f AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score FROM u GROUP BY 1, 2),
+f AS (SELECT query_id, doc_id, CAST(ROUND(CAST(SUM(c) AS DECIMAL(28,9)), 6) AS DOUBLE) AS rrf_score FROM u GROUP BY 1, 2),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY rrf_score DESC, doc_id ASC) AS rk FROM f)
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rank,
@@ -755,7 +769,7 @@ def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -768,7 +782,7 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seed_doc_id").cast("long").alias("seed_doc_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -801,7 +815,7 @@ q AS (
 ),
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "prefix (trailing-wildcard) retrieval: dictionary-expanded "
         "disjunctive BM25 top-10 — Lucene PrefixQuery semantics, prefixes "
@@ -834,11 +848,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored WHERE doc_id <> query_id
 )
 SELECT CAST(query_id AS BIGINT) AS seed_doc_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "more-like-this: top tf·idf terms of each seed document run as a "
         "disjunctive BM25 query, seed self-excluded (Lucene MLT semantics; "
@@ -869,7 +883,7 @@ def q_bm25_topk_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -892,7 +906,7 @@ q AS (
 ),
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "suffix (leading-wildcard) retrieval: dictionary-expanded "
         "disjunctive BM25 top-10 — the reversed-field counterpart of the "
@@ -919,7 +933,7 @@ def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -939,7 +953,7 @@ def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -975,7 +989,7 @@ scored AS (
   JOIN doclen d ON p.doc_id = d.doc_id GROUP BY 1, 2
 ),
 m AS (
-  SELECT s.query_id, s.doc_id, ROUND(s.score, 6) AS score
+  SELECT s.query_id, s.doc_id, CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
   FROM scored s JOIN cand c ON s.doc_id = c.doc_id
   WHERE CASE s.query_id
 {cases}
@@ -983,11 +997,11 @@ m AS (
 ),
 rnkd AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM m
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM rnkd WHERE rnk <= {K}"""
 
 
@@ -1006,7 +1020,7 @@ CATALOG.update({
 {query_values_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk > {K} AND rnk <= {2 * K}""",
         "deep paging (search_after): results 11-20 under the total order "
         "(score DESC, doc_id ASC) — cursor-predicate equivalence holds "
@@ -1055,7 +1069,7 @@ def q_bm25_topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1068,7 +1082,7 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1123,7 +1137,7 @@ q AS (
 ),
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "infix wildcard (pre*suf) retrieval: dictionary-expanded disjunctive "
         "BM25 — Lucene WildcardQuery semantics with non-overlapping anchors, "
@@ -1154,11 +1168,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "Lucene SynonymQuery blended retrieval: synonym groups score as one "
         "term (tf summed across members, idf from the max member df) — "
@@ -1220,7 +1234,7 @@ def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1234,7 +1248,7 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1264,11 +1278,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "Dirichlet-smoothed query-likelihood ranking (mu=1000, the Indri/"
         "Galago default): full-query log-likelihood over candidates via the "
@@ -1325,11 +1339,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "BM25F multi-field ranking (title = first 5 tokens, w=2.0; body = "
         "rest, w=1.0): per-field length-normalized tf blended into one "
@@ -1422,7 +1436,7 @@ def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1465,11 +1479,11 @@ scored2 AS (
 ),
 ranked2 AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored2
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked2 WHERE rnk <= {K}""",
         "pseudo-relevance feedback (blind Rocchio-lite): BM25 top-3 feedback "
         "docs per query → top-5 tf·idf expansion terms (decimal-exact weight "
@@ -1513,7 +1527,7 @@ def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1528,7 +1542,7 @@ def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1549,7 +1563,7 @@ def q_bm25_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1602,7 +1616,7 @@ q AS (
 ),
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "fuzzy retrieval (Lucene FuzzyQuery, maxEdits=2): misspelled query "
         "terms expanded to all vocabulary terms within 2 Levenshtein edits "
@@ -1619,7 +1633,7 @@ q AS (
 ),
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "regexp retrieval (Lucene RegexpQuery): dictionary terms matching "
         "the pattern become disjunctive BM25 terms — substring match "
@@ -1642,11 +1656,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "delete-aware retrieval (Lucene liveDocs): tombstoned docs excluded "
         "from results by a scan-pushed predicate while df/idf/avgdl still "
@@ -1840,7 +1854,7 @@ def q_bm25_topk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1857,7 +1871,7 @@ def q_bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1872,7 +1886,7 @@ def q_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1886,7 +1900,7 @@ def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1900,16 +1914,16 @@ meta AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
 grp AS (
   SELECT s.query_id, s.doc_id, m.source, s.score,
          ROW_NUMBER() OVER (PARTITION BY s.query_id, m.source
-                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+                            ORDER BY CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, s.doc_id ASC) AS rn
   FROM scored s JOIN meta m USING (doc_id)
 ),
 ranked AS (
   SELECT query_id, doc_id, source, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM grp WHERE rn = 1
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, source, ROUND(score, 6) AS score
+       doc_id, source, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "field collapsing (ES collapse): top-10 keeping only the best-"
         "scoring doc per (query, source) — result-time dedup by metadata "
@@ -1933,11 +1947,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored WHERE n_hit >= {MSM_N}
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         f"minimum_should_match={MSM_N} retrieval (Lucene BooleanQuery msm): "
         "docs matching >= 2 distinct resolved terms, BM25 over the matches "
@@ -1956,11 +1970,11 @@ final AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM final
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "function_score field_value_factor (ES): final = bm25 * ln(1 + "
         "n_chars), multiply mode — static per-doc signals folded into "
@@ -2021,11 +2035,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "disjunction-max multi-field retrieval (Lucene DisjunctionMaxQuery "
         "/ ES best_fields, tie_breaker=0.3): per-field BM25 saturation "
@@ -2149,7 +2163,7 @@ def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -2187,7 +2201,7 @@ FROM {frm} GROUP BY 1, 2"""
 {BM25_SCORED_SQL},
 cand AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rn
   FROM scored
 ),
 tokd AS (
@@ -2211,11 +2225,11 @@ final AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM final
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}"""
 
 
@@ -2344,7 +2358,7 @@ def q_vsm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -2362,7 +2376,7 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round6("score").alias("score"),
     )
 
 
@@ -2532,11 +2546,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "classic tf-idf vector-space cosine ranking (SMART): exact-decimal "
         "norms and dot products, doc norms one postings x vocab agg (an "
@@ -2549,7 +2563,7 @@ FROM ranked WHERE rnk <= {K}""",
 {_stem_q_sql()},
 {BM25_SCORE_SQL.strip()}
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, ROUND(score, 6) AS score
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {K}""",
         "analyzer-chain retrieval: Harman S-stemmer plural conflation "
         "between tokenize and index (one shared SQL CASE both engines "

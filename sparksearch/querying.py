@@ -22,7 +22,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .stats import bm25_term_score_col, corpus_stats
+from .stats import bm25_term_score_col, corpus_stats, round6
 from .tokenize import py_tokenize
 
 TOPK_DEFAULT = 10
@@ -142,8 +142,15 @@ def score_logical_conjunctive(
 def topk_per_query(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
     """Q4 (batched form): deterministic top-k per query via window row_number.
 
-    Tie-break (score DESC, doc_id ASC) is the engine-wide total order."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    Tie-break (score DESC, doc_id ASC) is the engine-wide total order — with
+    the score compared at its OUTPUT precision (round6): ranking on the raw
+    double let the two engines break a 6-decimal tie differently whenever
+    aggregation-order ULP noise straddled the boundary (measured at sf0.1:
+    rank-10 picked different docs). Round-then-tiebreak makes rank identity
+    hold by construction on any engine."""
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -155,10 +162,10 @@ def global_topk(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
     """Q4 (single-query form): orderBy+limit → TakeOrderedAndProject —
     distributed per-partition top-k then single merge of ≤ P·k rows."""
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        scored.orderBy(round6("score").desc(), F.asc("doc_id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            Window.orderBy(round6("score").desc(), F.asc("doc_id"))
         ))
         .select("rank", "doc_id", "score")
     )
@@ -199,8 +206,10 @@ def rrf_fuse(
             (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("c"),
         )
         contrib = c if contrib is None else contrib.unionByName(c)
+    from .stats import round6
+
     fused = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 6).alias("rrf_score")
+        round6(F.sum("c")).alias("rrf_score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
 from .querying import score_all, topk_per_query
+from .stats import round6
 from .rankers import BM25F_TITLE_LEN
 from .tokenize import tokens_col
 
@@ -55,14 +56,14 @@ def collapse_topk(
         "doc_id",
     )
     wg = Window.partitionBy("query_id", collapse_col).orderBy(
-        F.desc("score"), F.asc("doc_id")
+        round6("score").desc(), F.asc("doc_id")
     )
     best = (
         scored.withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    wq = Window.partitionBy("query_id").orderBy(round6("score").desc(), F.asc("doc_id"))
     return (
         best.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -248,7 +249,7 @@ def rescore_topk(
     spark = docs.sparkSession
     qterms = parse_queries(spark, queries)
     scored = score_all(qterms, tf_df, dl_df, term_stats)
-    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    wnd = Window.partitionBy("query_id").orderBy(round6("score").desc(), F.asc("doc_id"))
     cand = (
         scored.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= window)

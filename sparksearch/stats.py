@@ -109,3 +109,21 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
         )
         .select("lang", "source", "n_docs", "total_chars")
     )
+
+
+def round6(c) -> "Column":
+    """Exact-decimal 6-dp OUTPUT rounding, cross-engine-stable.
+
+    ``ROUND(double, 6)`` implementations disagree between engines on
+    half-boundary values (Spark rounds the double's exact binary expansion
+    HALF_UP; DuckDB's scaled-multiply path can land on the other side —
+    measured: 8/99 catalog entries flipped a 6th decimal at sf0.1), and
+    aggregation-order ULP differences put sums exactly on those
+    boundaries. Quantizing ONCE to decimal(28,9) (both engines round a
+    double to a 9-scale decimal identically except within ~1 ULP of a
+    9th-decimal half — three orders of magnitude rarer) makes the
+    subsequent 6-dp round exact decimal arithmetic, hence identical.
+    SQL twin: ``CAST(ROUND(CAST(x AS DECIMAL(28,9)), 6) AS DOUBLE)``
+    (catalog_pipeline._r6)."""
+    col = c if not isinstance(c, str) else F.col(c)
+    return F.round(col.cast("decimal(28,9)"), 6).cast("double")

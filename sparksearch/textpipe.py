@@ -512,10 +512,12 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
     # nullif guard: a zero-token document yields NULL ratios (and NULL score)
     # on BOTH engines — without it Spark gives NULL but DuckDB gives inf/nan.
+    from .stats import round6
+
     nt = F.nullif(F.col("n_tokens"), F.lit(0))
     d = d.withColumn(
-        "mean_token_len", F.round(F.col("sum_len") / nt, 6)
-    ).withColumn("stopword_ratio", F.round(F.col("sw") / nt, 6))
+        "mean_token_len", round6(F.col("sum_len") / nt)
+    ).withColumn("stopword_ratio", round6(F.col("sw") / nt))
     q = (
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
         + (
@@ -527,7 +529,9 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
     return d.select(
         "doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
-        F.round(q, 6).alias("quality_score"),
+        # round6 (exact-decimal): plain ROUND(double, 6) flipped the 6th
+        # decimal between engines on half-boundary values at sf0.1
+        round6(q).alias("quality_score"),
     )
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .stats import round6
 from .textpipe import h60
 
 NEARDUP_COSINE_THRESHOLD = 0.45  # fixture max pair cosine ≈ 0.513
@@ -102,7 +103,7 @@ def embedding_neardup_pairs_brute(
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            round6(cosine(F.col("va"), F.col("vb"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -150,7 +151,7 @@ def embedding_neardup_pairs(
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            round6(cosine(F.col("va"), F.col("vb"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -315,6 +316,58 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score
 FROM r WHERE rnk <= {k}"""
+
+
+def neardup_oracle_sql(
+    threshold: float = NEARDUP_COSINE_THRESHOLD,
+    n_tables: int = NEARDUP_LSH_TABLES,
+    n_bits: int = LSH_PLANE_BITS,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB twin of ``embedding_neardup_pairs``, generated from the
+    same h60-derived planes (the ``lsh_ann_oracle_sql`` pattern): same
+    bucket keys, same candidate pairs, same quantized cosines. The twin
+    mirrors the ALGORITHM rather than brute-forcing n² — an LSH dedup is
+    approximate by design (miss prob ≈ 5e-4 per threshold-grade pair), so
+    a brute-force oracle is wrong on some corpus at some scale (observed:
+    one 0.4638-cosine pair at sf0.1 missed all 24 tables). Recall vs brute
+    force is asserted in tests/test_vectors.py at fixture scale, where
+    exhaustive comparison is feasible."""
+    planes = _plane_weights(n_tables, n_bits, dim)
+
+    def plane_lit(t: int, b: int) -> str:
+        return "[" + ", ".join(repr(w) for w in planes[t][b]) + "]"
+
+    branches = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(v, {plane_lit(t, b)}) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        )
+        branches.append(f"SELECT vec_id, {t} AS t, ({bits}) AS key FROM e")
+    keyed = "\n  UNION ALL\n  ".join(branches)
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+keyed AS (
+  {keyed}
+),
+cand AS (
+  SELECT DISTINCT ka.vec_id AS vec_id_a, kb.vec_id AS vec_id_b
+  FROM keyed ka JOIN keyed kb
+    ON ka.t = kb.t AND ka.key = kb.key AND ka.vec_id < kb.vec_id
+),
+scored AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         CAST(ROUND(CAST({cos} AS DECIMAL(28,9)), 6) AS DOUBLE) AS cosine_sim
+  FROM cand c JOIN e a ON a.vec_id = c.vec_id_a JOIN e b ON b.vec_id = c.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}"""
 
 
 # ------------------------------------------------------------------ IVF ANN
