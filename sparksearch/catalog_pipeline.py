@@ -986,22 +986,22 @@ _TRAINING_SQL = f"""WITH base AS (
 ),
 r AS (
   SELECT doc_id, lang, h, split, n_tokens,
-         ROUND(sum_len / nullif(n_tokens, 0), 6) AS mtl,
-         ROUND(sw / nullif(n_tokens, 0), 6) AS swr
+         CAST(ROUND(CAST(sum_len / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mtl,
+         CAST(ROUND(CAST(sw / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS swr
   FROM base
 ),
 q AS (
   SELECT doc_id, lang, h, split, n_tokens,
-         ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+         CAST(ROUND(CAST(least(n_tokens / 100.0, 1.0) * 0.4
                + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.3
-               + least(swr * 5.0, 1.0) * 0.3, 6) AS quality_score
+               + least(swr * 5.0, 1.0) * 0.3 AS DECIMAL(28,9)), 6) AS DOUBLE) AS quality_score
   FROM r
 ),
 g AS (SELECT * FROM q WHERE quality_score >= 0.5),
 s AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM g)
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       CAST(ROUND(CAST(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_quality
 FROM s WHERE doc_id = keep_id GROUP BY 1, 2"""
 
 

@@ -291,12 +291,15 @@ def training_data_stats(
     # an EXACT decimal sum (order-independent under any partitioning) and one
     # double division — plain F.avg over doubles is partial-agg-order
     # sensitive and can flip the 6th rounded decimal between runs.
+    from .stats import round6
+
     return surv.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
+        # round6 (exact-decimal): the division can land on a 6-dp half where
+        # plain ROUND(double, 6) differs between engines (seen at sf0.001)
+        round6(
             F.sum(F.col("quality_score").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
