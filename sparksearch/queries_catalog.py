@@ -2449,6 +2449,47 @@ def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOST_FIRST = 2.0   # boosted query set: first whitespace token gets ^2.0
+
+
+def boosted_queries() -> list[tuple[int, str]]:
+    """Deterministic BoostQuery set: the reference queries with the first
+    token boosted (Lucene ``term^2.0`` syntax)."""
+    out = []
+    for qid, text in reference_queries():
+        parts = text.split()
+        if parts:
+            parts[0] = f"{parts[0]}^{BOOST_FIRST}"
+        out.append((qid, " ".join(parts)))
+    return out
+
+
+def boosted_values_sql() -> str:
+    """The boosted query set as a VALUES CTE q(query_id, term, qtf DOUBLE),
+    generated from the SAME parse the Spark path uses (weights add)."""
+    from .querying import py_parse_boosted
+
+    vals = ", ".join(
+        f"({q}, '{t}', {w!r})"
+        for (q, t), w in sorted(py_parse_boosted(boosted_queries()).items())
+    )
+    return f"q(query_id, term, qtf) AS (VALUES {vals})"
+
+
+def q_bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .querying import parse_boosted_queries, score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_boosted_queries(spark, boosted_queries())
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .search_ext import percolate
 
@@ -2652,6 +2693,18 @@ FROM ranked WHERE rnk <= {SUGGEST_N}""",
         "typed prefix — prefixes broadcast against one linear dictionary "
         "scan, zero corpus access, cost independent of corpus size",
     ),
+    "bm25_topk_boosted": QuerySpec(
+        q_bm25_topk_boosted,
+        f"""WITH {TOK_SQL.strip()},
+{boosted_values_sql()},
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        f"Lucene BoostQuery (term^boost syntax): first query token boosted "
+        f"x{BOOST_FIRST} — fractional per-term weights ride the standard "
+        f"qtf multiplier through the unchanged flagship scoring plan",
+    ),
     "percolate_queries": QuerySpec(
         q_percolate,
         f"""WITH {TOK_SQL.strip()},
@@ -2750,7 +2803,7 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 _SWEEP_NEXT = [
     "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
     "sequence_packing", "importance_resample", "completion_suggest",
-    "percolate_queries", "sort_by_field_topk",
+    "percolate_queries", "sort_by_field_topk", "bm25_topk_boosted",
 ]
 _missing = [k for k in _SWEEP_HEAD + _SWEEP_NEXT if k not in CATALOG]
 assert not _missing, f"sweep-order names absent from CATALOG: {_missing}"

@@ -41,6 +41,36 @@ def parse_queries(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFr
     return spark.createDataFrame(rows or [], "query_id int, term string, qtf int")
 
 
+def parse_boosted_queries(
+    spark: SparkSession, queries: list[tuple[int, str]]
+) -> DataFrame:
+    """Q1 with Lucene BoostQuery syntax: ``term^2.5`` weights that term's
+    BM25 contribution by 2.5 → DF[query_id, term, qtf:double]. Weights for
+    repeated terms ADD (a repeated unboosted term is the classic qtf > 1,
+    so ``t t`` ≡ ``t^2.0``). Rides the standard scoring path unchanged —
+    score_all multiplies each contribution by qtf, which may be fractional.
+    """
+    return spark.createDataFrame(
+        [(q, t, w) for (q, t), w in sorted(py_parse_boosted(queries).items())],
+        "query_id int, term string, qtf double",
+    )
+
+
+def py_parse_boosted(
+    queries: list[tuple[int, str]],
+) -> dict[tuple[int, str], float]:
+    """Driver-side boosted-query parse shared by the Spark path and the
+    oracle-SQL generator: {(query_id, term): weight}."""
+    rows: dict[tuple[int, str], float] = {}
+    for qid, text in queries:
+        for raw in text.split():
+            tok, _, boost = raw.partition("^")
+            w = float(boost) if boost else 1.0
+            for term in py_tokenize(tok):
+                rows[(int(qid), term)] = rows.get((int(qid), term), 0.0) + w
+    return rows
+
+
 def resolve_terms(qterms: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Q1b: resolve query terms against the dictionary — broadcast hash join;
     unknown terms silently drop (inner). ``unknown_terms`` reports them."""

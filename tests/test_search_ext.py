@@ -380,3 +380,44 @@ def test_sort_by_field_orders_by_field_not_score(spark):
     ]
     # ranked by n_chars DESC regardless of tf; non-matching doc 3 excluded
     assert out == [(1, 1, 50), (2, 2, 20)]
+
+
+def test_boosted_query_scales_term_contribution(spark, micro):
+    """term^2 exactly doubles that term's BM25 contribution; an unboosted
+    repeated token equals an explicit ^2.0 boost."""
+    from sparksearch.querying import (
+        parse_boosted_queries,
+        parse_queries,
+        score_logical,
+    )
+
+    _, tf_df, dl_df, ts, _ = micro
+    plain = {
+        r.doc_id: r.score
+        for r in score_logical(
+            parse_queries(spark, [(1, "hash")]), tf_df, dl_df, ts
+        ).collect()
+    }
+    boosted = {
+        r.doc_id: r.score
+        for r in score_logical(
+            parse_boosted_queries(spark, [(1, "hash^2.0")]), tf_df, dl_df, ts
+        ).collect()
+    }
+    assert set(plain) == set(boosted)
+    for d in plain:
+        assert boosted[d] == pytest.approx(2 * plain[d], abs=1e-9)
+    repeated = {
+        r.doc_id: r.score
+        for r in score_logical(
+            parse_boosted_queries(spark, [(1, "hash hash")]), tf_df, dl_df, ts
+        ).collect()
+    }
+    assert repeated == boosted
+
+
+def test_boosted_parse_mixed_and_fractional(spark):
+    from sparksearch.querying import py_parse_boosted
+
+    got = py_parse_boosted([(3, "hash^2.5 scan hash")])
+    assert got == {(3, "hash"): 3.5, (3, "scan"): 1.0}
