@@ -56,6 +56,13 @@ SEGMENT_COLS = (
     "doc_gaps binary, tfs binary, dls binary, max_tf long, min_dl long"
 )
 
+_SEGMENT_COL_NAMES = [c.split(" ")[0] for c in SEGMENT_COLS.split(", ")]
+
+#: Encoder-output twin of SEGMENT_COLS: blocks leave the encode group keyed by
+#: the int64 term id (the string never rides the salted exchange) and the
+#: string is restored by the vocab join in ``build_segments``.
+_TID_SEGMENT_COLS = "tid long, " + SEGMENT_COLS.split(", ", 1)[1]
+
 
 def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False,
                    with_positions: bool = False):
@@ -191,9 +198,9 @@ def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _encode_group_fn(block_size: int):
+def _encode_group_fn(block_size: int, key_col: str = "tid"):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group = one (term, range_id) sub-list. Arrow batch in, NumPy only.
+        # One group = one (tid, range_id) sub-list. Arrow batch in, NumPy only.
         order = np.argsort(pdf["doc_id"].values, kind="stable")
         ids = pdf["doc_id"].values[order]
         tfs = pdf["tf"].values[order]
@@ -202,7 +209,7 @@ def _encode_group_fn(block_size: int):
         nb = len(enc["n"])
         return pd.DataFrame(
             {
-                "term": np.repeat(pdf["term"].iloc[0], nb),
+                key_col: np.repeat(pdf[key_col].iloc[0], nb),
                 "range_id": np.repeat(np.int32(pdf["range_id"].iloc[0]), nb),
                 "first_doc_id": enc["first_doc_id"],
                 "last_doc_id": enc["last_doc_id"],
@@ -231,16 +238,31 @@ def build_segments(
     tf_df: [term, doc_id, tf(, dl)]; dl_df: [doc_id, dl] (legacy only). The
     encoder is STATS-FREE (impact-pair block metadata, codec.py), so no
     term-stats join touches the postings — when tf_df already carries dl
-    (the one-pass tokenize_tf path) the salted (term, range_id) repartition
-    below is the ONLY exchange this function adds, moving exactly 4 narrow
-    columns + the term string."""
+    (the one-pass tokenize_tf path) the salted (tid, range_id) repartition
+    below is the ONLY full-data exchange this function adds, moving exactly
+    FOUR FIXED-WIDTH columns per posting: tid int64, doc_id int64, tf int32,
+    dl int32 (+ the int32 range key). The term STRING never rides it —
+    measured at mean-term-length+offset bytes per posting, the exchange's
+    dominant payload before this change and the memory-bandwidth wall the
+    round-3 scaling attempts hit. The string is restored AFTER the encode
+    group by joining the block-sized frame (≈ postings/BLOCK_SIZE rows)
+    against a vocab map built with one vocab-sized exchange (map-side
+    partial collect_set dedup); AQE broadcasts the vocab when small, SMJ
+    otherwise.
+
+    tid = xxhash64(term) — deterministic, map-side, no assignment pass. A
+    64-bit collision would silently merge two terms' lists, so the vocab
+    carries a lazy ``raise_error`` branch: any tid owning ≥2 distinct terms
+    aborts the build the moment the restore join evaluates it (no extra
+    audit job; expected collisions at a 10^9-term vocabulary ≈ 3% for ONE
+    pair somewhere — and the abort names it for a salt bump)."""
     base = tf_df
     if "dl" not in tf_df.columns:
         base = base.join(dl_df, "doc_id")
     scored = (
         base
         .select(
-            "term",
+            F.xxhash64("term").alias("tid"),
             "doc_id",
             # Narrow types through the B1 exchange + Arrow boundary: tf/dl
             # fit int32 by construction (dl is a per-doc token count).
@@ -249,16 +271,37 @@ def build_segments(
             (F.col("doc_id") / F.lit(int(range_size))).cast("int").alias("range_id"),
         )
     )
+    # tid → term restore map, O(vocab): ONE exchange whose payload is the
+    # distinct vocabulary (collect_set partial-aggregates map-side, so each
+    # task ships its local vocab once, not its postings).
+    vocab = (
+        base.groupBy(F.xxhash64("term").alias("tid"))
+        .agg(F.collect_set("term").alias("_terms"))
+        .select(
+            "tid",
+            F.when(F.size("_terms") == 1, F.element_at("_terms", 1))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("xxhash64 term-id collision — bump the tid salt: "),
+                F.to_json("_terms"),
+            )))
+            .alias("term"),
+        )
+    )
     # B1: deterministic salted repartition — hot terms fan out over ranges.
     parts = shuffle_partitions or tf_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    salted = scored.repartition(int(parts), "term", "range_id")
-    # B2+B3: per-(term, range) sort + block encode (NumPy inside Arrow batches).
-    blocks = salted.groupBy("term", "range_id").applyInPandas(
-        _encode_group_fn(block_size), SEGMENT_COLS
+    salted = scored.repartition(int(parts), "tid", "range_id")
+    # B2+B3: per-(tid, range) sort + block encode (NumPy inside Arrow batches).
+    blocks = salted.groupBy("tid", "range_id").applyInPandas(
+        _encode_group_fn(block_size), _TID_SEGMENT_COLS
     )
-    # B4: assign the global layout bucket (deterministic hash of term).
-    return blocks.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    # Restore the term string on the block-sized frame, then B4: assign the
+    # global layout bucket (deterministic hash of term).
+    return (
+        blocks.join(vocab, "tid")
+        .select(*_SEGMENT_COL_NAMES)
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
     )
 
 

@@ -70,7 +70,12 @@ def connected_components(
                 F.least(F.col("u"), F.col("nmin")).alias("label"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence key = exact decimal Σ labels: LongType sum wraps silently
+    # (non-ANSI) once ids reach h60 scale (~2^60 × >16 nodes), and the
+    # fixpoint test would then compare wrapped values. decimal(38,0) is
+    # exact up to 10^38 — safe past 10^19 h60-scale nodes.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         # (a) neighbor labels flow along edges; (b) pointer jumping:
         # label(label(node)) — composing the label map with itself halves
@@ -95,7 +100,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:  # Σ min-labels strictly decreases until fixpoint
             break

@@ -248,8 +248,11 @@ def lsh_ann_topk(
         .select("query_id", "qv", "vec_id", "v")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    # round6, not ROUND(double,6): ann_lsh_topk ranks on this rounded score,
+    # and plain double-round is the engine-divergent half-boundary pattern
+    # (CLAUDE.md round-3 sharp edge) — quantize-then-round on both engines.
     scored = cand.select(
-        "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+        "query_id", "vec_id", round6(cosine(F.col("v"), F.col("qv"))).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     out = (
@@ -309,7 +312,8 @@ cand AS (
   FROM q JOIN keyed k ON k.t = q.t AND k.key = q.key AND k.vec_id <> q.query_id
 ),
 scored AS (
-  SELECT c.query_id, c.vec_id, ROUND({cos}, 6) AS score
+  SELECT c.query_id, c.vec_id,
+         CAST(ROUND(CAST(({cos}) AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
   FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.query_id
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -255,3 +255,33 @@ def test_sequence_packing_shuffles_once_on_shard(spark, docs_sf0001):
     n_exchanges = len(re.findall(r"hashpartitioning\(", plan))
     assert n_exchanges == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_exchange_carries_no_string(spark, docs_sf0001):
+    """The B1 exchange (the build's only full-data shuffle) must move only
+    fixed-width columns — tid/doc_id int64, tf/dl/range_id int32. The term
+    STRING riding this exchange was the round-3 scaling bottleneck (mean
+    term length + offset bytes per posting, pure memory bandwidth); it is
+    now restored post-encode via the vocab join on the block-sized frame."""
+    import re
+
+    from sparksearch.build import build_segments, tokenize_tf
+
+    tf = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    seg = build_segments(tf, None, range_size=100, n_buckets=8)
+    plan = _plan(seg)
+    # Find the REPARTITION_BY_NUM exchange on (tid, range_id) and its Input
+    # row (printed directly above the Arguments line in formatted mode).
+    m = re.search(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(tid#\d+L, range_id#\d+",
+        plan,
+    )
+    assert m, plan
+    cols = m.group(1)
+    assert "term#" not in cols, cols  # no string through the hot exchange
+    assert "tid#" in cols and "doc_id#" in cols, cols
+    # The string restore is a join of the block-sized frame against the
+    # vocab map (broadcast at this scale), with the collision raise baked in.
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin)", plan), plan
+    assert "raise_error" in plan, plan
