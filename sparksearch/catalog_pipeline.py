@@ -461,6 +461,12 @@ def _lsh_oracle_sql() -> str:
     return lsh_ann_oracle_sql()
 
 
+def _ivf_oracle_sql() -> str:
+    from .vectors import ivf_ann_oracle_sql
+
+    return ivf_ann_oracle_sql()
+
+
 def build_pipeline_catalog():
     from . import joins as _J
     from .queries_catalog import QuerySpec
@@ -599,10 +605,12 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 
         ),
         "ann_ivf_topk": QuerySpec(
             q_ann_ivf_topk,
-            None,
+            _ivf_oracle_sql(),
             "IVF ANN: deterministic Lloyd coarse quantizer, probe-4 inverted "
-            "lists, exact re-rank (rows-only: recall vs exact measured in "
-            "tests/test_vectors.py; returned scores are exact cosines)",
+            "lists, exact re-rank — EXACT oracle: the DuckDB twin unrolls "
+            "the same Lloyd iterations as CTEs (round6-quantized argmax, "
+            "decimal-exact centroid means close every cross-engine ULP "
+            "channel); recall vs exact additionally in tests/test_vectors.py",
         ),
         "dedup_embedding_cosine": QuerySpec(
             q_dedup_embedding_cosine,

@@ -391,6 +391,14 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS,
     as element-wise means via posexplode + two hash aggregates. Returns
     (assignments DF[vec_id, v, cid], centroids DF[cid, cv]).
 
+    CROSS-ENGINE EXACT by construction (the ``ivf_ann_oracle_sql`` twin
+    replays it value-identically): (a) assignment ranks on the round6-
+    QUANTIZED cosine (invariant #3 — raw-double argmax flips on cross-engine
+    ULP ties), and (b) centroid means are the decimal-exact-sum + one double
+    division form (the ``training_data_stats`` remedy — double SUM order
+    differs between engines; decimal sums don't). Both choices only quantize
+    an approximate quantizer — recall properties are unaffected.
+
     Scale: the assign pass is a broadcast map-side join over the full table
     (linear, no shuffle of the vectors); the centroid update shuffles only
     (cid, pos) pairs — n_centroids × dim rows. This is the standard
@@ -407,7 +415,10 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS,
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                 / F.count(F.lit(1))).alias("m")
+            )
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -420,13 +431,14 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS,
 
 
 def _ivf_assign_pass(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One assignment pass: DF[vec_id, v, cid] — max cosine, ties → low cid."""
+    """One assignment pass: DF[vec_id, v, cid] — max QUANTIZED cosine
+    (round6), ties → low cid (engine-portable total order)."""
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         vecs.join(F.broadcast(centroids))
         .select(
             "vec_id", "v", "cid",
-            cosine(F.col("v"), F.col("cv")).alias("sim"),
+            round6(cosine(F.col("v"), F.col("cv"))).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -454,7 +466,8 @@ def ivf_ann_topk(
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (
         queries.join(F.broadcast(centroids))
-        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "qv", "cid",
+                round6(cosine(F.col("qv"), F.col("cv"))).alias("sim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cid")
@@ -464,7 +477,7 @@ def ivf_ann_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+            round6(cosine(F.col("v"), F.col("qv"))).alias("score"),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
@@ -473,4 +486,77 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score")
+    )
+
+
+def ivf_ann_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Exact DuckDB twin of ``ivf_ann_topk`` — the whole Lloyd build is
+    UNROLLED as CTEs (init from the n_centroids lowest vec_ids, n_iters
+    assign+update rounds, final assignment, probe, re-rank), value-identical
+    to the Spark pipeline because every cross-engine divergence channel is
+    closed at the source (``ivf_assign`` docstring): assignment/probe argmax
+    ranks on the round6-quantized cosine with cid tiebreak, centroid means
+    are exact decimal sums with ONE double division, and output scores are
+    round6. Both engines read the same parquet doubles and evaluate the
+    same sequential-fold dot products, so every intermediate is identical."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    def r6(x: str) -> str:
+        return f"CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {r6(cos('e.v', 'c.cv'))} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    parts = [
+        """e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""",
+        f"""c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(f"""m{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT cid, unnest(v) AS val, unnest(range(len(v))) AS pos FROM a{i})
+  GROUP BY cid, pos)""")
+        parts.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"
+        )
+        prev = f"c{i}"
+    parts.append(assign("af", prev))
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries})"
+    )
+    parts.append(f"""probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {r6(cos('q.qv', 'c.cv'))} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe})""")
+    parts.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id, {r6(cos('a.v', 'p.qv'))} AS score
+  FROM af a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)""")
+    parts.append("""r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score "
+          f"FROM r WHERE rnk <= {k}"
     )
