@@ -435,7 +435,11 @@ def finalize_index(
         F.max("max_tf").alias("max_tf"), F.min("min_dl").alias("min_dl"),
         F.first("bucket").alias("bucket"),
     )
-    dictionary = term_stats.select("term", "df", "cf", "idf").join(gmax, "term")
+    # Consumed by THREE sinks (dictionary, sorted sidecar, reversed sidecar)
+    # — persist so the vocab-sized stats join runs once (self-join invariant).
+    dictionary = (
+        term_stats.select("term", "df", "cf", "idf").join(gmax, "term").persist()
+    )
 
     def _w_segments():
         seg.write.mode(mode).partitionBy("bucket").parquet(
@@ -450,7 +454,10 @@ def finalize_index(
     def _w_dictionary():
         dictionary.write.mode(mode).parquet(os.path.join(index_path, "dictionary"))
 
-    writers = [_w_segments, _w_doclens, _w_dictionary]
+    def _w_dict_sidecars():
+        write_dictionary_sidecars(dictionary, index_path, mode=mode)
+
+    writers = [_w_segments, _w_doclens, _w_dictionary, _w_dict_sidecars]
     if "pos_blob" in tf_df.columns:
         # Positional sidecar (phrase.py) — a map-only projection of the SAME
         # cached tokenize pass; the fourth concurrent sink, no extra corpus
@@ -474,12 +481,77 @@ def finalize_index(
         "n_ranges": int(n_ranges),
         "n_buckets": int(n_buckets),
         "block_size": int(block_size),
+        "dict_sorted_dir": "dict_sorted",
+        "dict_rsorted_dir": "dict_rsorted",
     }
     seg.unpersist()
+    dictionary.unpersist()
     tf_df.unpersist()
     with open(os.path.join(index_path, "stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def write_dictionary_sidecars(
+    dictionary: DataFrame,
+    index_path: str,
+    mode: str = "overwrite",
+    n_parts: int | None = None,
+    sorted_dir: str = "dict_sorted",
+    rsorted_dir: str = "dict_rsorted",
+) -> None:
+    """Term-sorted + reversed-term-sorted dictionary sidecars — the range-
+    scan path for expansion queries (prefix/suffix/wildcard/fuzzy/regexp,
+    SURVEY.md §2; round-3 verdict item #5).
+
+    ``dict_sorted``  [term, p2, df, cf, idf]  sorted by term per file;
+    ``dict_rsorted`` [rterm, term]            sorted by rterm per file.
+
+    Each file is written hash-repartitioned on the sort key then
+    sortWithinPartitions — every parquet ROW GROUP covers a tight key range,
+    so a pushed range/IN predicate (PushedFilters in the plan) skips the
+    row groups outside it: an expansion query reads O(matching-range) of a
+    10^8–10^9-term vocabulary instead of scanning it linearly. Deliberately
+    NOT repartitionByRange: RangePartitioner derives bounds by sampling
+    with a per-RDD seed, which breaks the byte-identical-rebuild invariant;
+    hash+sort gives the same row-group pruning (each file holds a uniform
+    slice of the sorted vocabulary) fully deterministically.
+
+    ``p2`` = the first ≤2 chars of term — the fuzzy band column: candidate
+    bands push down as one IN(p2, [...]) filter (querying/search_ext
+    ``*_indexed`` expanders). O(vocab) total — trivia next to the postings
+    exchange; rides the concurrent sink pool in ``finalize_index``."""
+    if n_parts is None:
+        n_parts = int(
+            dictionary.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    (
+        dictionary.select(
+            "term", F.substring("term", 1, 2).alias("p2"), "df", "cf", "idf"
+        )
+        .repartition(n_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(os.path.join(index_path, sorted_dir))
+    )
+    (
+        dictionary.select(F.reverse(F.col("term")).alias("rterm"), "term")
+        .repartition(n_parts, "rterm")
+        .sortWithinPartitions("rterm")
+        .write.mode(mode)
+        .parquet(os.path.join(index_path, rsorted_dir))
+    )
+
+
+def load_sorted_dictionary(
+    spark: SparkSession, index_path: str, reversed_: bool = False
+) -> DataFrame:
+    """Read the term-sorted (or reversed-term-sorted) dictionary sidecar."""
+    with open(os.path.join(index_path, "stats.json")) as f:
+        stats = json.load(f)
+    key = "dict_rsorted_dir" if reversed_ else "dict_sorted_dir"
+    default = "dict_rsorted" if reversed_ else "dict_sorted"
+    return spark.read.parquet(os.path.join(index_path, stats.get(key, default)))
 
 
 def load_index(spark: SparkSession, index_path: str):

@@ -268,7 +268,11 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
     dic_gen = os.path.join(index_path, f"dictionary_gen_{gen}")
     # Crash recovery: stats.json is the commit record — artifacts of an
     # unrecorded generation are leftovers of a crashed finalize; rebuild them.
-    for leftover in (seg_gen, dl_gen, dic_gen):
+    for leftover in (
+        seg_gen, dl_gen, dic_gen,
+        os.path.join(index_path, f"dict_sorted_gen_{gen}"),
+        os.path.join(index_path, f"dict_rsorted_gen_{gen}"),
+    ):
         shutil.rmtree(leftover, ignore_errors=True)
 
     tf_all = spark.read.parquet(os.path.join(index_path, "postings"))
@@ -354,9 +358,19 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
     stats_df = spark.createDataFrame(
         [(n_docs, float(avgdl))], "n_docs long, avgdl double"
     )
-    with_idf(merged, stats_df).select(
+    # Consumed by three sinks (dictionary + the two sorted expansion
+    # sidecars, O(vocab) each) — persist the merged frame once.
+    final_dic = with_idf(merged, stats_df).select(
         "term", "df", "cf", "idf", "max_tf", "min_dl", "bucket"
-    ).write.mode("overwrite").parquet(dic_gen)
+    ).persist()
+    final_dic.write.mode("overwrite").parquet(dic_gen)
+    from .build import write_dictionary_sidecars
+
+    write_dictionary_sidecars(
+        final_dic, index_path,
+        sorted_dir=f"dict_sorted_gen_{gen}", rsorted_dir=f"dict_rsorted_gen_{gen}",
+    )
+    final_dic.unpersist()
 
     seg_new.unpersist()
     tf_new.unpersist()
@@ -371,14 +385,17 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
         "block_size": int(meta["block_size"]),
         "n_gens": gen + 1,
         "dictionary_dir": f"dictionary_gen_{gen}",
+        "dict_sorted_dir": f"dict_sorted_gen_{gen}",
+        "dict_rsorted_dir": f"dict_rsorted_gen_{gen}",
         "finalized_units": sorted(done | set(new_units)),
         "finalize_input_postings": new_postings,
     }
     _write_json_atomic(stats_path, stats)  # THE commit point
     # Best-effort cleanup of superseded dictionary snapshots (post-commit).
     for g in range(gen):
-        shutil.rmtree(os.path.join(index_path, f"dictionary_gen_{g}"),
-                      ignore_errors=True)
+        for d in ("dictionary_gen", "dict_sorted_gen", "dict_rsorted_gen"):
+            shutil.rmtree(os.path.join(index_path, f"{d}_{g}"),
+                          ignore_errors=True)
     return stats
 
 

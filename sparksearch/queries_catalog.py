@@ -73,7 +73,9 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 
         from .build import build_index
 
-        path = f"/tmp/sparksearch_index_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
+        # v2 layout salt: round 4 added the sorted-dictionary expansion
+        # sidecars — a marker-complete round-3 artifact must not be reused.
+        path = f"/tmp/sparksearch_index_{hashlib.sha256((key + '|v2').encode()).hexdigest()[:12]}"
         # with_positions: the positional sidecar rides the SAME tokenize
         # pass (build.py) — one corpus read serves the physical-index AND
         # phrase entries for the whole sweep.
@@ -769,10 +771,17 @@ def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .querying import expand_prefix_queries, score_logical
+    from .build import load_sorted_dictionary
+    from .querying import expand_prefix_indexed, score_logical
 
     tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    qterms = expand_prefix_queries(spark, prefix_queries(), ts)
+    # expansion source = the term-sorted dictionary sidecar of the physical
+    # index (range-pruned scan, PushedFilters on term) — same term set as
+    # ts by construction (one corpus, one tokenizer; test_index pins it)
+    qterms = expand_prefix_indexed(
+        spark, prefix_queries(),
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)),
+    )
     df = score_logical(qterms, tf_df, dl_df, ts, k=K)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -883,10 +892,15 @@ def suffix_queries() -> list[tuple[int, str]]:
 
 
 def q_bm25_topk_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .querying import expand_suffix_queries, score_logical
+    from .build import load_sorted_dictionary
+    from .querying import expand_suffix_indexed, score_logical
 
     tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    qterms = expand_suffix_queries(spark, suffix_queries(), ts)
+    # leading wildcard served Lucene-style from the REVERSED-term sidecar
+    qterms = expand_suffix_indexed(
+        spark, suffix_queries(),
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir), reversed_=True),
+    )
     df = score_logical(qterms, tf_df, dl_df, ts, k=K)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1068,11 +1082,15 @@ SIG_MIN_DF = 5
 
 
 def q_bm25_topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import load_sorted_dictionary
     from .querying import score_logical
-    from .search_ext import expand_wildcard_queries
+    from .search_ext import expand_wildcard_indexed
 
     tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    qterms = expand_wildcard_queries(spark, WILD_QUERIES, ts)
+    qterms = expand_wildcard_indexed(
+        spark, WILD_QUERIES,
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)),
+    )
     df = score_logical(qterms, tf_df, dl_df, ts, k=K)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1526,11 +1544,15 @@ EXPLAIN_DOCS = 3
 
 
 def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import load_sorted_dictionary
     from .querying import score_logical
-    from .search_ext import expand_fuzzy_queries
+    from .search_ext import expand_fuzzy_indexed
 
     tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    qterms = expand_fuzzy_queries(spark, FUZZY_QUERIES, ts, max_edits=2)
+    qterms = expand_fuzzy_indexed(
+        spark, FUZZY_QUERIES,
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)), max_edits=2,
+    )
     df = score_logical(qterms, tf_df, dl_df, ts, k=K)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1541,11 +1563,15 @@ def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import load_sorted_dictionary
     from .querying import score_logical
-    from .search_ext import expand_regexp_queries
+    from .search_ext import expand_regexp_indexed
 
     tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    qterms = expand_regexp_queries(spark, REGEX_QUERIES, ts)
+    qterms = expand_regexp_indexed(
+        spark, REGEX_QUERIES,
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)),
+    )
     df = score_logical(qterms, tf_df, dl_df, ts, k=K)
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -2446,10 +2472,13 @@ x AS (
 
 
 def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .querying import complete_prefixes
+    from .build import load_sorted_dictionary
+    from .querying import complete_prefixes_indexed
 
-    _, _, ts, _ = _stats_for(spark, sf_dir)
-    df = complete_prefixes(spark, prefix_queries(), ts, n=SUGGEST_N)
+    df = complete_prefixes_indexed(
+        spark, prefix_queries(),
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)), n=SUGGEST_N,
+    )
     return df.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),

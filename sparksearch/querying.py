@@ -468,6 +468,102 @@ def expand_suffix_queries(
     )
 
 
+def _prefix_upper(p: str) -> str:
+    """Smallest string greater than every string with prefix ``p`` over the
+    token alphabet — increment the last char ('z' → '{' sorts above every
+    [a-z0-9_] char, so the bound stays exclusive-correct)."""
+    return p[:-1] + chr(ord(p[-1]) + 1)
+
+
+def prefix_range_pred(col, prefixes: list[str]):
+    """OR of half-open term ranges [p, upper(p)) — the scan-pushable form of
+    "starts with any of ``prefixes``": parquet converts each conjunct to
+    GreaterThanOrEqual/LessThan filters, so row groups of a term-sorted
+    dictionary sidecar outside every range are skipped without decoding.
+    An empty prefix means "everything" → no pruning possible."""
+    import functools
+
+    ps = sorted(set(prefixes))
+    if not ps or "" in ps:
+        return F.lit(True)
+    return functools.reduce(
+        lambda a, b: a | b,
+        [(col >= F.lit(p)) & (col < F.lit(_prefix_upper(p))) for p in ps],
+    )
+
+
+def expand_prefix_indexed(
+    spark: SparkSession,
+    prefixes: list[tuple[int, str]],
+    dict_sorted: DataFrame,
+) -> DataFrame:
+    """``expand_prefix_queries`` over the TERM-SORTED dictionary sidecar
+    (build.write_dictionary_sidecars) — same output, range-scan plan:
+    the per-prefix [p, upper) ranges push into the parquet scan
+    (PushedFilters GreaterThanOrEqual/LessThan on term), so only the row
+    groups covering the prefix ranges are decoded. At a 10^8–10^9-term
+    vocabulary that's O(expansions) instead of a full linear vocab scan
+    per query batch (Lucene serves PrefixQuery from its sorted terms dict
+    the same way). The broadcast startswith join then assigns query ids —
+    a re-check over already-range-pruned candidates."""
+    p = spark.createDataFrame(
+        [(int(i), s) for i, s in prefixes], "query_id int, prefix string"
+    )
+    cand = dict_sorted.select("term").filter(
+        prefix_range_pred(F.col("term"), [s for _, s in prefixes])
+    )
+    return (
+        cand.join(F.broadcast(p), F.col("term").startswith(F.col("prefix")), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def expand_suffix_indexed(
+    spark: SparkSession,
+    suffixes: list[tuple[int, str]],
+    dict_rsorted: DataFrame,
+) -> DataFrame:
+    """``expand_suffix_queries`` over the REVERSED-term-sorted sidecar —
+    Lucene's reversed-field trick: a leading wildcard (``*fix``) is a
+    trailing wildcard on reverse(term), so the reversed suffix becomes a
+    pushed prefix range on the rterm-sorted scan."""
+    s = spark.createDataFrame(
+        [(int(i), x[::-1]) for i, x in suffixes], "query_id int, rsuffix string"
+    )
+    cand = dict_rsorted.select("rterm", "term").filter(
+        prefix_range_pred(F.col("rterm"), [x[::-1] for _, x in suffixes])
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("rterm").startswith(F.col("rsuffix")), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def complete_prefixes_indexed(
+    spark: SparkSession,
+    prefixes: list[tuple[int, str]],
+    dict_sorted: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """``complete_prefixes`` over the term-sorted sidecar — same range-scan
+    shape as ``expand_prefix_indexed`` (the sidecar carries cf, the
+    suggester weight), candidate sets bounded by the pushed prefix ranges."""
+    p = spark.createDataFrame(
+        [(int(i), s) for i, s in prefixes], "query_id int, prefix string"
+    )
+    cand = (
+        dict_sorted.select("term", "cf")
+        .filter(prefix_range_pred(F.col("term"), [s for _, s in prefixes]))
+        .join(F.broadcast(p), F.col("term").startswith(F.col("prefix")), "inner")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "term", "cf")
+    )
+
+
 def more_like_this(
     qdocs: list[int],
     tf_df: DataFrame,

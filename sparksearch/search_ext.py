@@ -51,6 +51,154 @@ def expand_wildcard_queries(
     )
 
 
+def expand_wildcard_indexed(
+    spark: SparkSession,
+    wilds: list[tuple[int, str, str]],
+    dict_sorted: DataFrame,
+) -> DataFrame:
+    """``expand_wildcard_queries`` over the term-sorted dictionary sidecar:
+    the ``pre`` anchors become pushed prefix ranges on the sorted scan
+    (PushedFilters GreaterThanOrEqual/LessThan), the ``suf``/length residual
+    is the broadcast-join re-check — Lucene's automaton-common-prefix seek
+    re-expressed as a range-pruned columnar scan."""
+    from .querying import prefix_range_pred
+
+    w = spark.createDataFrame(
+        [(int(i), p, s) for i, p, s in wilds],
+        "query_id int, pre string, suf string",
+    )
+    cand = dict_sorted.select("term").filter(
+        prefix_range_pred(F.col("term"), [p for _, p, _ in wilds])
+    )
+    cond = (
+        F.col("term").startswith(F.col("pre"))
+        & F.col("term").endswith(F.col("suf"))
+        & (F.length("term") >= F.length("pre") + F.length("suf"))
+    )
+    return (
+        cand.join(F.broadcast(w), cond, "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+_TOKEN_ALPHABET = "0123456789_abcdefghijklmnopqrstuvwxyz"
+
+
+def fuzzy_band_prefixes(q: str, max_edits: int = 2) -> list[str]:
+    """The ≤2-char prefixes a term within ``max_edits`` Levenshtein edits of
+    ``q`` can start with — the SOUND band for a sorted-dictionary fuzzy
+    scan (a one/two-level unrolling of Lucene's Levenshtein-automaton
+    intersection with the term dict).
+
+    For each candidate prefix p (|p| ≤ 2 over the token alphabet) compute
+    the standard DP row of lev(p, ·) against q; min over the row = the
+    cheapest way to align p against ANY prefix of q, i.e. a lower bound on
+    lev(t, q) for every term t starting with p — prune p when it exceeds
+    the budget. 1-char entries are kept only as COMPLETE terms (their
+    viable extensions are covered by the 2-char entries), so membership
+    tests run against p2 = substring(term, 1, 2): 1-char terms match their
+    own 1-char band entry, everything else its 2-char prefix. 37² DP rows,
+    driver-side, microseconds."""
+
+    def next_row(row: list[int], c: str) -> list[int]:
+        nr = [row[0] + 1]
+        for j in range(1, len(q) + 1):
+            nr.append(min(nr[j - 1] + 1, row[j] + 1,
+                          row[j - 1] + (q[j - 1] != c)))
+        return nr
+
+    row0 = list(range(len(q) + 1))
+    out = set()
+    for c1 in _TOKEN_ALPHABET:
+        r1 = next_row(row0, c1)
+        if r1[-1] <= max_edits:
+            out.add(c1)  # the 1-char term c1 itself is within budget
+        if min(r1) > max_edits:
+            continue  # no term starting with c1 can be within budget
+        for c2 in _TOKEN_ALPHABET:
+            if min(next_row(r1, c2)) <= max_edits:
+                out.add(c1 + c2)
+    return sorted(out)
+
+
+def expand_fuzzy_indexed(
+    spark: SparkSession,
+    fuzzies: list[tuple[int, str]],
+    dict_sorted: DataFrame,
+    max_edits: int = 2,
+) -> DataFrame:
+    """``expand_fuzzy_queries`` over the term-sorted dictionary sidecar:
+    candidates are restricted to the union of the queries' sound prefix
+    bands via ONE pushed In(p2, [...]) filter (the sidecar stores
+    p2 = substring(term,1,2); term-sorted files are p2-sorted, so row-group
+    stats prune), then the exact levenshtein re-check assigns query ids.
+    Typical band ≈ 15-25% of the vocabulary for maxEdits=2 — bounded and
+    scan-pruned, vs. the full linear scan of the logical path."""
+    band = sorted(
+        set().union(*(fuzzy_band_prefixes(t, max_edits) for _, t in fuzzies))
+    )
+    fz = spark.createDataFrame(
+        [(int(i), s) for i, s in fuzzies], "query_id int, fterm string"
+    )
+    cand = dict_sorted.select("term").filter(F.col("p2").isin(band))
+    return (
+        cand.join(
+            F.broadcast(fz),
+            F.levenshtein(F.col("term"), F.col("fterm")) <= max_edits,
+            "inner",
+        )
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
+def regex_literal_prefixes(pat: str) -> list[str] | None:
+    """Literal term prefixes implied by an ANCHORED regexp, or None when the
+    pattern admits arbitrary starts (unanchored / leading metachar) — the
+    regexp analog of Lucene's automaton common-prefix extraction.
+
+    ``^(join|merge)$`` → ['join', 'merge']; ``^s.*t$`` → ['s'];
+    ``a.*a`` / ``^.{3}$`` → None (full scan is genuinely required)."""
+    import re as _re
+
+    if not pat.startswith("^"):
+        return None
+    body = pat[1:]
+    alt = _re.fullmatch(r"\(([a-z0-9_]+(?:\|[a-z0-9_]+)*)\)\$?", body)
+    if alt:
+        return alt.group(1).split("|")
+    lit = _re.match(r"[a-z0-9_]+", body)
+    return [lit.group(0)] if lit else None
+
+
+def expand_regexp_indexed(
+    spark: SparkSession,
+    regexes: list[tuple[int, str]],
+    dict_sorted: DataFrame,
+) -> DataFrame:
+    """``expand_regexp_queries`` over the term-sorted dictionary sidecar:
+    anchored patterns contribute pushed literal-prefix ranges; any pattern
+    with no extractable prefix keeps the full scan for the whole batch
+    (its match set genuinely spans the vocabulary). The rlike re-check is
+    unchanged, so output ≡ the logical path."""
+    from .querying import prefix_range_pred
+
+    prefix_sets = [regex_literal_prefixes(p) for _, p in regexes]
+    if all(ps is not None for ps in prefix_sets):
+        pred = prefix_range_pred(
+            F.col("term"), [p for ps in prefix_sets for p in ps]
+        )
+    else:
+        pred = F.lit(True)
+    rx = spark.createDataFrame(
+        [(int(i), p) for i, p in regexes], "query_id int, pat string"
+    )
+    return (
+        dict_sorted.select("term").filter(pred)
+        .join(F.broadcast(rx), F.expr("rlike(term, pat)"), "inner")
+        .select("query_id", "term", F.lit(1).alias("qtf"))
+    )
+
+
 def _idf_from_df(df_c: Column, n_docs_c: Column) -> Column:
     """The engine's BM25 idf as a function of df — shared by stats.with_idf
     (per-term) and the synonym path (per-GROUP, from the blended df)."""

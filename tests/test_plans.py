@@ -285,3 +285,26 @@ def test_salted_exchange_carries_no_string(spark, docs_sf0001):
     # vocab map (broadcast at this scale), with the collision raise baked in.
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin)", plan), plan
     assert "raise_error" in plan, plan
+
+
+def test_expansion_scans_are_range_pruned(spark, index_path):
+    """Expansion queries must push their ranges into the sidecar scan:
+    prefix/suffix/wildcard → GreaterThanOrEqual/LessThan on term (rterm),
+    fuzzy → In on the p2 band column. A full-dictionary Filter with an
+    empty PushedFilters list is the round-3 linear-scan shape this replaces."""
+    from sparksearch.build import load_sorted_dictionary
+    from sparksearch.querying import expand_prefix_indexed, expand_suffix_indexed
+    from sparksearch.search_ext import expand_fuzzy_indexed
+
+    ds = load_sorted_dictionary(spark, index_path)
+    dr = load_sorted_dictionary(spark, index_path, reversed_=True)
+
+    plan = _plan(expand_prefix_indexed(spark, [(1, "sor"), (2, "qu")], ds))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(term,sor)" in plan and "LessThan(term,sos)" in plan, plan
+
+    plan = _plan(expand_suffix_indexed(spark, [(1, "ing")], dr))
+    assert "GreaterThanOrEqual(rterm,gni)" in plan and "LessThan(rterm,gnj)" in plan, plan
+
+    plan = _plan(expand_fuzzy_indexed(spark, [(1, "jion")], ds))
+    assert "In(p2, [" in plan or "In(p2,[" in plan, plan

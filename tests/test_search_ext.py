@@ -421,3 +421,109 @@ def test_boosted_parse_mixed_and_fractional(spark):
 
     got = py_parse_boosted([(3, "hash^2.5 scan hash")])
     assert got == {(3, "hash"): 3.5, (3, "scan"): 1.0}
+
+
+# ---------------------------------------------------- indexed expansion twins
+
+
+@pytest.fixture(scope="module")
+def sorted_dict_idx(spark, docs_sf0001, tmp_path_factory):
+    """(dict_sorted, dict_rsorted, ts) over the same sf0.001 corpus — the
+    physical sidecars the *_indexed expanders range-scan."""
+    from sparksearch.build import (
+        build_index, load_sorted_dictionary,
+    )
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+    from sparksearch.build import tokenize_tf
+
+    path = str(tmp_path_factory.mktemp("dictidx"))
+    build_index(spark, docs_sf0001, path, n_buckets=8, n_ranges=4)
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    return (
+        load_sorted_dictionary(spark, path),
+        load_sorted_dictionary(spark, path, reversed_=True),
+        ts,
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_expansions_equal_logical(spark, sorted_dict_idx):
+    """Every *_indexed expander (range-pruned sidecar scan) produces exactly
+    the logical linear-scan expansion — band/range pruning is lossless."""
+    from sparksearch.querying import (
+        complete_prefixes, complete_prefixes_indexed,
+        expand_prefix_indexed, expand_prefix_queries,
+        expand_suffix_indexed, expand_suffix_queries,
+    )
+    from sparksearch.search_ext import (
+        expand_fuzzy_indexed, expand_fuzzy_queries,
+        expand_regexp_indexed, expand_regexp_queries,
+        expand_wildcard_indexed,
+    )
+
+    ds, dr, ts = sorted_dict_idx
+    prefixes = [(1, "sor"), (2, "me"), (3, "qu")]
+    suffixes = [(1, "ing"), (2, "ort"), (3, "ge")]
+    wilds = [(1, "s", "t"), (2, "qu", "y"), (3, "f", "er")]
+    fuzzies = [(1, "jion"), (2, "windoe"), (3, "soft")]
+    regexes = [(1, "^s.*t$"), (2, "^(join|merge)$"), (3, "er$")]
+
+    assert _rows(expand_prefix_indexed(spark, prefixes, ds)) == _rows(
+        expand_prefix_queries(spark, prefixes, ts)
+    )
+    assert _rows(expand_suffix_indexed(spark, suffixes, dr)) == _rows(
+        expand_suffix_queries(spark, suffixes, ts)
+    )
+    assert _rows(expand_wildcard_indexed(spark, wilds, ds)) == _rows(
+        expand_wildcard_queries(spark, wilds, ts)
+    )
+    assert _rows(expand_fuzzy_indexed(spark, fuzzies, ds)) == _rows(
+        expand_fuzzy_queries(spark, fuzzies, ts)
+    )
+    assert _rows(expand_regexp_indexed(spark, regexes, ds)) == _rows(
+        expand_regexp_queries(spark, regexes, ts)
+    )
+    assert _rows(complete_prefixes_indexed(spark, prefixes, ds)) == _rows(
+        complete_prefixes(spark, prefixes, ts)
+    )
+
+
+def test_fuzzy_band_is_sound(spark, sorted_dict_idx):
+    """Pigeonhole check of the band bound itself: every vocabulary term
+    within max_edits of the query has its p2 inside the band."""
+    import numpy as np
+
+    from sparksearch.search_ext import fuzzy_band_prefixes
+
+    ds, _, _ = sorted_dict_idx
+    terms = [r["term"] for r in ds.select("term").collect()]
+
+    def lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+
+    for q in ["jion", "windoe", "soft", "x", "qurey"]:
+        band = set(fuzzy_band_prefixes(q, 2))
+        matches = [t for t in terms if lev(t, q) <= 2]
+        for t in matches:
+            assert t[:2] in band, (q, t)
+
+
+def test_regex_literal_prefixes():
+    from sparksearch.search_ext import regex_literal_prefixes
+
+    assert regex_literal_prefixes("^s.*t$") == ["s"]
+    assert regex_literal_prefixes("^(join|merge)$") == ["join", "merge"]
+    assert regex_literal_prefixes("^.{3}$") is None
+    assert regex_literal_prefixes("a.*a") is None
+    assert regex_literal_prefixes("er$") is None
