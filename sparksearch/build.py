@@ -5,7 +5,8 @@ push down to the scan, no nested decode needed for pruning):
 
     segments/bucket=<b>/*.parquet
       term, range_id, first_doc_id, last_doc_id, n, doc_gaps, tfs, dls,
-      max_tf, min_dl
+      max_tf, min_dl (+ poss — the positional 4th varint stream — when the
+      index is built with_positions; stats.json: positions="blocks")
     dictionary/*.parquet
       term, bucket, df, cf, idf, max_tf, min_dl
     stats.json   {n_docs, sum_dl, avgdl, range_size, n_ranges, n_buckets,
@@ -56,12 +57,22 @@ SEGMENT_COLS = (
     "doc_gaps binary, tfs binary, dls binary, max_tf long, min_dl long"
 )
 
+#: Positional layout: SEGMENT_COLS + the 4th varint stream (codec.py
+#: ``poss`` — per-posting position blobs concatenated per block, split key =
+#: the tfs stream). One artifact carries postings AND positions, so resume
+#: generations and compaction govern a single physical layout (round-3
+#: verdict item #6); phrase/span queries prune it by (bucket, term) exactly
+#: like Q2 and never touch a second directory.
+SEGMENT_COLS_POS = SEGMENT_COLS + ", poss binary"
+
 _SEGMENT_COL_NAMES = [c.split(" ")[0] for c in SEGMENT_COLS.split(", ")]
+_SEGMENT_COL_NAMES_POS = _SEGMENT_COL_NAMES + ["poss"]
 
 #: Encoder-output twin of SEGMENT_COLS: blocks leave the encode group keyed by
 #: the int64 term id (the string never rides the salted exchange) and the
 #: string is restored by the vocab join in ``build_segments``.
 _TID_SEGMENT_COLS = "tid long, " + SEGMENT_COLS.split(", ", 1)[1]
+_TID_SEGMENT_COLS_POS = "tid long, " + SEGMENT_COLS_POS.split(", ", 1)[1]
 
 
 def _tok_tf_kernel(text_col: str, id_col: str, code_aware: bool = False,
@@ -198,29 +209,32 @@ def tokenize_tf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _encode_group_fn(block_size: int, key_col: str = "tid"):
+def _encode_group_fn(block_size: int, key_col: str = "tid",
+                     with_positions: bool = False):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         # One group = one (tid, range_id) sub-list. Arrow batch in, NumPy only.
         order = np.argsort(pdf["doc_id"].values, kind="stable")
         ids = pdf["doc_id"].values[order]
         tfs = pdf["tf"].values[order]
         dls = pdf["dl"].values[order]
-        enc = encode_sublist(ids, tfs, block_size, dls=dls)
+        pos_blobs = pdf["pos_blob"].values[order] if with_positions else None
+        enc = encode_sublist(ids, tfs, block_size, dls=dls, pos_blobs=pos_blobs)
         nb = len(enc["n"])
-        return pd.DataFrame(
-            {
-                key_col: np.repeat(pdf[key_col].iloc[0], nb),
-                "range_id": np.repeat(np.int32(pdf["range_id"].iloc[0]), nb),
-                "first_doc_id": enc["first_doc_id"],
-                "last_doc_id": enc["last_doc_id"],
-                "n": enc["n"],
-                "doc_gaps": enc["doc_gaps"],
-                "tfs": enc["tfs"],
-                "dls": enc["dls"],
-                "max_tf": enc["max_tf"],
-                "min_dl": enc["min_dl"],
-            }
-        )
+        out = {
+            key_col: np.repeat(pdf[key_col].iloc[0], nb),
+            "range_id": np.repeat(np.int32(pdf["range_id"].iloc[0]), nb),
+            "first_doc_id": enc["first_doc_id"],
+            "last_doc_id": enc["last_doc_id"],
+            "n": enc["n"],
+            "doc_gaps": enc["doc_gaps"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+            "max_tf": enc["max_tf"],
+            "min_dl": enc["min_dl"],
+        }
+        if with_positions:
+            out["poss"] = enc["poss"]
+        return pd.DataFrame(out)
 
     return encode
 
@@ -255,22 +269,31 @@ def build_segments(
     carries a lazy ``raise_error`` branch: any tid owning ≥2 distinct terms
     aborts the build the moment the restore join evaluates it (no extra
     audit job; expected collisions at a 10^9-term vocabulary ≈ 3% for ONE
-    pair somewhere — and the abort names it for a salt bump)."""
+    pair somewhere — and the abort names it for a salt bump).
+
+    When tf_df carries ``pos_blob`` (tokenize_tf with_positions=True), the
+    per-posting positional blob rides the SAME exchange and lands in the
+    block rows as the 4th varint stream (SEGMENT_COLS_POS / codec ``poss``)
+    — positions are delta+varint (≈1–2 bytes per occurrence), so the
+    positional build's exchange grows by ~avg_tf·2 bytes per posting while
+    buying a single physical artifact for postings AND positions (one
+    resume/compaction story, one pruned fetch at query time)."""
     base = tf_df
     if "dl" not in tf_df.columns:
         base = base.join(dl_df, "doc_id")
-    scored = (
-        base
-        .select(
-            F.xxhash64("term").alias("tid"),
-            "doc_id",
-            # Narrow types through the B1 exchange + Arrow boundary: tf/dl
-            # fit int32 by construction (dl is a per-doc token count).
-            F.col("tf").cast("int").alias("tf"),
-            F.col("dl").cast("int").alias("dl"),
-            (F.col("doc_id") / F.lit(int(range_size))).cast("int").alias("range_id"),
-        )
-    )
+    with_positions = "pos_blob" in base.columns
+    cols = [
+        F.xxhash64("term").alias("tid"),
+        F.col("doc_id").alias("doc_id"),
+        # Narrow types through the B1 exchange + Arrow boundary: tf/dl
+        # fit int32 by construction (dl is a per-doc token count).
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+        (F.col("doc_id") / F.lit(int(range_size))).cast("int").alias("range_id"),
+    ]
+    if with_positions:
+        cols.append(F.col("pos_blob"))
+    scored = base.select(*cols)
     # tid → term restore map, O(vocab): ONE exchange whose payload is the
     # distinct vocabulary (collect_set partial-aggregates map-side, so each
     # task ships its local vocab once, not its postings).
@@ -292,13 +315,15 @@ def build_segments(
     salted = scored.repartition(int(parts), "tid", "range_id")
     # B2+B3: per-(tid, range) sort + block encode (NumPy inside Arrow batches).
     blocks = salted.groupBy("tid", "range_id").applyInPandas(
-        _encode_group_fn(block_size), _TID_SEGMENT_COLS
+        _encode_group_fn(block_size, with_positions=with_positions),
+        _TID_SEGMENT_COLS_POS if with_positions else _TID_SEGMENT_COLS,
     )
     # Restore the term string on the block-sized frame, then B4: assign the
     # global layout bucket (deterministic hash of term).
+    names = _SEGMENT_COL_NAMES_POS if with_positions else _SEGMENT_COL_NAMES
     return (
         blocks.join(vocab, "tid")
-        .select(*_SEGMENT_COL_NAMES)
+        .select(*names)
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
@@ -324,10 +349,11 @@ def build_index(
     stages postings per source partition and then calls ``finalize_index``
     over the committed units' postings. ``code_aware`` opts into identifier
     splitting for source-code corpora (queries must then be tokenized with
-    tokenize.py_tokenize_code to match). ``with_positions=True`` also writes
-    the positional sidecar (``<index>/positions``, phrase.py) — from the
-    SAME single tokenize pass: the corpus is read and tokenized exactly
-    once for both artifacts.
+    tokenize.py_tokenize_code to match). ``with_positions=True`` folds
+    occurrence positions into the segment block rows as the 4th varint
+    stream (codec ``poss``; stats.json ``positions: blocks``) — from the
+    SAME single tokenize pass, through the SAME salted exchange: one corpus
+    read, one physical artifact for postings and positions.
     """
     # ONE Arrow pass: tokenize + per-doc tf + dl (+ positions), all map-side.
     tf_df = tokenize_tf(
@@ -458,15 +484,6 @@ def finalize_index(
         write_dictionary_sidecars(dictionary, index_path, mode=mode)
 
     writers = [_w_segments, _w_doclens, _w_dictionary, _w_dict_sidecars]
-    if "pos_blob" in tf_df.columns:
-        # Positional sidecar (phrase.py) — a map-only projection of the SAME
-        # cached tokenize pass; the fourth concurrent sink, no extra corpus
-        # read or tokenize work.
-        from .phrase import write_positions
-
-        writers.append(
-            lambda: write_positions(tf_df, index_path, n_buckets, mode=mode)
-        )
 
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:
         futures = [pool.submit(w) for w in writers]
@@ -484,6 +501,10 @@ def finalize_index(
         "dict_sorted_dir": "dict_sorted",
         "dict_rsorted_dir": "dict_rsorted",
     }
+    if "pos_blob" in tf_df.columns:
+        # Positions live IN the segment block rows (codec ``poss`` stream) —
+        # phrase.py's pruned fetch keys off this marker.
+        stats["positions"] = "blocks"
     seg.unpersist()
     dictionary.unpersist()
     tf_df.unpersist()
@@ -575,6 +596,8 @@ def decoded_postings(segments: DataFrame) -> DataFrame:
     """Inverse of the codec as a DataFrame op — decodes every block back to
     (term, doc_id, tf) rows. Test/audit path proving segments ≡ logical
     postings (SURVEY.md §5.2 'decoded-equality')."""
+
+    segments = segments.select("term", "first_doc_id", "doc_gaps", "tfs")
 
     def decode(it):
         from .codec import decode_block

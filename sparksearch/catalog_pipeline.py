@@ -296,11 +296,12 @@ _POS_CACHE: dict[str, str] = {}
 
 
 def _positions_for(spark, sf_dir):
-    """Positional sidecar for the phrase entries: it lives INSIDE the shared
-    physical index (queries_catalog._index_for builds with
-    ``with_positions=True``), so the whole catalog sweep tokenizes the
-    corpus once for segments + dictionary + doclens + positions — no
-    separate sidecar build, no second corpus pass."""
+    """Positional index for the phrase entries: positions are the 4th varint
+    stream of the shared physical index's segment blocks
+    (queries_catalog._index_for builds with ``with_positions=True``), so the
+    whole catalog sweep tokenizes the corpus once and ONE artifact serves
+    postings and positions — no separate sidecar build, no second corpus
+    pass."""
     from .queries_catalog import _index_for
 
     return _index_for(spark, sf_dir)

@@ -194,6 +194,7 @@ def build_unit(
     unit_span: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_positions: bool = False,
 ) -> dict:
     """Stage I for one unit: one-pass tokenize+tf (build.tokenize_tf) →
     commit postings (with the dl column riding along for the finalize).
@@ -206,7 +207,7 @@ def build_unit(
     observed = docs_u.select(F.col(id_col).alias("doc_id"), text_col).observe(
         obs_docs, F.count(F.lit(1)).alias("n_docs")
     )
-    tf = tokenize_tf(observed, text_col)
+    tf = tokenize_tf(observed, text_col, with_positions=with_positions)
     obs_tf = Observation(f"tf_u{unit}")
     tf = tf.observe(
         obs_tf,
@@ -279,16 +280,24 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
     if "dl" not in tf_all.columns or "lead" not in tf_all.columns:
         # Units committed by a pre-dl code version: fall back to the legacy
         # full finalize (flat layout) — correctness over incrementality.
-        cols = [c for c in ("term", "doc_id", "tf", "dl", "lead") if c in tf_all.columns]
+        cols = [c for c in ("term", "doc_id", "tf", "dl", "lead", "pos_blob")
+                if c in tf_all.columns]
         return finalize_index(
             spark, tf_all.select(*cols), index_path,
             n_buckets=meta["n_buckets"], n_ranges=meta["n_ranges"],
             block_size=meta["block_size"],
         )
+    # Positional mode is a per-index invariant (every unit's postings carry
+    # pos_blob, build_unit with_positions) — the new generation's blocks then
+    # fold positions as the 4th varint stream, same as a single-shot build.
+    with_positions = "pos_blob" in tf_all.columns
+    sel_cols = ["term", "doc_id", "tf", "dl", "lead"] + (
+        ["pos_blob"] if with_positions else []
+    )
     obs = Observation()
     tf_new = (
         tf_all.filter(F.col("unit_id").isin([int(u) for u in new_units]))
-        .select("term", "doc_id", "tf", "dl", "lead")
+        .select(*sel_cols)
         .observe(
             obs,
             F.count(F.lit(1)).alias("n_postings"),
@@ -390,6 +399,8 @@ def finalize_incremental(spark: SparkSession, index_path: str) -> dict:
         "finalized_units": sorted(done | set(new_units)),
         "finalize_input_postings": new_postings,
     }
+    if with_positions:
+        stats["positions"] = "blocks"
     _write_json_atomic(stats_path, stats)  # THE commit point
     # Best-effort cleanup of superseded dictionary snapshots (post-commit).
     for g in range(gen):
@@ -448,6 +459,7 @@ def build_resumable(
     finalize: bool = True,
     fail_after_units: int | None = None,
     block_size: int | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """§3.3 entry point: commit missing units, then finalize INCREMENTALLY
     (only units not yet folded into a segment generation are encoded).
@@ -466,7 +478,8 @@ def build_resumable(
     todo = resume_plan(index_path, n_units)
     built = 0
     for u in todo:
-        build_unit(spark, docs, index_path, u, meta["unit_span"], text_col, id_col)
+        build_unit(spark, docs, index_path, u, meta["unit_span"], text_col,
+                   id_col, with_positions=with_positions)
         built += 1
         if fail_after_units is not None and built >= fail_after_units:
             raise RuntimeError(f"injected crash after {built} units")

@@ -11,6 +11,20 @@ of ≤ ``block_size`` postings. Per block:
   dls              binary  — varint of the n document lengths (self-contained
                              scoring: query never joins a doc-length table —
                              the pruned term blocks alone answer the query)
+  poss             binary  — OPTIONAL 4th stream (positional indexes only):
+                             the block's n per-posting position blobs
+                             (1-based occurrence positions of term in doc,
+                             first raw then gaps, LEB128) concatenated in
+                             doc order. SELF-DELIMITING without a length
+                             stream: posting i holds exactly tfs[i] varint
+                             values, so the tfs stream is the split key —
+                             ``split_positions`` recovers the per-posting
+                             blobs in one vectorized pass. Folding positions
+                             into the block row (round-3 verdict item #6)
+                             makes segments the ONE physical artifact that
+                             resume generations and compaction govern —
+                             no separate positional sidecar with its own
+                             crash/commit story.
   max_tf, min_dl   int64   — the block's score-dominating IMPACT PAIR: BM25's
                              term contribution is monotone ↑tf and ↓dl, so
                              idf·score(max_tf, min_dl) upper-bounds every
@@ -77,12 +91,17 @@ def encode_sublist(
     tfs: np.ndarray,
     block_size: int = BLOCK_SIZE,
     dls: np.ndarray | None = None,
+    pos_blobs=None,
 ):
     """Pack one docID-sorted (term, range) sub-list into block rows.
 
     Returns a dict of parallel arrays/lists:
       first_doc_id, last_doc_id, n, max_tf, min_dl (np arrays) and
-      doc_gaps, tfs, dls (lists of bytes), one entry per block.
+      doc_gaps, tfs, dls (lists of bytes), one entry per block —
+      plus ``poss`` when ``pos_blobs`` (one per posting, already
+      first-raw-then-gaps LEB128 per the tokenize kernel) is given:
+      the 4th stream, per-block concatenation in doc order (module
+      docstring; split key = the tfs stream).
 
     ``max_tf``/``min_dl`` are the stats-free block-max impact pair (module
     docstring): the bytes of a block depend ONLY on its own postings, never
@@ -95,7 +114,7 @@ def encode_sublist(
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
     n = doc_ids.size
     if n == 0:
-        return {
+        out = {
             "first_doc_id": np.empty(0, np.int64),
             "last_doc_id": np.empty(0, np.int64),
             "n": np.empty(0, np.int32),
@@ -105,13 +124,16 @@ def encode_sublist(
             "max_tf": np.empty(0, np.int64),
             "min_dl": np.empty(0, np.int64),
         }
+        if pos_blobs is not None:
+            out["poss"] = []
+        return out
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
     bounds = np.arange(0, n, block_size)
     ends = np.minimum(bounds + block_size, n)
     gaps_all = np.diff(doc_ids).astype(np.uint64)  # all ≥ 1
     out_first, out_last, out_n, out_mtf, out_mdl = [], [], [], [], []
-    out_gaps, out_tfs, out_dls = [], [], []
+    out_gaps, out_tfs, out_dls, out_poss = [], [], [], []
     for s, e in zip(bounds, ends):
         out_first.append(doc_ids[s])
         out_last.append(doc_ids[e - 1])
@@ -122,7 +144,9 @@ def encode_sublist(
         out_dls.append(varint_encode(dls[s:e]))
         out_mtf.append(int(tfs[s:e].max()))
         out_mdl.append(int(dls[s:e].min()))
-    return {
+        if pos_blobs is not None:
+            out_poss.append(b"".join(pos_blobs[s:e]))
+    out = {
         "first_doc_id": np.array(out_first, np.int64),
         "last_doc_id": np.array(out_last, np.int64),
         "n": np.array(out_n, np.int32),
@@ -132,6 +156,33 @@ def encode_sublist(
         "max_tf": np.array(out_mtf, np.int64),
         "min_dl": np.array(out_mdl, np.int64),
     }
+    if pos_blobs is not None:
+        out["poss"] = out_poss
+    return out
+
+
+def split_positions(tf_counts: np.ndarray, poss: bytes) -> list[bytes]:
+    """Split a block's concatenated position stream back into per-posting
+    blobs — one vectorized boundary pass, no varint re-encode.
+
+    ``tf_counts``: the block's decoded tfs (posting i holds tf_counts[i]
+    varint values in ``poss``). LEB128 terminator bytes (high bit clear)
+    mark value ends, so byte boundaries fall out of one flatnonzero +
+    cumsum — O(bytes), not O(values) Python."""
+    tf_counts = np.ascontiguousarray(tf_counts, dtype=np.int64)
+    if tf_counts.size == 0:
+        return []
+    b = np.frombuffer(poss, dtype=np.uint8)
+    val_ends = np.flatnonzero((b & 0x80) == 0)  # last byte of each value
+    n_vals = int(tf_counts.sum())
+    if val_ends.size != n_vals:
+        raise ValueError(
+            f"position stream holds {val_ends.size} values, tfs say {n_vals}"
+        )
+    cum = np.cumsum(tf_counts)
+    byte_ends = val_ends[cum - 1] + 1
+    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+    return [poss[s:e] for s, e in zip(byte_starts, byte_ends)]
 
 
 def decode_block(first_doc_id: int, doc_gaps: bytes, tfs: bytes):

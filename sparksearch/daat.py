@@ -276,8 +276,15 @@ def daat_topk(
     buckets = sorted({int(r["bucket"]) for r in rows})
 
     # Q2: pruned fetch — bucket prunes parquet partitions, term pushes down.
+    # Explicit projection: a positional index carries the poss stream in the
+    # same rows (build.SEGMENT_COLS_POS); DAAT scores from tf/dl only, and
+    # the select keeps those bytes out of the scan AND the Arrow transfer
+    # into the group kernel (mapInPandas ships every input column).
     blocks = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    ).select(
+        "term", "range_id", "first_doc_id", "last_doc_id",
+        "doc_gaps", "tfs", "dls", "max_tf", "min_dl",
     )
     qmeta = spark.createDataFrame(
         [(r["term"], int(r["query_id"]), int(r["qtf"]), float(r["idf"])) for r in rows],

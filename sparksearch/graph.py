@@ -40,6 +40,7 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iter: int = 50,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """DF[node, component] — component = MIN node id reachable from ``node``
     over the undirected pair graph (the canonical representative).
@@ -47,6 +48,14 @@ def connected_components(
     Only nodes that appear in at least one pair are emitted (isolated docs
     are their own trivial component; emitting corpus-sized identity rows is
     the caller's choice, not forced here).
+
+    ``stats_out`` (test/audit hook): when given a dict, records ``rounds``
+    (loop iterations run, including the fixpoint-detection round) and
+    ``plan_chars`` (the label frame's analyzed-plan size per round) — the
+    two invariants the scale-stress test pins: rounds stay O(log diameter)
+    (pointer jumping) and the plan stays O(1) per round (localCheckpoint
+    truncates lineage; a regression here OOMs the driver long before the
+    data hurts — CLAUDE.md sharp edge).
     """
     edges = (
         pairs.select(F.col(a_col).cast("long").alias("u"),
@@ -76,6 +85,9 @@ def connected_components(
     # exact up to 10^38 — safe past 10^19 h60-scale nodes.
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_label_sum).collect()[0][0]
+    if stats_out is not None:
+        stats_out["rounds"] = 0
+        stats_out["plan_chars"] = []
     for _ in range(max_iter):
         # (a) neighbor labels flow along edges; (b) pointer jumping:
         # label(label(node)) — composing the label map with itself halves
@@ -102,6 +114,11 @@ def connected_components(
         )
         new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
+        if stats_out is not None:
+            stats_out["rounds"] += 1
+            stats_out["plan_chars"].append(
+                len(labels._jdf.queryExecution().analyzed().toString())
+            )
         if new_sum == prev_sum:  # Σ min-labels strictly decreases until fixpoint
             break
         prev_sum = new_sum

@@ -178,27 +178,99 @@ def build_positions(
     write_positions(tt, index_path, n_buckets, mode=mode)
 
 
+def _decode_position_rows(blocks: DataFrame) -> DataFrame:
+    """Segment block rows (positional layout) → per-posting position rows
+    [term, doc_id, npos, pos_blob] — the shape every index-backed positional
+    matcher consumes. Vectorized per Arrow batch: doc_ids from the gap
+    stream, per-posting blob boundaries from one ``split_positions`` byte
+    pass per block (codec.py); npos ≡ tf by construction."""
+
+    def decode(it):
+        import numpy as np
+        import pandas as pd
+
+        from .codec import split_positions, varint_decode
+
+        for pdf in it:
+            terms, ids, npos, blobs = [], [], [], []
+            for term, first, gaps, tfb, poss in zip(
+                pdf["term"].values, pdf["first_doc_id"].values,
+                pdf["doc_gaps"].values, pdf["tfs"].values, pdf["poss"].values,
+            ):
+                g = varint_decode(gaps).astype(np.int64)
+                d = np.empty(g.size + 1, dtype=np.int64)
+                d[0] = first
+                if g.size:
+                    d[1:] = first + np.cumsum(g)
+                tf = varint_decode(tfb).astype(np.int64)
+                terms.append(np.repeat(term, d.size))
+                ids.append(d)
+                npos.append(tf)
+                blobs.extend(split_positions(tf, poss))
+            if not terms:
+                yield pd.DataFrame(
+                    {"term": [], "doc_id": [], "npos": [], "pos_blob": []}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "npos": np.concatenate(npos).astype(np.int32),
+                    "pos_blob": blobs,
+                }
+            )
+
+    return blocks.mapInPandas(
+        decode, "term string, doc_id long, npos int, pos_blob binary"
+    )
+
+
 def _pruned_position_fetch(
     spark, index_path: str, qterm_pairs: set[tuple[int, str]]
 ) -> DataFrame:
-    """Shared sidecar fetch for every index-backed positional query: read
-    ONLY the requested terms' position rows (partition pruning on bucket +
-    predicate pushdown on term, like Q2) and attach query_ids via a
-    broadcast join → DF[term, doc_id, npos, pos_blob, bucket, query_id]."""
+    """Shared positional fetch for every index-backed positional query: read
+    ONLY the requested terms' rows (partition pruning on bucket + predicate
+    pushdown on term, like Q2) and attach query_ids via a broadcast join →
+    DF[term, doc_id, npos, pos_blob, query_id].
+
+    Two layouts: the current in-block stream (stats.json
+    ``positions: "blocks"`` — positions are the 4th varint stream of the
+    segment rows, so the fetch prunes the SAME artifact DAAT does, across
+    every generation of a resumable index) and the legacy standalone
+    sidecar (``<index>/positions`` + positions_meta.json)."""
     import json
     import os
 
     from .hashing import term_bucket
 
     all_terms = sorted({t for _, t in qterm_pairs})
-    pos = spark.read.parquet(os.path.join(index_path, "positions"))
-    with open(os.path.join(index_path, "positions_meta.json")) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
-    # bucket per term — the driver-side xxhash64 replica (bit-identical to
-    # the writer's pmod(xxhash64(term), n); tests/test_hashing.py) computes
-    # the pruning literals WITHOUT a Spark job (was ~0.7 s per query here).
-    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    pruned = pos.filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    stats_path = os.path.join(index_path, "stats.json")
+    in_blocks = False
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            st = json.load(f)
+        in_blocks = st.get("positions") == "blocks"
+    if in_blocks:
+        n_buckets = int(st["n_buckets"])
+        seg = spark.read.parquet(os.path.join(index_path, "segments"))
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        pruned_blocks = seg.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        ).select("term", "first_doc_id", "doc_gaps", "tfs", "poss")
+        pruned = _decode_position_rows(pruned_blocks)
+    else:
+        pos = spark.read.parquet(os.path.join(index_path, "positions"))
+        with open(os.path.join(index_path, "positions_meta.json")) as f:
+            n_buckets = int(json.load(f)["n_buckets"])
+        # bucket per term — the driver-side xxhash64 replica (bit-identical
+        # to the writer's pmod(xxhash64(term), n); tests/test_hashing.py)
+        # computes the pruning literals WITHOUT a Spark job (was ~0.7 s per
+        # query here).
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        pruned = pos.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
     qterms = spark.createDataFrame(
         sorted(qterm_pairs), "query_id long, term string"
     )

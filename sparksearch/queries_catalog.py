@@ -73,12 +73,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 
         from .build import build_index
 
-        # v2 layout salt: round 4 added the sorted-dictionary expansion
-        # sidecars — a marker-complete round-3 artifact must not be reused.
-        path = f"/tmp/sparksearch_index_{hashlib.sha256((key + '|v2').encode()).hexdigest()[:12]}"
-        # with_positions: the positional sidecar rides the SAME tokenize
-        # pass (build.py) — one corpus read serves the physical-index AND
-        # phrase entries for the whole sweep.
+        # v3 layout salt: round 4 added the sorted-dictionary expansion
+        # sidecars (v2) and folded positions into the segment block rows as
+        # the 4th varint stream (v3) — a marker-complete older artifact must
+        # not be reused.
+        path = f"/tmp/sparksearch_index_{hashlib.sha256((key + '|v3').encode()).hexdigest()[:12]}"
+        # with_positions: positions ride the SAME tokenize pass and the SAME
+        # salted exchange into the segment blocks (build.py) — one corpus
+        # read and one artifact serve the physical-index AND phrase entries
+        # for the whole sweep.
         build_artifact_atomic(
             path, "stats.json",
             lambda tmp: build_index(

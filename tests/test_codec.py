@@ -81,3 +81,42 @@ def test_nonmonotonic_rejected():
         encode_sublist(np.array([5, 5]), np.array([1, 1]))
     with pytest.raises(ValueError):
         encode_sublist(np.array([5, 4]), np.array([1, 1]))
+
+
+def test_positional_stream_roundtrip():
+    """4th-stream contract: per-posting position blobs concatenate per block
+    in doc order and split back exactly via the tfs stream (no length
+    sidecar) — including blobs that span block boundaries' worth of values
+    and tf=1 single-value blobs."""
+    from sparksearch.codec import split_positions
+
+    rng = np.random.default_rng(11)
+    for n in [1, 5, 127, 128, 129, 400]:
+        ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, n).astype(np.int64)
+        dls = rng.integers(1, 500, n).astype(np.int64)
+        blobs = []
+        for tf in tfs:
+            pos = np.sort(rng.choice(5000, size=int(tf), replace=False)) + 1
+            gaps = np.concatenate(([pos[0]], np.diff(pos))).astype(np.uint64)
+            blobs.append(varint_encode(gaps))
+        enc = encode_sublist(ids, tfs, block_size=128, dls=dls,
+                             pos_blobs=np.asarray(blobs, dtype=object))
+        assert len(enc["poss"]) == len(enc["n"])
+        got = []
+        k = 0
+        for i, bn in enumerate(enc["n"]):
+            block_tfs = varint_decode(enc["tfs"][i]).astype(np.int64)
+            assert (block_tfs == tfs[k : k + bn]).all()
+            got.extend(split_positions(block_tfs, enc["poss"][i]))
+            k += bn
+        assert got == blobs
+
+
+def test_split_positions_validates_count():
+    from sparksearch.codec import split_positions
+
+    blob = varint_encode(np.array([3, 2], dtype=np.uint64))
+    with pytest.raises(ValueError, match="position stream"):
+        split_positions(np.array([3]), blob)  # tfs say 3 values, stream has 2
+    assert split_positions(np.array([], dtype=np.int64), b"") == []

@@ -92,3 +92,51 @@ def test_neardup_clusters_transitive_grouping(spark):
     # transitive duplicate, keeps exactly one survivor per group.
     keepers = [d for d, (_, _, keep) in got.items() if keep]
     assert keepers == [1]
+
+
+def test_cc_scale_stress_log_rounds_and_flat_plans(spark):
+    """Scale-stress (round-3 verdict item #7): a 2^17-edge path graph — the
+    adversarial worst case for label propagation (diameter = edge count) —
+    plus star components, must converge in O(log2(diameter)) rounds
+    (pointer jumping) with a PER-ROUND ANALYZED PLAN OF CONSTANT SIZE
+    (localCheckpoint truncates lineage; without it the plan nests once per
+    round and the driver OOMs on the explain string alone at ~19 rounds)."""
+    import math
+
+    from sparksearch.graph import connected_components
+
+    n = 1 << 17  # 131072 path edges; diameter = n
+    path = spark.range(n).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    # large star components on a disjoint id range: hub h with 64 leaves
+    star = (
+        spark.range(64 * 200)
+        .select(
+            (F.lit(10_000_000) + (F.col("id") / 64).cast("long") * 1000)
+            .alias("doc_id_a"),
+            (F.lit(10_000_001) + (F.col("id") / 64).cast("long") * 1000
+             + F.col("id") % 64).alias("doc_id_b"),
+        )
+    )
+    stats: dict = {}
+    cc = connected_components(path.unionByName(star), stats_out=stats).persist()
+
+    # one component for the whole path, labelled by its min node (0)
+    path_labels = cc.filter(F.col("node") < n + 1).select("component").distinct()
+    assert [r[0] for r in path_labels.collect()] == [0]
+    assert cc.filter(F.col("node") < n + 1).count() == n + 1
+    # each star is its own component labelled by the hub id
+    star_cc = cc.filter(F.col("node") >= 10_000_000)
+    assert star_cc.select("component").distinct().count() == 200
+    assert star_cc.groupBy("component").count().filter("count <> 65").count() == 0
+    cc.unpersist()
+
+    # O(log n) rounds: pointer jumping doubles reach per round (+1 for the
+    # fixpoint-detection round, +1 seed slack)
+    bound = math.ceil(math.log2(n)) + 2
+    assert 0 < stats["rounds"] <= bound, (stats["rounds"], bound)
+    # lineage truncation: the analyzed plan must NOT grow with rounds —
+    # every round's plan within 1.5x of the first (nesting would be ~x2^r)
+    pc = stats["plan_chars"]
+    assert max(pc) <= 1.5 * pc[0] + 500, pc

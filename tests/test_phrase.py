@@ -79,12 +79,19 @@ def test_indexed_phrase_equals_logical(spark, docs_sf0001, tmp_path):
 
 
 def test_combined_build_positions_in_one_tokenize_pass(spark, docs_sf0001, tmp_path, monkeypatch):
-    """build_index(with_positions=True) must produce the positional sidecar
-    from the SAME single tokenize pass as the segments (round-2 verdict #3):
-    build.tokenize_tf is invoked exactly once, and the sidecar rows equal a
-    standalone build_positions byte for byte."""
+    """build_index(with_positions=True) must fold positions into the segment
+    block rows (the 4th varint stream — round-3 verdict #6) from the SAME
+    single tokenize pass as the postings (round-2 verdict #3):
+    build.tokenize_tf is invoked exactly once, no positional sidecar is
+    written, and the decoded per-posting position rows equal a standalone
+    build_positions sidecar byte for byte."""
+    import json
+    import os
+
     import sparksearch.build as B
-    from sparksearch.phrase import build_positions, phrase_topk_indexed
+    from sparksearch.phrase import (
+        _decode_position_rows, build_positions, phrase_topk_indexed,
+    )
 
     calls = []
     real = B.tokenize_tf
@@ -100,10 +107,18 @@ def test_combined_build_positions_in_one_tokenize_pass(spark, docs_sf0001, tmp_p
     assert len(calls) == 1 and calls[0][1].get("with_positions") is True
     monkeypatch.undo()
 
+    # one artifact: positions live in the segments, no sidecar directory
+    with open(os.path.join(combined, "stats.json")) as f:
+        assert json.load(f)["positions"] == "blocks"
+    assert not os.path.exists(os.path.join(combined, "positions"))
+
     standalone = str(tmp_path / "standalone")
     build_positions(spark, docs_sf0001, standalone, n_buckets=8)
-    cols = ["term", "doc_id", "npos", "pos_blob", "bucket"]
-    a = sorted(map(tuple, spark.read.parquet(f"{combined}/positions").select(cols).collect()))
+    cols = ["term", "doc_id", "npos", "pos_blob"]
+    seg = spark.read.parquet(f"{combined}/segments")
+    a = sorted(map(tuple, _decode_position_rows(
+        seg.select("term", "first_doc_id", "doc_gaps", "tfs", "poss")
+    ).select(cols).collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{standalone}/positions").select(cols).collect()))
     assert a == b and a
 

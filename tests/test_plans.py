@@ -53,6 +53,35 @@ def test_segment_fetch_pushes_down(spark, index_path, queries):
     assert "PushedFilters" in plan and "term" in plan
 
 
+def test_positional_block_fetch_pushes_down_and_daat_skips_poss(
+    spark, docs_sf0001, tmp_path_factory
+):
+    """With positions folded into the segment rows (4th varint stream), the
+    positional fetch must prune the SAME way DAAT does — bucket partition
+    filter + pushed In(term) — and DAAT's own scan must NOT read the poss
+    bytes it never uses (explicit projection keeps them out of the scan and
+    the Arrow transfer)."""
+    from sparksearch.build import build_index
+    from sparksearch.phrase import _pruned_position_fetch
+
+    path = str(tmp_path_factory.mktemp("posidx"))
+    build_index(spark, docs_sf0001, path, n_buckets=8, n_ranges=4,
+                with_positions=True)
+    fetched = _pruned_position_fetch(spark, path, {(1, "hash"), (1, "join")})
+    plan = _plan(fetched)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "In(term" in plan
+
+    from sparksearch.daat import daat_topk
+
+    dplan = _plan(daat_topk(spark, path, [(1, "hash join")], k=5))
+    scans = [ln for ln in dplan.splitlines()
+             if "ReadSchema" in ln and "doc_gaps" in ln]
+    assert scans, dplan
+    for ln in scans:
+        assert "poss" not in ln, ln
+
+
 def test_query_joins_broadcast_and_topk_is_take_ordered(spark, docs_sf0001, queries):
     from sparksearch.querying import bm25_topk_from_docs, global_topk
     from sparksearch.stats import corpus_stats

@@ -121,6 +121,66 @@ def test_incremental_finalize_encodes_only_new_units(spark, docs_sf0001, tmp_pat
     assert compact_index(spark, inc)["n_gens"] == 1  # idempotent no-op
 
 
+def test_positional_resume_and_compaction(spark, docs_sf0001, tmp_path):
+    """Positions as the 4th block stream must survive the whole resumable
+    lifecycle (round-3 verdict item #6): a 2-generation incremental build
+    and its compaction answer phrase AND span queries identically to a
+    single-shot positional build — one artifact, one commit story."""
+    import os
+
+    from sparksearch.build import build_index
+    from sparksearch.checkpoint import (
+        build_geometry,
+        build_unit,
+        compact_index,
+        finalize_incremental,
+    )
+    from sparksearch.phrase import phrase_topk_indexed, span_near_topk_indexed
+
+    single = str(tmp_path / "single")
+    build_index(spark, docs_sf0001, single, n_buckets=8, n_ranges=4,
+                with_positions=True)
+
+    inc = str(tmp_path / "inc")
+    meta = build_geometry(spark, docs_sf0001, inc, 4, 4, 8, 128)
+    for u in (0, 1):
+        build_unit(spark, docs_sf0001, inc, u, meta["unit_span"],
+                   with_positions=True)
+    finalize_incremental(spark, inc)
+    for u in (2, 3):
+        build_unit(spark, docs_sf0001, inc, u, meta["unit_span"],
+                   with_positions=True)
+    st = finalize_incremental(spark, inc)
+    assert st["n_gens"] == 2 and st["positions"] == "blocks"
+    assert not os.path.exists(os.path.join(inc, "positions"))  # one artifact
+
+    phrases = [(1, "hash join"), (2, "sort merge join"), (3, "join")]
+    spans = [(1, "hash probe", 3), (2, "sort join", 5)]
+
+    def answers(path):
+        a = sorted(map(tuple, phrase_topk_indexed(spark, path, phrases, k=5).collect()))
+        b = sorted(map(tuple, span_near_topk_indexed(spark, path, spans, k=5).collect()))
+        return a, b
+
+    base = answers(single)
+    assert answers(inc) == base and base[0]
+
+    # compaction is a pure rewrite — positions ride the block rows unchanged
+    assert compact_index(spark, inc)["n_gens"] == 1
+    assert answers(inc) == base
+
+    # decoded per-posting position rows: 2-gen+compacted ≡ single-shot
+    from sparksearch.phrase import _decode_position_rows
+
+    def posrows(path):
+        seg = spark.read.parquet(os.path.join(path, "segments")).select(
+            "term", "first_doc_id", "doc_gaps", "tfs", "poss"
+        )
+        return sorted(map(tuple, _decode_position_rows(seg).collect()))
+
+    assert posrows(inc) == posrows(single)
+
+
 def test_noop_resume(spark, docs_sf0001, tmp_path):
     path = str(tmp_path / "idx")
     build_resumable(spark, docs_sf0001, path, n_units=4, n_buckets=8, n_ranges=4)
