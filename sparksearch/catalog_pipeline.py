@@ -147,6 +147,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return df.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_exact_substring(spark, sf_dir):
+    from .textpipe import exact_substring_spans
+
+    return exact_substring_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from .textpipe import minhash_lsh_dedup
 
@@ -468,6 +474,54 @@ def _ivf_oracle_sql() -> str:
     return ivf_ann_oracle_sql()
 
 
+def _exact_substring_sql() -> str:
+    """DuckDB twin of textpipe.exact_substring_spans — same tokenizer, same
+    h60 window hash, same >=2-anywhere duplication rule, same closed-interval
+    merge (overlap OR adjacency), same round6 fraction."""
+    from .textpipe import EXACT_SUBSTR_K as K
+
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, len(ts) AS n_tokens, ts,
+         unnest(CASE WHEN len(ts) >= {K} THEN generate_series(1, len(ts)-{K - 1})
+                ELSE CAST([] AS BIGINT[]) END) AS start
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start,
+         ('0x'||substring(md5(array_to_string(ts[start:start+{K - 1}], '|')),1,15))::BIGINT AS whash
+  FROM wins0
+),
+dup AS (SELECT whash FROM wins GROUP BY whash HAVING COUNT(*) >= 2),
+hits AS (SELECT w.doc_id, w.n_tokens, w.start FROM wins w JOIN dup d USING (whash)),
+marked AS (
+  SELECT doc_id, n_tokens, start,
+         CASE WHEN start <= COALESCE(MAX(start + {K - 1}) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, n_tokens, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, n_tokens, island, MIN(start) AS s, MAX(start) + {K - 1} AS e
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(ROUND(CAST(CAST(SUM(e - s + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS dup_fraction
+FROM spans GROUP BY doc_id, n_tokens"""
+
+
 def build_pipeline_catalog():
     from . import joins as _J
     from .queries_catalog import QuerySpec
@@ -489,6 +543,15 @@ pairs AS (
 ),
 {JACCARD_TAIL_SQL.strip()}""",
             "brute-force word-3-gram jaccard near-dup pairs (small-scale baseline)",
+        ),
+        "dedup_exact_substring": QuerySpec(
+            q_dedup_exact_substring,
+            _exact_substring_sql(),
+            "ExactSubstr span dedup: maximal duplicated token runs "
+            "(k-token window hashes occurring >=2 anywhere, incl. "
+            "self-repetition) merged gaps-and-islands per doc — the "
+            "cut-list accounting a pretraining pipeline applies instead "
+            "of whole-doc drops",
         ),
         "dedup_minhash_lsh": QuerySpec(
             q_dedup_minhash_lsh,

@@ -722,3 +722,100 @@ def ngram_repetition(
             6,
         ).alias("dup_frac"),
     )
+
+
+# ------------------------------------------- exact-substring (span) dedup
+
+EXACT_SUBSTR_K = 8  # duplicated-run window width in tokens
+
+
+def exact_substring_spans(
+    docs: DataFrame, k: int = EXACT_SUBSTR_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Suffix-array-style exact-substring dedup accounting (the
+    "deduplicating training data" ExactSubstr semantics): every maximal
+    token run of length ≥ k whose k-token windows ALL occur ≥ 2 times in
+    the corpus (any document, including self-repetition — the literature's
+    "second occurrence anywhere" rule) → per-document span statistics
+
+        DF[doc_id, n_tokens, n_dup_spans, dup_tokens, dup_fraction]
+
+    (docs with at least one duplicated span; dup_fraction = dup_tokens /
+    n_tokens, round6). A pretraining pipeline cuts the spans rather than the
+    whole doc — dup_fraction is the cut budget per doc.
+
+    Spark-first plan, 100 TB shape:
+      1. map-side: token array (bound column — the transform would otherwise
+         re-split the text per window, the documented O(n²) lambda edge) →
+         per-window (start, h60(window)) structs, exploded. ~n_tokens rows.
+      2. ONE map-combinable groupBy(whash) count — duplicated windows are
+         `count ≥ 2` (a 60-bit collision can only over-mark a window as
+         duplicated; acceptable for an accounting/cut list, and the oracle
+         mirrors the same hash).
+      3. hits = windows ⋈ duplicated hashes (key-partitioned; AQE broadcasts
+         when the dup set is small).
+      4. gaps-and-islands per doc over hit starts — closed intervals
+         [start, start+k-1] merged when overlapping or ADJACENT (a run of
+         duplicated windows with consecutive starts is one maximal span) —
+         two window passes over the (small) hit set, one doc_id shuffle.
+    No Python rows anywhere; every stage is codegen or hash-agg."""
+    from .stats import round6
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    wins_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("start"),
+            h60(F.concat_ws(
+                "|", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
+            )).alias("whash"),
+        ),
+    )
+    # sequence(1, n) counts DOWN for n < 1 — short docs get no windows.
+    wins = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(F.size("toks") >= k, wins_arr)
+            .otherwise(F.array().cast("array<struct<start:int,whash:long>>"))
+            .alias("w"),
+        )
+        .select("doc_id", "n_tokens", F.explode("w").alias("win"))
+        .select("doc_id", "n_tokens", F.col("win.start").alias("start"),
+                F.col("win.whash").alias("whash"))
+    )
+    dup = wins.groupBy("whash").count().filter(F.col("count") >= 2).select("whash")
+    hits = wins.join(dup, "whash")
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + (k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "brk",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    )
+    spans = (
+        marked.withColumn("island", F.sum("brk").over(w_ord))
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + (k - 1)).alias("e"),
+        )
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+            round6(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

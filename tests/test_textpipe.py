@@ -377,3 +377,84 @@ def test_dsir_log_weights_hand_math(spark):
     assert out == exp
     # the pure-target-looking docs outscore the out-of-domain one
     assert out[1] < out[0] and out[1] < out[2]
+
+
+def test_exact_substring_spans_hand_math(spark):
+    """ExactSubstr semantics on a constructed corpus: a 10-token run shared
+    by two docs (k=4 windows all duplicated), a self-repeated run inside a
+    third doc, and a unique doc that must not appear. Span merging is
+    closed-interval union (overlap OR adjacency)."""
+    from sparksearch.textpipe import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),                    # 13 tokens
+            (2, "x y " + shared),                              # 12 tokens
+            (3, "p q r s p q r s p q r s zz"),                 # self-repeat
+            (4, "unique tokens only here nothing repeats ever at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"],
+                      r["dup_fraction"])
+        for r in exact_substring_spans(docs, k=4).collect()
+    }
+    # docs 1+2: every 4-window of the shared 10-token run occurs twice →
+    # one maximal span of exactly those 10 tokens in each doc
+    assert out[1] == (13, 1, 10, round(10 / 13, 6))
+    assert out[2] == (12, 1, 10, round(10 / 12, 6))
+    # doc 3: "p q r s" repeats 3x → windows at starts 1..9 all duplicated
+    # (each 4-gram of the periodic region recurs 4 positions later) →
+    # one span covering tokens 1..12
+    assert out[3] == (13, 1, 12, round(12 / 13, 6))
+    assert 4 not in out
+
+
+def test_exact_substring_spans_split_and_short_docs(spark):
+    from sparksearch.textpipe import exact_substring_spans
+
+    run_a = "a1 a2 a3 a4 a5"
+    run_b = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [
+            # two duplicated runs separated by >1 unique token → TWO spans
+            (1, run_a + " u1 u2 u3 " + run_b),
+            (2, run_a + " v1 v2 v3 " + run_b),
+            (3, "tiny doc"),  # < k tokens: no windows, never emitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in exact_substring_spans(docs, k=4).collect()
+    }
+    assert out[1] == (2, 10) and out[2] == (2, 10)
+    assert 3 not in out
+
+
+def test_exact_substring_catalog_entry_matches_oracle(spark):
+    """Driver-style side-by-side for the new entry at sf0.001."""
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from sparksearch.catalog_pipeline import build_pipeline_catalog
+
+    sf0001_dir = str(SF_SMOKE)
+    spec = build_pipeline_catalog()["dedup_exact_substring"]
+    srows = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_dup_spans"], r["dup_tokens"],
+         round(r["dup_fraction"], 6))
+        for r in spec.fn(spark, sf0001_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf0001_dir}/documents.parquet')"
+    )
+    drows = sorted(
+        (r[0], r[1], r[2], r[3], round(r[4], 6))
+        for r in con.execute(spec.sql).fetchall()
+    )
+    assert srows == drows and len(srows) > 10
