@@ -153,6 +153,12 @@ def q_dedup_exact_substring(spark, sf_dir):
     return exact_substring_spans(_docs(spark, sf_dir))
 
 
+def q_ngram_decontamination(spark, sf_dir):
+    from .sampling import ngram_decontamination
+
+    return ngram_decontamination(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from .textpipe import minhash_lsh_dedup
 
@@ -222,6 +228,12 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from .vectors import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def q_semdedup(spark, sf_dir):
+    from .vectors import semdedup
+
+    return semdedup(_emb(spark, sf_dir))
 
 
 def _ascii_docs(spark, sf_dir):
@@ -468,6 +480,12 @@ def _lsh_oracle_sql() -> str:
     return lsh_ann_oracle_sql()
 
 
+def _semdedup_oracle_sql() -> str:
+    from .vectors import semdedup_oracle_sql
+
+    return semdedup_oracle_sql()
+
+
 def _ivf_oracle_sql() -> str:
     from .vectors import ivf_ann_oracle_sql
 
@@ -522,6 +540,41 @@ SELECT doc_id, n_tokens,
 FROM spans GROUP BY doc_id, n_tokens"""
 
 
+def _decontam_sql() -> str:
+    """DuckDB twin of sampling.ngram_decontamination — same tokenizer, same
+    h60 window hash, same h60-deterministic split assignment, same
+    LEFT-join-against-distinct-train-hashes accounting."""
+    from .sampling import DECONTAM_K as K
+
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SPLIT_CASE} AS split,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, split, ts,
+         unnest(CASE WHEN len(ts) >= {K} THEN generate_series(1, len(ts)-{K - 1})
+                ELSE CAST([] AS BIGINT[]) END) AS s
+  FROM toks WHERE split <> 'val'
+),
+wins AS (
+  SELECT doc_id, split,
+         ('0x'||substring(md5(array_to_string(ts[s:s+{K - 1}], '|')),1,15))::BIGINT AS whash
+  FROM wins0
+),
+train AS (SELECT DISTINCT whash FROM wins WHERE split = 'train'),
+testw AS (SELECT doc_id, whash FROM wins WHERE split = 'test'),
+j AS (
+  SELECT t.doc_id, CASE WHEN tr.whash IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM testw t LEFT JOIN train tr ON t.whash = tr.whash
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(hit) AS BIGINT) AS dirty_windows,
+       CAST(ROUND(CAST(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS dirty_frac
+FROM j GROUP BY doc_id"""
+
+
 def build_pipeline_catalog():
     from . import joins as _J
     from .queries_catalog import QuerySpec
@@ -552,6 +605,14 @@ pairs AS (
             "self-repetition) merged gaps-and-islands per doc — the "
             "cut-list accounting a pretraining pipeline applies instead "
             "of whole-doc drops",
+        ),
+        "ngram_decontamination": QuerySpec(
+            q_ngram_decontamination,
+            _decontam_sql(),
+            "eval-set decontamination (GPT-3 appendix-C rule): per test-"
+            "split doc, the fraction of its k-token windows also present "
+            "anywhere in the train split — distinct train window hashes "
+            "left-joined onto test windows, all map-combinable",
         ),
         "dedup_minhash_lsh": QuerySpec(
             q_dedup_minhash_lsh,
@@ -685,6 +746,14 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score FROM r WHERE rnk <= 
             "quantized cosines) — an LSH dedup is approximate BY DESIGN "
             "(miss prob ~5e-4 per threshold-grade pair), so recall vs brute "
             "force is a pytest property at fixture scale, not the oracle",
+        ),
+        "semdedup": QuerySpec(
+            q_semdedup,
+            _semdedup_oracle_sql(),
+            "SemDeDup semantic dedup: deterministic-Lloyd k-means clusters, "
+            "within-cluster lower-id cosine-duplicate marking (pair cost "
+            "n²/k, per-cluster parallel) → per-vector keep/drop + strongest "
+            "duplication; EXACT oracle via the shared unrolled-Lloyd CTEs",
         ),
         "multimodal_meta": QuerySpec(
             q_multimodal_meta,

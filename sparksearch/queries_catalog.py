@@ -2817,7 +2817,7 @@ _SWEEP_HEAD = [
     "sequence_packing", "importance_resample", "completion_suggest",
     "percolate_queries", "sort_by_field_topk", "bm25_topk_boosted",
     # round-4 additions (brand new — no recorded row can exist yet)
-    "dedup_exact_substring",
+    "dedup_exact_substring", "ngram_decontamination", "semdedup",
     # tier 2 — regression sentinels for the untouched core
     "bm25_topk", "term_postings",
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
@@ -2840,15 +2840,14 @@ _SWEEP_HEAD = [
     "ann_cosine_topk", "text_quality", "lang_id", "token_counts",
     "doc_fingerprints", "simhash_signatures", "sha256_integrity",
     "global_stats", "term_stats", "doc_lengths", "unknown_terms",
-    "dataset_splits", "split_contamination", "lineitem_quantiles",
-    "tpch_pricing_summary",
+    "dataset_splits", "split_contamination",
 ]
 assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: Second tier: entries added AFTER the head was frozen at 50 — recorded
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
-    "customer_order_balance",
+    "lineitem_quantiles", "tpch_pricing_summary", "customer_order_balance",
     "bm25_rrf_fusion", "bm25_topk_conjunctive", "bm25_topk_filtered",
     "bm25_topk_snippets", "corpus_profile", "distinct_terms_per_lang",
     "multimodal_byte_histogram", "multimodal_frame_sample", "multimodal_meta",

@@ -250,6 +250,79 @@ def importance_resample(
     )
 
 
+DECONTAM_K = 8  # n-gram width for overlap decontamination (GPT-3 used 13)
+
+
+def ngram_decontamination(
+    docs: DataFrame, k: int = DECONTAM_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram overlap decontamination (the GPT-3 appendix-C rule, on the
+    engine's deterministic splits): for every **test**-split document, the
+    fraction of its k-token windows that also occur anywhere in the
+    **train** split →
+
+        DF[doc_id, n_windows, dirty_windows, dirty_frac]
+
+    one row per test doc with ≥ 1 window (dirty_windows may be 0 — the
+    clean rows are the point of the report; an eval-set curator drops or
+    trims docs above a dirty_frac threshold).
+
+    Spark-first plan, 100 TB shape: map-side split assignment + window
+    hashes (same h60 window hash as exact_substring_spans); train-side
+    window hashes deduplicate through ONE map-combinable distinct; the
+    test windows LEFT-join that key set (key-partitioned shuffle join on
+    uniform hashes — the train set is corpus-sized, never broadcast/driver
+    bound); per-doc accounting is one map-combinable agg. Val-split rows
+    are dropped at the scan."""
+    from .stats import round6
+    from .textpipe import h60 as _h60
+    from .tokenize import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        split_name_col(id_col).alias("split"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).filter(F.col("split") != "val")
+    whash_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)),
+        lambda i: _h60(F.concat_ws(
+            "|", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
+        )),
+    )
+    # sequence(1, n) counts DOWN for n < 1 — short docs get no windows.
+    wins = (
+        toks.select(
+            "doc_id", "split",
+            F.when(F.size("toks") >= k, whash_arr)
+            .otherwise(F.array().cast("array<long>")).alias("ws"),
+        )
+        .select("doc_id", "split", F.explode("ws").alias("whash"))
+    )
+    train = (
+        wins.filter(F.col("split") == "train")
+        .select("whash").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = wins.filter(F.col("split") == "test").select("doc_id", "whash")
+    return (
+        test.join(train, "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+            .alias("dirty_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "dirty_windows",
+            round6(
+                F.col("dirty_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dirty_frac"),
+        )
+    )
+
+
 def training_data_stats(
     docs: DataFrame,
     quality_threshold: float = 0.5,

@@ -489,38 +489,29 @@ def ivf_ann_topk(
     )
 
 
-def ivf_ann_oracle_sql(
-    n_queries: int = 5,
-    k: int = 10,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBE,
-    n_iters: int = IVF_ITERS,
-) -> str:
-    """Exact DuckDB twin of ``ivf_ann_topk`` — the whole Lloyd build is
-    UNROLLED as CTEs (init from the n_centroids lowest vec_ids, n_iters
-    assign+update rounds, final assignment, probe, re-rank), value-identical
-    to the Spark pipeline because every cross-engine divergence channel is
-    closed at the source (``ivf_assign`` docstring): assignment/probe argmax
-    ranks on the round6-quantized cosine with cid tiebreak, centroid means
-    are exact decimal sums with ONE double division, and output scores are
-    round6. Both engines read the same parquet doubles and evaluate the
-    same sequential-fold dot products, so every intermediate is identical."""
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            f" * sqrt(list_dot_product({b}, {b}))))"
-        )
 
-    def r6(x: str) -> str:
-        return f"CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+def _sql_r6(x: str) -> str:
+    return f"CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+
+
+def _lloyd_ctes(n_centroids: int, n_iters: int) -> tuple[list[str], str]:
+    """The UNROLLED deterministic-Lloyd CTE chain shared by the IVF and
+    SemDeDup oracles: returns (parts, last_centroid_cte_name); the chain
+    always ends with ``af`` = the final full assignment DF[vec_id, v, cid].
+    Value-identical to ``ivf_assign`` (see its docstring for why)."""
 
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {r6(cos('e.v', 'c.cv'))} DESC, c.cid ASC) AS rn
+             ORDER BY {_sql_r6(_sql_cos('e.v', 'c.cv'))} DESC, c.cid ASC) AS rn
     FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
 
     parts = [
@@ -541,6 +532,28 @@ def ivf_ann_oracle_sql(
         )
         prev = f"c{i}"
     parts.append(assign("af", prev))
+    return parts, prev
+
+
+def ivf_ann_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Exact DuckDB twin of ``ivf_ann_topk`` — the whole Lloyd build is
+    UNROLLED as CTEs (init from the n_centroids lowest vec_ids, n_iters
+    assign+update rounds, final assignment, probe, re-rank), value-identical
+    to the Spark pipeline because every cross-engine divergence channel is
+    closed at the source (``ivf_assign`` docstring): assignment/probe argmax
+    ranks on the round6-quantized cosine with cid tiebreak, centroid means
+    are exact decimal sums with ONE double division, and output scores are
+    round6. Both engines read the same parquet doubles and evaluate the
+    same sequential-fold dot products, so every intermediate is identical."""
+
+    parts, prev = _lloyd_ctes(n_centroids, n_iters)
+    cos, r6 = _sql_cos, _sql_r6
     parts.append(
         f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries})"
     )
@@ -559,4 +572,99 @@ def ivf_ann_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score "
           f"FROM r WHERE rnk <= {k}"
+    )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+SEMDEDUP_TAU = 0.45  # within-cluster cosine duplicate threshold
+
+
+def semdedup(
+    embeddings: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    n_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means-cluster
+    the embeddings (the engine's deterministic-Lloyd ``ivf_assign``), then
+    inside each cluster mark every vector that is cosine-≥ tau to ANY
+    lower-id cluster-mate →
+
+        DF[vec_id, cid, n_dup_lower, keep, max_sim_lower]
+
+    keep = 1 ⟺ no lower-id near-duplicate exists (the deterministic
+    keep-lowest-id survivor rule the engine uses everywhere); max_sim_lower
+    is the strongest such duplication (NULL for keepers). The kept set is
+    exactly the corpus SemDeDup would retain.
+
+    Scale shape — the point of SemDeDup: the pair expansion is WITHIN
+    cluster only (Σ|cluster|² ≈ n²/k, embarrassingly parallel per cluster,
+    one cid-keyed shuffle) instead of corpus-n². The assignment pass is a
+    broadcast map-side join (see ``ivf_assign``). The assignment feeds both
+    self-join sides + the final restore, so it is persisted and released
+    (repo self-join invariant). Cross-engine exact: assignment is already
+    engine-closed (``ivf_assign``), sims rank/filter on round6 quantized
+    cosines, and the dup rule is a pure ∃-lower-id predicate — no iteration,
+    no order sensitivity."""
+    assigned, _ = ivf_assign(embeddings, n_centroids)
+    a = assigned.persist()
+    x = a.select("cid", "vec_id", "v")
+    y = a.select(
+        "cid", F.col("vec_id").alias("vid_lo"), F.col("v").alias("v_lo")
+    )
+    dup = (
+        x.join(y, "cid")
+        .filter(F.col("vid_lo") < F.col("vec_id"))
+        .select(
+            "vec_id", round6(cosine(F.col("v"), F.col("v_lo"))).alias("sim")
+        )
+        .filter(F.col("sim") >= tau)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_lower"),
+            F.max("sim").alias("max_sim_lower"),
+        )
+    )
+    out = (
+        a.select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("long")
+            .alias("n_dup_lower"),
+            F.when(F.col("n_dup_lower").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("keep"),
+            "max_sim_lower",
+        )
+    )
+    out = out.persist()
+    out.count()
+    a.unpersist()
+    return out
+
+
+def semdedup_oracle_sql(
+    tau: float = SEMDEDUP_TAU,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Exact DuckDB twin of ``semdedup`` — replays the unrolled Lloyd chain
+    (shared ``_lloyd_ctes``) then the same within-cluster lower-id pair
+    predicate on round6 cosines."""
+    parts, _ = _lloyd_ctes(n_centroids, n_iters)
+    parts.append(f"""sims AS (
+  SELECT x.vec_id, {_sql_r6(_sql_cos('x.v', 'y.v'))} AS sim
+  FROM af x JOIN af y ON x.cid = y.cid AND y.vec_id < x.vec_id)""")
+    parts.append(f"""dup AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lower, MAX(sim) AS max_sim_lower
+  FROM sims WHERE sim >= {tau} GROUP BY vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       CAST(COALESCE(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+       CAST(CASE WHEN d.n_dup_lower IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       d.max_sim_lower
+FROM af a LEFT JOIN dup d ON a.vec_id = d.vec_id"""
     )

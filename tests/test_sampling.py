@@ -99,3 +99,80 @@ def test_importance_resample_is_deterministic(spark):
         tf_df.repartition(7), docs, ts, k=10
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ngram_decontamination_hand_math(spark):
+    """Split assignment is h60(str(doc_id)) % 100: ids 1,2 -> train,
+    6 -> val, 0,9,11 -> test (computed, pinned here). A test doc sharing an
+    8-token run with a train doc has exactly the windows inside that run
+    dirty; a clean test doc is emitted with dirty=0; val docs and short
+    test docs never appear; train-only overlap does not mark train docs."""
+    from sparksearch.sampling import ngram_decontamination
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 y1"),                      # train, carries the run
+            (2, "unrelated train words here entirely"),  # train
+            (6, shared + " valish"),                     # val — must be ignored
+            (0, shared + " clean1 clean2 clean3"),       # test: 11 toks, 8 wins
+            (9, "w1 w2 w3 w4 w5 w6 w7"),                 # test: clean, 4 wins
+            (11, "too short"),                           # test: < k, no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dirty_windows"], r["dirty_frac"])
+        for r in ngram_decontamination(docs, k=4).collect()
+    }
+    # doc 0: windows at starts 1..8; starts 1..5 lie inside the shared run
+    assert out[0] == (8, 5, round(5 / 8, 6))
+    assert out[9] == (4, 0, 0.0)
+    assert set(out) == {0, 9}
+
+
+def test_ngram_decontamination_val_ignored_as_source(spark):
+    """Overlap with a VAL doc is not contamination — only train counts."""
+    from sparksearch.sampling import ngram_decontamination
+
+    run = "p1 p2 p3 p4 p5"
+    docs = spark.createDataFrame(
+        [
+            (6, run + " valtail"),       # val carries the run
+            (0, run + " t1 t2 t3"),      # test shares it
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dirty_windows"])
+        for r in ngram_decontamination(docs, k=4).collect()
+    }
+    assert out == {0: (5, 0)}
+
+
+def test_ngram_decontamination_catalog_entry_matches_oracle(spark):
+    """Driver-style side-by-side for the new entry at sf0.001."""
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from sparksearch.catalog_pipeline import build_pipeline_catalog
+
+    sf0001_dir = str(SF_SMOKE)
+    spec = build_pipeline_catalog()["ngram_decontamination"]
+    srows = sorted(
+        (r["doc_id"], r["n_windows"], r["dirty_windows"],
+         round(r["dirty_frac"], 6))
+        for r in spec.fn(spark, sf0001_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf0001_dir}/documents.parquet')"
+    )
+    drows = sorted(
+        (r[0], r[1], r[2], round(r[3], 6))
+        for r in con.execute(spec.sql).fetchall()
+    )
+    assert srows == drows and len(srows) > 10
+    # the synthetic corpus plants cross-doc duplication — some must be dirty
+    assert any(r[2] > 0 for r in srows)

@@ -131,3 +131,57 @@ def test_ivf_assign_partitions_everything(emb):
     assert assigned.count() == n                      # every vector assigned
     assert assigned.select("vec_id").distinct().count() == n  # exactly once
     assert centroids.count() <= 16
+
+
+def test_semdedup_hand_semantics(spark):
+    """Planted near-identical vectors must be caught within their cluster
+    with the keep-lowest-id rule; the scaled copy of a vector has cosine 1
+    to it; orthogonal vectors survive."""
+    from sparksearch.vectors import semdedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base),                        # keeper (lowest id in its group)
+        (1, [2.0, 0.0, 0.0, 0.0]),        # scaled copy -> cosine 1.0 to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),        # orthogonal to everything above
+        (3, [0.99, 0.141, 0.0, 0.0]),     # ~0.99 cosine to 0
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {r["vec_id"]: (r["keep"], r["n_dup_lower"]) for r in
+           semdedup(emb, tau=0.9, n_centroids=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] == (1, 0)          # lowest id always survives
+    assert out[1][0] == 0            # exact duplicate dropped
+    assert out[3][0] == 0            # near duplicate dropped
+    assert out[2] == (1, 0)          # orthogonal vector survives
+
+
+def test_semdedup_catalog_entry_matches_oracle(spark):
+    """Driver-style side-by-side for the new entry at sf0.001."""
+    import duckdb
+
+    from sparksearch.catalog_pipeline import build_pipeline_catalog
+
+    sf0001_dir = str(SF_SMOKE)
+    spec = build_pipeline_catalog()["semdedup"]
+
+    def nrm(t):
+        return tuple(
+            "%.6f" % v if isinstance(v, float)
+            else "NULL" if v is None else str(v)
+            for v in t
+        )
+
+    srows = sorted(nrm(tuple(r)) for r in spec.fn(spark, sf0001_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf0001_dir}/embeddings.parquet')"
+    )
+    drows = sorted(nrm(t) for t in con.execute(spec.sql).fetchall())
+    assert srows == drows and len(srows) == 500
+    # the fixture's strongest pair crosses tau=0.45 -> at least one drop
+    assert any(r[3] == "0" for r in srows)
