@@ -1183,3 +1183,212 @@ def build_round3_extras():
             "quality accounting in one plan",
         ),
     }
+
+
+# ---------------------------------------------- round-4 session-2 entries
+# (Gopher rule gate, bigram LM xent, KMV distinct sketch, stratified
+# sampling, PQ-ADC ANN — each with an exact DuckDB twin)
+
+
+def q_gopher_rules(spark, sf_dir):
+    from .textpipe import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def q_bigram_xent(spark, sf_dir):
+    from .queries_catalog import _stats_for
+    from .textpipe import bigram_xent
+
+    _, _, term_stats, _ = _stats_for(spark, sf_dir)
+    return bigram_xent(_docs(spark, sf_dir), term_stats)
+
+
+def q_kmv_distinct_terms(spark, sf_dir):
+    from .textpipe import kmv_distinct_terms
+
+    return kmv_distinct_terms(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    from .sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def _gopher_sql() -> str:
+    from .textpipe import (
+        GOPHER_MAX_BULLET_FRAC, GOPHER_MAX_ELLIPSIS_FRAC, GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MEAN_LEN, GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS,
+    )
+
+    sw = "('a','the','of','to','and','in','is','it','on','for')"
+    return f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         COALESCE(list_sum(list_transform(ts, x -> length(x))), 0) AS sum_len,
+         len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(ts, x -> x IN {sw})) AS sw_hits,
+         n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+                                   OR ltrim(x) LIKE '•%')) AS n_bullet,
+         len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ellipsis
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         {_r6('sum_len / nullif(n_tokens, 0)')} AS mean_len,
+         {_r6('n_symbols / nullif(n_tokens, 0)')} AS symbol_ratio,
+         {_r6('n_bullet / nullif(n_lines, 0)')} AS bullet_frac,
+         {_r6('n_ellipsis / nullif(n_lines, 0)')} AS ellipsis_frac,
+         {_r6('n_alpha / nullif(n_tokens, 0)')} AS alpha_frac,
+         sw_hits
+  FROM m
+),
+f AS (
+  SELECT doc_id, n_tokens,
+    CAST(CASE WHEN n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_wordcount,
+    CAST(CASE WHEN mean_len >= {GOPHER_MEAN_LEN[0]} AND mean_len <= {GOPHER_MEAN_LEN[1]}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_meanlen,
+    CAST(CASE WHEN symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_symbol,
+    CAST(CASE WHEN bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+          AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_bullet,
+    CAST(CASE WHEN alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_alpha,
+    CAST(CASE WHEN sw_hits >= {GOPHER_MIN_STOPWORD_HITS}
+         THEN 1 ELSE 0 END AS BIGINT) AS flag_stopwords
+  FROM r
+)
+SELECT *, CAST(LEAST(flag_wordcount, flag_meanlen, flag_symbol, flag_bullet,
+                     flag_alpha, flag_stopwords) AS BIGINT) AS passes
+FROM f"""
+
+
+def _bigram_xent_sql() -> str:
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents
+),
+bgx AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || '|' || ts[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS bg
+  FROM tokd
+),
+dbt AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgx GROUP BY 1, 2),
+cbg AS (SELECT bg, SUM(tf) AS c FROM dbt GROUP BY 1),
+cw1 AS (SELECT split_part(bg, '|', 1) AS w1, SUM(c) AS cw FROM cbg GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT term) AS v
+       FROM (SELECT unnest({_TS}) AS term FROM documents)),
+lp AS (
+  SELECT c.bg,
+         CAST(ROUND(ln(CAST(c.c + 1 AS DOUBLE) / CAST(w.cw + vv.v AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS lp
+  FROM cbg c JOIN cw1 w ON split_part(c.bg, '|', 1) = w.w1 CROSS JOIN vv
+)
+SELECT d.doc_id, CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+       {_r6('-(CAST(SUM(CAST(d.tf AS DECIMAL(9,0)) * l.lp) AS DOUBLE)) / CAST(SUM(d.tf) AS DOUBLE)')} AS xent
+FROM dbt d JOIN lp l ON d.bg = l.bg
+GROUP BY 1"""
+
+
+def _kmv_sql() -> str:
+    from .textpipe import KMV_K
+
+    two60 = float(1 << 60)
+    return f"""WITH pairs AS (
+  SELECT DISTINCT lang, {_h60('term')} AS h
+  FROM (SELECT lang, unnest({_TS}) AS term FROM documents)
+),
+ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact FROM pairs GROUP BY 1),
+sk AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS kth_hash
+  FROM (SELECT lang, h,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM pairs)
+  WHERE rn <= {KMV_K} GROUP BY 1
+)
+SELECT ex.lang, ex.n_exact, sk.n_sketch, sk.kth_hash,
+       {_r6(f'CASE WHEN sk.n_sketch < {KMV_K} THEN CAST(sk.n_sketch AS DOUBLE) '
+            f'ELSE {float(KMV_K - 1)} / (CAST(sk.kth_hash AS DOUBLE) / {two60}) END')} AS est_distinct
+FROM ex JOIN sk ON ex.lang = sk.lang"""
+
+
+def _stratified_sql() -> str:
+    from .sampling import STRATA_QUOTA
+
+    return f"""SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY {_h60('CAST(doc_id AS VARCHAR)')} ASC, doc_id ASC) AS rank
+  FROM documents)
+WHERE rank <= {STRATA_QUOTA}"""
+
+
+def build_round4_extras():
+    from .queries_catalog import QuerySpec
+
+    out = {
+        "gopher_rules": QuerySpec(
+            q_gopher_rules,
+            _gopher_sql(),
+            "Gopher/MassiveText rule-based quality gate: 6 published rules "
+            "as one map-side codegen projection, per-rule flags + pass",
+        ),
+        "bigram_xent": QuerySpec(
+            q_bigram_xent,
+            _bigram_xent_sql(),
+            "CCNet-style bigram LM cross-entropy per doc (add-one "
+            "smoothing, left-marginal from the bigram counts), "
+            "decimal-exact per-doc sums",
+        ),
+        "kmv_distinct_terms": QuerySpec(
+            q_kmv_distinct_terms,
+            _kmv_sql(),
+            "KMV distinct-cardinality sketch of the per-language term "
+            "vocabulary (k=64, salted two-phase k-smallest) + exact count",
+        ),
+        "stratified_sample": QuerySpec(
+            q_stratified_sample,
+            _stratified_sql(),
+            "exact-quota per-language stratified sample on deterministic "
+            "h60 keys (salted two-phase per-stratum top-k)",
+        ),
+    }
+    return _register_pq(out)
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    from .vectors import pq_ann_topk
+
+    return pq_ann_topk(_emb(spark, sf_dir))
+
+
+def _pq_oracle_sql() -> str:
+    from .vectors import pq_ann_oracle_sql
+
+    return pq_ann_oracle_sql()
+
+
+def _register_pq(extras: dict) -> dict:
+    from .queries_catalog import QuerySpec
+
+    extras["ann_pq_topk"] = QuerySpec(
+        q_ann_pq_topk,
+        _pq_oracle_sql(),
+        "product-quantization ANN (ADC, Jégou et al. 2011): per-subspace "
+        "deterministic-Lloyd codebooks, m int codes per vector, "
+        "lookup-table distance sum — exact unrolled-Lloyd DuckDB twin",
+    )
+    return extras

@@ -921,6 +921,10 @@ def suffix_values_sql() -> str:
 from .catalog_pipeline import build_round3_extras  # noqa: E402
 
 CATALOG.update(build_round3_extras())
+
+from .catalog_pipeline import build_round4_extras  # noqa: E402
+
+CATALOG.update(build_round4_extras())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2818,6 +2822,8 @@ _SWEEP_HEAD = [
     "percolate_queries", "sort_by_field_topk", "bm25_topk_boosted",
     # round-4 additions (brand new — no recorded row can exist yet)
     "dedup_exact_substring", "ngram_decontamination", "semdedup",
+    "gopher_rules", "bigram_xent", "kmv_distinct_terms",
+    "stratified_sample", "ann_pq_topk",
     # tier 2 — regression sentinels for the untouched core
     "bm25_topk", "term_postings",
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
@@ -2839,14 +2845,18 @@ _SWEEP_HEAD = [
     "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "ann_cosine_topk", "text_quality", "lang_id", "token_counts",
     "doc_fingerprints", "simhash_signatures", "sha256_integrity",
-    "global_stats", "term_stats", "doc_lengths", "unknown_terms",
-    "dataset_splits", "split_contamination",
+    "term_stats",
+    # (round-2-recorded global_stats / doc_lengths / unknown_terms /
+    # dataset_splits / split_contamination rotated to _SWEEP_NEXT to make
+    # room for the session-2 additions — untouched code, lowest-loss drop)
 ]
 assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: Second tier: entries added AFTER the head was frozen at 50 — recorded
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
+    "global_stats", "doc_lengths", "unknown_terms",
+    "dataset_splits", "split_contamination",
     "lineitem_quantiles", "tpch_pricing_summary", "customer_order_balance",
     "bm25_rrf_fusion", "bm25_topk_conjunctive", "bm25_topk_filtered",
     "bm25_topk_snippets", "corpus_profile", "distinct_terms_per_lang",

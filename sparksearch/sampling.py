@@ -376,3 +376,47 @@ def training_data_stats(
             / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
+
+
+STRATA_QUOTA = 20   # docs per stratum
+STRATA_SALTS = 16   # per-stratum pre-prune fan-in (scale lever)
+
+
+def stratified_sample(
+    docs: DataFrame, per_stratum: int = STRATA_QUOTA, n_salt: int = STRATA_SALTS,
+    strata_col: str = "lang", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota stratified sampling → DF[lang, rank, doc_id]: the
+    ``per_stratum`` docs per stratum with the smallest h60 sampling keys —
+    a uniform without-replacement sample per language with HARD quotas
+    (``dataset_splits``' proportional hash-split cannot balance skewed
+    strata; a balanced eval set or per-language SFT mix needs exact counts
+    per stratum). Deterministic (invariant #1): the sample is identical
+    across retries, resumes and cluster sizes, and exactly reproducible in
+    SQL. Ties cannot occur twice per stratum (key ties still break doc_id
+    ASC — the engine total order).
+
+    Scale shape: the sampling key is map-side; the selection never funnels
+    a whole stratum through one partition — a first window prunes per
+    (stratum, key mod n_salt) to the quota (the global smallest are
+    provably among every salt class's smallest), the final per-stratum
+    window sorts ≤ n_salt·quota rows. Strata keys are few → the salt IS
+    the skew defense."""
+    d = docs.select(
+        F.col(strata_col).alias("lang"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        h60(F.col(id_col).cast("string")).alias("skey"),
+    )
+    from pyspark.sql.window import Window
+
+    w_salt = Window.partitionBy(
+        "lang", F.pmod(F.col("skey"), F.lit(n_salt))
+    ).orderBy(F.asc("skey"), F.asc("doc_id"))
+    w_lang = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return (
+        d.withColumn("rs", F.row_number().over(w_salt))
+        .filter(F.col("rs") <= per_stratum)
+        .withColumn("rank", F.row_number().over(w_lang).cast("long"))
+        .filter(F.col("rank") <= per_stratum)
+        .select("lang", "rank", "doc_id")
+    )

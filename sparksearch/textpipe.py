@@ -819,3 +819,282 @@ def exact_substring_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+# --------------------------------------------------- Gopher quality gates
+
+GOPHER_MIN_WORDS = 10          # Rae et al. 2021 use 50; fixture-scaled so
+GOPHER_MAX_WORDS = 100_000     # both outcomes occur in the test corpus
+GOPHER_MEAN_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
+    §A.1.1) as ONE map-side projection → DF[doc_id, n_tokens,
+    flag_wordcount, flag_meanlen, flag_symbol, flag_bullet, flag_alpha,
+    flag_stopwords, passes] (flags are 1 = rule satisfied):
+
+    1. word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS];
+    2. mean word length in [3, 10];
+    3. symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1;
+    4. ≤ 90% of lines start with a bullet AND ≤ 30% end with an ellipsis;
+    5. ≥ 80% of words contain an alphabetic character;
+    6. ≥ 2 hits from the engine stopword profile (the "stop word" filter).
+
+    ``passes`` = every flag = the doc survives the gate. The published rule
+    set is reproduced 1:1 on the engine tokenizer (thresholds are module
+    constants; the word-count floor is fixture-scaled so both outcomes are
+    exercised). Zero shuffle at any corpus size — every rule is a
+    whole-stage-codegen expression over one row; ratio flags on zero-token
+    docs evaluate through NULL → CASE-else → 0 identically on both engines.
+    """
+    from .stats import round6
+
+    t = tokens_col(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    # non-overlapping left-to-right '...' occurrences — same replace
+    # semantics in java.lang.String.replace and DuckDB replace()
+    dots = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ).alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long").alias("n_alpha"),
+        _hits(t, EN_STOPWORDS).alias("sw_hits"),
+        (hashes + dots).cast("double").alias("n_symbols"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.ltrim(x).startswith("-")
+                | F.ltrim(x).startswith("*")
+                | F.ltrim(x).startswith("•"),
+            )
+        ).cast("long").alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("...")))
+        .cast("long").alias("n_ellipsis"),
+    )
+    nt = F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+    nl = F.nullif(F.col("n_lines"), F.lit(0)).cast("double")
+    d = d.select(
+        "doc_id", "n_tokens",
+        round6(F.col("sum_len") / nt).alias("mean_len"),
+        round6(F.col("n_symbols") / nt).alias("symbol_ratio"),
+        round6(F.col("n_bullet") / nl).alias("bullet_frac"),
+        round6(F.col("n_ellipsis") / nl).alias("ellipsis_frac"),
+        round6(F.col("n_alpha") / nt).alias("alpha_frac"),
+        "sw_hits",
+    )
+
+    def flag(cond) -> Column:
+        # NULL ratio (zero-token doc) → ELSE → 0 on both engines
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    d = d.select(
+        "doc_id", "n_tokens",
+        flag(
+            (F.col("n_tokens") >= GOPHER_MIN_WORDS)
+            & (F.col("n_tokens") <= GOPHER_MAX_WORDS)
+        ).alias("flag_wordcount"),
+        flag(
+            (F.col("mean_len") >= GOPHER_MEAN_LEN[0])
+            & (F.col("mean_len") <= GOPHER_MEAN_LEN[1])
+        ).alias("flag_meanlen"),
+        flag(F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO).alias("flag_symbol"),
+        flag(
+            (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+            & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        ).alias("flag_bullet"),
+        flag(F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC).alias("flag_alpha"),
+        flag(F.col("sw_hits") >= GOPHER_MIN_STOPWORD_HITS).alias("flag_stopwords"),
+    )
+    return d.withColumn(
+        "passes",
+        F.least(
+            "flag_wordcount", "flag_meanlen", "flag_symbol",
+            "flag_bullet", "flag_alpha", "flag_stopwords",
+        ).cast("long"),
+    )
+
+
+# -------------------------------------------- bigram LM cross-entropy
+
+def bigram_xent(docs: DataFrame, term_stats: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy against an add-one-smoothed corpus BIGRAM
+    language model (the CCNet perplexity-filtering signal, one order above
+    ``unigram_xent``) → DF[doc_id, n_bigrams, xent]:
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+        xent(d)  = −(1/|bigrams_d|) Σ_bg tf_bg · ln p(bg)
+
+    with V = |unigram vocabulary| (from term_stats) and c(w1 ·) the bigram
+    left-marginal (derived from the bigram counts themselves — no extra
+    corpus pass). Docs with < 2 tokens have no bigrams and no row. Low
+    xent = the doc matches corpus phrase statistics; high = boilerplate /
+    wrong-language / shuffled text that unigram stats miss.
+
+    Scale shape: per-doc bigram tfs are one map-combinable aggregation on
+    uniform (doc_id, bigram) keys; corpus counts re-aggregate them by
+    bigram then by left token (vocabulary²-bounded, tiny next to
+    postings); the per-bigram log-prob table joins back key-partitioned.
+    Float discipline (the unigram_xent remedy): each bigram TYPE's ln p is
+    quantized ONCE to 9 decimals; the per-doc sum runs over exact decimals
+    (tf rides as decimal(9,0) to stay inside Spark's 38-digit cap), so the
+    result is independent of aggregation order on both engines."""
+    from .stats import round6
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    # sequence(1, n) counts DOWN for n < 1 — short docs get an empty array
+    dbt = (
+        toks.select(
+            "doc_id",
+            F.when(F.size("toks") >= 2, grams)
+            .otherwise(F.array().cast("array<string>")).alias("g"),
+        )
+        .select("doc_id", F.explode("g").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # dbt feeds BOTH the corpus-count chain (cbg → cw1 → lp) and the final
+    # per-doc join — without a persist the tokenize+explode DAG re-executes
+    # once per consumer (repo self-join sharp edge; measured 22s → ~8s at
+    # sf0.01 with the cache).
+    dbt = dbt.persist()
+    cbg = dbt.groupBy("bg").agg(F.sum("tf").alias("c"))
+    cw1 = (
+        cbg.select(F.substring_index("bg", "|", 1).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cw"))
+    )
+    v = term_stats.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    lp = (
+        cbg.select("bg", F.substring_index("bg", "|", 1).alias("w1"), "c")
+        .join(cw1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("cw") + F.col("v")).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("lp"),
+        )
+    )
+    tfd = F.col("tf").cast("decimal(9,0)")
+    out = (
+        dbt.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            round6(
+                -(F.sum(tfd * F.col("lp")).cast("double"))
+                / F.sum("tf").cast("double")
+            ).alias("xent"),
+        )
+        .select("doc_id", "n_bigrams", "xent")
+    )
+    out = out.persist()
+    out.count()
+    dbt.unpersist()
+    return out
+
+
+# ------------------------------------------------ KMV distinct sketch
+
+KMV_K = 64        # sketch size
+KMV_SALTS = 16    # per-group pre-prune fan-in (scale lever, not accuracy)
+_H60_RANGE = float(1 << 60)
+
+
+def kmv_distinct_terms(
+    docs: DataFrame, k: int = KMV_K, n_salt: int = KMV_SALTS,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch (Bar-Yossef et al. 2002)
+    of the term vocabulary per language → DF[lang, n_exact, n_sketch,
+    kth_hash, est_distinct]:
+
+        est = (k−1) / (kth_min_hash / 2^60)     (h60 is uniform on [0,2^60))
+        est = n_sketch when the sketch is not full (< k distinct hashes).
+
+    The mergeable-sketch counterpart to ``cms_term_counts`` (counts) —
+    KMV answers distinct-counts. Deterministic (h60, invariant #1), so the
+    sketch AND the estimate are exactly reproducible in SQL — the oracle
+    checks values, not a tolerance; ``n_exact`` rides along so the entry
+    doubles as an accuracy report.
+
+    Scale shape: the only corpus-sized work is the distinct on uniform
+    (lang, hash) keys (map-combinable). The k-smallest selection never
+    funnels a language's whole vocabulary through one partition: a first
+    window prunes per (lang, salt = h mod n_salt) — each sees ~1/n_salt of
+    the vocabulary — to k rows, and the global k-smallest are provably
+    among those n_salt·k survivors (every salt class keeps its k smallest);
+    the final per-lang window sorts ≤ n_salt·k rows."""
+    from .stats import round6
+
+    pairs = (
+        docs.select(
+            F.col("lang").alias("lang"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .select("lang", h60(F.col("term")).alias("h"))
+        .distinct()
+    )
+    pairs = pairs.persist()
+    exact = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    w_salt = Window.partitionBy("lang", F.pmod(F.col("h"), F.lit(n_salt))).orderBy("h")
+    w_lang = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        pairs.withColumn("rs", F.row_number().over(w_salt))
+        .filter(F.col("rs") <= k)
+        .withColumn("rn", F.row_number().over(w_lang))
+        .filter(F.col("rn") <= k)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    out = exact.join(sk, "lang").select(
+        "lang", "n_exact", "n_sketch", "kth_hash",
+        round6(
+            F.when(
+                F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / _H60_RANGE)
+            )
+        ).alias("est_distinct"),
+    )
+    out = out.persist()
+    out.count()
+    pairs.unpersist()
+    return out

@@ -668,3 +668,217 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
        d.max_sim_lower
 FROM af a LEFT JOIN dup d ON a.vec_id = d.vec_id"""
     )
+
+
+# ------------------------------------------------ product quantization ANN
+
+PQ_M = 4          # subspaces
+PQ_K = 8          # centroids per subspace codebook
+PQ_ITERS = 2      # deterministic Lloyd rounds per codebook
+PQ_QUERIES = 5
+PQ_TOPK = 10
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via the three proven-equal dot folds (aa − 2ab + bb,
+    left-associated the same way the DuckDB twin parses it)."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _pq_subvecs(embeddings: DataFrame, m: int) -> DataFrame:
+    """DF[vec_id, sub, sv]: each vector split into m contiguous equal-width
+    subvectors — the subspace index rides as a KEY COLUMN so all m Lloyd
+    problems run as ONE job keyed by (sub, cid), not m sequential loops."""
+    vecs = _vecs(embeddings)
+    seg = (F.size("v") / m).cast("int")
+    return vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice("v", seg * i + 1, seg),
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """One codebook-assignment pass → DF[sub, vec_id, sv, cid]: argmin
+    QUANTIZED (round6) squared L2, ties → low cid (engine-portable order)."""
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        subs.join(F.broadcast(cents), "sub")
+        .select(
+            "sub", "vec_id", "sv", "cid",
+            round6(_l2sq(F.col("sv"), F.col("cv"))).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sub", "vec_id", "sv", "cid")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, n_centroids: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(subs, codes, cents): deterministic per-subspace Lloyd codebooks
+    (init = the n_centroids lowest vec_ids' subvectors — no rand(),
+    invariant #1) and the PQ code table DF[sub, vec_id, cid] — m small ints
+    per vector, the ~dim·4-bytes → m-bytes compression PQ exists for.
+
+    Centroid updates are exact decimal sums + ONE double division per
+    coordinate (the ivf_assign discipline), so codebooks are bit-identical
+    across engines/retries/partitionings."""
+    subs = _pq_subvecs(embeddings, m)
+    w0 = Window.partitionBy("sub").orderBy("vec_id")
+    cents = (
+        subs.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= n_centroids)
+        .select("sub", (F.col("rn") - 1).alias("cid"), F.col("sv").alias("cv"))
+    )
+    for _ in range(n_iters):
+        a = _pq_assign(subs, cents)
+        cents = (
+            a.select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                 / F.count(F.lit(1))).alias("m")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+        )
+    codes = _pq_assign(subs, cents).select("sub", "vec_id", "cid")
+    return subs, codes, cents
+
+
+def pq_ann_topk(
+    embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK,
+    m: int = PQ_M, n_centroids: int = PQ_K, n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) → DF[query_id, rank, vec_id, adist]: per query,
+    the k corpus vectors with the smallest PQ-approximated squared L2
+
+        adist(q, x) = Σ_sub ‖q_sub − codebook[sub][code(x, sub)]‖²
+
+    ranked ascending (round6-quantized, ties → low vec_id — the engine
+    total order). Self-matches excluded.
+
+    This is the third ANN scale path next to LSH (stateless hashing) and
+    IVF (coarse quantizer): at 10^12 vectors the scan touches only the m
+    int8-sized codes per vector (storage ÷ ~dim·4/m) and the per-query
+    lookup table (m × n_centroids distances — broadcast, computed once
+    per query against the tiny codebooks); NO full-precision vector is
+    read at query time. The scored aggregation sums m exact decimals per
+    (query, vec) — order-independent, so Spark partial aggregation and
+    the oracle's single-node GROUP BY agree exactly. In production the
+    ADC scan feeds a candidate re-rank over full vectors (the ivf probe
+    shape); the catalog entry checks the ADC core.
+
+    Exact DuckDB twin: ``pq_ann_oracle_sql`` unrolls the same Lloyd chain
+    (the ann_ivf_topk pattern) — every divergence channel is closed at the
+    source: round6-quantized argmin with cid tiebreak, exact-decimal
+    centroid means, dot products by the same sequential fold, per-subspace
+    distances quantized to decimal(28,9) before the cross-subspace sum."""
+    subs, codes, cents = pq_codebooks(embeddings, m, n_centroids, n_iters)
+    queries = subs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    qd = (
+        queries.join(cents, "sub")
+        .select(
+            "query_id", "sub", "cid",
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 9)
+            .cast("decimal(28,9)").alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(round6(F.sum("d2").cast("double")).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "vec_id", "adist",
+        )
+    )
+
+
+def _sql_l2(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def pq_ann_oracle_sql(
+    n_queries: int = PQ_QUERIES, k: int = PQ_TOPK, m: int = PQ_M,
+    n_centroids: int = PQ_K, n_iters: int = PQ_ITERS,
+) -> str:
+    """Exact DuckDB twin of ``pq_ann_topk`` — the per-subspace Lloyd build
+    unrolled as CTEs keyed by (sub, cid), then the same ADC lookup-table
+    join and exact-decimal cross-subspace sum (see pq_ann_topk docstring
+    for the closed divergence channels)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT sub, vec_id, sv, cid FROM (
+    SELECT s.sub, s.vec_id, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_sql_r6(_sql_l2('s.sv', 'c.cv'))} ASC, c.cid ASC) AS rn
+    FROM s JOIN {cents} c ON s.sub = c.sub) WHERE rn = 1)"""
+
+    parts = [
+        """e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""",
+        f"""s AS (
+  SELECT vec_id, g.sub,
+         list_slice(v, g.sub * (len(v) // {m}) + 1, (g.sub + 1) * (len(v) // {m})) AS sv
+  FROM e, (SELECT unnest(range({m})) AS sub) g)""",
+        f"""c0 AS (
+  SELECT sub, rn - 1 AS cid, sv AS cv FROM (
+    SELECT sub, sv, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM s) WHERE rn <= {n_centroids})""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(f"""m{i} AS (
+  SELECT sub, cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT sub, cid, unnest(sv) AS val, unnest(range(len(sv))) AS pos FROM a{i})
+  GROUP BY 1, 2, 3)""")
+        parts.append(
+            f"c{i} AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY 1, 2)"
+        )
+        prev = f"c{i}"
+    parts.append(assign("af", prev))
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, sub, sv AS qv FROM s WHERE vec_id < {n_queries})"
+    )
+    parts.append(f"""qd AS (
+  SELECT q.query_id, q.sub, c.cid,
+         CAST(ROUND({_sql_l2('q.qv', 'c.cv')}, 9) AS DECIMAL(28,9)) AS d2
+  FROM q JOIN {prev} c ON q.sub = c.sub)""")
+    parts.append(f"""sc AS (
+  SELECT d.query_id, a.vec_id, {_sql_r6('CAST(SUM(d.d2) AS DOUBLE)')} AS adist
+  FROM af a JOIN qd d ON a.sub = d.sub AND a.cid = d.cid AND a.vec_id <> d.query_id
+  GROUP BY 1, 2)""")
+    parts.append("""r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, vec_id ASC) AS rnk FROM sc)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, adist "
+          f"FROM r WHERE rnk <= {k}"
+    )

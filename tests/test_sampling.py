@@ -176,3 +176,26 @@ def test_ngram_decontamination_catalog_entry_matches_oracle(spark):
     assert srows == drows and len(srows) > 10
     # the synthetic corpus plants cross-doc duplication — some must be dirty
     assert any(r[2] > 0 for r in srows)
+
+
+def test_stratified_sample_matches_brute_force(spark):
+    from sparksearch.sampling import stratified_sample
+
+    rows = [(i, f"doc {i}", "en" if i % 3 else "fr") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = [
+        (r.lang, r.rank, r.doc_id)
+        for r in stratified_sample(docs, per_stratum=5, n_salt=4).collect()
+    ]
+    want = []
+    for lang in ("en", "fr"):
+        ids = sorted(
+            (i for i, _, lg in rows if lg == lang),
+            key=lambda i: (_h60_py(str(i)), i),
+        )[:5]
+        want += [(lang, rk + 1, i) for rk, i in enumerate(ids)]
+    assert sorted(got) == sorted(want)
+    # exact quotas
+    from collections import Counter
+
+    assert Counter(lang for lang, _, _ in got) == {"en": 5, "fr": 5}

@@ -458,3 +458,99 @@ def test_exact_substring_catalog_entry_matches_oracle(spark):
         for r in con.execute(spec.sql).fetchall()
     )
     assert srows == drows and len(srows) > 10
+
+
+# ------------------------------------------------- Gopher rules / bigram LM
+
+
+def test_gopher_rules_hand_cases(spark):
+    from sparksearch.textpipe import gopher_rules
+
+    good = (
+        "the quick brown foxes jumped over the lazy dogs while the other "
+        "animals watched from their comfortable houses in the quiet forest"
+    )  # 21 tokens, stopword hits >= 2, mean token length ~4.9 (in [3, 10])
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en"),
+            (1, "tiny doc", "en"),                      # 2 tokens < floor
+            (2, "- a\n- b\n- c\n- d", "en"),            # 100% bullet lines
+            (3, good + " " + "#" * 40, "en"),           # symbol ratio >> 0.1
+            (4, "12 34 56 78 90 11 22 33 44 55 66", "en"),  # no alpha chars
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.asDict() for r in gopher_rules(docs).collect()}
+    assert out[0]["passes"] == 1
+    assert all(v == 1 for k, v in out[0].items() if k.startswith("flag_"))
+    assert out[1]["flag_wordcount"] == 0 and out[1]["passes"] == 0
+    assert out[2]["flag_bullet"] == 0
+    assert out[3]["flag_symbol"] == 0
+    assert out[4]["flag_alpha"] == 0 and out[4]["flag_stopwords"] == 0
+
+
+def test_gopher_rules_zero_token_doc_fails_closed(spark):
+    from sparksearch.textpipe import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(0, "!!! ??? ...", "en")], "doc_id long, text string, lang string"
+    )
+    row = gopher_rules(docs).collect()[0]
+    assert row.n_tokens == 0
+    # NULL ratios must fail closed (flag 0), not crash or pass
+    assert row.passes == 0 and row.flag_meanlen == 0 and row.flag_alpha == 0
+
+
+def test_bigram_xent_hand_math(spark):
+    import math
+
+    from sparksearch.stats import corpus_stats
+    from sparksearch.textpipe import bigram_xent
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b", "en"), (1, "a b", "en"), (2, "c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    _, _, ts, _ = corpus_stats(docs)
+    out = {r.doc_id: (r.n_bigrams, r.xent) for r in bigram_xent(docs, ts).collect()}
+    # V=3; c(a|b)=3, c(b|a)=1; c(a.)=3+1=4? no: left-marginal of 'a' spans
+    # both bigram types starting with a: c(a|b)=3 -> cw(a)=3; cw(b)=1.
+    lp_ab = round(math.log((3 + 1) / (3 + 3)), 9)
+    lp_ba = round(math.log((1 + 1) / (1 + 3)), 9)
+    assert out[0][0] == 3
+    assert out[0][1] == pytest.approx(-(2 * lp_ab + lp_ba) / 3, abs=2e-6)
+    assert out[1] == (1, pytest.approx(-lp_ab, abs=2e-6))
+    assert 2 not in out  # single-token doc: no bigrams, no row
+
+
+def test_kmv_matches_brute_force(spark):
+    import hashlib
+
+    from sparksearch.textpipe import kmv_distinct_terms
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i % 7 + 1)) + f" only{i % 3}", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in kmv_distinct_terms(docs, k=4, n_salt=4).collect()}
+    import re
+
+    for lang in ("en", "de"):
+        vocab = set()
+        for i, text, lg in rows:
+            if lg == lang:
+                vocab.update(re.findall(r"[a-z0-9_]+", text.lower()))
+        hs = sorted({h60(t) for t in vocab})
+        r = out[lang]
+        assert r.n_exact == len(hs)
+        assert r.n_sketch == min(4, len(hs))
+        assert r.kth_hash == hs[: 4][-1]
+        want = (
+            float(r.n_sketch) if r.n_sketch < 4
+            else 3.0 / (hs[3] / float(1 << 60))
+        )
+        assert r.est_distinct == pytest.approx(want, abs=1e-6)

@@ -185,3 +185,70 @@ def test_semdedup_catalog_entry_matches_oracle(spark):
     assert srows == drows and len(srows) == 500
     # the fixture's strongest pair crosses tau=0.45 -> at least one drop
     assert any(r[3] == "0" for r in srows)
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+def test_pq_ann_structure_and_determinism(emb):
+    from sparksearch.vectors import pq_ann_topk
+
+    out = pq_ann_topk(emb, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r.vec_id != q for r in rows)
+        # ascending approximate distance, ties impossible to invert: the
+        # rank order IS (adist ASC, vec_id ASC)
+        key = [(r.adist, r.vec_id) for r in rows]
+        assert key == sorted(key)
+        assert all(r.adist >= 0 for r in rows)
+    # deterministic rebuild (invariant #1): bit-identical output
+    again = pq_ann_topk(emb, n_queries=3, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_adc_matches_numpy_given_spark_codebooks(emb, emb_np):
+    """Close the loop without re-implementing Lloyd: take the codebooks and
+    codes Spark built, recompute the ADC distances in NumPy, and require the
+    top-k to agree with pq_ann_topk exactly."""
+    import numpy as np
+
+    from sparksearch.vectors import pq_ann_topk, pq_codebooks
+
+    ids, mat = emb_np
+    _, codes_df, cents_df = pq_codebooks(emb)
+    codes = {(r.sub, r.vec_id): r.cid for r in codes_df.collect()}
+    cents = {(r.sub, r.cid): np.asarray(r.cv) for r in cents_df.collect()}
+    m = 1 + max(s for s, _ in cents)
+    seg = mat.shape[1] // m
+    pos = {int(v): p for p, v in enumerate(ids)}
+    want = {}
+    for q in range(5):
+        qv = mat[pos[q]]
+        # per-(sub, cid) lookup table, quantized like the engine (9 dp)
+        lut = {
+            (s, c): round(float(np.dot(qv[s*seg:(s+1)*seg] - cv, qv[s*seg:(s+1)*seg] - cv)), 9)
+            for (s, c), cv in cents.items()
+        }
+        rows = []
+        for v in ids:
+            v = int(v)
+            if v == q:
+                continue
+            d = round(sum(lut[(s, codes[(s, v)])] for s in range(m)), 6)
+            rows.append((d, v))
+        rows.sort()
+        want[q] = rows[:10]
+    got = {}
+    for r in pq_ann_topk(emb).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.adist, r.vec_id))
+    for q in range(5):
+        got[q].sort()
+        assert [(d, v) for _, d, v in got[q]] == [
+            (pytest.approx(d, abs=2e-6), v) for d, v in want[q]
+        ]
