@@ -300,3 +300,36 @@ def rescore_topk(
         ).alias("score"),
     )
     return topk_per_query(final, k)
+
+
+def top_hits_by_field(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    field: str,
+    per_bucket: int = 3,
+) -> DataFrame:
+    """ES ``top_hits`` aggregation: the best ``per_bucket`` BM25 hits inside
+    EVERY metadata bucket per query → DF[query_id, <field>, bucket_rank,
+    doc_id, score] — the "show me the top results per language / per repo /
+    per source" result shape (field collapsing keeps 1 per bucket and
+    re-ranks globally; top_hits keeps n per bucket and reports per bucket).
+
+    Same plan as the flagship (score_all's broadcast-against-postings BM25)
+    plus one metadata join on matched docs only, then ONE window per
+    (query, bucket) under the engine total order (round6 DESC, doc_id ASC).
+    Scale: the window partitions by (query_id, field) — strictly finer than
+    topk_per_query's per-query partitioning, so skew is never worse than
+    the flagship's."""
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    w = Window.partitionBy("query_id", field).orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= per_bucket)
+        .select("query_id", field, "bucket_rank", "doc_id", "score")
+    )

@@ -1098,3 +1098,65 @@ def kmv_distinct_terms(
     out.count()
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------- line-level boilerplate
+
+LINE_BOILER_MIN_DOCS = 3   # a line is boilerplate when >= this many docs share it
+
+
+def line_boilerplate(
+    docs: DataFrame, min_docs: int = LINE_BOILER_MIN_DOCS,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate accounting → DF[doc_id, n_lines,
+    n_boiler, boiler_frac]: a (trimmed, non-empty) line is boilerplate when
+    it occurs in ≥ ``min_docs`` DISTINCT documents (headers, footers,
+    license banners, nav bars — the text dedup granularity BETWEEN exact
+    whole-doc (sha256) and token windows (ExactSubstr)); each doc reports
+    its total lines, boilerplate-line occurrences, and the removable
+    fraction. Docs with zero non-empty lines have no row.
+
+    Scale shape (the ngram_decontamination pattern at line granularity):
+    map-side line split + h60 line keys; the corpus line-frequency is one
+    map-combinable distinct + count on uniform hashes; the boilerplate key
+    set LEFT-joins back key-partitioned (never broadcast/driver-bound —
+    at 100 TB the boilerplate set is corpus-scale); per-doc accounting is
+    one map-combinable agg."""
+    from .stats import round6
+
+    lines = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", h60(F.col("line")).alias("lh"))
+    )
+    lines = lines.persist()
+    boiler = (
+        lines.distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh", F.lit(1).alias("b"))
+    )
+    out = (
+        lines.join(boiler, "lh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id", "n_lines", "n_boiler",
+            round6(
+                F.col("n_boiler").cast("double") / F.col("n_lines").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    lines.unpersist()
+    return out

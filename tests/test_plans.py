@@ -337,3 +337,48 @@ def test_expansion_scans_are_range_pruned(spark, index_path):
 
     plan = _plan(expand_fuzzy_indexed(spark, [(1, "jion")], ds))
     assert "In(p2, [" in plan or "In(p2,[" in plan, plan
+
+
+# ------------------------------------------- round-4 session-2 plan audits
+
+
+def test_gopher_rules_is_one_shuffleless_projection(spark, docs_sf0001):
+    from sparksearch.textpipe import gopher_rules
+
+    plan = _plan(gopher_rules(docs_sf0001))
+    assert "BatchEvalPython" not in plan
+    # the whole gate is map-side: NO exchange at any corpus size
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan  # whole-stage codegen spans the projection
+
+
+def test_kmv_and_stratified_stay_jvm_side(spark, docs_sf0001):
+    from sparksearch.sampling import stratified_sample
+    from sparksearch.textpipe import kmv_distinct_terms
+
+    assert "BatchEvalPython" not in _plan(stratified_sample(docs_sf0001))
+    # kmv materializes internally (persist+count); audit the plan pre-call
+    # via its building blocks: distinct (lang, h) then two windows
+    plan = _plan(kmv_distinct_terms(docs_sf0001))
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_ann_broadcasts_codebooks_and_lut(spark):
+    from sparksearch.vectors import pq_ann_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    plan = _plan(pq_ann_topk(emb, n_queries=2, k=3))
+    assert "BatchEvalPython" not in plan
+    # codebook assignment joins and the ADC lookup table must broadcast —
+    # the corpus-sized codes table never shuffles for them
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_xent_no_python_and_line_boiler_no_python(spark, docs_sf0001):
+    from sparksearch.stats import corpus_stats
+    from sparksearch.textpipe import bigram_xent, line_boilerplate
+
+    _, _, ts, _ = corpus_stats(docs_sf0001.select("doc_id", "text"))
+    assert "BatchEvalPython" not in _plan(bigram_xent(docs_sf0001, ts))
+    assert "BatchEvalPython" not in _plan(line_boilerplate(docs_sf0001))

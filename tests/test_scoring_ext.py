@@ -184,3 +184,33 @@ def test_rescore_unknown_term_query_degrades_to_bm25(spark, docs_sf0001, stats):
     got = _ranks(rescore_topk(docs_sf0001, queries, tf_df, dl_df, ts, window=10**6, k=20))
     base = _ranks(score_logical(parse_queries(spark, queries), tf_df, dl_df, ts, k=20))
     assert got == base  # the zzz chain never completes: boost is 0 everywhere
+
+
+def test_top_hits_by_field_matches_brute_force(spark, docs_sf0001, queries):
+    from sparksearch.querying import parse_queries, score_all
+    from sparksearch.scoring_ext import top_hits_by_field
+    from sparksearch.stats import corpus_stats
+
+    tf_df, dl_df, ts, _ = corpus_stats(docs_sf0001.select("doc_id", "text", "lang"))
+    qterms = parse_queries(spark, queries)
+    meta = docs_sf0001.select("doc_id", "lang")
+    got = [
+        (r.query_id, r.lang, r.bucket_rank, r.doc_id, round(r.score, 6))
+        for r in top_hits_by_field(qterms, tf_df, dl_df, ts, meta, "lang").collect()
+    ]
+    # brute force: full scored frame, python-side per-(query, lang) rank
+    lang = {r.doc_id: r.lang for r in meta.collect()}
+    scored = [
+        (r.query_id, lang[r.doc_id], round(r.score, 6), r.doc_id)
+        for r in score_all(qterms, tf_df, dl_df, ts).collect()
+    ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for qid, lg, s, d in scored:
+        buckets[(qid, lg)].append((s, d))
+    want = []
+    for (qid, lg), rows in buckets.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        want += [(qid, lg, rk + 1, d, s) for rk, (s, d) in enumerate(rows[:3])]
+    assert sorted(got) == sorted(want)

@@ -554,3 +554,33 @@ def test_kmv_matches_brute_force(spark):
             else 3.0 / (hs[3] / float(1 << 60))
         )
         assert r.est_distinct == pytest.approx(want, abs=1e-6)
+
+
+def test_line_boilerplate_hand_case(spark):
+    from sparksearch.textpipe import line_boilerplate
+
+    banner = "licensed under the apache license"
+    docs = spark.createDataFrame(
+        [
+            (0, banner + "\nunique zero\nalso zero", "en"),
+            (1, banner + "\nunique one", "en"),
+            (2, banner + "\n\n  \nunique two", "en"),   # blank lines dropped
+            (3, "nothing shared here", "en"),
+            (4, "", "en"),                              # no non-empty lines: no row
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in line_boilerplate(docs, min_docs=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0].n_lines, out[0].n_boiler) == (3, 1)
+    assert (out[1].n_lines, out[1].n_boiler) == (2, 1)
+    assert (out[2].n_lines, out[2].n_boiler) == (2, 1)  # blanks not counted
+    assert (out[3].n_lines, out[3].n_boiler) == (1, 0)
+    assert out[1].boiler_frac == pytest.approx(0.5)
+    # trim-insensitivity: the same banner with leading spaces still matches
+    docs2 = spark.createDataFrame(
+        [(0, "  " + banner, "en"), (1, banner, "en"), (2, banner + " ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out2 = {r.doc_id: r.n_boiler for r in line_boilerplate(docs2, min_docs=3).collect()}
+    assert out2 == {0: 1, 1: 1, 2: 1}
