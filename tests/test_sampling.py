@@ -199,3 +199,20 @@ def test_stratified_sample_matches_brute_force(spark):
     from collections import Counter
 
     assert Counter(lang for lang, _, _ in got) == {"en": 5, "fr": 5}
+
+
+def test_curate_corpus_job_deterministic(spark, tmp_path):
+    """The spark-submit curation composition: gate → dedup → splits manifest.
+    Re-running produces an identical manifest (invariant #1), every kept doc
+    passed the gate, and survivors are unique per content hash."""
+    import jobs.curate_corpus as cc
+
+    sf = "/root/testdata/sf0.001"
+    s1 = cc.curate(spark, sf, str(tmp_path / "a"))
+    s2 = cc.curate(spark, sf, str(tmp_path / "b"))
+    assert s1["kept_docs"] == s2["kept_docs"] > 0
+    assert s1["by_split_lang"] == s2["by_split_lang"]
+    a = spark.read.parquet(s1["manifest"])
+    b = spark.read.parquet(s2["manifest"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == a.select("doc_id").distinct().count()
