@@ -1392,3 +1392,236 @@ def _register_pq(extras: dict) -> dict:
         "lookup-table distance sum — exact unrolled-Lloyd DuckDB twin",
     )
     return extras
+
+
+# ---------------------------------------------- round-4 session-3 entries
+# (term-graph PageRank with an unrolled-power-iteration oracle, content-
+# defined chunking, perplexity-bucketed curation, Zipf-law fit — each with
+# an exact DuckDB twin)
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = "0.85"  # 2-dp decimal STRING — see graph.pagerank
+
+
+def q_term_pagerank(spark, sf_dir):
+    from .graph import pagerank
+    from .textpipe import cooccurrence_edges
+
+    pairs = cooccurrence_edges(_docs(spark, sf_dir))
+    edges = pairs.select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst"),
+        F.col("n_both").alias("w"),
+    ).union(
+        pairs.select(
+            F.col("term_b").alias("src"), F.col("term_a").alias("dst"),
+            F.col("n_both").alias("w"),
+        )
+    )
+    pr = pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    out = pr.select(
+        F.col("node").alias("term"),
+        F.col("wdeg").cast("long").alias("wdeg"),
+        F.round(F.col("r"), 6).cast("double").alias("pagerank"),
+    )
+    pairs.unpersist()
+    return out
+
+
+def _pagerank_sql(iterations: int = PAGERANK_ITERS,
+                  damping: str = PAGERANK_DAMPING) -> str:
+    """Unrolled power-iteration twin of graph.pagerank over the
+    cooccurrence_edges graph: one CTE per iteration (the _lloyd_ctes
+    pattern), every step the same exact-decimal arithmetic as the Spark
+    side — identical teleport/share doubles, identical decimal(28,9)
+    per-step quantization."""
+    tele = f"CAST((1.0::DOUBLE - {damping}::DOUBLE) / nn.n AS DECIMAL(28,9))"
+    iters = []
+    for i in range(iterations):
+        iters.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST(ROUND({tele}
+           + CAST({damping} AS DECIMAL(3,2)) * CAST(COALESCE(s.insum, 0) AS DECIMAL(12,9)),
+           9) AS DECIMAL(28,9)) AS r
+  FROM nds n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(CAST(p.r AS DOUBLE) / CAST(n2.wdeg AS DOUBLE) AS DECIMAL(10,9))
+               * CAST(e.w AS DECIMAL(19,0))) AS insum
+    FROM r{i} p
+    JOIN nds n2 ON n2.node = p.node AND n2.wdeg > 0
+    JOIN ed e ON e.src = p.node
+    GROUP BY 1
+  ) s ON s.node = n.node
+)""")
+    chain = ",\n".join(iters)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tokd),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn FROM dfreq
+  ) WHERE rn <= 32
+),
+prs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_both
+  FROM dt a
+  JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN vocab va ON va.term = a.term
+  JOIN vocab vb ON vb.term = b.term
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT term_a AS src, term_b AS dst, n_both AS w FROM prs
+  UNION ALL
+  SELECT term_b AS src, term_a AS dst, n_both AS w FROM prs
+),
+deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wdeg FROM ed GROUP BY 1),
+nds AS (
+  SELECT u.node, COALESCE(d.wdeg, 0) AS wdeg
+  FROM (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed) u
+  LEFT JOIN deg d ON d.node = u.node
+),
+nn AS (SELECT COUNT(*) AS n FROM nds),
+r0 AS (SELECT node, CAST(1.0::DOUBLE / nn.n AS DECIMAL(28,9)) AS r FROM nds, nn),
+{chain}
+SELECT n.node AS term, CAST(n.wdeg AS BIGINT) AS wdeg,
+       CAST(ROUND(r.r, 6) AS DOUBLE) AS pagerank
+FROM nds n JOIN r{iterations} r ON r.node = n.node"""
+
+
+def q_cdc_chunks(spark, sf_dir):
+    from .textpipe import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
+def q_xent_buckets(spark, sf_dir):
+    from .queries_catalog import _stats_for
+    from .textpipe import xent_buckets
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    return xent_buckets(tf_df, ts).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "xent", "bucket"
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    from .queries_catalog import _stats_for
+    from .stats import zipf_fit
+
+    _, _, ts, _ = _stats_for(spark, sf_dir)
+    return zipf_fit(ts)
+
+
+def _cdc_sql() -> str:
+    from .textpipe import CDC_DIVISOR, CDC_WINDOW
+
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    st = "CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END"
+    return f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, CAST(length(text) AS INT) AS L
+  FROM documents WHERE length(text) >= 1
+),
+cr AS (
+  SELECT doc_id, text, L,
+    CASE WHEN L >= {w} THEN list_filter(
+      list_transform(generate_series(1, L - {w - 1}),
+        i -> CASE WHEN {_h60(f"substring(text, i, {w})")} % {d} = 0
+             THEN i + {w - 1} END),
+      x -> x IS NOT NULL AND x < L)
+    ELSE CAST([] AS BIGINT[]) END AS cuts
+  FROM base
+),
+ea AS (SELECT doc_id, text, list_append(cuts, L) AS ends FROM cr),
+ex AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS j FROM ea)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_idx,
+       CAST({st} AS BIGINT) AS start,
+       CAST(ends[j] - ({st}) + 1 AS BIGINT) AS chunk_len,
+       {_h60(f"substring(text, {st}, ends[j] - ({st}) + 1)")} AS chunk_h60
+FROM ex"""
+
+
+def _xent_buckets_sql() -> str:
+    from .queries_catalog import TOK_SQL
+
+    return f"""WITH {TOK_SQL.strip()},
+coll AS (SELECT CAST(SUM(cf) AS DOUBLE) AS c FROM termstats),
+lp AS (
+  SELECT term, CAST(ROUND(LN(cf / (SELECT c FROM coll)), 9) AS DECIMAL(28,9)) AS lp
+  FROM termstats
+),
+x AS (
+  SELECT p.doc_id, SUM(p.tf * l.lp) AS s, MAX(d.dl) AS dl
+  FROM postings p JOIN lp l USING (term) JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1
+),
+xe AS (SELECT doc_id, ROUND(-(CAST(s AS DOUBLE)) / dl, 6) AS xent FROM x)
+SELECT doc_id, xent,
+       CAST(NTILE(3) OVER (ORDER BY xent ASC, doc_id ASC) AS BIGINT) AS bucket
+FROM xe"""
+
+
+def _zipf_sql() -> str:
+    from .queries_catalog import TOK_SQL
+
+    nd = "CAST(n AS DECIMAL(9,0))"
+    slope = (f"CAST({nd} * sxy - sx * sy AS DOUBLE) / "
+             f"CAST({nd} * sxx - sx * sx AS DOUBLE)")
+    intercept = f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+    return f"""WITH {TOK_SQL.strip()},
+rk AS (
+  SELECT cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS rank
+  FROM termstats
+),
+pts AS (
+  SELECT CAST(ROUND(LN(rank), 9) AS DECIMAL(28,9)) AS x,
+         CAST(ROUND(LN(cf), 9) AS DECIMAL(28,9)) AS y,
+         CAST(ROUND(LN(rank) * LN(cf), 9) AS DECIMAL(28,9)) AS xy,
+         CAST(ROUND(LN(rank) * LN(rank), 9) AS DECIMAL(28,9)) AS xx
+  FROM rk
+),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(18,9)) AS sx, CAST(SUM(y) AS DECIMAL(18,9)) AS sy,
+         CAST(SUM(xy) AS DECIMAL(18,9)) AS sxy, CAST(SUM(xx) AS DECIMAL(18,9)) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms, {_r6(slope)} AS slope, {_r6(intercept)} AS intercept
+FROM ag"""
+
+
+def build_round4_s3_extras():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "term_pagerank": QuerySpec(
+            q_term_pagerank,
+            _pagerank_sql(),
+            "weighted PageRank over the within-document co-occurrence term "
+            "graph (vocabulary-bounded edges, 10 fixed power steps, "
+            "decimal-exact quantized iterations) — oracle UNROLLS the "
+            "iterations as CTEs; generic graph.pagerank underneath",
+        ),
+        "cdc_chunks": QuerySpec(
+            q_cdc_chunks,
+            _cdc_sql(),
+            "content-defined chunking (LBFS/rsync boundary rule, h60 "
+            "rolling window % 64): position-local cuts, per-chunk h60 "
+            "hashes for sub-document dedup — map-side only, zero shuffle",
+        ),
+        "xent_buckets": QuerySpec(
+            q_xent_buckets,
+            _xent_buckets_sql(),
+            "CCNet-style perplexity tiers: unigram-LM cross-entropy NTILE'd "
+            "into head/middle/tail on the quantized total order — the "
+            "quality-tiered sampling key for pretraining curation",
+        ),
+        "zipf_fit": QuerySpec(
+            q_zipf_fit,
+            _zipf_sql(),
+            "Zipf's-law least-squares fit over (ln rank, ln cf): corpus-"
+            "level quality diagnostic; decimal-exact sums, closed-form "
+            "slope/intercept inside the 38-digit cap",
+        ),
+    }

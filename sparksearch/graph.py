@@ -126,6 +126,111 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    iterations: int = 10,
+    damping: str = "0.85",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list → DF[node, wdeg, r]
+    (r = DECIMAL(28,9) rank after ``iterations`` fixed power steps).
+
+    Cross-engine-exact by construction, so a DuckDB oracle can UNROLL the
+    iterations as CTEs (catalog_pipeline._pagerank_sql):
+
+    * All sums are exact decimal arithmetic — contribution =
+      share(10,9) × w(19,0) = DECIMAL(30,9), summed exactly; aggregation
+      order cannot move a bit (the repo's decimal-exact-sum remedy).
+    * The only doubles are single divisions computed identically by both
+      engines (share = r/wdeg, teleport = (1-d)/N), each quantized straight
+      back to decimal via the same double→decimal(·,9) cast stats.round6
+      already relies on engine-wide.
+    * Per-step quantization: r' = ROUND(teleport + d·Σcontrib, 9) cast to
+      DECIMAL(28,9) — both engines round positive decimals half-up, so
+      every iteration starts from identical state.
+    * ``damping`` is a 2-dp decimal STRING (never a float) so d·Σ stays a
+      DECIMAL(3,2)×DECIMAL(12,9) exact product — an int×decimal(28,9)-style
+      38-digit overflow (CLAUDE.md sharp edge) is impossible at these
+      precisions.
+
+    Scale shape: the loop is ``iterations`` rounds of (edges ⋈ ranks on
+    src) → groupBy(dst) — partial-aggregated, shuffling only (node,
+    decimal) pairs; ranks are localCheckpoint'ed each round (lineage
+    truncation, the iterative-loop invariant), edges/deg persisted once.
+    Dangling nodes (no out-edges) keep teleport mass only — deterministic
+    mass leak, documented rather than redistributed.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    ).persist()
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").cast("long").alias("wdeg"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg, "node", "left")
+        .select("node", F.coalesce("wdeg", F.lit(0).cast("long")).alias("wdeg"))
+        .persist()
+    )
+    n = nodes.count()  # one scalar: the teleport normalizer
+    d_dec = F.expr(f"CAST({damping} AS DECIMAL(3,2))")
+    teleport = F.lit((1.0 - float(damping)) / n).cast("decimal(28,9)")
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).cast("decimal(28,9)").alias("r")
+    ).localCheckpoint(eager=True)
+    if stats_out is not None:
+        stats_out["plan_chars"] = []
+    for _ in range(iterations):
+        shares = ranks.join(nodes.filter(F.col("wdeg") > 0), "node").select(
+            F.col("node").alias("src"),
+            (F.col("r").cast("double") / F.col("wdeg").cast("double"))
+            .cast("decimal(10,9)")
+            .alias("share"),
+        )
+        insum = (
+            e.join(shares, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("share") * F.col("w").cast("decimal(19,0)")).alias("insum"))
+        )
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + d_dec
+                    * F.coalesce(
+                        F.col("insum"), F.lit(0).cast("decimal(38,9)")
+                    ).cast("decimal(12,9)"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if stats_out is not None:
+            stats_out["plan_chars"].append(
+                len(ranks._jdf.queryExecution().analyzed().toString())
+            )
+    out = (
+        nodes.join(ranks, "node")
+        .select("node", "wdeg", "r")
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def neardup_clusters(docs: DataFrame) -> DataFrame:
     """End-to-end duplicate grouping → DF[doc_id, cluster_id, cluster_size,
     is_keeper]: MinHash+LSH verified pairs (textpipe.minhash_lsh_dedup) →

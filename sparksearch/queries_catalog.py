@@ -925,6 +925,10 @@ CATALOG.update(build_round3_extras())
 from .catalog_pipeline import build_round4_extras  # noqa: E402
 
 CATALOG.update(build_round4_extras())
+
+from .catalog_pipeline import build_round4_s3_extras  # noqa: E402
+
+CATALOG.update(build_round4_s3_extras())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2940,6 +2944,8 @@ _SWEEP_HEAD = [
     "gopher_rules", "bigram_xent", "kmv_distinct_terms",
     "stratified_sample", "ann_pq_topk",
     "bm25_top_hits_by_lang", "rare_terms", "line_boilerplate",
+    # round-4 session-3 additions (brand new)
+    "term_pagerank", "cdc_chunks", "xent_buckets", "zipf_fit",
     # tier 2 — regression sentinels for the untouched core
     "bm25_topk", "term_postings",
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
@@ -2959,18 +2965,20 @@ _SWEEP_HEAD = [
     # tpch_revenue_by_nation bench-regression watch item
     "tpch_revenue_by_nation", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "ann_cosine_topk", "text_quality",
-    "doc_fingerprints", "sha256_integrity", "term_stats",
+    "ann_cosine_topk",
     # (round-2-recorded global_stats / doc_lengths / unknown_terms /
     # dataset_splits / split_contamination / lang_id / token_counts /
-    # simhash_signatures rotated to _SWEEP_NEXT to make room for the
-    # session-2 additions — untouched code, lowest-loss drop)
+    # simhash_signatures — and, for the session-3 additions, text_quality /
+    # doc_fingerprints / sha256_integrity / term_stats — rotated to
+    # _SWEEP_NEXT: untouched code with existing driver records, lowest-loss
+    # drop)
 ]
 assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: Second tier: entries added AFTER the head was frozen at 50 — recorded
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
+    "text_quality", "doc_fingerprints", "sha256_integrity", "term_stats",
     "global_stats", "doc_lengths", "unknown_terms",
     "dataset_splits", "split_contamination",
     "lang_id", "token_counts", "simhash_signatures",

@@ -127,3 +127,60 @@ def round6(c) -> "Column":
     (catalog_pipeline._r6)."""
     col = c if not isinstance(c, str) else F.col(c)
     return F.round(col.cast("decimal(28,9)"), 6).cast("double")
+
+
+def zipf_fit(term_stats: DataFrame) -> DataFrame:
+    """Zipf's-law fit over the term frequency distribution → one-row
+    DF[n_terms, slope, intercept]: least-squares line through
+    (ln rank, ln cf) with rank = position under the total order
+    (cf DESC, term ASC). A healthy natural-language corpus fits slope ≈ −1
+    (Zipf 1949); strong deviation flags templated/synthetic text — a
+    corpus-level quality diagnostic next to the per-doc gates.
+
+    Float discipline (the decimal-exact-sum remedy, engine-wide): each
+    per-term ln / product is ONE double op on identical inputs in both
+    engines, quantized to decimal(28,9); the four least-squares sums then
+    run over exact decimals (order-independent under any partitioning);
+    the closed-form numerator/denominator are exact decimal products of
+    those sums, and the only order-free double ops left are the final two
+    divisions. Plan: one vocabulary-sized window rank + one aggregate —
+    nothing corpus-sized moves."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    q = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cf").cast("double"))
+    pts = (
+        term_stats.select("term", "cf")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            q(lx).alias("x"), q(ly).alias("y"),
+            q(lx * ly).alias("xy"), q(lx * lx).alias("xx"),
+        )
+    )
+    # Sums are exact decimal(38,9); narrowed to (18,9) (|ln| bounded by ~45
+    # even at 10^12 docs × 10^6 cf, so Σ over a 10^9-term vocabulary still
+    # fits) so the closed-form products stay inside the 38-digit cap
+    # EXACTLY: n(9,0)×Sxy(18,9) → (28,9); Sx(18,9)×Sy(18,9) → (37,18);
+    # their difference → precision 38, scale 18 — no silent scale drop
+    # (CLAUDE.md sharp edge).
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(18,9)").alias("sx"),
+        F.sum("y").cast("decimal(18,9)").alias("sy"),
+        F.sum("xy").cast("decimal(18,9)").alias("sxy"),
+        F.sum("xx").cast("decimal(18,9)").alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(9,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        round6(slope).alias("slope"),
+        round6(intercept).alias("intercept"),
+    )

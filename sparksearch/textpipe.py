@@ -536,6 +536,50 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 # ------------------------------------------------- term co-occurrence / PMI
+def cooccurrence_edges(
+    docs: DataFrame,
+    top_v: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document co-occurrence pairs over the top-``top_v``-df
+    vocabulary → DF[term_a, term_b, n_both] (term_a < term_b) — the edge
+    list the term-graph entries (PageRank) run on.
+
+    Same vocabulary bounding + pair semantics as ``term_cooccurrence`` (a
+    doc contributes at most C(top_v, 2) pairs; the doc×term frame is
+    semi-reduced by a broadcast of the tiny vocabulary before the
+    self-join), without the PMI scoring tail. Pairs are materialized
+    (persist + count) before the persisted doc×term frame is released, so
+    callers may iterate over the result freely (PageRank joins it every
+    round)."""
+    from pyspark.sql.window import Window
+
+    dt = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wv = Window.orderBy(F.desc("df"), F.asc("term"))
+    vocab = (
+        dfreq.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= top_v)
+        .select("term")
+    )
+    dtv = dt.join(F.broadcast(vocab), "term").persist()
+    pairs = (
+        dtv.select("doc_id", F.col("term").alias("term_a"))
+        .join(dtv.select("doc_id", F.col("term").alias("term_b")), "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .persist()
+    )
+    pairs.count()
+    dtv.unpersist()
+    return pairs
+
+
 def term_cooccurrence(
     docs: DataFrame,
     top_v: int = 32,
@@ -1160,3 +1204,113 @@ def line_boilerplate(
     out.count()
     lines.unpersist()
     return out
+
+
+# ------------------------------------------- content-defined chunking (CDC)
+
+CDC_WINDOW = 16   # rolling-window width (chars)
+CDC_DIVISOR = 64  # boundary when window-hash % DIVISOR == 0 (E[chunk] ~ 64)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking → DF[doc_id, chunk_idx, start, chunk_len,
+    chunk_h60]: cut after every ``window``-char substring whose h60 hash is
+    ≡ 0 (mod ``divisor``) — the rsync/LBFS boundary rule (Muthitacharoen et
+    al., SOSP'01). Chunk-level hashes are what sub-document dedup and
+    delta-storage key on: insertions shift byte offsets but boundaries
+    re-synchronize, so unchanged content keeps identical chunk hashes.
+
+    Boundary selection is POSITION-LOCAL (no sequential scan state, unlike
+    min/max-size CDC variants): every position is tested independently, so
+    the operator is one map-side projection — embarrassingly parallel at
+    any corpus size, zero shuffle. A production gear-hash is a faster
+    rolling window; h60 is used so the DuckDB twin is bit-identical
+    (engine-wide invariant #6).
+
+    Plan shape: the cut array is materialized in ONE projection behind a
+    persist barrier before being indexed per-chunk — Catalyst's projection
+    collapse would otherwise re-inline the full md5 chain once per chunk
+    (CLAUDE.md sharp edge). The barrier frame is released before return.
+    """
+    w, d = window, divisor
+    text = F.col(text_col)
+    L = F.length(text)
+    npos = L - (w - 1)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.when(h60(text.substr(i, F.lit(w))) % d == 0, i + (w - 1)),
+        ),
+        lambda c: c.isNotNull() & (c < L),
+    )
+    mid = (
+        docs.filter(L >= 1)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            text.alias("text"),
+            F.when(npos >= 1, cuts)
+            .otherwise(F.array().cast("array<int>"))
+            .alias("cuts"),
+        )
+        .select(
+            "doc_id", "text",
+            F.concat(F.col("cuts"), F.array(F.length("text"))).alias("ends"),
+        )
+        .persist()
+    )
+    ex = mid.select(
+        "doc_id", "text", "ends",
+        F.posexplode("ends").alias("j", "end"),
+    )
+    start = F.when(F.col("j") == 0, F.lit(1)).otherwise(
+        F.element_at(F.col("ends"), F.col("j")) + 1
+    )
+    out = (
+        ex.select(
+            "doc_id",
+            (F.col("j") + 1).cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start"),
+            (F.col("end") - start + 1).cast("long").alias("chunk_len"),
+            h60(
+                F.col("text").substr(start, F.col("end") - start + 1)
+            ).alias("chunk_h60"),
+        )
+        .persist()
+    )
+    out.count()
+    mid.unpersist()
+    return out
+
+
+def xent_buckets(
+    tf_df: DataFrame, term_stats: DataFrame, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style perplexity bucketing → DF[doc_id, xent, bucket]: docs
+    ranked by unigram-LM cross-entropy and split into equal-size tiers
+    (bucket 1 = 'head' = most corpus-like … n = 'tail'), the standard
+    quality-tiered sampling key for pretraining curation (Wenzek et al.,
+    CCNet, 2020).
+
+    Determinism: NTILE over the engine-wide total order (round6(xent) ASC,
+    doc_id ASC) — rank identity holds across engines because xent is
+    already quantized at output precision (invariant #3). The global
+    window sorts only (doc_id, xent) — two narrow columns; the 100 TB
+    variant broadcasts sample-quantile thresholds instead of ranking
+    exactly (same operator contract, approximate tier boundaries), which
+    this exact NTILE is the small-scale oracle for."""
+    from pyspark.sql.window import Window
+
+    from .textpipe import unigram_xent
+
+    x = unigram_xent(tf_df, term_stats)
+    wn = Window.orderBy(F.asc("xent"), F.asc("doc_id"))
+    return x.select(
+        "doc_id", "xent",
+        F.ntile(n_buckets).over(wn).cast("long").alias("bucket"),
+    )

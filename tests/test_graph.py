@@ -140,3 +140,79 @@ def test_cc_scale_stress_log_rounds_and_flat_plans(spark):
     # every round's plan within 1.5x of the first (nesting would be ~x2^r)
     pc = stats["plan_chars"]
     assert max(pc) <= 1.5 * pc[0] + 500, pc
+
+
+def _pr_oracle(edges, iterations=5, damping="0.85"):
+    """From-scratch Decimal simulation of graph.pagerank's exact arithmetic
+    (different code path from both engines)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    Q9 = Decimal("1e-9")
+
+    def q9(x):  # double → decimal(·,9), HALF_UP — the engines' cast.
+        # repr(x), not Decimal(x): Spark's double→decimal goes through the
+        # SHORTEST round-trip string (BigDecimal.valueOf/Double.toString),
+        # not the exact binary expansion — on ...4999 doubles whose
+        # shortest form is ...5 the two disagree by 1 ulp at scale 9.
+        return Decimal(repr(x)).quantize(Q9, ROUND_HALF_UP)
+
+    deg: dict = {}
+    nodes = set()
+    for s, d, w in edges:
+        deg[s] = deg.get(s, 0) + w
+        nodes.update((s, d))
+    n = len(nodes)
+    tele = q9((1.0 - float(damping)) / n)
+    dd = Decimal(damping)
+    r = {u: q9(1.0 / n) for u in nodes}
+    for _ in range(iterations):
+        insum = {u: Decimal(0) for u in nodes}
+        for s, d, w in edges:
+            share = q9(float(r[s]) / float(deg[s]))
+            insum[d] += share * w
+        r = {
+            u: (tele + dd * insum[u]).quantize(Q9, ROUND_HALF_UP)
+            for u in nodes
+        }
+    return {u: (deg.get(u, 0), r[u]) for u in nodes}
+
+
+def test_pagerank_matches_decimal_oracle(spark):
+    from decimal import Decimal
+
+    from sparksearch.graph import pagerank
+
+    # weighted path 1-2-3-4 (symmetric), a source-only node 5 → 1, and a
+    # dangling sink 1 → 6 (in-edges, no out-edges: keeps teleport + inflow,
+    # contributes nothing — deterministic mass leak)
+    und = [(1, 2, 2), (2, 3, 1), (3, 4, 3)]
+    edges = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    edges += [(5, 1, 1), (1, 6, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: (r["wdeg"], r["r"])
+        for r in pagerank(df, iterations=5).collect()
+    }
+    want = _pr_oracle(edges, iterations=5)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert Decimal(got[u][1]) == want[u][1], (u, got[u], want[u])
+    # mass: Σr ≤ 1 + rounding slack; node 5 (no in-edges) sits at teleport
+    total = sum(v[1] for v in got.values())
+    assert Decimal("0.5") < total <= Decimal("1.000001")
+
+
+def test_pagerank_partitioning_invariant_and_flat_plans(spark):
+    from sparksearch.graph import pagerank
+
+    und = [(i, i + 1, (i % 3) + 1) for i in range(1, 40)]
+    edges = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    stats: dict = {}
+    a = sorted(map(tuple, pagerank(df, stats_out=stats).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7, "dst")).collect()))
+    assert a == b  # invariant #1: partitioning cannot move a bit
+    # lineage truncation: analyzed plan flat across all 10 rounds
+    pc = stats["plan_chars"]
+    assert len(pc) == 10 and max(pc) <= 1.5 * pc[0] + 500, pc

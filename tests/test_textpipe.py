@@ -584,3 +584,104 @@ def test_line_boilerplate_hand_case(spark):
     )
     out2 = {r.doc_id: r.n_boiler for r in line_boilerplate(docs2, min_docs=3).collect()}
     assert out2 == {0: 1, 1: 1, 2: 1}
+
+
+# ------------------------------------------- content-defined chunking (CDC)
+
+
+def _cdc_oracle(text: str, w: int = 16, d: int = 64):
+    """From-scratch chunker: position-local h60 boundary rule."""
+    L = len(text)
+    cuts = [
+        i + w - 1
+        for i in range(1, L - w + 2)
+        if _h60(text[i - 1 : i - 1 + w]) % d == 0 and i + w - 1 < L
+    ]
+    ends = cuts + [L]
+    out, start = [], 1
+    for idx, e in enumerate(ends, 1):
+        chunk = text[start - 1 : e]
+        out.append((idx, start, e - start + 1, _h60(chunk)))
+        start = e + 1
+    return out
+
+
+def test_cdc_chunks_matches_oracle_and_tiles(spark):
+    from sparksearch.textpipe import cdc_chunks
+
+    texts = [
+        "".join(f"tok{i} flow batch spark merge " for i in range(40)),
+        "short one",
+        "x" * 16,
+        "y" * 15,  # below window width → single chunk
+        "the fast key order sort table scan merge part window " * 9,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["chunk_len"], r["chunk_h60"])
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == _cdc_oracle(t), i
+        # chunks tile the document exactly: contiguous, full coverage
+        chunks = sorted(got[i])
+        assert chunks[0][1] == 1
+        assert sum(c[2] for c in chunks) == len(t)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b[1] == a[1] + a[2]
+
+
+def test_cdc_chunks_resync_after_prefix_insertion(spark):
+    """The CDC property exact fixed-size chunking lacks: an insertion shifts
+    offsets but boundaries re-synchronize, so later chunk hashes survive."""
+    from sparksearch.textpipe import cdc_chunks
+
+    base = "".join(f"tok{i} flow batch spark merge " for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED PREFIX " + base)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs).collect()
+    h0 = {r["chunk_h60"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_h60"] for r in rows if r["doc_id"] == 1}
+    assert len(h0) > 2  # the base doc actually chunks
+    # every post-resync chunk is shared; only the O(1) head chunks differ
+    assert len(h0 & h1) >= len(h0) - 2
+
+
+def test_xent_buckets_balanced_and_monotone(spark):
+    from sparksearch.queries_catalog import _stats_for
+    from sparksearch.textpipe import xent_buckets
+
+    tf_df, _, ts, _ = _stats_for(spark, "/root/testdata/sf0.001")
+    rows = xent_buckets(tf_df, ts).collect()
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE quotas
+    # tiers are ordered: every head xent ≤ every tail xent
+    assert max(r["xent"] for r in rows if r["bucket"] == 1) <= min(
+        r["xent"] for r in rows if r["bucket"] == 3
+    )
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from sparksearch.queries_catalog import _stats_for
+    from sparksearch.stats import zipf_fit
+
+    _, _, ts, _ = _stats_for(spark, "/root/testdata/sf0.001")
+    row = zipf_fit(ts).collect()[0]
+    pts = sorted(
+        ((r["cf"], r["term"]) for r in ts.select("term", "cf").collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    x = np.log(np.arange(1, len(pts) + 1, dtype=float))
+    y = np.log(np.array([c for c, _ in pts], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_terms"] == len(pts)
+    assert abs(row["slope"] - slope) < 1e-5
+    assert abs(row["intercept"] - intercept) < 1e-5
+    assert row["slope"] < 0  # frequency falls with rank
