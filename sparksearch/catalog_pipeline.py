@@ -1562,24 +1562,21 @@ SELECT doc_id, xent,
 FROM xe"""
 
 
-def _zipf_sql() -> str:
-    from .queries_catalog import TOK_SQL
-
+def _loglog_tail_sql(points_cte: str, x: str, y: str, n_alias: str) -> str:
+    """Twin of stats.loglog_fit: pts/ag CTEs + final select, parameterized
+    on the upstream CTE producing the raw (pre-ln) columns and the two
+    double expressions. Shared by _zipf_sql and _heaps_sql."""
     nd = "CAST(n AS DECIMAL(9,0))"
     slope = (f"CAST({nd} * sxy - sx * sy AS DOUBLE) / "
              f"CAST({nd} * sxx - sx * sx AS DOUBLE)")
-    intercept = f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
-    return f"""WITH {TOK_SQL.strip()},
-rk AS (
-  SELECT cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS rank
-  FROM termstats
-),
-pts AS (
-  SELECT CAST(ROUND(LN(rank), 9) AS DECIMAL(28,9)) AS x,
-         CAST(ROUND(LN(cf), 9) AS DECIMAL(28,9)) AS y,
-         CAST(ROUND(LN(rank) * LN(cf), 9) AS DECIMAL(28,9)) AS xy,
-         CAST(ROUND(LN(rank) * LN(rank), 9) AS DECIMAL(28,9)) AS xx
-  FROM rk
+    intercept = (f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE)) "
+                 "/ CAST(n AS DOUBLE)")
+    return f"""pts AS (
+  SELECT CAST(ROUND({x}, 9) AS DECIMAL(28,9)) AS x,
+         CAST(ROUND({y}, 9) AS DECIMAL(28,9)) AS y,
+         CAST(ROUND(({x}) * ({y}), 9) AS DECIMAL(28,9)) AS xy,
+         CAST(ROUND(({x}) * ({x}), 9) AS DECIMAL(28,9)) AS xx
+  FROM {points_cte}
 ),
 ag AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1587,8 +1584,50 @@ ag AS (
          CAST(SUM(xy) AS DECIMAL(18,9)) AS sxy, CAST(SUM(xx) AS DECIMAL(18,9)) AS sxx
   FROM pts
 )
-SELECT n AS n_terms, {_r6(slope)} AS slope, {_r6(intercept)} AS intercept
+SELECT n AS {n_alias}, {_r6(slope)} AS slope, {_r6(intercept)} AS intercept
 FROM ag"""
+
+
+def _zipf_sql() -> str:
+    from .queries_catalog import TOK_SQL
+
+    return f"""WITH {TOK_SQL.strip()},
+rk AS (
+  SELECT cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS rank
+  FROM termstats
+),
+{_loglog_tail_sql("rk", "LN(rank)", "LN(cf)", "n_terms")}"""
+
+
+def q_heaps_fit(spark, sf_dir):
+    from .queries_catalog import _stats_for
+    from .stats import heaps_fit
+
+    tf_df, dl_df, _, _ = _stats_for(spark, sf_dir)
+    return heaps_fit(tf_df, dl_df)
+
+
+def q_events_trend(spark, sf_dir):
+    from .relational import events_trend
+
+    return events_trend(_events(spark, sf_dir))
+
+
+def _heaps_sql() -> str:
+    from .queries_catalog import TOK_SQL
+
+    return f"""WITH {TOK_SQL.strip()},
+firsts AS (
+  SELECT doc_id, COUNT(*) AS new_terms
+  FROM (SELECT term, MIN(doc_id) AS doc_id FROM postings GROUP BY 1)
+  GROUP BY 1
+),
+curve AS (
+  SELECT CAST(SUM(d.dl) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(f.new_terms, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_vocab
+  FROM doclen d LEFT JOIN firsts f ON f.doc_id = d.doc_id
+),
+{_loglog_tail_sql("curve", "LN(cum_tokens)", "LN(cum_vocab)", "n_points")}"""
 
 
 def build_round4_s3_extras():
@@ -1623,5 +1662,107 @@ def build_round4_s3_extras():
             "Zipf's-law least-squares fit over (ln rank, ln cf): corpus-"
             "level quality diagnostic; decimal-exact sums, closed-form "
             "slope/intercept inside the 38-digit cap",
+        ),
+        "events_trend": QuerySpec(
+            q_events_trend,
+            """WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+       CAST(n_events - LAG(n_events, 1) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS delta,
+       CAST(ROUND(CAST(CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS ma3
+FROM hourly""",
+            "ES pipeline aggregations (cumulative_sum / derivative / "
+            "moving_fn avg) over the per-type hourly series — exact window "
+            "ints, one double division, NULL first-bucket derivative",
+        ),
+        "heaps_fit": QuerySpec(
+            q_heaps_fit,
+            _heaps_sql(),
+            "Heaps'-law vocabulary-growth fit V(n)=K·n^beta: cumulative "
+            "(tokens, distinct vocab) after each doc via one min-aggregate "
+            "+ two narrow global-order window sums; shared decimal-exact "
+            "loglog_fit tail with zipf_fit",
+        ),
+    }
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    from .vectors import sq8_ann_topk
+
+    return sq8_ann_topk(_emb(spark, sf_dir))
+
+
+def _sq8_sql() -> str:
+    from .vectors import SQ_LEVELS, SQ_QUERIES, SQ_TOPK
+
+    lv = float(SQ_LEVELS)
+    cos = ("list_dot_product(xh, qv) / "
+           "(sqrt(list_dot_product(xh, xh)) * sqrt(list_dot_product(qv, qv)))")
+    return f"""WITH {EMB_SQL.strip()},
+d1 AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS pos FROM e),
+dimx AS (SELECT vec_id, pos, v[pos] AS x FROM d1),
+pm AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dimx GROUP BY 1),
+prm AS (SELECT list(mn ORDER BY pos) AS mins, list(mx - mn ORDER BY pos) AS spans FROM pm),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           j -> CASE WHEN spans[j] > 0
+                THEN floor((v[j] - mins[j]) * {lv} / spans[j] + 0.5)
+                ELSE 0 END) AS q8
+  FROM e, prm
+),
+xhat AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(q8)),
+           j -> mins[j] + q8[j] * spans[j] / {lv}) AS xh
+  FROM codes, prm
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SQ_QUERIES}),
+sc AS (
+  SELECT q.query_id, x.vec_id, {_r6(cos)} AS score
+  FROM xhat x, qs q WHERE x.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM rk WHERE rank <= {SQ_TOPK}"""
+
+
+def q_lineitem_percentile_ranks(spark, sf_dir):
+    from .joins import lineitem_percentile_ranks
+
+    return lineitem_percentile_ranks(_t(spark, sf_dir, "lineitem"))
+
+
+def build_round4_s3_ann():
+    from . import joins as _J2
+    from .queries_catalog import QuerySpec
+
+    return {
+        "lineitem_percentile_ranks": QuerySpec(
+            q_lineitem_percentile_ranks,
+            _J2.PCT_RANKS_SQL,
+            "ES percentile_ranks (inverse percentiles): fraction of values "
+            "≤ fixed thresholds per returnflag — exact conditional-count "
+            "ratios (TDigest is the approximate 100 TB variant)",
+        ),
+        "ann_sq8_topk": QuerySpec(
+            q_ann_sq8_topk,
+            _sq8_sql(),
+            "scalar-quantization ANN (SQ8 / faiss ScalarQuantizer path): "
+            "per-dim affine uint8 codes, asymmetric full-precision-query × "
+            "dequantized-code cosine — completes the quantized-ANN family "
+            "(LSH / IVF / PQ / SQ8); self-contained SQL twin (params "
+            "derived in-query)",
         ),
     }

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .stats import round6
+
 def _rev():
     """Per-row revenue contribution, quantized before exact accumulation.
     (A function, not a module constant: Column construction needs an active
@@ -337,3 +339,39 @@ SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(CAST(COALESCE(SUM(spend), 0) AS DOUBLE), 6) AS total_spend
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 GROUP BY 1"""
+
+
+PCT_RANK_THRESHOLDS = [1000.0, 25000.0, 50000.0]
+
+
+def lineitem_percentile_ranks(lineitem: DataFrame) -> DataFrame:
+    """ES percentile_ranks (inverse percentiles) → one row per l_returnflag
+    with the fraction of l_extendedprice values ≤ each fixed threshold —
+    the dual of lineitem_quantiles. Exact integer count ratios (one
+    conditional-count aggregate, map-side combinable at any scale; the ES
+    agg's TDigest is the approximate 100 TB variant of the same contract),
+    one double division per cell, round6 output."""
+    n = F.count(F.lit(1))
+    return lineitem.groupBy("l_returnflag").agg(
+        *[
+            round6(
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= t, 1).otherwise(0)
+                ).cast("double")
+                / n.cast("double")
+            ).alias(f"le_{int(t)}")
+            for t in PCT_RANK_THRESHOLDS
+        ],
+        n.cast("long").alias("n"),
+    )
+
+
+PCT_RANKS_SQL = """
+SELECT l_returnflag,
+""" + ",\n".join(
+    f"       CAST(ROUND(CAST(CAST(SUM(CASE WHEN l_extendedprice <= {t} THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS le_{int(t)}"
+    for t in PCT_RANK_THRESHOLDS
+) + """,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1"""

@@ -120,3 +120,40 @@ def delta_encode_demo(events: DataFrame) -> DataFrame:
         ).cast("long").alias("sum_gaps"),
         F.coalesce(F.array_max(gaps), F.lit(0)).cast("long").alias("max_gap"),
     )
+
+
+def events_trend(events: DataFrame) -> DataFrame:
+    """ES pipeline-aggregation family over the hourly series → DF[
+    hour_start, event_type, n_events, cum_events, delta, ma3]:
+    cumulative_sum, derivative (serial_diff lag-1) and moving_fn avg
+    (trailing 3-hour window) per event type — the dashboard trio layered on
+    the tumbling-hour rollup.
+
+    Determinism: windows are keyed (event_type) and ordered by the unique
+    hour_start; cum/delta are exact integer arithmetic; ma3 is one double
+    division of two exact window ints, rounded via the engine-wide round6.
+    First-hour delta is NULL on both engines (no previous bucket — ES
+    emits no derivative there either). Scale: one partial-aggregated
+    rollup shuffle + per-type windows over narrow (ts-bucket, long) rows;
+    no global sort."""
+    from .stats import round6
+
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    wm = w.rowsBetween(-2, 0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(wc).cast("long").alias("cum_events"),
+        (F.col("n_events") - F.lag("n_events", 1).over(w))
+        .cast("long")
+        .alias("delta"),
+        round6(
+            F.sum("n_events").over(wm).cast("double")
+            / F.count(F.lit(1)).over(wm).cast("double")
+        ).alias("ma3"),
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import BM25_B, BM25_K1
 
@@ -148,23 +149,34 @@ def zipf_fit(term_stats: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("cf"), F.asc("term"))
-    q = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
-    lx = F.log(F.col("rank").cast("double"))
-    ly = F.log(F.col("cf").cast("double"))
-    pts = (
-        term_stats.select("term", "cf")
-        .withColumn("rank", F.row_number().over(w))
-        .select(
-            q(lx).alias("x"), q(ly).alias("y"),
-            q(lx * ly).alias("xy"), q(lx * lx).alias("xx"),
-        )
+    ranked = term_stats.select("term", "cf").withColumn(
+        "rank", F.row_number().over(w)
     )
-    # Sums are exact decimal(38,9); narrowed to (18,9) (|ln| bounded by ~45
-    # even at 10^12 docs × 10^6 cf, so Σ over a 10^9-term vocabulary still
-    # fits) so the closed-form products stay inside the 38-digit cap
-    # EXACTLY: n(9,0)×Sxy(18,9) → (28,9); Sx(18,9)×Sy(18,9) → (37,18);
-    # their difference → precision 38, scale 18 — no silent scale drop
-    # (CLAUDE.md sharp edge).
+    return loglog_fit(
+        ranked,
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("cf").cast("double")),
+        n_alias="n_terms",
+    )
+
+
+def loglog_fit(points: DataFrame, x_d, y_d, n_alias: str = "n_points") -> DataFrame:
+    """Shared least-squares line fit through (x_d, y_d) double columns →
+    one-row DF[n_alias, slope, intercept] (zipf_fit / heaps_fit tail).
+
+    Per-point doubles are identical in both engines (same int inputs, same
+    single ops), quantized once to decimal(28,9); the four sums run over
+    exact decimals. Sums are narrowed to (18,9) (|ln| bounded by ~45 even
+    at 10^12 docs × 10^6 cf, so Σ over a 10^9-term vocabulary still fits)
+    so the closed-form products stay inside the 38-digit cap EXACTLY:
+    n(9,0)×Sxy(18,9) → (28,9); Sx(18,9)×Sy(18,9) → (37,18); their
+    difference → precision 38, scale 18 — no silent scale drop (CLAUDE.md
+    sharp edge). SQL twin: catalog_pipeline._loglog_tail_sql."""
+    q = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    pts = points.select(
+        q(x_d).alias("x"), q(y_d).alias("y"),
+        q(x_d * y_d).alias("xy"), q(x_d * x_d).alias("xx"),
+    )
     agg = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("decimal(18,9)").alias("sx"),
@@ -180,7 +192,46 @@ def zipf_fit(term_stats: DataFrame) -> DataFrame:
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
     return agg.select(
-        F.col("n").alias("n_terms"),
+        F.col("n").alias(n_alias),
         round6(slope).alias("slope"),
         round6(intercept).alias("intercept"),
+    )
+
+
+def heaps_fit(tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β over the corpus growth curve → one-row
+    DF[n_points, slope, intercept] (slope = β, intercept = ln K; natural
+    language sits at β ≈ 0.4–0.6 — Heaps 1978). The companion corpus-law
+    diagnostic to zipf_fit: together they characterize whether a crawl
+    slice looks like organic text or templated/synthetic output.
+
+    Growth curve points: after each document (doc_id order), n = cumulative
+    tokens, V = cumulative distinct vocabulary. First occurrences come from
+    one min-aggregate on the postings (term → min doc_id) — NO per-prefix
+    recount; both cumulatives are single global-order window sums over
+    (doc_id, two ints), the narrow-key sort that scales (same class as the
+    engine's rank windows). Zero-token docs (absent from dl_df) contribute
+    no point; ln is defined because every dl_df doc has dl ≥ 1."""
+    firsts = (
+        tf_df.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        dl_df.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id", "dl",
+            F.coalesce("new_terms", F.lit(0).cast("long")).alias("new_terms"),
+        )
+        .select(
+            F.sum("dl").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+    return loglog_fit(
+        curve,
+        F.log(F.col("cum_tokens").cast("double")),
+        F.log(F.col("cum_vocab").cast("double")),
     )

@@ -882,3 +882,95 @@ def pq_ann_oracle_sql(
         + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, adist "
           f"FROM r WHERE rnk <= {k}"
     )
+
+
+# ------------------------------------------ scalar quantization (SQ8) ANN
+
+SQ_QUERIES = 5
+SQ_TOPK = 10
+SQ_LEVELS = 255  # uint8 code range
+
+
+def sq8_params(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension quantizer training → 1-row DF[mins:array<double>,
+    spans:array<double>] (span = max − min). One posexplode + dim-keyed
+    min/max aggregate (64 keys — map-side combinable at any corpus size),
+    rebuilt into position-ordered arrays for broadcast."""
+    dims = _vecs(embeddings).select(F.posexplode("v").alias("pos", "x"))
+    pm = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return pm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: s["mx"] - s["mn"],
+        ).alias("spans"),
+    )
+
+
+def sq8_ann_topk(
+    embeddings: DataFrame, n_queries: int = SQ_QUERIES, k: int = SQ_TOPK
+) -> DataFrame:
+    """Scalar-quantization ANN (SQ8, the faiss ScalarQuantizer path) →
+    DF[query_id, rank, vec_id, score]: per-dim affine uint8 codes
+    q_j = floor((x_j − min_j)·255/span_j + 0.5), asymmetric scoring —
+    full-precision query vs dequantized x̂_j = min_j + q_j·span_j/255 —
+    completing the quantized-ANN family (hash → LSH, coarse → IVF,
+    product → PQ, scalar → SQ8). At 10^12 vectors the scan reads 1 byte/dim
+    instead of 4-8 (codes ride the scan; params are a broadcast 1-row).
+
+    Cross-engine exact: codes are floors of identical doubles (same op
+    order both engines — no rounding-mode dependence), dequantization and
+    the cosine fold run left-to-right over the same arrays, score is
+    round6-quantized before the (score DESC, vec_id ASC) rank. Constant
+    dims (span 0) code to 0 and dequantize to min. The encoded frame is
+    persisted BEFORE the query join: projection collapse would otherwise
+    re-inline the whole zip chain per (query, vector) row (CLAUDE.md
+    sharp edge), and the dequantized array is scored against every query."""
+    vecs = _vecs(embeddings)
+    params = sq8_params(embeddings)
+    lv = float(SQ_LEVELS)
+    codes = F.zip_with(
+        F.zip_with(F.col("v"), F.col("mins"), lambda x, m: x - m),
+        F.col("spans"),
+        lambda d, s: F.when(s > 0, F.floor(d * lv / s + 0.5)).otherwise(F.lit(0)),
+    )
+    xh = (
+        vecs.crossJoin(F.broadcast(params))
+        .select("vec_id", codes.alias("q8"), "mins", "spans")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.zip_with(F.col("q8"), F.col("spans"), lambda q, s: q * s / lv),
+                F.col("mins"),
+                lambda d, m: m + d,
+            ).alias("xh"),
+        )
+        .persist()
+    )
+    xh.count()
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        xh.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            round6(cosine(F.col("xh"), F.col("qv"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "vec_id", "score",
+        )
+        .persist()
+    )
+    out.count()
+    xh.unpersist()
+    return out

@@ -196,3 +196,38 @@ def test_stateful_user_totals_equal_batch(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_events_trend_windows(spark):
+    """Pipeline aggs vs a from-scratch pandas reference on synthetic hours."""
+    import datetime as dt
+
+    from sparksearch.relational import events_trend
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    counts = {"a": [3, 1, 4, 1, 5], "b": [2, 7]}
+    eid = 0
+    for typ, per_hour in counts.items():
+        for h, n in enumerate(per_hour):
+            for _ in range(n):
+                rows.append((eid, base + dt.timedelta(hours=h), typ))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n_events"], r["cum_events"], r["delta"], r["ma3"])
+        for r in events_trend(df).collect()
+    }
+    assert len(got) == 7
+    for typ, per_hour in counts.items():
+        cum = 0
+        for h, n in enumerate(per_hour):
+            key = (typ, f"2024-01-01 {h:02d}:00:00")
+            cum += n
+            window = per_hour[max(0, h - 2): h + 1]
+            want = (
+                n, cum,
+                None if h == 0 else n - per_hour[h - 1],
+                round(sum(window) / len(window), 6),
+            )
+            assert got[key] == want, (key, got[key], want)

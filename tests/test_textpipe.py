@@ -685,3 +685,35 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert abs(row["slope"] - slope) < 1e-5
     assert abs(row["intercept"] - intercept) < 1e-5
     assert row["slope"] < 0  # frequency falls with rank
+
+
+def test_heaps_fit_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from sparksearch.queries_catalog import _stats_for
+    from sparksearch.stats import heaps_fit
+
+    tf_df, dl_df, _, _ = _stats_for(spark, "/root/testdata/sf0.001")
+    row = heaps_fit(tf_df, dl_df).collect()[0]
+    # from-scratch growth curve
+    firsts: dict = {}
+    for r in tf_df.select("term", "doc_id").collect():
+        t = r["term"]
+        if t not in firsts or r["doc_id"] < firsts[t]:
+            firsts[t] = r["doc_id"]
+    dls = sorted((r["doc_id"], r["dl"]) for r in dl_df.collect())
+    new_per_doc = Counter(firsts.values())
+    cum_t, cum_v, xs, ys = 0, 0, [], []
+    for d, dl in dls:
+        cum_t += dl
+        cum_v += new_per_doc.get(d, 0)
+        xs.append(cum_t)
+        ys.append(cum_v)
+    import numpy as np
+
+    slope, intercept = np.polyfit(np.log(xs), np.log(ys), 1)
+    assert row["n_points"] == len(dls)
+    assert abs(row["slope"] - slope) < 1e-5
+    assert abs(row["intercept"] - intercept) < 1e-5
+    # vocabulary growth is sublinear but real: 0 < beta < 1
+    assert 0.0 < row["slope"] < 1.0

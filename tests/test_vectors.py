@@ -252,3 +252,52 @@ def test_pq_adc_matches_numpy_given_spark_codebooks(emb, emb_np):
         assert [(d, v) for _, d, v in got[q]] == [
             (pytest.approx(d, abs=2e-6), v) for d, v in want[q]
         ]
+
+
+def test_sq8_ann_matches_numpy_mirror_and_recalls(spark):
+    """SQ8 vs a from-scratch NumPy quantizer mirror (same op order), plus
+    recall against exact cosine: 8-bit per-dim quantization error is tiny,
+    so the approximate top-10 should almost perfectly match the exact one."""
+    import numpy as np
+
+    from sparksearch.vectors import SQ_LEVELS, cosine_topk, sq8_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sq8_ann_topk(emb)
+    rows = got.collect()
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    order = np.argsort(sorted(ids))  # vec_ids are dense-sorted already
+    assert X.shape[1] == 64
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    span = mx - mn
+    lv = float(SQ_LEVELS)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = np.where(span > 0, np.floor((X - mn) * lv / span + 0.5), 0.0)
+    xh = mn + q * span / lv
+    vid = np.array(sorted(ids))
+    mirror = {}
+    for qi in range(5):
+        qv = X[vid == qi][0]
+        sims = (xh @ qv) / (np.linalg.norm(xh, axis=1) * np.linalg.norm(qv))
+        cand = [
+            (round(float(s), 6), int(v)) for s, v in zip(sims, vid) if v != qi
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        mirror[qi] = [(v, s) for s, v in cand[:10]]
+    for r in rows:
+        v, s = mirror[r["query_id"]][r["rank"] - 1]
+        assert r["vec_id"] == v, (r, v)
+        assert abs(r["score"] - s) < 2e-6, (r, s)
+    # recall@10 vs exact cosine ≥ 0.9 on every query (8-bit error is small)
+    exact = cosine_topk(emb)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in rows:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qi, want in ex.items():
+        assert len(ap[qi] & want) >= 9, (qi, sorted(want), sorted(ap[qi]))
