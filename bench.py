@@ -162,6 +162,9 @@ def main() -> None:
         "text_quality",
         "phrase_topk_indexed",
         "tpch_revenue_by_nation",
+        # round-4 session-3 family representative: content-defined chunking
+        # (map-side only — benches the pure-codegen path at corpus scale)
+        "cdc_chunks",
     )
     for name in pipeline_names:
         spec = queries_catalog.CATALOG.get(name)

@@ -1565,8 +1565,14 @@ FROM xe"""
 def _loglog_tail_sql(points_cte: str, x: str, y: str, n_alias: str) -> str:
     """Twin of stats.loglog_fit: pts/ag CTEs + final select, parameterized
     on the upstream CTE producing the raw (pre-ln) columns and the two
-    double expressions. Shared by _zipf_sql and _heaps_sql."""
-    nd = "CAST(n AS DECIMAL(9,0))"
+    double expressions. Shared by _zipf_sql and _heaps_sql.
+
+    n is cast to DECIMAL(19,0) here (NOT the Spark side's (9,0)): DuckDB
+    sizes the multiply's intermediate by operand width and overflows int64
+    on (9,0)×(18,9) once n·Σ exceeds 2^63/10^9 (seen at the sf0.1
+    heaps curve, n=5000) — 19+18=37 forces int128 while staying inside
+    the 38 cap; values are exact either way, so the engines still agree."""
+    nd = "CAST(n AS DECIMAL(19,0))"
     slope = (f"CAST({nd} * sxy - sx * sy AS DOUBLE) / "
              f"CAST({nd} * sxx - sx * sx AS DOUBLE)")
     intercept = (f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE)) "
@@ -1764,5 +1770,79 @@ def build_round4_s3_ann():
             "dequantized-code cosine — completes the quantized-ANN family "
             "(LSH / IVF / PQ / SQ8); self-contained SQL twin (params "
             "derived in-query)",
+        ),
+    }
+
+
+def q_events_asof_join(spark, sf_dir):
+    from .relational import events_asof_join
+
+    return events_asof_join(_events(spark, sf_dir))
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    from .textpipe import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(_docs(spark, sf_dir))
+
+
+def _asof_sql() -> str:
+    from .relational import ASOF_LEFT, ASOF_RIGHT
+
+    win = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""WITH t AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts, CAST(event_id AS BIGINT) AS event_id, event_type
+  FROM events WHERE event_type IN ('{ASOF_LEFT}', '{ASOF_RIGHT}')
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = '{ASOF_RIGHT}' THEN event_id END IGNORE NULLS) {win} AS view_event_id,
+         LAST_VALUE(CASE WHEN event_type = '{ASOF_RIGHT}' THEN ts END IGNORE NULLS) {win} AS view_ts
+  FROM t
+)
+SELECT event_id AS purchase_event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(view_event_id AS BIGINT) AS view_event_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       CAST(floor(epoch(ts)) - floor(epoch(view_ts)) AS BIGINT) AS lag_seconds
+FROM m WHERE event_type = '{ASOF_LEFT}'"""
+
+
+def _cdc_dedup_sql() -> str:
+    return f"""WITH ch AS (SELECT * FROM (
+{_cdc_sql()}
+)),
+shared AS (
+  SELECT chunk_h60 FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.chunk_h60 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN s.chunk_h60 IS NOT NULL THEN c.chunk_len ELSE 0 END) AS BIGINT) AS dup_len,
+       {_r6("CAST(SUM(CASE WHEN s.chunk_h60 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_chunk_frac
+FROM ch c LEFT JOIN shared s ON s.chunk_h60 = c.chunk_h60
+GROUP BY 1"""
+
+
+def build_round4_s3_temporal():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_asof_join": QuerySpec(
+            q_events_asof_join,
+            _asof_sql(),
+            "LEFT as-of join (attribution): most recent view at-or-before "
+            "each purchase per user in (ts, event_id) total order — "
+            "union-merge window formulation, one user_id shuffle, linear "
+            "per-key merge (never an inequality join)",
+        ),
+        "cdc_chunk_dedup": QuerySpec(
+            q_cdc_chunk_dedup,
+            _cdc_dedup_sql(),
+            "chunk-level duplication accounting over CDC chunks (h60 in "
+            "≥2 distinct docs) — sub-document dedup on content-defined "
+            "boundaries; key-partitioned join back, line_boilerplate "
+            "pattern one level down",
         ),
     }

@@ -933,6 +933,10 @@ CATALOG.update(build_round4_s3_extras())
 from .catalog_pipeline import build_round4_s3_ann  # noqa: E402
 
 CATALOG.update(build_round4_s3_ann())
+
+from .catalog_pipeline import build_round4_s3_temporal  # noqa: E402
+
+CATALOG.update(build_round4_s3_temporal())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2951,6 +2955,7 @@ _SWEEP_HEAD = [
     # round-4 session-3 additions (brand new)
     "term_pagerank", "cdc_chunks", "xent_buckets", "zipf_fit", "heaps_fit",
     "events_trend", "ann_sq8_topk", "lineitem_percentile_ranks",
+    "events_asof_join", "cdc_chunk_dedup",
     # tier 2 — regression sentinels for the untouched core
     "bm25_topk", "term_postings",
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
@@ -2968,7 +2973,7 @@ _SWEEP_HEAD = [
     # tier 4 — oldest driver record (last seen in round 2, untouched since),
     # freshness-rotated ahead of the round-3-recorded tail; includes the
     # tpch_revenue_by_nation bench-regression watch item
-    "tpch_revenue_by_nation", "dedup_exact", "dedup_minhash_lsh",
+    "tpch_revenue_by_nation",
     # (round-2-recorded global_stats / doc_lengths / unknown_terms /
     # dataset_splits / split_contamination / lang_id / token_counts /
     # simhash_signatures — and, for the session-3 additions, text_quality /
@@ -2981,7 +2986,7 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",
     "text_quality", "doc_fingerprints", "sha256_integrity", "term_stats",
     "global_stats", "doc_lengths", "unknown_terms",
     "dataset_splits", "split_contamination",

@@ -157,3 +157,58 @@ def events_trend(events: DataFrame) -> DataFrame:
             / F.count(F.lit(1)).over(wm).cast("double")
         ).alias("ma3"),
     )
+
+
+ASOF_LEFT = "purchase"   # each left event matches ...
+ASOF_RIGHT = "view"      # ... the most recent right event at-or-before it
+
+
+def events_asof_join(events: DataFrame) -> DataFrame:
+    """As-of join (the attribution query): for every ``purchase`` event,
+    the most recent ``view`` by the same user at-or-before it in the total
+    order (ts, event_id) → DF[purchase_event_id, user_id, ts,
+    view_event_id, view_ts, lag_seconds] (NULLs when no prior view — kept,
+    as a LEFT as-of join).
+
+    Spark-first shape — the UNION-MERGE formulation, not a join: both
+    sides union into one frame, one per-user window pass carries the last
+    view's attributes forward with last(ignorenulls) over rows ≤ current.
+    That is a single shuffle on user_id and a linear merge per user — the
+    classic sort-merge as-of plan; an actual range/inequality join would
+    be quadratic per user. At 100 TB the window is per-user-key sequential
+    (that IS the semantics); monster keys are bounded by sessionize-style
+    time-bucketing if ever needed. Determinism: (ts, event_id) is a total
+    order; epoch math goes through the TIMESTAMP_NTZ→timestamp→long cast
+    chain (session TZ pinned UTC — CLAUDE.md sharp edge)."""
+    t = events.filter(
+        F.col("event_type").isin(ASOF_LEFT, ASOF_RIGHT)
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_r = F.col("event_type") == ASOF_RIGHT
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    m = t.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.last(F.when(is_r, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("view_event_id"),
+        F.last(F.when(is_r, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    return m.filter(F.col("event_type") == ASOF_LEFT).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "view_event_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        (epoch("ts") - epoch("view_ts")).cast("long").alias("lag_seconds"),
+    )

@@ -1314,3 +1314,48 @@ def xent_buckets(
         "doc_id", "xent",
         F.ntile(n_buckets).over(wn).cast("long").alias("bucket"),
     )
+
+
+def cdc_chunk_dedup(docs: DataFrame) -> DataFrame:
+    """Chunk-level duplication accounting over the CDC chunks → DF[doc_id,
+    n_chunks, n_dup_chunks, dup_len, dup_chunk_frac]: a chunk is
+    duplicated when its h60 occurs in ≥ 2 DISTINCT documents — the
+    sub-document dedup granularity between whole-doc sha256 and token
+    windows, keyed on content-defined boundaries so it survives
+    insertions/shifts (the line_boilerplate pattern one level down).
+
+    Scale: chunk keys are uniform hashes; the shared-set detection is one
+    map-combinable aggregate and the per-doc accounting joins back
+    KEY-PARTITIONED on chunk_h60 (never broadcast — the shared set is
+    corpus-scale at 100 TB)."""
+    from .stats import round6
+
+    ch = cdc_chunks(docs)
+    shared = (
+        ch.groupBy("chunk_h60")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_h60", F.lit(1).alias("is_dup"))
+    )
+    out = (
+        ch.join(shared, "chunk_h60", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("is_dup") == 1, F.col("chunk_len")).otherwise(0)
+            ).cast("long").alias("dup_len"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks", "dup_len",
+            round6(
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_chunk_frac"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    ch.unpersist()
+    return out

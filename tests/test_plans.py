@@ -382,3 +382,37 @@ def test_bigram_xent_no_python_and_line_boiler_no_python(spark, docs_sf0001):
     _, _, ts, _ = corpus_stats(docs_sf0001.select("doc_id", "text"))
     assert "BatchEvalPython" not in _plan(bigram_xent(docs_sf0001, ts))
     assert "BatchEvalPython" not in _plan(line_boilerplate(docs_sf0001))
+
+
+def test_cdc_chunks_is_exchange_free(spark, docs_sf0001):
+    """CDC boundaries are position-local: the whole operator must be a
+    map-side projection chain — NO Exchange anywhere in the plan (the
+    gopher_rules contract, one level down at chunk granularity)."""
+    from sparksearch.textpipe import cdc_chunks
+
+    df = cdc_chunks(docs_sf0001)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_one_exchange_no_join(spark):
+    """The union-merge as-of formulation: exactly one shuffle (the user_id
+    window partitioning) and NO join operator — the inequality-join
+    formulation Spark would otherwise pick (BroadcastNestedLoopJoin) is
+    the quadratic plan this operator exists to avoid."""
+    import datetime as dt
+
+    from sparksearch.relational import events_asof_join
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view"),
+         (2, dt.datetime(2024, 1, 2), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    import re
+
+    plan = _plan(events_asof_join(df))
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan

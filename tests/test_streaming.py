@@ -231,3 +231,57 @@ def test_events_trend_windows(spark):
                 round(sum(window) / len(window), 6),
             )
             assert got[key] == want, (key, got[key], want)
+
+
+def test_events_asof_join_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # user 1: view, view, purchase (matches 2nd view), view-after, purchase
+        (1, T("2024-01-01 10:00:00"), 1, "view"),
+        (2, T("2024-01-01 10:05:00"), 1, "view"),
+        (3, T("2024-01-01 10:06:30"), 1, "purchase"),
+        (4, T("2024-01-01 11:00:00"), 1, "view"),
+        (5, T("2024-01-01 11:30:00"), 1, "purchase"),
+        # user 2: purchase with NO prior view → NULL match (left as-of)
+        (6, T("2024-01-01 09:00:00"), 2, "purchase"),
+        (7, T("2024-01-01 09:30:00"), 2, "view"),
+        # other types are ignored entirely
+        (8, T("2024-01-01 10:06:00"), 1, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["purchase_event_id"]: r for r in events_asof_join(df).collect()}
+    assert set(got) == {3, 5, 6}
+    assert got[3]["view_event_id"] == 2 and got[3]["lag_seconds"] == 90
+    assert got[5]["view_event_id"] == 4 and got[5]["lag_seconds"] == 1800
+    assert got[6]["view_event_id"] is None and got[6]["lag_seconds"] is None
+    assert got[6]["view_ts"] is None
+
+
+def test_events_asof_join_equal_ts_tiebreak(spark):
+    """At equal ts, the (ts, event_id) total order decides: a view with a
+    SMALLER event_id than the purchase is at-or-before; a larger one is
+    after."""
+    import datetime as dt
+
+    from sparksearch.relational import events_asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (10, t0, 7, "view"),
+        (11, t0, 7, "purchase"),   # matches view 10 (same ts, lower id)
+        (12, t0, 7, "view"),       # after purchase 11 in the total order
+        (13, t0, 8, "purchase"),
+        (14, t0, 8, "view"),       # only view for user 8 sorts after → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["purchase_event_id"]: r for r in events_asof_join(df).collect()}
+    assert got[11]["view_event_id"] == 10 and got[11]["lag_seconds"] == 0
+    assert got[13]["view_event_id"] is None

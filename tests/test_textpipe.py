@@ -717,3 +717,28 @@ def test_heaps_fit_matches_numpy_lstsq(spark):
     assert abs(row["intercept"] - intercept) < 1e-5
     # vocabulary growth is sublinear but real: 0 < beta < 1
     assert 0.0 < row["slope"] < 1.0
+
+
+def test_cdc_chunk_dedup_flags_shared_chunks(spark):
+    from sparksearch.textpipe import cdc_chunk_dedup
+
+    shared = "".join(f"tok{i} flow batch spark merge " for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, "PREFIX DIFFERS here " + shared),  # shares post-resync chunks
+            (2, "completely different content that no other document has xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cdc_chunk_dedup(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    # the shared pair: most chunks duplicated; frac consistent with counts
+    for d in (0, 1):
+        r = got[d]
+        assert r["n_dup_chunks"] >= r["n_chunks"] - 2 > 0
+        assert r["dup_chunk_frac"] == round(r["n_dup_chunks"] / r["n_chunks"], 6)
+        assert r["dup_len"] > 0
+    # the unique doc: nothing shared
+    assert got[2]["n_dup_chunks"] == 0 and got[2]["dup_len"] == 0
+    assert got[2]["dup_chunk_frac"] == 0.0
