@@ -1846,3 +1846,176 @@ def build_round4_s3_temporal():
             "pattern one level down",
         ),
     }
+
+
+# ------------------------------------------------- round-4 session-4 entries
+
+
+def q_events_funnel(spark, sf_dir):
+    from .relational import events_funnel
+
+    return events_funnel(_events(spark, sf_dir))
+
+
+def q_cohort_retention(spark, sf_dir):
+    from .relational import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_matrix_stats(spark, sf_dir):
+    from .joins import lineitem_matrix_stats
+
+    return lineitem_matrix_stats(_t(spark, sf_dir, "lineitem"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    from .sampling import lang_mixture_weights
+
+    return lang_mixture_weights(_docs(spark, sf_dir))
+
+
+def q_composite_page(spark, sf_dir):
+    from .stats import composite_buckets_page
+
+    return composite_buckets_page(_docs(spark, sf_dir))
+
+
+def _funnel_sql() -> str:
+    """Twin of relational.events_funnel, generated from FUNNEL_STEPS: the
+    greedy per-user fold ≡ the nested earliest-completion chain, built here
+    as k chained min-joins (each step's earliest event strictly after the
+    previous step's match in the (ts, event_id) row order)."""
+    from .relational import FUNNEL_STEPS
+
+    steps = FUNNEL_STEPS
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [f"""t AS (
+  SELECT CAST(user_id AS BIGINT) AS u, ts, CAST(event_id AS BIGINT) AS e, event_type
+  FROM events WHERE event_type IN ({in_list})
+)"""]
+    for k, s in enumerate(steps, start=1):
+        if k == 1:
+            inner = f"""SELECT u, ts, e, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, e) AS rn
+    FROM t WHERE event_type = '{s}'"""
+        else:
+            inner = f"""SELECT t.u AS u, t.ts AS ts, t.e AS e,
+           ROW_NUMBER() OVER (PARTITION BY t.u ORDER BY t.ts, t.e) AS rn
+    FROM t JOIN s{k - 1} ON s{k - 1}.u = t.u
+    WHERE t.event_type = '{s}' AND (t.ts, t.e) > (s{k - 1}.ts, s{k - 1}.e)"""
+        ctes.append(f"s{k} AS (SELECT u, ts, e FROM (\n    {inner}) WHERE rn = 1)")
+    ns = ", ".join(
+        f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(steps) + 1)
+    )
+    ctes.append(f"c AS (SELECT {ns})")
+    selects = []
+    for k, s in enumerate(steps, start=1):
+        top = _r6(f"CAST(n{k} AS DOUBLE) / CAST(n1 AS DOUBLE)")
+        if k == 1:
+            prev = "CAST(NULL AS DOUBLE)"
+        else:
+            p = _r6(f"CAST(n{k} AS DOUBLE) / CAST(n{k - 1} AS DOUBLE)")
+            prev = f"CASE WHEN n{k - 1} > 0 THEN {p} END"
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, '{s}' AS step_name, "
+            f"CAST(n{k} AS BIGINT) AS n_users,\n"
+            f"       CASE WHEN n1 > 0 THEN {top} END AS frac_top,\n"
+            f"       {prev} AS frac_prev FROM c"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _cohort_sql() -> str:
+    from .relational import WEEK_EPOCH
+
+    return f"""WITH t AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         date_diff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE)) // 7 AS week_idx
+  FROM events
+),
+f AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM t GROUP BY 1),
+a AS (
+  SELECT DISTINCT t.user_id, f.cohort_week, t.week_idx - f.cohort_week AS week_offset
+  FROM t JOIN f USING (user_id)
+),
+s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+       CAST(a.week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       {_r6("CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)")} AS retention
+FROM a JOIN s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size"""
+
+
+def _mixture_sql() -> str:
+    return f"""WITH tl AS (
+  SELECT lang, SUM(len({_TS})) AS n_tokens FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM tl),
+q AS (
+  SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(n_tokens AS DOUBLE) / (SELECT total FROM tot) AS p
+  FROM tl
+),
+q2 AS (SELECT lang, n_tokens, p, CAST(ROUND(sqrt(p), 9) AS DECIMAL(28,9)) AS qd FROM q),
+w AS (SELECT SUM(qd) AS ws FROM q2)
+SELECT lang, n_tokens, {_r6("p")} AS p,
+       {_r6("CAST(qd AS DOUBLE) / CAST((SELECT ws FROM w) AS DOUBLE)")} AS weight
+FROM q2"""
+
+
+def _composite_sql() -> str:
+    from .stats import COMPOSITE_AFTER, COMPOSITE_PAGE_SIZE
+
+    la, sa = COMPOSITE_AFTER
+    return f"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE (lang, source) > ('{la}', '{sa}')
+GROUP BY 1, 2
+ORDER BY lang, source
+LIMIT {COMPOSITE_PAGE_SIZE}"""
+
+
+def build_round4_s4():
+    from .joins import MATRIX_STATS_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_funnel": QuerySpec(
+            q_events_funnel,
+            _funnel_sql(),
+            "ordered funnel analysis: per-user greedy fold over the "
+            "(ts, event_id)-sorted event list (one user_id shuffle, no "
+            "self-joins) -> per-step user counts + conversion fractions",
+        ),
+        "cohort_retention": QuerySpec(
+            q_cohort_retention,
+            _cohort_sql(),
+            "weekly cohort retention: first-active-week cohorts x week "
+            "offset distinct-user counts, integer week grid (engine-stable "
+            "vs date_trunc week semantics)",
+        ),
+        "lineitem_matrix_stats": QuerySpec(
+            q_matrix_stats,
+            MATRIX_STATS_SQL,
+            "ES matrix_stats: pairwise covariance/correlation over the "
+            "lineitem measures from ONE 10-sum aggregate pass; decimal-"
+            "exact numerators, double only at the final division",
+        ),
+        "lang_mixture_weights": QuerySpec(
+            q_mixture_weights,
+            _mixture_sql(),
+            "temperature-scaled language mixing weights (w ~ p^(1/2), "
+            "sqrt-temperature sampling): per-lang token counts -> exact-"
+            "decimal normalizer -> round6 weights",
+        ),
+        "composite_agg_page": QuerySpec(
+            q_composite_page,
+            _composite_sql(),
+            "ES composite aggregation after-key page: keyset pagination "
+            "over (lang, source) buckets, predicate pushed below the agg, "
+            "TakeOrderedAndProject page cut",
+        ),
+    }

@@ -375,3 +375,121 @@ SELECT l_returnflag,
 ) + """,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY 1"""
+
+
+#: matrix_stats fields — 2-dp numeric lineitem measures; DECIMAL(9,2) holds
+#: every raw value exactly (max l_extendedprice ≈ 1.05e5).
+MATRIX_FIELDS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def lineitem_matrix_stats(lineitem: DataFrame) -> DataFrame:
+    """ES matrix_stats aggregation → one row per unordered field pair
+    (i ≤ j) of MATRIX_FIELDS: DF[field_x, field_y, n, mean_x, mean_y,
+    covariance, correlation] (population covariance; correlation of a
+    field with itself = 1).
+
+    Plan: ONE aggregate computes all 10 sums (n, 3 Σx, 6 Σxy) in a single
+    pass — map-side combinable, no joins, no second scan; the 6 output
+    rows explode from the 1-row result. Survives any scale: the shuffle
+    is one row.
+
+    Float discipline (the loglog_fit remedy): inputs quantize to
+    DECIMAL(9,2) (exact — the data is 2-dp), so every sum is exact
+    decimal; the covariance/correlation numerators n·Σxy − Σx·Σy are
+    computed in decimal with operands first narrowed to the smallest
+    sufficient width (n→DECIMAL(12,0), Σx→DECIMAL(18,2),
+    Σxy→DECIMAL(24,4) — products stay ≤ 38 digits, exact to ~10^9 rows;
+    the Spark 38-digit silent-scale-drop sharp edge), and only the final
+    division/sqrt runs in double (correctly-rounded IEEE ops on identical
+    inputs) before round6."""
+    fields = MATRIX_FIELDS
+    d = lineitem.select(
+        *[F.col(f).cast("decimal(9,2)").alias(f"x{i}") for i, f in enumerate(fields)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(fields)):
+        aggs.append(F.sum(F.col(f"x{i}")).alias(f"s{i}"))
+        for j in range(i, len(fields)):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}{j}"))
+    g = d.agg(*aggs)
+
+    nd = F.col("n").cast("decimal(12,0)")
+    n2 = F.col("n").cast("double") * F.col("n").cast("double")
+
+    def s(i):
+        return F.col(f"s{i}").cast("decimal(18,2)")
+
+    def num(i, j):
+        # n·Σxy − Σx·Σy: (12,0)×(24,4) → (37,4) and (18,2)² → (37,4),
+        # both inside the cap, subtraction exact.
+        return (nd * F.col(f"p{i}{j}").cast("decimal(24,4)")) - (s(i) * s(j))
+
+    rows = []
+    for i in range(len(fields)):
+        for j in range(i, len(fields)):
+            cov = num(i, j).cast("double")
+            vx = num(i, i).cast("double")
+            vy = num(j, j).cast("double")
+            rows.append(
+                F.struct(
+                    F.lit(fields[i]).alias("field_x"),
+                    F.lit(fields[j]).alias("field_y"),
+                    F.col("n").cast("long").alias("n"),
+                    round6(s(i).cast("double") / F.col("n").cast("double")).alias("mean_x"),
+                    round6(s(j).cast("double") / F.col("n").cast("double")).alias("mean_y"),
+                    round6(cov / n2).alias("covariance"),
+                    F.when(
+                        (vx > 0) & (vy > 0),
+                        round6(cov / F.sqrt(vx * vy)),
+                    ).alias("correlation"),
+                )
+            )
+    return g.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def _matrix_stats_sql() -> str:
+    """DuckDB twin of lineitem_matrix_stats, generated from the same
+    MATRIX_FIELDS list so the two sides cannot drift."""
+    fields = MATRIX_FIELDS
+    sums = ["COUNT(*) AS n"]
+    for i in range(len(fields)):
+        sums.append(f"SUM(x{i}) AS s{i}")
+        for j in range(i, len(fields)):
+            sums.append(f"SUM(x{i} * x{j}) AS p{i}{j}")
+    r6 = lambda e: f"CAST(ROUND(CAST({e} AS DECIMAL(28,9)), 6) AS DOUBLE)"  # noqa: E731
+
+    def num(i, j):
+        # Σx casts to DECIMAL(19,2), not the Spark side's (18,2): DuckDB
+        # executes width-≤18 decimal multiplies in int64 and overflows at
+        # Σx² ≈ 1e21 (seen at sf0.001); 19 forces int128 (19+19=38 ≤ cap).
+        # Values are exact either way, so the engines still agree.
+        return (
+            f"(CAST(n AS DECIMAL(12,0)) * CAST(p{i}{j} AS DECIMAL(24,4))"
+            f" - CAST(s{i} AS DECIMAL(19,2)) * CAST(s{j} AS DECIMAL(19,2)))"
+        )
+
+    selects = []
+    for i in range(len(fields)):
+        for j in range(i, len(fields)):
+            cov, vx, vy = (f"CAST({num(a, b)} AS DOUBLE)" for a, b in ((i, j), (i, i), (j, j)))
+            selects.append(f"""SELECT '{fields[i]}' AS field_x, '{fields[j]}' AS field_y,
+       CAST(n AS BIGINT) AS n,
+       {r6(f"CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_x,
+       {r6(f"CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_y,
+       {r6(f"{cov} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} AS covariance,
+       CASE WHEN {vx} > 0 AND {vy} > 0
+            THEN {r6(f"{cov} / sqrt({vx} * {vy})")} END AS correlation
+FROM g""")
+    cols = ", ".join(
+        f"CAST(x{i} AS DECIMAL(9,2)) AS x{i}"
+        for i in range(len(fields))
+    )
+    src = ", ".join(f"{f} AS x{i}" for i, f in enumerate(fields))
+    return (
+        f"WITH d AS (SELECT {cols} FROM (SELECT {src} FROM lineitem)),\n"
+        f"g AS (SELECT {', '.join(sums)} FROM d)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+MATRIX_STATS_SQL = _matrix_stats_sql()

@@ -937,6 +937,10 @@ CATALOG.update(build_round4_s3_ann())
 from .catalog_pipeline import build_round4_s3_temporal  # noqa: E402
 
 CATALOG.update(build_round4_s3_temporal())
+
+from .catalog_pipeline import build_round4_s4  # noqa: E402
+
+CATALOG.update(build_round4_s4())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2956,19 +2960,28 @@ _SWEEP_HEAD = [
     "term_pagerank", "cdc_chunks", "xent_buckets", "zipf_fit", "heaps_fit",
     "events_trend", "ann_sq8_topk", "lineitem_percentile_ranks",
     "events_asof_join", "cdc_chunk_dedup",
-    # tier 2 — regression sentinels for the untouched core
-    "bm25_topk", "term_postings",
+    # round-4 session-4 additions (brand new)
+    "events_funnel", "cohort_retention", "lineitem_matrix_stats",
+    "lang_mixture_weights", "composite_agg_page",
+    # tier 2 — regression sentinel for the untouched core (term_postings
+    # rotated out in session 4 to make room: r03-green, code untouched)
+    "bm25_topk",
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
     # rebuilds every physical-index artifact; positions folded into segment
     # blocks; range-pruned dictionary expansion; round6 LSH scores; decimal
     # graph convergence; IVF oracle flip) — prior green rows no longer
     # certify today's code
+    # (resume_manifest rotated to _SWEEP_NEXT in session 4: rows-only by
+    # design, so its driver row certifies little — test_resume.py is the
+    # real gate; this makes the recorded 50 all hash-exact entries)
     "index_decoded_postings", "index_block_coverage", "index_dictionary",
-    "resume_manifest", "daat_topk_wand", "daat_topk_conjunctive",
+    "daat_topk_wand", "daat_topk_conjunctive",
     "phrase_topk_indexed", "span_near_topk_indexed",
     "span_near_ordered_topk_indexed",
-    "bm25_topk_prefix", "bm25_topk_suffix", "bm25_topk_wildcard",
-    "bm25_topk_fuzzy", "bm25_topk_regexp",
+    # (prefix + fuzzy represent the range-pruned dictionary code path;
+    # the suffix/wildcard/regexp siblings share it and rotated to
+    # _SWEEP_NEXT in session 4, r03-green)
+    "bm25_topk_prefix", "bm25_topk_fuzzy",
     "ann_lsh_topk", "ann_ivf_topk", "dedup_clusters",
     # tier 4 — oldest driver record (last seen in round 2, untouched since),
     # freshness-rotated ahead of the round-3-recorded tail; includes the
@@ -2986,6 +2999,8 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
+    "resume_manifest",
+    "term_postings", "bm25_topk_suffix", "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",
     "text_quality", "doc_fingerprints", "sha256_integrity", "term_stats",
     "global_stats", "doc_lengths", "unknown_terms",

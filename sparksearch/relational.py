@@ -212,3 +212,170 @@ def events_asof_join(events: DataFrame) -> DataFrame:
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         (epoch("ts") - epoch("view_ts")).cast("long").alias("lag_seconds"),
     )
+
+
+#: ordered funnel steps (the conversion sequence the fixture's event types
+#: naturally form); FUNNEL_STEPS[k] must complete before [k+1] counts.
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def events_funnel(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel analysis → DF[step, step_name, n_users, frac_top,
+    frac_prev]: per user, the deepest prefix of ``steps`` completable by
+    events in the (ts, event_id) total order (each step strictly after the
+    previous step's matched event); then per-step user counts and
+    conversion fractions (frac_prev is NULL on step 1).
+
+    Greedy = optimal here: advancing on the EARLIEST event matching the
+    next step never forecloses later steps (any later match leaves a
+    subset of remaining events), so one per-user fold over the sorted
+    event list computes the same depth as the nested earliest-completion
+    chain the oracle builds with k min-joins.
+
+    Spark-first shape: one user_id shuffle (collect_list + sort_array),
+    one F.aggregate fold per user — no self-joins, no window cascade; the
+    final per-step counts are a single global aggregate of 1 row/user.
+    At 100 TB the per-user event list is the unit of memory — bounded by
+    per-key activity, the same contract as sessionize; a time-bucketed
+    pre-filter caps monster keys if ever needed. Determinism: struct sort
+    on (ts, event_id) is total; all outputs are exact ints + round6
+    fractions."""
+    from .stats import round6
+
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )[F.col("event_type")]
+    t = events.filter(F.col("event_type").isin(*steps)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        step_idx.alias("step_idx"),
+    )
+    reached = (
+        t.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "step_idx"))
+            ).alias("evs")
+        )
+        .select(
+            F.aggregate(
+                "evs",
+                F.lit(0),
+                lambda acc, e: F.when(
+                    e["step_idx"] == acc, acc + F.lit(1)
+                ).otherwise(acc),
+            ).alias("reached")
+        )
+    )
+    n = len(steps)
+    counts = reached.agg(
+        *[
+            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            for i in range(n)
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("step"),
+                        F.lit(steps[i]).alias("step_name"),
+                        F.coalesce(F.col(f"n{i + 1}"), F.lit(0))
+                        .cast("long")
+                        .alias("n_users"),
+                        F.coalesce(
+                            F.col(f"n{i}") if i else F.col("n1"), F.lit(0)
+                        )
+                        .cast("long")
+                        .alias("n_prev"),
+                        # n1 rides every struct — no self-join back for the
+                        # top-of-funnel denominator (a joined-back 1-row
+                        # frame would re-execute the whole upstream agg).
+                        F.coalesce(F.col("n1"), F.lit(0))
+                        .cast("long")
+                        .alias("n_top"),
+                    )
+                    for i in range(n)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    top = F.col("n_users").cast("double")
+    return rows.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(
+            F.col("n_top") > 0,
+            round6(top / F.col("n_top").cast("double")),
+        ).alias("frac_top"),
+        F.when(
+            F.col("step") == 1, F.lit(None).cast("double")
+        ).otherwise(
+            F.when(
+                F.col("n_prev") > 0,
+                round6(top / F.col("n_prev").cast("double")),
+            )
+        ).alias("frac_prev"),
+    )
+
+
+#: Monday 1970-01-05 anchors the week grid — identical integer floor-div
+#: weeks on both engines (date_trunc('week') semantics differ subtly).
+WEEK_EPOCH = "1970-01-05"
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention → DF[cohort_week, week_offset, n_users,
+    cohort_size, retention]: cohort = a user's first-ever active week
+    (integer weeks since the Monday epoch anchor), offset = active week −
+    cohort week, n_users = distinct users of that cohort active at that
+    offset, retention = n_users / cohort_size (round6). Offset 0 rows
+    equal the cohort size by construction.
+
+    Plan: ONE user_id-keyed stage (first-week agg + join back are
+    co-partitioned; the (user, offset) distinct rides the same key), then
+    one (cohort, offset) count agg — everything map-side combinable; no
+    windows, no skew (cohort keys are calendar weeks). Week index is pure
+    integer math — exact on both engines (date_trunc('week') is NOT: ISO
+    vs locale weeks)."""
+    from .stats import round6
+
+    t = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(WEEK_EPOCH))) / 7
+        )
+        .cast("long")
+        .alias("week_idx"),
+    )
+    first = t.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    active = (
+        t.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            round6(
+                F.col("n_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

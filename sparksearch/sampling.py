@@ -420,3 +420,50 @@ def stratified_sample(
         .filter(F.col("rank") <= per_stratum)
         .select("lang", "rank", "doc_id")
     )
+
+
+def lang_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled language mixing weights → DF[lang, n_tokens, p,
+    weight]: the multilingual-pretraining data-mixing op — sampling weight
+    w_i ∝ p_i^τ with τ = 1/2 (square-root temperature sampling, the
+    published low-resource-upweighting heuristic; mBERT-family exponents
+    0.3–0.7), normalized over languages.
+
+    τ is pinned at 1/2 so p^τ = sqrt(p) — a correctly-rounded IEEE op,
+    bit-identical across engines on identical inputs; arbitrary τ would
+    route through exp(τ·ln p) (the quantize-to-9dp ln discipline, rankers
+    pattern). Float discipline: p is ONE double division of exact ints;
+    sqrt(p) is quantized to decimal(28,9) (round-then-cast, the DSIR
+    pattern) so the normalizer Σ is an exact decimal sum; one final double
+    division + round6. Plan: per-lang token counts are one map-side
+    combinable agg over size(tokens); everything after is
+    languages-cardinality (broadcast 1-row normalizers)."""
+    from .stats import round6
+    from .tokenize import tokens_col
+
+    per_lang = (
+        docs.select("lang", F.size(tokens_col("text")).alias("ntok"))
+        .groupBy("lang")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    q = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("p"),
+    )
+    q = q.select(
+        "lang",
+        "n_tokens",
+        "p",
+        F.round(F.sqrt("p"), 9).cast("decimal(28,9)").alias("qd"),
+    )
+    norm = q.agg(F.sum("qd").alias("ws"))
+    return q.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_tokens",
+        round6(F.col("p")).alias("p"),
+        round6(
+            F.col("qd").cast("double") / F.col("ws").cast("double")
+        ).alias("weight"),
+    )

@@ -235,3 +235,42 @@ def heaps_fit(tf_df: DataFrame, dl_df: DataFrame) -> DataFrame:
         F.log(F.col("cum_tokens").cast("double")),
         F.log(F.col("cum_vocab").cast("double")),
     )
+
+
+#: composite-agg page geometry: deterministic keyset pagination over the
+#: (lang, source) bucket space — ES composite aggregation `after` semantics.
+COMPOSITE_AFTER = ("en", "src15")
+COMPOSITE_PAGE_SIZE = 20
+
+
+def composite_buckets_page(
+    docs: DataFrame,
+    after: tuple[str, str] = COMPOSITE_AFTER,
+    size: int = COMPOSITE_PAGE_SIZE,
+) -> DataFrame:
+    """ES composite aggregation page → DF[lang, source, n_docs,
+    total_chars]: the first ``size`` (lang, source) buckets strictly AFTER
+    the ``after`` key in the composite key order, with their metrics —
+    keyset pagination over an unbounded bucket space (the scalable
+    alternative to a giant terms agg: each page is an independent,
+    restartable query).
+
+    Plan: the after-key predicate is a lexicographic row comparison that
+    pushes BELOW the aggregate (groups are filtered by their own keys, so
+    bucket-pruning before the shuffle is semantics-preserving); the page
+    cut is TakeOrderedAndProject on the unique group keys — deterministic
+    without tie-break columns."""
+    la, sa = after
+    pred = (F.col("lang") > la) | (
+        (F.col("lang") == la) & (F.col("source") > sa)
+    )
+    return (
+        docs.filter(pred)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+        .limit(size)
+    )

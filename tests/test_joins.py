@@ -100,3 +100,63 @@ def test_top_parts_per_brand_rank_and_ties(spark, tpch):
         # total order: revenue DESC, partkey ASC
         for a, b in zip(rs, rs[1:]):
             assert (a.revenue, -a.p_partkey) >= (b.revenue, -b.p_partkey)
+
+
+def test_matrix_stats_matches_numpy(spark, tpch):
+    import math
+
+    import numpy as np
+
+    from sparksearch.joins import MATRIX_FIELDS, lineitem_matrix_stats
+
+    got = {
+        (r.field_x, r.field_y): r
+        for r in lineitem_matrix_stats(tpch["lineitem"]).collect()
+    }
+    pdf = tpch["lineitem"].toPandas()
+    cols = {f: np.round(pdf[f].to_numpy(np.float64), 2) for f in MATRIX_FIELDS}
+    n = len(pdf)
+    assert len(got) == 6
+    for i, a in enumerate(MATRIX_FIELDS):
+        for b in MATRIX_FIELDS[i:]:
+            r = got[(a, b)]
+            assert r.n == n
+            # outputs are round6'd -> compare at 6-dp resolution
+            assert math.isclose(r.mean_x, cols[a].mean(), abs_tol=5e-7)
+            assert math.isclose(r.mean_y, cols[b].mean(), abs_tol=5e-7)
+            cov = float(
+                ((cols[a] - cols[a].mean()) * (cols[b] - cols[b].mean())).mean()
+            )
+            assert math.isclose(r.covariance, cov, rel_tol=1e-6, abs_tol=5e-7), (a, b)
+            corr = cov / (cols[a].std() * cols[b].std())
+            assert math.isclose(r.correlation, corr, rel_tol=1e-5, abs_tol=1e-6), (a, b)
+    # self-correlation is exactly 1 after round6
+    for f in MATRIX_FIELDS:
+        assert got[(f, f)].correlation == 1.0
+
+
+def test_composite_page_keyset_semantics(spark, docs_sf0001):
+    from sparksearch.stats import (
+        COMPOSITE_AFTER,
+        COMPOSITE_PAGE_SIZE,
+        composite_buckets_page,
+    )
+
+    rows = composite_buckets_page(docs_sf0001).collect()
+    keys = [(r.lang, r.source) for r in rows]
+    # page cap, strict after-key bound, composite key order
+    assert 0 < len(rows) <= COMPOSITE_PAGE_SIZE
+    assert all(k > COMPOSITE_AFTER for k in keys)
+    assert keys == sorted(keys)
+    # metrics agree with a direct recount of the same buckets
+    pdf = docs_sf0001.toPandas()
+    g = pdf.groupby(["lang", "source"])
+    for r in rows:
+        grp = g.get_group((r.lang, r.source))
+        assert r.n_docs == len(grp)
+        assert r.total_chars == int(grp["n_chars"].sum())
+    # the page is exactly the FIRST size buckets after the key
+    all_keys = sorted(
+        k for k in g.groups.keys() if k > COMPOSITE_AFTER
+    )
+    assert keys == all_keys[: COMPOSITE_PAGE_SIZE]

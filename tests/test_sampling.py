@@ -216,3 +216,36 @@ def test_curate_corpus_job_deterministic(spark, tmp_path):
     b = spark.read.parquet(s2["manifest"])
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.count() == a.select("doc_id").distinct().count()
+
+
+def test_lang_mixture_weights_matches_numpy(spark, docs_sf0001):
+    import math
+
+    from sparksearch.sampling import lang_mixture_weights
+
+    got = {r.lang: r for r in lang_mixture_weights(docs_sf0001).collect()}
+    # independent token recount (the pinned tokenizer, in Python)
+    import re
+
+    pdf = docs_sf0001.toPandas()
+    counts: dict[str, int] = {}
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        counts[lang] = counts.get(lang, 0) + len(
+            re.findall(r"[a-z0-9_]+", str(text).lower())
+        )
+    total = sum(counts.values())
+    qs = {
+        lang: round(math.sqrt(c / total), 9) for lang, c in counts.items()
+    }
+    z = sum(qs.values())
+    assert set(got) == set(counts)
+    for lang, c in counts.items():
+        r = got[lang]
+        assert r.n_tokens == c
+        assert math.isclose(r.p, c / total, rel_tol=0, abs_tol=5e-7)
+        assert math.isclose(r.weight, qs[lang] / z, rel_tol=0, abs_tol=5e-7)
+    # weights are a distribution and compress the head: the largest lang's
+    # weight share is strictly below its probability share
+    big = max(counts, key=lambda k: counts[k])
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+    assert got[big].weight < got[big].p

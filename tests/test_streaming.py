@@ -285,3 +285,64 @@ def test_events_asof_join_equal_ts_tiebreak(spark):
     got = {r["purchase_event_id"]: r for r in events_asof_join(df).collect()}
     assert got[11]["view_event_id"] == 10 and got[11]["lag_seconds"] == 0
     assert got[13]["view_event_id"] is None
+
+
+def test_events_funnel_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, T(0), 1, "signup"), (2, T(1), 1, "view"),
+        (3, T(2), 1, "click"), (4, T(3), 1, "purchase"),
+        # user 2: view BEFORE signup doesn't count; purchase without a
+        # post-signup view doesn't either -> depth 1
+        (5, T(0), 2, "view"), (6, T(1), 2, "signup"), (7, T(2), 2, "purchase"),
+        # user 3: signup then view -> depth 2
+        (8, T(0), 3, "signup"), (9, T(1), 3, "view"),
+        # user 4: never signs up -> depth 0 (not in any count)
+        (10, T(0), 4, "click"), (11, T(1), 4, "purchase"),
+        # ignored type
+        (12, T(0), 1, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.step: r for r in events_funnel(df).collect()}
+    assert [got[s].n_users for s in (1, 2, 3, 4)] == [3, 2, 1, 1]
+    assert got[1].frac_prev is None and got[1].frac_top == 1.0
+    assert got[2].frac_prev == round(2 / 3, 6) and got[2].frac_top == round(2 / 3, 6)
+    assert got[3].frac_prev == 0.5 and got[4].frac_prev == 1.0
+    assert got[4].frac_top == round(1 / 3, 6)
+    assert [got[s].step_name for s in (1, 2, 3, 4)] == [
+        "signup", "view", "click", "purchase",
+    ]
+
+
+def test_cohort_retention_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import cohort_retention
+
+    # 2024-01-01 is a Monday -> clean week boundaries on the epoch grid.
+    W = lambda w, d=0: dt.datetime(2024, 1, 1 + 7 * w + d, 12, 0, 0)  # noqa: E731
+    rows = [
+        # users 1,2 start week 0; user 1 returns week 1
+        (1, W(0), 1, "view"), (2, W(1), 1, "click"),
+        (3, W(0, 3), 2, "view"),
+        # user 3 starts week 1, returns week 3
+        (4, W(1), 3, "signup"), (5, W(3), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = cohort_retention(df).collect()
+    w0 = min(r.cohort_week for r in out)
+    got = {(r.cohort_week - w0, r.week_offset): r for r in out}
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 2)}
+    assert got[(0, 0)].n_users == 2 and got[(0, 0)].cohort_size == 2
+    assert got[(0, 0)].retention == 1.0
+    assert got[(0, 1)].n_users == 1 and got[(0, 1)].retention == 0.5
+    assert got[(1, 0)].n_users == 1 and got[(1, 2)].retention == 1.0
