@@ -2019,3 +2019,89 @@ def build_round4_s4():
             "TakeOrderedAndProject page cut",
         ),
     }
+
+
+def q_ranking_eval(spark, sf_dir):
+    from .evaluate import EVAL_K, conjunctive_qrels, ranking_eval
+    from .queries_catalog import _stats_for, reference_queries
+    from .querying import parse_queries, score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    topk = score_logical(qterms, tf_df, dl_df, ts, k=EVAL_K).select(
+        "query_id", "rank", "doc_id"
+    )
+    qrels = conjunctive_qrels(qterms, tf_df)
+    return ranking_eval(qterms.select("query_id"), topk, qrels, k=EVAL_K)
+
+
+def _rank_eval_sql() -> str:
+    from .evaluate import DISCOUNTS, EVAL_K, IDCG
+    from .queries_catalog import BM25_SCORE_SQL, TOK_SQL, query_values_sql
+
+    disc_vals = ", ".join(
+        f"({r}, {DISCOUNTS[r]}::DECIMAL(28,9))" for r in range(1, EVAL_K + 1)
+    )
+    idcg_vals = ", ".join(
+        f"({m}, {IDCG[m]}::DECIMAL(28,9))" for m in range(0, EVAL_K + 1)
+    )
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+disc(rnk, g) AS (VALUES {disc_vals}),
+idcgt(m, v) AS (VALUES {idcg_vals}),
+qn AS (SELECT query_id, COUNT(*) AS nt FROM q GROUP BY 1),
+qrels AS (
+  SELECT h.query_id, h.doc_id FROM (
+    SELECT q.query_id, p.doc_id, COUNT(*) AS hit
+    FROM q JOIN postings p USING (term) GROUP BY 1, 2
+  ) h JOIN qn USING (query_id) WHERE h.hit = qn.nt
+),
+nr AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {EVAL_K}),
+j AS (
+  SELECT t.query_id, t.rnk,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM topk t LEFT JOIN qrels r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+pq AS (
+  SELECT j.query_id, COUNT(*) AS retrieved, SUM(j.rel) AS relevant_retrieved,
+         MIN(CASE WHEN j.rel = 1 THEN j.rnk END) AS first_rel,
+         SUM(CASE WHEN j.rel = 1 THEN d.g ELSE 0::DECIMAL(28,9) END) AS dcg
+  FROM j JOIN disc d ON d.rnk = j.rnk GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM q)
+SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(COALESCE(pq.retrieved, 0) AS BIGINT) AS retrieved,
+       CAST(COALESCE(pq.relevant_retrieved, 0) AS BIGINT) AS relevant_retrieved,
+       CASE WHEN COALESCE(pq.retrieved, 0) > 0
+            THEN {_r6("CAST(pq.relevant_retrieved AS DOUBLE) / CAST(pq.retrieved AS DOUBLE)")}
+       END AS precision_at_k,
+       CASE WHEN COALESCE(nr.n_rel, 0) > 0
+            THEN {_r6("CAST(COALESCE(pq.relevant_retrieved, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)")}
+       END AS recall_at_k,
+       COALESCE({_r6("1.0 / CAST(pq.first_rel AS DOUBLE)")}, 0.0) AS mrr,
+       CASE WHEN COALESCE(nr.n_rel, 0) > 0
+            THEN {_r6("CAST(COALESCE(pq.dcg, 0::DECIMAL(28,9)) AS DOUBLE) / CAST(i.v AS DOUBLE)")}
+       END AS ndcg_at_k
+FROM qs
+LEFT JOIN pq ON pq.query_id = qs.query_id
+LEFT JOIN nr ON nr.query_id = qs.query_id
+LEFT JOIN idcgt i ON i.m = LEAST(COALESCE(nr.n_rel, 0), {EVAL_K})"""
+
+
+def build_round4_s4_eval():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "bm25_rank_eval": QuerySpec(
+            q_ranking_eval,
+            _rank_eval_sql(),
+            "ES Ranking Evaluation API (_rank_eval): per-query precision@10 "
+            "/ recall@10 / MRR / nDCG@10 of the BM25 run against "
+            "conjunctive-containment qrels; DCG discounts are generated "
+            "9-dp decimal CONSTANTS shared verbatim by both engines (no "
+            "cross-engine log2), sums exact decimal",
+        ),
+    }

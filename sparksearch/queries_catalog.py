@@ -941,6 +941,10 @@ CATALOG.update(build_round4_s3_temporal())
 from .catalog_pipeline import build_round4_s4  # noqa: E402
 
 CATALOG.update(build_round4_s4())
+
+from .catalog_pipeline import build_round4_s4_eval  # noqa: E402
+
+CATALOG.update(build_round4_s4_eval())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2962,7 +2966,7 @@ _SWEEP_HEAD = [
     "events_asof_join", "cdc_chunk_dedup",
     # round-4 session-4 additions (brand new)
     "events_funnel", "cohort_retention", "lineitem_matrix_stats",
-    "lang_mixture_weights", "composite_agg_page",
+    "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
     # tier 2 — regression sentinel for the untouched core (term_postings
     # rotated out in session 4 to make room: r03-green, code untouched)
     "bm25_topk",
@@ -2978,10 +2982,10 @@ _SWEEP_HEAD = [
     "daat_topk_wand", "daat_topk_conjunctive",
     "phrase_topk_indexed", "span_near_topk_indexed",
     "span_near_ordered_topk_indexed",
-    # (prefix + fuzzy represent the range-pruned dictionary code path;
-    # the suffix/wildcard/regexp siblings share it and rotated to
+    # (prefix represents the range-pruned dictionary code path; the
+    # fuzzy/suffix/wildcard/regexp siblings share it and rotated to
     # _SWEEP_NEXT in session 4, r03-green)
-    "bm25_topk_prefix", "bm25_topk_fuzzy",
+    "bm25_topk_prefix",
     "ann_lsh_topk", "ann_ivf_topk", "dedup_clusters",
     # tier 4 — oldest driver record (last seen in round 2, untouched since),
     # freshness-rotated ahead of the round-3-recorded tail; includes the
@@ -3000,7 +3004,8 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
     "resume_manifest",
-    "term_postings", "bm25_topk_suffix", "bm25_topk_wildcard", "bm25_topk_regexp",
+    "term_postings", "bm25_topk_fuzzy", "bm25_topk_suffix",
+    "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",
     "text_quality", "doc_fingerprints", "sha256_integrity", "term_stats",
     "global_stats", "doc_lengths", "unknown_terms",
