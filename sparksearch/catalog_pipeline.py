@@ -2105,3 +2105,87 @@ def build_round4_s4_eval():
             "cross-engine log2), sums exact decimal",
         ),
     }
+
+
+def q_pii_scan(spark, sf_dir):
+    from .textpipe import pii_scan
+
+    return pii_scan(_events(spark, sf_dir), "event_id", "props")
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    from .textpipe import term_adjacency_matrix
+
+    return term_adjacency_matrix(_docs(spark, sf_dir))
+
+
+def q_extended_stats(spark, sf_dir):
+    from .joins import lineitem_extended_stats
+
+    return lineitem_extended_stats(_t(spark, sf_dir, "lineitem"))
+
+
+def _pii_sql() -> str:
+    from .textpipe import PII_EMAIL, PII_IPV4, PII_NUMBER
+
+    cnt = lambda p: f"CAST(len(regexp_extract_all(c, '{p}')) AS BIGINT)"  # noqa: E731
+    return f"""WITH s AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, lower(props) AS c FROM events
+),
+n AS (
+  SELECT event_id,
+         {cnt(PII_EMAIL)} AS n_emails,
+         {cnt(PII_IPV4)} AS n_ipv4,
+         {cnt(PII_NUMBER)} AS n_numbers
+  FROM s
+)
+SELECT event_id, n_emails, n_ipv4, n_numbers,
+       CAST(CASE WHEN n_emails + n_ipv4 + n_numbers > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+FROM n"""
+
+
+def _adjacency_sql() -> str:
+    from .textpipe import ADJACENCY_FILTERS
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{k}'" for k, t in sorted(ADJACENCY_FILTERS.items())
+    )
+    in_list = ", ".join(f"'{t}'" for t in ADJACENCY_FILTERS.values())
+    return f"""WITH m AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE term {whens} END AS key
+  FROM (SELECT doc_id, unnest({_TS}) AS term FROM documents)
+  WHERE term IN ({in_list})
+)
+SELECT a.key AS key_a, b.key AS key_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.key <= b.key
+GROUP BY 1, 2"""
+
+
+def build_round4_s4b():
+    from .joins import EXTENDED_STATS_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "pii_scan": QuerySpec(
+            q_pii_scan,
+            _pii_sql(),
+            "PII / sensitive-pattern scan (email, IPv4, digit runs) over "
+            "the events.props payloads — exchange-free map-only curation "
+            "gate; RE2-safe patterns shared verbatim by both engines",
+        ),
+        "term_adjacency_matrix": QuerySpec(
+            q_adjacency_matrix,
+            _adjacency_sql(),
+            "ES adjacency_matrix agg: named term-membership filters -> "
+            "all filter and pairwise-intersection doc counts; persisted "
+            "membership frame, doc_id-co-partitioned self-join",
+        ),
+        "lineitem_extended_stats": QuerySpec(
+            q_extended_stats,
+            EXTENDED_STATS_SQL,
+            "ES extended_stats per l_returnflag over l_extendedprice: "
+            "count/min/max/sum/avg/sum_of_squares/variance/std_dev from "
+            "one aggregate pass, decimal-exact numerators",
+        ),
+    }

@@ -493,3 +493,63 @@ FROM g""")
 
 
 MATRIX_STATS_SQL = _matrix_stats_sql()
+
+
+def lineitem_extended_stats(lineitem: DataFrame) -> DataFrame:
+    """ES extended_stats aggregation per l_returnflag → DF[l_returnflag,
+    n, min_v, max_v, sum_v, avg_v, sum_of_squares, variance, std_dev]
+    over l_extendedprice (population variance, the ES default).
+
+    Same float discipline as lineitem_matrix_stats: DECIMAL(9,2)-exact
+    inputs, one aggregate pass (map-side combinable), decimal numerator
+    n·Σx² − (Σx)² for the variance, doubles only at the final division —
+    std_dev = sqrt of the identical unrounded double on both engines
+    (IEEE sqrt is correctly rounded), round6 output."""
+    x = F.col("l_extendedprice").cast("decimal(9,2)")
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    )
+    num = (
+        F.col("n").cast("decimal(12,0)") * F.col("ss").cast("decimal(24,4)")
+    ) - (F.col("s").cast("decimal(19,2)") * F.col("s").cast("decimal(19,2)"))
+    nd = F.col("n").cast("double")
+    var = num.cast("double") / (nd * nd)
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        round6(F.col("mn").cast("double")).alias("min_v"),
+        round6(F.col("mx").cast("double")).alias("max_v"),
+        round6(F.col("s").cast("double")).alias("sum_v"),
+        round6(F.col("s").cast("double") / nd).alias("avg_v"),
+        # sum_of_squares ~ 1e13+: beyond double's 6-dp resolution, and
+        # the engines' wide-decimal->double conversions differ by ULPs
+        # (measured 2 ulp at sf0.001) -> ship it as the EXACT decimal; the
+        # driver compares non-floats by string, and both engines print
+        # scale-4 decimals identically.
+        F.col("ss").cast("decimal(28,4)").alias("sum_of_squares"),
+        round6(var).alias("variance"),
+        round6(F.sqrt(var)).alias("std_dev"),
+    )
+
+
+EXTENDED_STATS_SQL = """WITH d AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(9,2)) AS x FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx,
+         SUM(x) AS s, SUM(x * x) AS ss
+  FROM d GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(CAST(CAST(mn AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS min_v,
+       CAST(ROUND(CAST(CAST(mx AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS max_v,
+       CAST(ROUND(CAST(CAST(s AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS sum_v,
+       CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_v,
+       CAST(ss AS DECIMAL(28,4)) AS sum_of_squares,
+       CAST(ROUND(CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS variance,
+       CAST(ROUND(CAST(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS DECIMAL(28,9)), 6) AS DOUBLE) AS std_dev
+FROM g"""

@@ -945,6 +945,10 @@ CATALOG.update(build_round4_s4())
 from .catalog_pipeline import build_round4_s4_eval  # noqa: E402
 
 CATALOG.update(build_round4_s4_eval())
+
+from .catalog_pipeline import build_round4_s4b  # noqa: E402
+
+CATALOG.update(build_round4_s4b())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2967,9 +2971,10 @@ _SWEEP_HEAD = [
     # round-4 session-4 additions (brand new)
     "events_funnel", "cohort_retention", "lineitem_matrix_stats",
     "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
-    # tier 2 — regression sentinel for the untouched core (term_postings
-    # rotated out in session 4 to make room: r03-green, code untouched)
-    "bm25_topk",
+    "pii_scan", "term_adjacency_matrix", "lineitem_extended_stats",
+    # (tier-2 sentinels bm25_topk + term_postings rotated out in session 4:
+    # r03-green, code untouched, and bm25_rank_eval embeds the full
+    # score_logical path anyway)
     # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
     # rebuilds every physical-index artifact; positions folded into segment
     # blocks; range-pruned dictionary expansion; round6 LSH scores; decimal
@@ -2979,8 +2984,11 @@ _SWEEP_HEAD = [
     # design, so its driver row certifies little — test_resume.py is the
     # real gate; this makes the recorded 50 all hash-exact entries)
     "index_decoded_postings", "index_block_coverage", "index_dictionary",
-    "daat_topk_wand", "daat_topk_conjunctive",
-    "phrase_topk_indexed", "span_near_topk_indexed",
+    # (daat_topk_conjunctive + span_near_topk_indexed rotated to
+    # _SWEEP_NEXT: wand covers the DAAT bounds path and phrase/ordered
+    # cover the positional fetch)
+    "daat_topk_wand",
+    "phrase_topk_indexed",
     "span_near_ordered_topk_indexed",
     # (prefix represents the range-pruned dictionary code path; the
     # fuzzy/suffix/wildcard/regexp siblings share it and rotated to
@@ -3003,7 +3011,8 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
-    "resume_manifest",
+    "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
+    "span_near_topk_indexed",
     "term_postings", "bm25_topk_fuzzy", "bm25_topk_suffix",
     "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",

@@ -1359,3 +1359,93 @@ def cdc_chunk_dedup(docs: DataFrame) -> DataFrame:
     out.count()
     ch.unpersist()
     return out
+
+
+#: PII patterns — identical regex STRINGS on both engines (no lookarounds:
+#: RE2-safe), scanned non-overlapping leftmost by both regex engines.
+PII_EMAIL = r"[a-z0-9_.+-]+@[a-z0-9-]+\.[a-z0-9.-]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_NUMBER = r"\d{2,}"
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII / sensitive-pattern scan → DF[<id_col>, n_emails, n_ipv4,
+    n_numbers, has_pii]: per-row non-overlapping match counts for the
+    published curation patterns (email, IPv4, long digit runs) — the
+    detection half of a redaction pass (the replace is the same three
+    regexes through regexp_replace). A pre-training corpus gate next to
+    gopher_rules/line_boilerplate.
+
+    Pure codegen: three regexp_extract_all + size per row, no shuffle at
+    all — the same exchange-free contract as cdc_chunks; at 100 TB this
+    is a map-only scan. Patterns avoid lookarounds so the Java-regex and
+    RE2 scans agree token-for-token."""
+    c = F.lower(F.col(text_col))
+    cnt = lambda p: F.size(F.regexp_extract_all(c, F.lit(p), 0)).cast("long")  # noqa: E731
+    out = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        cnt(PII_EMAIL).alias("n_emails"),
+        cnt(PII_IPV4).alias("n_ipv4"),
+        cnt(PII_NUMBER).alias("n_numbers"),
+    )
+    return out.select(
+        id_col,
+        "n_emails",
+        "n_ipv4",
+        "n_numbers",
+        (
+            (F.col("n_emails") + F.col("n_ipv4") + F.col("n_numbers")) > 0
+        ).cast("long").alias("has_pii"),
+    )
+
+
+#: ES adjacency_matrix filters: named doc-sets by term membership, over the
+#: fixture's three highest-df vocabulary terms.
+ADJACENCY_FILTERS = {"q_query": "query", "w_window": "window", "s_scan": "scan"}
+
+
+def term_adjacency_matrix(
+    docs: DataFrame, filters: dict[str, str] = ADJACENCY_FILTERS
+) -> DataFrame:
+    """ES adjacency_matrix aggregation → DF[key_a, key_b, n_docs]: for
+    named filters (here: docs containing a given term), the document count
+    of every filter and every pairwise intersection (key_a ≤ key_b, empty
+    intersections omitted — ES semantics).
+
+    Plan: ONE tokenize pass filtered to the filter terms (the IN predicate
+    prunes before the explode collapses), distinct (doc_id, key)
+    membership, then a doc_id-keyed self-join of a frame bounded by
+    |docs|·|filters| — at 100 TB the join is co-partitioned on doc_id and
+    the output is |filters|² rows. The membership frame is persisted: both
+    self-join sides would otherwise re-run the tokenize (CLAUDE.md sharp
+    edge)."""
+    from .tokenize import tokens_col
+
+    key_of = F.create_map(
+        *[x for k, t in sorted(filters.items()) for x in (F.lit(t), F.lit(k))]
+    )
+    terms = list(filters.values())
+    m = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(tokens_col("text"))).alias("term"),
+        )
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", key_of[F.col("term")].alias("key"))
+        .persist()
+    )
+    m.count()
+    a, b = m.alias("a"), m.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.key") <= F.col("b.key")),
+        )
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    out = out.persist()
+    out.count()
+    m.unpersist()
+    return out

@@ -160,3 +160,25 @@ def test_composite_page_keyset_semantics(spark, docs_sf0001):
         k for k in g.groups.keys() if k > COMPOSITE_AFTER
     )
     assert keys == all_keys[: COMPOSITE_PAGE_SIZE]
+
+
+def test_extended_stats_matches_numpy(spark, tpch):
+    import math
+
+    import numpy as np
+
+    from sparksearch.joins import lineitem_extended_stats
+
+    got = {r.l_returnflag: r for r in lineitem_extended_stats(tpch["lineitem"]).collect()}
+    pdf = tpch["lineitem"].toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = np.round(grp["l_extendedprice"].to_numpy(np.float64), 2)
+        r = got[flag]
+        assert r.n == len(x)
+        assert r.min_v == round(float(x.min()), 6)
+        assert r.max_v == round(float(x.max()), 6)
+        assert math.isclose(r.sum_v, float(x.sum()), rel_tol=1e-12, abs_tol=1e-6)
+        assert math.isclose(r.avg_v, float(x.mean()), abs_tol=5e-7)
+        assert math.isclose(float(r.sum_of_squares), float((x * x).sum()), rel_tol=1e-9)
+        assert math.isclose(r.variance, float(x.var()), rel_tol=1e-9, abs_tol=1e-4)
+        assert math.isclose(r.std_dev, float(x.std()), rel_tol=1e-9, abs_tol=1e-6)

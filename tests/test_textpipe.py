@@ -742,3 +742,53 @@ def test_cdc_chunk_dedup_flags_shared_chunks(spark):
     # the unique doc: nothing shared
     assert got[2]["n_dup_chunks"] == 0 and got[2]["dup_len"] == 0
     assert got[2]["dup_chunk_frac"] == 0.0
+
+
+def test_pii_scan_hand_case(spark):
+    from sparksearch.textpipe import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact Bob.Smith+x@mail-host.example.org today"),
+            (2, "server at 10.0.255.7 and 192.168.1.1 port 8080"),
+            (3, "clean text with one 7 digit"),      # \d{2,} needs >= 2
+            (4, "ids 1234 and 42 and code_99"),
+            (5, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(docs, "doc_id", "text").collect()}
+    assert got[1].n_emails == 1 and got[1].has_pii == 1
+    assert got[2].n_ipv4 == 2
+    # the IPs' digit runs also count as number hits (2-digit+ runs)
+    assert got[2].n_numbers >= 3 and got[2].has_pii == 1
+    assert got[3].n_emails == got[3].n_ipv4 == 0
+    assert got[3].n_numbers == 0 and got[3].has_pii == 0
+    assert got[4].n_numbers == 3 and got[4].n_ipv4 == 0
+    assert got[5].has_pii == 0
+
+
+def test_term_adjacency_matrix_hand_case(spark):
+    from sparksearch.textpipe import term_adjacency_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "query window scan"),   # all three
+            (2, "query window"),
+            (3, "query query other"),   # dedup within doc
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.key_a, r.key_b): r.n_docs
+        for r in term_adjacency_matrix(docs).collect()
+    }
+    assert got[("q_query", "q_query")] == 3
+    assert got[("w_window", "w_window")] == 2
+    assert got[("s_scan", "s_scan")] == 1
+    assert got[("q_query", "w_window")] == 2
+    assert got[("q_query", "s_scan")] == 1
+    assert got[("s_scan", "w_window")] == 1
+    # ES semantics: empty intersections omitted, a<=b ordering only
+    assert len(got) == 6
