@@ -2189,3 +2189,27 @@ def build_round4_s4b():
             "one aggregate pass, decimal-exact numerators",
         ),
     }
+
+
+def q_has_child(spark, sf_dir):
+    from .joins import orders_has_child_topk
+
+    return orders_has_child_topk(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def build_round4_s4c():
+    from .joins import HAS_CHILD_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "orders_has_child_topk": QuerySpec(
+            q_has_child,
+            HAS_CHILD_SQL,
+            "ES parent-child has_child query (score_mode=max): orders "
+            "with >=1 matching lineitem child, scored by the best child's "
+            "revenue; child query reduces BEFORE the parent join, "
+            "TakeOrderedAndProject page cut",
+        ),
+    }

@@ -553,3 +553,79 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(ROUND(CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS variance,
        CAST(ROUND(CAST(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS DECIMAL(28,9)), 6) AS DOUBLE) AS std_dev
 FROM g"""
+
+
+#: has_child query geometry: child predicate + page size.
+HAS_CHILD_MIN_QTY = 48.0
+HAS_CHILD_K = 20
+
+
+def orders_has_child_topk(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = HAS_CHILD_MIN_QTY,
+    k: int = HAS_CHILD_K,
+) -> DataFrame:
+    """ES parent-child `has_child` query (score_mode=max) → DF[rank,
+    o_orderkey, o_orderpriority, n_matching_children, score]: parents
+    (orders) having ≥ 1 child (lineitem) matching the child query
+    (l_quantity ≥ min_qty), scored by the MAX matching child's revenue
+    contribution, top-k under the engine total order (round6(score) DESC,
+    o_orderkey ASC).
+
+    ES stores parent+child in one shard and joins in memory; the engine
+    twin is the distributed equivalent: the child query REDUCES BEFORE the
+    join (one map-side-combinable agg to one row per matching parent), so
+    the parent join carries |matching parents| rows, never |children| —
+    then a TakeOrderedAndProject page cut. Score stays exact decimal
+    until the final round6 (the _rev discipline)."""
+    child = (
+        lineitem.filter(F.col("l_quantity") >= min_qty)
+        .select("l_orderkey", _rev().alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matching_children"),
+            F.max("rev").alias("best"),
+        )
+    )
+    scored = child.join(
+        orders.select("o_orderkey", "o_orderpriority").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "n_matching_children",
+        round6(F.col("best").cast("double")).alias("score"),
+    )
+    # page cut FIRST (TakeOrderedAndProject — distributed top-k, never a
+    # global single-partition sort); the rank window then runs over k rows.
+    page = scored.orderBy(F.desc("score"), F.asc("o_orderkey")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("o_orderkey"))
+    return page.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "o_orderkey",
+        "o_orderpriority",
+        "n_matching_children",
+        "score",
+    )
+
+
+HAS_CHILD_SQL = f"""WITH child AS (
+  SELECT l_orderkey, COUNT(*) AS n_matching_children,
+         MAX({_REV_SQL}) AS best
+  FROM lineitem WHERE l_quantity >= {HAS_CHILD_MIN_QTY}
+  GROUP BY 1
+),
+scored AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(n_matching_children AS BIGINT) AS n_matching_children,
+         CAST(ROUND(CAST(CAST(best AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM child JOIN orders ON l_orderkey = o_orderkey
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rank, o_orderkey, o_orderpriority,
+       n_matching_children, score
+FROM r WHERE rnk <= {HAS_CHILD_K}"""

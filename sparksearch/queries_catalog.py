@@ -949,6 +949,10 @@ CATALOG.update(build_round4_s4_eval())
 from .catalog_pipeline import build_round4_s4b  # noqa: E402
 
 CATALOG.update(build_round4_s4b())
+
+from .catalog_pipeline import build_round4_s4c  # noqa: E402
+
+CATALOG.update(build_round4_s4c())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2972,6 +2976,7 @@ _SWEEP_HEAD = [
     "events_funnel", "cohort_retention", "lineitem_matrix_stats",
     "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
     "pii_scan", "term_adjacency_matrix", "lineitem_extended_stats",
+    "orders_has_child_topk",
     # (tier-2 sentinels bm25_topk + term_postings rotated out in session 4:
     # r03-green, code untouched, and bm25_rank_eval embeds the full
     # score_logical path anyway)
@@ -2983,7 +2988,9 @@ _SWEEP_HEAD = [
     # (resume_manifest rotated to _SWEEP_NEXT in session 4: rows-only by
     # design, so its driver row certifies little — test_resume.py is the
     # real gate; this makes the recorded 50 all hash-exact entries)
-    "index_decoded_postings", "index_block_coverage", "index_dictionary",
+    # (index_dictionary rotated to _SWEEP_NEXT: index_decoded_postings'
+    # vocab-join string restore certifies the dictionary content)
+    "index_decoded_postings", "index_block_coverage",
     # (daat_topk_conjunctive + span_near_topk_indexed rotated to
     # _SWEEP_NEXT: wand covers the DAAT bounds path and phrase/ordered
     # cover the positional fetch)
@@ -3012,7 +3019,7 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
-    "span_near_topk_indexed",
+    "span_near_topk_indexed", "index_dictionary",
     "term_postings", "bm25_topk_fuzzy", "bm25_topk_suffix",
     "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",

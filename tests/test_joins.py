@@ -182,3 +182,32 @@ def test_extended_stats_matches_numpy(spark, tpch):
         assert math.isclose(float(r.sum_of_squares), float((x * x).sum()), rel_tol=1e-9)
         assert math.isclose(r.variance, float(x.var()), rel_tol=1e-9, abs_tol=1e-4)
         assert math.isclose(r.std_dev, float(x.std()), rel_tol=1e-9, abs_tol=1e-6)
+
+
+def test_has_child_topk_matches_pandas(spark, tpch):
+    from sparksearch.joins import (
+        HAS_CHILD_K,
+        HAS_CHILD_MIN_QTY,
+        orders_has_child_topk,
+    )
+
+    rows = orders_has_child_topk(tpch["orders"], tpch["lineitem"]).collect()
+    li = tpch["lineitem"].toPandas()
+    m = li[li.l_quantity >= HAS_CHILD_MIN_QTY].copy()
+    m["rev"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    per = m.groupby("l_orderkey").agg(n=("rev", "size"), best=("rev", "max"))
+    exp = sorted(
+        ((round(b, 6), k) for k, (n, b) in per.iterrows()),
+        key=lambda t: (-t[0], t[1]),
+    )[:HAS_CHILD_K]
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(exp) + 1)
+    )
+    got = [(r.score, r.o_orderkey) for r in sorted(rows, key=lambda r: r.rank)]
+    assert [(round(s, 6), k) for s, k in exp] == [
+        (round(s, 6), k) for s, k in got
+    ]
+    # child counts ride along correctly
+    per_n = {k: n for k, (n, b) in per.iterrows()}
+    for r in rows:
+        assert r.n_matching_children == per_n[r.o_orderkey]

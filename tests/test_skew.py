@@ -77,3 +77,61 @@ def test_rank_identity_on_skewed_corpus(spark, skewed_docs, tmp_path_factory):
             for (rank, doc_id, score), (edoc, escore) in zip(mine, expected):
                 assert doc_id == edoc, (qid, rank)
                 assert abs(score - escore) < 1e-9, (qid, rank)
+
+
+def test_asof_join_monster_key_linear(spark):
+    """One user owning 20k events (the skewed-attribution case): the
+    union-merge as-of stays a single linear window pass per key — verify
+    exact lags across the whole span and that the result is complete."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparksearch.relational import events_asof_join
+
+    n = 20000
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        ts = base + dt.timedelta(seconds=10 * i)
+        rows.append((i, ts, 7, "view" if i % 2 == 0 else "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(8)
+    out = events_asof_join(df)
+    assert out.count() == n // 2
+    bad = out.filter(
+        (F.col("lag_seconds") != 10)
+        | (F.col("view_event_id") != F.col("purchase_event_id") - 1)
+    ).count()
+    assert bad == 0
+
+
+def test_funnel_monster_key_deep_noise(spark):
+    """Funnel steps buried in 10k noise events on one user: the greedy
+    fold still finds the ordered chain; a second user whose chain is in
+    the WRONG order contributes only to step 1."""
+    import datetime as dt
+
+    from sparksearch.relational import events_funnel
+
+    base = dt.datetime(2024, 1, 1)
+    T = lambda i: base + dt.timedelta(seconds=i)  # noqa: E731
+    rows = [(i, T(i), 1, "error") for i in range(10_000)]
+    # the real chain, spread across the noise
+    for eid, off, step in (
+        (20001, 100, "signup"), (20002, 4000, "view"),
+        (20003, 7000, "click"), (20004, 9999, "purchase"),
+    ):
+        rows.append((eid, T(off), 1, step))
+    # user 2: everything present but reversed -> depth 1 only
+    for eid, off, step in (
+        (30001, 1, "purchase"), (30002, 2, "click"),
+        (30003, 3, "view"), (30004, 4, "signup"),
+    ):
+        rows.append((eid, T(off), 2, step))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(8)
+    got = {r.step: r.n_users for r in events_funnel(df).collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 4: 1}
