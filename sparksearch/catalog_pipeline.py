@@ -2213,3 +2213,133 @@ def build_round4_s4c():
             "TakeOrderedAndProject page cut",
         ),
     }
+
+
+def q_term_triangles(spark, sf_dir):
+    from .textpipe import term_triangles
+
+    return term_triangles(_docs(spark, sf_dir))
+
+
+def q_lang_token_fertility(spark, sf_dir):
+    from .textpipe import lang_token_fertility
+
+    return lang_token_fertility(_docs(spark, sf_dir))
+
+
+def q_user_rfm(spark, sf_dir):
+    from .relational import user_rfm
+
+    return user_rfm(_events(spark, sf_dir))
+
+
+#: shared vocab-bounded co-occurrence EDGE CTEs (twin of
+#: textpipe.cooccurrence_edges without the weights) — triangles run on it.
+_EDGE_CTES = f"""tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tokd),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn FROM dfreq
+  ) WHERE rn <= 32
+),
+e AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b
+  FROM dt a
+  JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN vocab va ON va.term = a.term
+  JOIN vocab vb ON vb.term = b.term
+)"""
+
+
+def _triangles_sql() -> str:
+    return f"""WITH {_EDGE_CTES},
+tri AS (
+  SELECT e1.term_a AS a, e1.term_b AS b, e2.term_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.term_a = e1.term_b
+  JOIN e e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b
+),
+mem AS (
+  SELECT a AS term FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT term, COUNT(*) AS n FROM mem GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT term FROM (
+    SELECT term_a AS term FROM e UNION ALL SELECT term_b AS term FROM e
+  )
+)
+SELECT nodes.term, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cnt USING (term)"""
+
+
+def _fertility_sql() -> str:
+    return f"""WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(len({_TS})) AS n_tokens,
+         SUM(n_chars) AS n_chars
+  FROM documents GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_tokens > 0
+            THEN {_r6("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+       END AS chars_per_token,
+       {_r6("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS tokens_per_doc
+FROM per"""
+
+
+def _rfm_sql() -> str:
+    from .relational import RFM_BUCKETS
+
+    b = RFM_BUCKETS
+    return f"""WITH per AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, MAX(ts) AS last_ts,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(value, 9) AS DECIMAL(28,9))) AS msum
+  FROM events GROUP BY 1
+),
+anc AS (SELECT MAX(ts) AS a FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', CAST(last_ts AS DATE), CAST((SELECT a FROM anc) AS DATE)) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         {_r6("CAST(msum AS DOUBLE)")} AS monetary
+  FROM per
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+       CAST(NTILE({b}) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_q,
+       CAST(NTILE({b}) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_q,
+       CAST(NTILE({b}) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_q
+FROM base"""
+
+
+def build_round4_s4d():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "term_triangles": QuerySpec(
+            q_term_triangles,
+            _triangles_sql(),
+            "per-node triangle counts on the co-occurrence graph: "
+            "orientation via the stored a<b total order -> each triangle "
+            "enumerated exactly once by the wedge join (degree-ordered "
+            "variant documented for web scale)",
+        ),
+        "lang_token_fertility": QuerySpec(
+            q_lang_token_fertility,
+            _fertility_sql(),
+            "tokenizer fertility per language: chars/token + tokens/doc "
+            "from one map-side aggregate - the cross-lingual tokenizer-"
+            "cost diagnostic",
+        ),
+        "user_rfm": QuerySpec(
+            q_user_rfm,
+            _rfm_sql(),
+            "RFM segmentation: per-user recency/frequency/monetary + "
+            "NTILE quintiles on the engine total order; monetary is a "
+            "round9-quantized exact decimal sum",
+        ),
+    }

@@ -953,6 +953,10 @@ CATALOG.update(build_round4_s4b())
 from .catalog_pipeline import build_round4_s4c  # noqa: E402
 
 CATALOG.update(build_round4_s4c())
+
+from .catalog_pipeline import build_round4_s4d  # noqa: E402
+
+CATALOG.update(build_round4_s4d())
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2976,7 +2980,8 @@ _SWEEP_HEAD = [
     "events_funnel", "cohort_retention", "lineitem_matrix_stats",
     "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
     "pii_scan", "term_adjacency_matrix", "lineitem_extended_stats",
-    "orders_has_child_topk",
+    "orders_has_child_topk", "term_triangles", "lang_token_fertility",
+    "user_rfm",
     # (tier-2 sentinels bm25_topk + term_postings rotated out in session 4:
     # r03-green, code untouched, and bm25_rank_eval embeds the full
     # score_logical path anyway)
@@ -2988,24 +2993,25 @@ _SWEEP_HEAD = [
     # (resume_manifest rotated to _SWEEP_NEXT in session 4: rows-only by
     # design, so its driver row certifies little — test_resume.py is the
     # real gate; this makes the recorded 50 all hash-exact entries)
-    # (index_dictionary rotated to _SWEEP_NEXT: index_decoded_postings'
-    # vocab-join string restore certifies the dictionary content)
-    "index_decoded_postings", "index_block_coverage",
+    # (index_dictionary + index_block_coverage rotated to _SWEEP_NEXT:
+    # index_decoded_postings' full decode roundtrip with vocab-join
+    # string restore certifies dictionary content and block layout)
+    "index_decoded_postings",
     # (daat_topk_conjunctive + span_near_topk_indexed rotated to
     # _SWEEP_NEXT: wand covers the DAAT bounds path and phrase/ordered
     # cover the positional fetch)
     "daat_topk_wand",
+    # (span_near_ordered_topk_indexed rotated to _SWEEP_NEXT: phrase
+    # covers the in-block positional fetch + ordered-window kernel)
     "phrase_topk_indexed",
-    "span_near_ordered_topk_indexed",
     # (prefix represents the range-pruned dictionary code path; the
     # fuzzy/suffix/wildcard/regexp siblings share it and rotated to
     # _SWEEP_NEXT in session 4, r03-green)
     "bm25_topk_prefix",
     "ann_lsh_topk", "ann_ivf_topk", "dedup_clusters",
-    # tier 4 — oldest driver record (last seen in round 2, untouched since),
-    # freshness-rotated ahead of the round-3-recorded tail; includes the
-    # tpch_revenue_by_nation bench-regression watch item
-    "tpch_revenue_by_nation",
+    # (tier-4 tpch_revenue_by_nation rotated to _SWEEP_NEXT in session 4:
+    # the bench-regression watch closed as noise — 1.79s on the refreshed
+    # interleaved-reps bench — and its code is untouched since round 2)
     # (round-2-recorded global_stats / doc_lengths / unknown_terms /
     # dataset_splits / split_contamination / lang_id / token_counts /
     # simhash_signatures — and, for the session-3 additions, text_quality /
@@ -3019,7 +3025,8 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
-    "span_near_topk_indexed", "index_dictionary",
+    "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
+    "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
     "term_postings", "bm25_topk_fuzzy", "bm25_topk_suffix",
     "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",

@@ -379,3 +379,53 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+RFM_BUCKETS = 5
+
+
+def user_rfm(events: DataFrame, n_buckets: int = RFM_BUCKETS) -> DataFrame:
+    """RFM segmentation → DF[user_id, recency_days, frequency, monetary,
+    r_q, f_q, m_q]: per-user Recency (days from last activity to the
+    corpus's last day), Frequency (event count), Monetary (Σ value,
+    round9-quantized exact sum), each NTILE'd into quintiles on the
+    engine total order (metric, user_id) — quintile 1 = best (most
+    recent / most frequent / highest spend).
+
+    Scale: one user_id aggregate; the three quintile windows are the
+    deterministic small-scale oracle of the production variant (broadcast
+    sample-quantile thresholds — the xent_buckets precedent). Monetary
+    follows the DSIR float discipline: per-row round9 → decimal sum →
+    one double division-free round6."""
+    from .stats import round6
+
+    per = events.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.round(F.col("value"), 9).cast("decimal(28,9)")
+        ).alias("msum"),
+    )
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.to_date("anchor_ts"), F.to_date("last_ts"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        round6(F.col("msum").cast("double")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_buckets).over(wr).cast("long").alias("r_q"),
+        F.ntile(n_buckets).over(wf).cast("long").alias("f_q"),
+        F.ntile(n_buckets).over(wm).cast("long").alias("m_q"),
+    )

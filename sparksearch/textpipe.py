@@ -1449,3 +1449,92 @@ def term_adjacency_matrix(
     out.count()
     m.unpersist()
     return out
+
+
+def term_triangles(docs: DataFrame) -> DataFrame:
+    """Triangle counts per node over the term co-occurrence graph →
+    DF[term, n_triangles] (every graph node appears; 0 when in no
+    triangle) — the classic graph-analytics kernel (local clustering /
+    community density) on the same edge list PageRank runs on.
+
+    Edges are stored once per unordered pair with term_a < term_b — a
+    fixed total-order ORIENTATION, so each triangle a<b<c is enumerated
+    exactly once by the wedge join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c), no
+    dedup/division pass. At web scale the same plan holds with the order
+    switched to (degree, id) — the standard bound that caps wedge fanout
+    by the max ORIENTED degree (Schank/Wagner): the joins stay
+    key-partitioned on the shared endpoint and nothing is ever global."""
+    from .tokenize import tokens_col  # noqa: F401  (module convention)
+
+    e = cooccurrence_edges(docs).select("term_a", "term_b")
+    w = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e2.term_a") == F.col("e1.term_b"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.term_a") == F.col("e1.term_a"))
+            & (F.col("e3.term_b") == F.col("e2.term_b")),
+        )
+        .select(
+            F.col("e1.term_a").alias("a"),
+            F.col("e1.term_b").alias("b"),
+            F.col("e2.term_b").alias("c"),
+        )
+    )
+    members = w.select(F.explode(F.array("a", "b", "c")).alias("term"))
+    counts = members.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    nodes = (
+        e.select(F.col("term_a").alias("term"))
+        .union(e.select(F.col("term_b").alias("term")))
+        .distinct()
+    )
+    out = nodes.join(counts, "term", "left").select(
+        "term", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+    out = out.persist()
+    out.count()
+    e.unpersist()
+    return out
+
+
+def lang_token_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer-fertility diagnostic per language → DF[lang, n_docs,
+    n_tokens, n_chars, chars_per_token, tokens_per_doc]: the chars-per-
+    token ratio is the standard cross-lingual tokenizer-cost metric (a
+    language whose ratio diverges pays more sequence length per
+    character). One map-side-combinable aggregate; exact int sums, two
+    round6 divisions."""
+    from .stats import round6
+    from .tokenize import tokens_col
+
+    per = (
+        docs.select(
+            "lang",
+            F.size(tokens_col("text")).alias("ntok"),
+            F.col("n_chars").cast("long").alias("nch"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("nch").cast("long").alias("n_chars"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_tokens") > 0,
+            round6(F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")),
+        ).alias("chars_per_token"),
+        round6(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+        ).alias("tokens_per_doc"),
+    )

@@ -346,3 +346,35 @@ def test_cohort_retention_hand_case(spark):
     assert got[(0, 0)].retention == 1.0
     assert got[(0, 1)].n_users == 1 and got[(0, 1)].retention == 0.5
     assert got[(1, 0)].n_users == 1 and got[(1, 2)].retention == 1.0
+
+
+def test_user_rfm_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import user_rfm
+
+    D = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)  # noqa: E731
+    rows = []
+    # five users: user i has last activity on day 30-i (u1 most recent),
+    # i events, and value 10*i per event
+    eid = 0
+    for u in range(1, 6):
+        for j in range(u):
+            eid += 1
+            rows.append((eid, D(30 - u + 1) if j == u - 1 else D(1), u, "view", 10.0 * u))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.user_id: r for r in user_rfm(df).collect()}
+    assert len(got) == 5
+    # recency: u1 last on day 30 -> 0 days from anchor; u5 on day 26 -> 4
+    assert got[1].recency_days == 0 and got[5].recency_days == 4
+    # frequency/monetary exact
+    for u in range(1, 6):
+        assert got[u].frequency == u
+        assert got[u].monetary == round(10.0 * u * u, 6)
+    # 5 rows, 5 buckets -> each quintile hit exactly once per dimension
+    for col in ("r_q", "f_q", "m_q"):
+        assert sorted(getattr(got[u], col) for u in range(1, 6)) == [1, 2, 3, 4, 5]
+    # best recency = quintile 1; best frequency/monetary (u5) = quintile 1
+    assert got[1].r_q == 1 and got[5].f_q == 1 and got[5].m_q == 1

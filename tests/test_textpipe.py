@@ -792,3 +792,48 @@ def test_term_adjacency_matrix_hand_case(spark):
     assert got[("s_scan", "w_window")] == 1
     # ES semantics: empty intersections omitted, a<=b ordering only
     assert len(got) == 6
+
+
+def test_term_triangles_hand_case(spark):
+    from sparksearch.textpipe import term_triangles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"),      # triangle aa-bb-cc
+            (2, "aa dd"),         # pendant edge -> no triangle for dd
+            (3, "aa bb"),         # reinforces an edge, adds no triangle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r.n_triangles for r in term_triangles(docs).collect()}
+    assert got == {"aa": 1, "bb": 1, "cc": 1, "dd": 0}
+
+
+def test_term_triangles_k4_counts(spark):
+    # complete graph on 4 terms: C(4,3)=4 triangles, each node in 3
+    from sparksearch.textpipe import term_triangles
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s")], "doc_id long, text string"
+    )
+    got = {r.term: r.n_triangles for r in term_triangles(docs).collect()}
+    assert got == {"p": 3, "q": 3, "r": 3, "s": 3}
+
+
+def test_lang_token_fertility_hand_case(spark):
+    from sparksearch.textpipe import lang_token_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", len("one two three")),
+            (2, "four five", "en", len("four five")),
+            (3, "un deux", "fr", len("un deux")),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {r.lang: r for r in lang_token_fertility(docs).collect()}
+    en, fr = got["en"], got["fr"]
+    assert (en.n_docs, en.n_tokens, en.n_chars) == (2, 5, 22)
+    assert en.chars_per_token == round(22 / 5, 6)
+    assert en.tokens_per_doc == 2.5
+    assert (fr.n_docs, fr.n_tokens) == (1, 2)
