@@ -911,7 +911,7 @@ FROM events GROUP BY 1, 2""",
         "events_json_props": QuerySpec(
             q_events_json_props,
             """SELECT event_type,
-       CAST(json_extract_string(props, '$.k')::BIGINT // 10 AS BIGINT) AS k_bucket,
+       CAST(floor(json_extract_string(props, '$.k')::BIGINT / 10.0) AS BIGINT) AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2""",
             "JSON props parsed with from_json → typed map → bucketed rollup",
@@ -1930,7 +1930,7 @@ def _cohort_sql() -> str:
 
     return f"""WITH t AS (
   SELECT CAST(user_id AS BIGINT) AS user_id,
-         date_diff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE)) // 7 AS week_idx
+         CAST(floor(date_diff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_idx
   FROM events
 ),
 f AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM t GROUP BY 1),
@@ -2130,7 +2130,8 @@ def _pii_sql() -> str:
 
     cnt = lambda p: f"CAST(len(regexp_extract_all(c, '{p}')) AS BIGINT)"  # noqa: E731
     return f"""WITH s AS (
-  SELECT CAST(event_id AS BIGINT) AS event_id, lower(props) AS c FROM events
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         lower(coalesce(props, '')) AS c FROM events
 ),
 n AS (
   SELECT event_id,

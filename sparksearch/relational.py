@@ -45,8 +45,9 @@ def events_json_props(events: DataFrame) -> DataFrame:
     return (
         parsed.select(
             "event_type",
-            # floor, not truncate-toward-zero: the DuckDB twin's `// 10` is
-            # floor division, and the two disagree on negative k otherwise.
+            # floor, not truncate-toward-zero — and the DuckDB twin must use
+            # floor(k/10.0) too: DuckDB's `//` TRUNCATES (-4 // 7 = 0,
+            # measured), so the two disagree on negative k otherwise.
             F.floor(F.element_at(F.col("m"), "k") / F.lit(10)).cast("long").alias("k_bucket"),
         )
         .groupBy("event_type", "k_bucket")

@@ -1380,7 +1380,9 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     all — the same exchange-free contract as cdc_chunks; at 100 TB this
     is a map-only scan. Patterns avoid lookarounds so the Java-regex and
     RE2 scans agree token-for-token."""
-    c = F.lower(F.col(text_col))
+    # NULL text scans as empty (0 counts) — bare size(regexp(NULL)) would
+    # yield Spark's legacy -1 while the DuckDB twin yields NULL.
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     cnt = lambda p: F.size(F.regexp_extract_all(c, F.lit(p), 0)).cast("long")  # noqa: E731
     out = df.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -1466,7 +1468,10 @@ def term_triangles(docs: DataFrame) -> DataFrame:
     key-partitioned on the shared endpoint and nothing is ever global."""
     from .tokenize import tokens_col  # noqa: F401  (module convention)
 
-    e = cooccurrence_edges(docs).select("term_a", "term_b")
+    # keep the ORIGINAL persisted handle: unpersist on a projected child
+    # is a no-op (plan sameResult never matches), leaking the cache
+    pairs = cooccurrence_edges(docs)
+    e = pairs.select("term_a", "term_b")
     w = (
         e.alias("e1")
         .join(
@@ -1498,7 +1503,7 @@ def term_triangles(docs: DataFrame) -> DataFrame:
     )
     out = out.persist()
     out.count()
-    e.unpersist()
+    pairs.unpersist()
     return out
 
 

@@ -754,10 +754,12 @@ def test_pii_scan_hand_case(spark):
             (3, "clean text with one 7 digit"),      # \d{2,} needs >= 2
             (4, "ids 1234 and 42 and code_99"),
             (5, "no pii here at all"),
+            (6, None),  # NULL text scans as empty, never -1 counts
         ],
         "doc_id long, text string",
     )
     got = {r.doc_id: r for r in pii_scan(docs, "doc_id", "text").collect()}
+    assert got[6].n_emails == 0 and got[6].n_numbers == 0 and got[6].has_pii == 0
     assert got[1].n_emails == 1 and got[1].has_pii == 1
     assert got[2].n_ipv4 == 2
     # the IPs' digit runs also count as number hits (2-digit+ runs)
