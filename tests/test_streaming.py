@@ -378,3 +378,27 @@ def test_user_rfm_hand_case(spark):
         assert sorted(getattr(got[u], col) for u in range(1, 6)) == [1, 2, 3, 4, 5]
     # best recency = quintile 1; best frequency/monetary (u5) = quintile 1
     assert got[1].r_q == 1 and got[5].f_q == 1 and got[5].m_q == 1
+
+
+def test_analytics_report_job_deterministic(spark, tmp_path):
+    """The spark-submit analytics composition: funnel + cohorts + RFM +
+    trend + sessions from ONE events read. Re-running produces identical
+    summaries and byte-identical report rows (invariant #1), and the
+    summary is internally consistent."""
+    import jobs.analytics_report as ar
+
+    sf = "/root/testdata/sf0.001"
+    s1 = ar.report(spark, sf, str(tmp_path / "a"))
+    s2 = ar.report(spark, sf, str(tmp_path / "b"))
+    for k in ("n_events", "n_users", "n_sessions", "funnel",
+              "rfm_champions", "week1_retention_by_cohort"):
+        assert s1[k] == s2[k], k
+    for name in s1["reports"]:
+        a = sorted(map(tuple, spark.read.parquet(s1["reports"][name]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(s2["reports"][name]).collect()))
+        assert a == b, name
+    # consistency: sessions cover every event; funnel steps are monotone
+    assert s1["n_events"] > 0 and s1["n_sessions"] >= s1["n_users"] > 0
+    steps = ["signup", "view", "click", "purchase"]
+    counts = [s1["funnel"][s][0] for s in steps]
+    assert counts == sorted(counts, reverse=True)
