@@ -2344,3 +2344,101 @@ def build_round4_s4d():
             "round9-quantized exact decimal sum",
         ),
     }
+
+
+def q_bm25_topk_demoted(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from .queries_catalog import (
+        K,
+        _round6,
+        _stats_for,
+        reference_queries,
+    )
+    from .querying import parse_queries
+    from .scoring_ext import boosting_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = boosting_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        FF.col("query_id").cast("long").alias("query_id"),
+        FF.col("rank").cast("long").alias("rank"),
+        FF.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_ann_cosine_filtered(spark, sf_dir):
+    from .vectors import cosine_topk_filtered
+
+    return cosine_topk_filtered(_emb(spark, sf_dir), _docs(spark, sf_dir))
+
+
+def _boosting_sql() -> str:
+    from .queries_catalog import (
+        BM25_SCORED_SQL,
+        K,
+        TOK_SQL,
+        query_values_sql,
+    )
+    from .scoring_ext import BOOSTING_NEG_TERMS, BOOSTING_NEGATIVE_BOOST
+
+    in_list = ", ".join(f"'{t}'" for t in BOOSTING_NEG_TERMS)
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+negd AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({in_list})),
+demoted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * {BOOSTING_NEGATIVE_BOOST}
+              ELSE s.score END AS score
+  FROM scored s LEFT JOIN negd n ON n.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM demoted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+def _ann_filtered_sql() -> str:
+    return f"""WITH {EMB_SQL.strip()},
+allowed AS (SELECT CAST(doc_id AS BIGINT) AS vec_id FROM documents WHERE lang = 'en'),
+c AS (SELECT e.vec_id, e.v FROM e JOIN allowed USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_r6("list_dot_product(c.v, q.qv) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))")} AS score
+  FROM c, q WHERE c.vec_id <> q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, score
+FROM r WHERE rnk <= 10"""
+
+
+def build_round4_s4e():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "bm25_topk_demoted": QuerySpec(
+            q_bm25_topk_demoted,
+            _boosting_sql(),
+            "ES boosting query: positive BM25 with negative-match docs "
+            "demoted to score*0.5 BEFORE the rank cut ('relevant but "
+            "prefer not', vs must_not's removal); 0.5 is a power of two "
+            "so the demotion is IEEE-exact on both engines",
+        ),
+        "ann_cosine_filtered": QuerySpec(
+            q_ann_cosine_filtered,
+            _ann_filtered_sql(),
+            "filtered kNN (ES knn+filter): exact cosine top-k over a "
+            "metadata-PRE-filtered candidate set (lang='en') - correct-"
+            "recall strategy, top-k computed over the allowed set, "
+            "queries never filtered",
+        ),
+    }

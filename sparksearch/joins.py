@@ -523,7 +523,9 @@ def lineitem_extended_stats(lineitem: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         round6(F.col("mn").cast("double")).alias("min_v"),
         round6(F.col("mx").cast("double")).alias("max_v"),
-        round6(F.col("s").cast("double")).alias("sum_v"),
+        # sum_v ~1e10 at sf0.1 already exceeds double's 6-dp resolution
+        # (ulp 2e-6): exact scale-2 decimal, like sum_of_squares.
+        F.col("s").cast("decimal(28,2)").alias("sum_v"),
         round6(F.col("s").cast("double") / nd).alias("avg_v"),
         # sum_of_squares ~ 1e13+: beyond double's 6-dp resolution, and
         # the engines' wide-decimal->double conversions differ by ULPs
@@ -547,7 +549,7 @@ g AS (
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(ROUND(CAST(CAST(mn AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS min_v,
        CAST(ROUND(CAST(CAST(mx AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS max_v,
-       CAST(ROUND(CAST(CAST(s AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS sum_v,
+       CAST(s AS DECIMAL(28,2)) AS sum_v,
        CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_v,
        CAST(ss AS DECIMAL(28,4)) AS sum_of_squares,
        CAST(ROUND(CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS variance,

@@ -957,6 +957,8 @@ CATALOG.update(build_round4_s4c())
 from .catalog_pipeline import build_round4_s4d  # noqa: E402
 
 CATALOG.update(build_round4_s4d())
+
+# (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
         q_bm25_topk_suffix,
@@ -2957,6 +2959,10 @@ CATALOG["line_boilerplate"] = QuerySpec(
 #   4. the entries with the OLDEST driver record (round 2), freshness-rotated
 #      ahead of the round-3-recorded tail.
 #
+from .catalog_pipeline import build_round4_s4e  # noqa: E402
+
+CATALOG.update(build_round4_s4e())
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -2981,7 +2987,7 @@ _SWEEP_HEAD = [
     "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
     "pii_scan", "term_adjacency_matrix", "lineitem_extended_stats",
     "orders_has_child_topk", "term_triangles", "lang_token_fertility",
-    "user_rfm",
+    "user_rfm", "bm25_topk_demoted", "ann_cosine_filtered",
     # (tier-2 sentinels bm25_topk + term_postings rotated out in session 4:
     # r03-green, code untouched, and bm25_rank_eval embeds the full
     # score_logical path anyway)
@@ -3004,11 +3010,13 @@ _SWEEP_HEAD = [
     # (span_near_ordered_topk_indexed rotated to _SWEEP_NEXT: phrase
     # covers the in-block positional fetch + ordered-window kernel)
     "phrase_topk_indexed",
-    # (prefix represents the range-pruned dictionary code path; the
-    # fuzzy/suffix/wildcard/regexp siblings share it and rotated to
-    # _SWEEP_NEXT in session 4, r03-green)
-    "bm25_topk_prefix",
-    "ann_lsh_topk", "ann_ivf_topk", "dedup_clusters",
+    # (the whole expansion family — prefix/fuzzy/suffix/wildcard/regexp —
+    # rotated to _SWEEP_NEXT in session 4: r03-green, range-prune change
+    # covered by plan audits + the committed tri-scale local sweeps)
+    # (ann_lsh_topk rotated to _SWEEP_NEXT: r03-recorded hash-exact; the
+    # round6 score fix is covered by the local sweeps. ann_ivf_topk stays
+    # — its oracle flip means a driver hash row would be a FIRST.)
+    "ann_ivf_topk", "dedup_clusters",
     # (tier-4 tpch_revenue_by_nation rotated to _SWEEP_NEXT in session 4:
     # the bench-regression watch closed as noise — 1.79s on the refreshed
     # interleaved-reps bench — and its code is untouched since round 2)
@@ -3027,6 +3035,7 @@ _SWEEP_NEXT = [
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
+    "bm25_topk_prefix", "ann_lsh_topk",
     "term_postings", "bm25_topk_fuzzy", "bm25_topk_suffix",
     "bm25_topk_wildcard", "bm25_topk_regexp",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_cosine_topk",

@@ -333,3 +333,48 @@ def top_hits_by_field(
         .filter(F.col("bucket_rank") <= per_bucket)
         .select("query_id", field, "bucket_rank", "doc_id", "score")
     )
+
+
+#: boosting-query geometry: docs matching ANY negative term are demoted by
+#: this factor (a power of two — the multiply is EXACT in IEEE double, so
+#: no cross-engine quantize step is needed before the rank).
+BOOSTING_NEGATIVE_BOOST = 0.5
+BOOSTING_NEG_TERMS = ("dup",)
+
+
+def boosting_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    neg_terms: tuple[str, ...] = BOOSTING_NEG_TERMS,
+    negative_boost: float = BOOSTING_NEGATIVE_BOOST,
+    k: int = 10,
+) -> DataFrame:
+    """Elasticsearch `boosting` query → DF[query_id, rank, doc_id, score]:
+    the positive query scores normally (full BM25); any doc matching the
+    NEGATIVE query keeps its match but is demoted to score·negative_boost
+    — "relevant, but prefer not" (the classic deprecated/stale-content
+    demotion), unlike must_not which removes the doc entirely.
+
+    Plan: the negative match set is one semi-reduction of the postings by
+    the (tiny, broadcast) negative term list — |neg docs| rows joined LEFT
+    onto the scored frame before the per-query top-k; the demotion runs
+    BEFORE the rank cut so a demoted doc can fall out of the page.
+    negative_boost = 0.5 is a power of two: score·0.5 is exact, so both
+    engines rank identical quantized keys."""
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    neg = (
+        tf_df.filter(F.col("term").isin(*neg_terms))
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("_neg"))
+    )
+    demoted = scored.join(F.broadcast(neg), "doc_id", "left").select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("_neg") == 1, F.col("score") * F.lit(negative_boost))
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return topk_per_query(demoted, k)

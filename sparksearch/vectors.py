@@ -974,3 +974,52 @@ def sq8_ann_topk(
     out.count()
     xh.unpersist()
     return out
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    lang: str = "en",
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Filtered kNN (ES 8 `knn` with `filter`) → DF[query_id, rank,
+    vec_id, score]: exact cosine top-k where the CANDIDATE set is
+    restricted by a metadata predicate (documents.lang = ``lang``; vec_id
+    is doc-aligned) — PRE-filtering, the correct-recall strategy: the
+    top-k is computed over the allowed set, never filtered after the cut
+    (post-filtering returns < k or loses valid neighbors; with an ANN
+    index the same predicate drives filtered HNSW/IVF probing).
+
+    Plan: the allowed-id projection joins the vectors on vec_id (key-
+    partitioned; a broadcast when the filter output is small), THEN the
+    broadcast-queries × linear-scan scoring runs over the reduced set.
+    Queries are never filtered — ES semantics. Ranking on the round6
+    quantized key (engine total order)."""
+    from .stats import round6
+
+    vecs = _vecs(embeddings)
+    allowed = docs.filter(F.col("lang") == lang).select(
+        F.col("doc_id").cast("long").alias("vec_id")
+    )
+    cands = vecs.join(allowed, "vec_id")
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cands.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round6(cosine(F.col("v"), F.col("qv"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score"
+        )
+    )

@@ -177,7 +177,7 @@ def test_extended_stats_matches_numpy(spark, tpch):
         assert r.n == len(x)
         assert r.min_v == round(float(x.min()), 6)
         assert r.max_v == round(float(x.max()), 6)
-        assert math.isclose(r.sum_v, float(x.sum()), rel_tol=1e-12, abs_tol=1e-6)
+        assert math.isclose(float(r.sum_v), float(x.sum()), rel_tol=1e-12, abs_tol=1e-6)
         assert math.isclose(r.avg_v, float(x.mean()), abs_tol=5e-7)
         assert math.isclose(float(r.sum_of_squares), float((x * x).sum()), rel_tol=1e-9)
         assert math.isclose(r.variance, float(x.var()), rel_tol=1e-9, abs_tol=1e-4)

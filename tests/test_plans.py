@@ -466,3 +466,26 @@ def test_funnel_two_exchanges_no_python(spark):
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_filtered_knn_and_boosting_no_python(spark, docs_sf0001):
+    """The filtered-kNN candidate reduction happens BEFORE scoring (a join
+    below the score projection, queries broadcast) and neither new
+    retrieval variant introduces a Python boundary."""
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.vectors import cosine_topk_filtered
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    plan = _plan(cosine_topk_filtered(emb, docs_sf0001))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import boosting_topk
+    from sparksearch.stats import corpus_stats
+
+    tf_df, dl_df, ts, _ = corpus_stats(docs_sf0001.select("doc_id", "text"))
+    qterms = parse_queries(spark, [(1, "data stream")])
+    plan2 = _plan(boosting_topk(qterms, tf_df, dl_df, ts))
+    assert "BatchEvalPython" not in plan2

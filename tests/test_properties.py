@@ -166,3 +166,33 @@ def test_simhash_pigeonhole_is_exact(sig, flip_bits, max_hamming):
         if (sig & mask) == (other & mask):
             agree = True
     assert agree
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=40)
+)
+@settings(max_examples=300, deadline=None)
+def test_funnel_greedy_equals_chained_min(seq):
+    """The equivalence relational.events_funnel relies on (and its DuckDB
+    oracle implements the other way): the greedy fold over the sorted
+    event list reaches the same depth as the nested earliest-completion
+    chain of k min-searches. Pure-Python mirror of both algorithms over
+    arbitrary step sequences."""
+    n_steps = 4
+    # greedy fold (the Spark F.aggregate lambda)
+    acc = 0
+    for s in seq:
+        if s == acc:
+            acc += 1
+    # chained earliest-completion (the oracle's s1..s4 min-joins)
+    pos = -1
+    depth = 0
+    for step in range(n_steps):
+        nxt = next(
+            (i for i in range(pos + 1, len(seq)) if seq[i] == step), None
+        )
+        if nxt is None:
+            break
+        pos = nxt
+        depth += 1
+    assert acc == depth

@@ -214,3 +214,52 @@ def test_top_hits_by_field_matches_brute_force(spark, docs_sf0001, queries):
         rows.sort(key=lambda t: (-t[0], t[1]))
         want += [(qid, lg, rk + 1, d, s) for rk, (s, d) in enumerate(rows[:3])]
     assert sorted(got) == sorted(want)
+
+
+def test_boosting_query_demotes_but_keeps(spark):
+    """ES boosting semantics: a negative-match doc is DEMOTED (x0.5), not
+    removed (must_not would drop it) — and the demotion runs before the
+    rank cut."""
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import boosting_topk
+    from sparksearch.stats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),        # strong match, clean
+            (2, "apple apple apple apple"),   # strongest match but dup-y
+            (3, "apple"),                     # weak match, clean
+            (4, "banana only"),
+        ],
+        "doc_id long, text string",
+    )
+    tf_df, dl_df, ts, _ = corpus_stats(docs)
+    qterms = parse_queries(spark, [(1, "apple")])
+    plain = {
+        r.doc_id: (r.rank, r.score)
+        for r in boosting_topk(
+            qterms, tf_df, dl_df, ts, neg_terms=("zzz",), k=10
+        ).collect()
+    }
+    demoted = {
+        r.doc_id: (r.rank, r.score)
+        for r in boosting_topk(
+            qterms, tf_df, dl_df, ts, neg_terms=("dup",), k=10
+        ).collect()
+    }
+    # no doc contains 'dup' -> identical; now demote docs containing 'apple'
+    assert plain == demoted
+    neg = {
+        r.doc_id: (r.rank, r.score)
+        for r in boosting_topk(
+            qterms, tf_df, dl_df, ts, neg_terms=("banana",), k=10
+        ).collect()
+    }
+    # doc 1 matches the negative query: still present, score halved,
+    # rank falls below doc 2 (and stays above or equal per actual values)
+    assert 1 in neg
+    # library returns raw scores (the catalog wrapper rounds): x0.5 exact
+    assert neg[1][1] == plain[1][1] * 0.5
+    assert neg[2] == (1, plain[2][1])   # clean top doc unaffected
+    assert neg[1][0] > plain[1][0] or plain[1][0] == neg[1][0]
+    assert 4 not in plain  # sanity: non-matching doc never appears

@@ -301,3 +301,35 @@ def test_sq8_ann_matches_numpy_mirror_and_recalls(spark):
         ap.setdefault(r["query_id"], set()).add(r["vec_id"])
     for qi, want in ex.items():
         assert len(ap[qi] & want) >= 9, (qi, sorted(want), sorted(ap[qi]))
+
+
+def test_cosine_topk_filtered_subset_and_exact(spark, docs_sf0001):
+    """Filtered kNN: every hit satisfies the metadata predicate, and per
+    query the page equals the brute-force cosine order over ONLY the
+    allowed candidates (pre-filter semantics — never a post-filtered
+    page)."""
+    import numpy as np
+
+    from sparksearch.vectors import cosine_topk_filtered
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = cosine_topk_filtered(emb, docs_sf0001).collect()
+    lang = {r.doc_id: r.lang for r in docs_sf0001.select("doc_id", "lang").collect()}
+    assert got and all(lang[r.vec_id] == "en" for r in got)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    allowed = sorted(i for i in vecs if lang[i] == "en")
+    for qid in {r.query_id for r in got}:
+        qv = vecs[qid]
+        scores = sorted(
+            (
+                (-round(float(np.dot(v := vecs[i], qv)
+                       / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), i)
+                for i in allowed if i != qid
+            ),
+        )[:10]
+        want = [i for _, i in scores]
+        page = [r.vec_id for r in sorted(got, key=lambda r: r.rank)
+                if r.query_id == qid]
+        assert page == want, qid
