@@ -274,3 +274,33 @@ def composite_buckets_page(
         .orderBy("lang", "source")
         .limit(size)
     )
+
+
+def quantile_thresholds(
+    df: DataFrame, col: str, n_buckets: int, relative_error: float = 1e-4
+):
+    """The production bucketing path the NTILE entries document
+    (xent_buckets, user_rfm): (n_buckets−1) approximate quantile
+    thresholds from one Greenwald-Khanna sketch pass — at 100 TB a global
+    NTILE window is a single-partition sort, while the sketch is one
+    map-side-combinable aggregate whose result (a handful of doubles)
+    broadcasts. Returns the ascending threshold list.
+
+    Exactness contract: sketch quantiles are within ``relative_error`` of
+    the true ranks (GK bound), so bucket assignment can differ from exact
+    NTILE only for rows within that band of a boundary —
+    tests/test_operators pins ≥ 99% agreement on the fixture. The exact
+    NTILE path stays the oracle-checked small-scale twin."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return df.stat.approxQuantile(col, probs, relative_error)
+
+
+def bucket_by_thresholds(df: DataFrame, col: str, thresholds) -> DataFrame:
+    """Assign 1-based buckets by the broadcast threshold list: bucket k ⇔
+    value > thresholds[k−2] and ≤ thresholds[k−1] (right-closed, NTILE
+    orientation for ascending order). Pure codegen — one when-chain, no
+    shuffle, no window."""
+    expr = F.lit(len(thresholds) + 1)
+    for i in range(len(thresholds) - 1, -1, -1):
+        expr = F.when(F.col(col) <= F.lit(thresholds[i]), F.lit(i + 1)).otherwise(expr)
+    return df.withColumn("bucket_approx", expr.cast("long"))

@@ -162,3 +162,27 @@ def test_rrf_fusion_semantics(spark):
     assert rows[10][0] == 2 and rows[10][1] == round(1 / 61, 6)
     # tie between 12 (1/63) vs none; 13 (1/62) > 12 (1/63)
     assert rows[13][0] == 3 and rows[12][0] == 4
+
+
+def test_threshold_buckets_agree_with_exact_ntile(spark, docs_sf0001):
+    """The documented 100 TB bucketing variant (one GK-sketch pass +
+    broadcast thresholds, no global window) agrees with exact NTILE on
+    ≥ 99% of rows at tight sketch accuracy — disagreements can only sit
+    within the sketch's rank-error band of a boundary."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.stats import (
+        bucket_by_thresholds,
+        corpus_stats,
+        quantile_thresholds,
+    )
+    from sparksearch.textpipe import xent_buckets
+
+    tf_df, _, ts, _ = corpus_stats(docs_sf0001.select("doc_id", "text"))
+    exact = xent_buckets(tf_df, ts)
+    th = quantile_thresholds(exact, "xent", 3)
+    assert len(th) == 2 and th[0] <= th[1]
+    both = bucket_by_thresholds(exact, "xent", th)
+    n = both.count()
+    agree = both.filter(F.col("bucket") == F.col("bucket_approx")).count()
+    assert agree / n >= 0.99, (agree, n)
