@@ -2442,3 +2442,37 @@ def build_round4_s4e():
             "queries never filtered",
         ),
     }
+
+
+def q_price_histogram(spark, sf_dir):
+    from .joins import price_histogram
+
+    return price_histogram(_t(spark, sf_dir, "lineitem"))
+
+
+def q_weighted_avg(spark, sf_dir):
+    from .joins import discount_weighted_avg
+
+    return discount_weighted_avg(_t(spark, sf_dir, "lineitem"))
+
+
+def build_round4_s4f():
+    from .joins import PRICE_HISTOGRAM_SQL, WEIGHTED_AVG_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "price_histogram": QuerySpec(
+            q_price_histogram,
+            PRICE_HISTOGRAM_SQL,
+            "ES histogram agg (fixed interval 10k) over l_extendedprice "
+            "- numeric sibling of date_histogram; one map-side aggregate, "
+            "exact-decimal sums",
+        ),
+        "discount_weighted_avg": QuerySpec(
+            q_weighted_avg,
+            WEIGHTED_AVG_SQL,
+            "ES weighted_avg agg: quantity-weighted mean discount per "
+            "returnflag - exact decimal numerator/denominator, one double "
+            "division (order-independent weighted mean)",
+        ),
+    }

@@ -631,3 +631,81 @@ r AS (
 SELECT CAST(rnk AS BIGINT) AS rank, o_orderkey, o_orderpriority,
        n_matching_children, score
 FROM r WHERE rnk <= {HAS_CHILD_K}"""
+
+
+HISTOGRAM_INTERVAL = 10000.0
+
+
+def price_histogram(lineitem: DataFrame) -> DataFrame:
+    """ES histogram aggregation (fixed interval) → DF[bucket_start,
+    n_items, sum_qty]: l_extendedprice bucketed by floor(x / interval) —
+    the numeric sibling of the date_histogram entries. One map-side
+    combinable aggregate; bucket math is exact (floor of a positive
+    double ratio; both engines compute the identical double before the
+    floor)."""
+    b = (
+        F.floor(F.col("l_extendedprice") / F.lit(HISTOGRAM_INTERVAL))
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        lineitem.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(9,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_qty"),
+        )
+        .select(
+            (F.col("bucket").cast("double") * F.lit(HISTOGRAM_INTERVAL)).alias(
+                "bucket_start"
+            ),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+PRICE_HISTOGRAM_SQL = f"""WITH g AS (
+  SELECT CAST(floor(l_extendedprice / {HISTOGRAM_INTERVAL}) AS BIGINT) AS bucket,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(28,2)) AS sum_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(bucket AS DOUBLE) * {HISTOGRAM_INTERVAL} AS bucket_start,
+       CAST(n_items AS BIGINT) AS n_items, sum_qty
+FROM g"""
+
+
+def discount_weighted_avg(lineitem: DataFrame) -> DataFrame:
+    """ES weighted_avg aggregation per l_returnflag → DF[l_returnflag,
+    n, weighted_avg_discount]: Σ(discount·quantity) / Σ(quantity) —
+    quantity-weighted mean discount. Exact decimal numerator and
+    denominator (2-dp inputs quantize exactly), ONE double division,
+    round6 — the order-independent weighted-mean discipline
+    (training_data_stats precedent)."""
+    d = F.col("l_discount").cast("decimal(9,2)")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * q).cast("decimal(30,4)").alias("num"),
+        F.sum(q).cast("decimal(28,2)").alias("den"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        round6(F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "weighted_avg_discount"
+        ),
+    )
+
+
+WEIGHTED_AVG_SQL = """WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(30,4)) AS num,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(28,2)) AS den
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS weighted_avg_discount
+FROM g"""

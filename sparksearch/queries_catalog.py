@@ -958,6 +958,10 @@ from .catalog_pipeline import build_round4_s4d  # noqa: E402
 
 CATALOG.update(build_round4_s4d())
 
+from .catalog_pipeline import build_round4_s4f  # noqa: E402
+
+CATALOG.update(build_round4_s4f())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3032,6 +3036,10 @@ assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
+    # (price_histogram / discount_weighted_avg: brand-new but lowest-stakes
+    # trivial aggs — _SWEEP_NEXT front rather than displacing head entries;
+    # the committed tri-scale local sweeps carry their record)
+    "price_histogram", "discount_weighted_avg",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -211,3 +211,34 @@ def test_has_child_topk_matches_pandas(spark, tpch):
     per_n = {k: n for k, (n, b) in per.iterrows()}
     for r in rows:
         assert r.n_matching_children == per_n[r.o_orderkey]
+
+
+def test_histogram_and_weighted_avg_match_pandas(spark, tpch):
+    import math
+
+    import numpy as np
+
+    from sparksearch.joins import (
+        HISTOGRAM_INTERVAL,
+        discount_weighted_avg,
+        price_histogram,
+    )
+
+    pdf = tpch["lineitem"].toPandas()
+    got_h = {r.bucket_start: r for r in price_histogram(tpch["lineitem"]).collect()}
+    buckets = np.floor(pdf.l_extendedprice.to_numpy() / HISTOGRAM_INTERVAL)
+    for b in np.unique(buckets):
+        sel = pdf[buckets == b]
+        r = got_h[b * HISTOGRAM_INTERVAL]
+        assert r.n_items == len(sel)
+        assert float(r.sum_qty) == round(float(np.round(sel.l_quantity, 2).sum()), 2)
+    # buckets partition the table
+    assert sum(r.n_items for r in got_h.values()) == len(pdf)
+
+    got_w = {r.l_returnflag: r for r in discount_weighted_avg(tpch["lineitem"]).collect()}
+    for flag, grp in pdf.groupby("l_returnflag"):
+        d = np.round(grp.l_discount.to_numpy(), 2)
+        q = np.round(grp.l_quantity.to_numpy(), 2)
+        want = float((d * q).sum() / q.sum())
+        assert math.isclose(got_w[flag].weighted_avg_discount, want, abs_tol=5e-7)
+        assert got_w[flag].n == len(grp)
