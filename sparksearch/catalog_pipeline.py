@@ -2476,3 +2476,36 @@ def build_round4_s4f():
             "division (order-independent weighted mean)",
         ),
     }
+
+
+def q_cumulative_cardinality(spark, sf_dir):
+    from .relational import events_cumulative_cardinality
+
+    return events_cumulative_cardinality(_events(spark, sf_dir))
+
+
+def _cum_card_sql() -> str:
+    return """WITH f AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, MIN(date_trunc('hour', ts)) AS h
+  FROM events GROUP BY 1
+),
+hourly AS (SELECT h, COUNT(*) AS n_new_users FROM f GROUP BY 1)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(n_new_users AS BIGINT) AS n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM hourly"""
+
+
+def build_round4_s4g():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_cumulative_cardinality": QuerySpec(
+            q_cumulative_cardinality,
+            _cum_card_sql(),
+            "ES cumulative_cardinality pipeline agg (cumulative distinct "
+            "users / DAU curve): exact via the first-occurrence rewrite - "
+            "a user counts at their FIRST hour, so one min-agg + hours-"
+            "sized cumsum replaces any running-distinct or HLL merge",
+        ),
+    }

@@ -962,6 +962,10 @@ from .catalog_pipeline import build_round4_s4f  # noqa: E402
 
 CATALOG.update(build_round4_s4f())
 
+from .catalog_pipeline import build_round4_s4g  # noqa: E402
+
+CATALOG.update(build_round4_s4g())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3040,6 +3044,7 @@ _SWEEP_NEXT = [
     # trivial aggs — _SWEEP_NEXT front rather than displacing head entries;
     # the committed tri-scale local sweeps carry their record)
     "price_histogram", "discount_weighted_avg",
+    "events_cumulative_cardinality",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -430,3 +430,27 @@ def user_rfm(events: DataFrame, n_buckets: int = RFM_BUCKETS) -> DataFrame:
         F.ntile(n_buckets).over(wf).cast("long").alias("f_q"),
         F.ntile(n_buckets).over(wm).cast("long").alias("m_q"),
     )
+
+
+def events_cumulative_cardinality(events: DataFrame) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg → DF[hour_start, n_new_users,
+    cum_users]: running distinct-user count over the hourly series — the
+    cumulative-uniques/DAU curve. Exact at any scale WITHOUT a running
+    distinct: a user contributes to the cumulative count exactly at their
+    FIRST hour, so cum_users(h) = Σ_{h' ≤ h} first_seen(h') — one user_id
+    min-aggregate (map-side combinable), one hour count, one narrow window
+    cumsum over the hours-sized frame. (ES computes this with merged HLL
+    sketches; the exact first-occurrence rewrite is the engine's
+    deterministic equivalent and needs no sketch.)"""
+    first = events.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("h"))
+    hourly = first.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )

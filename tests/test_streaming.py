@@ -402,3 +402,26 @@ def test_analytics_report_job_deterministic(spark, tmp_path):
     steps = ["signup", "view", "click", "purchase"]
     counts = [s1["funnel"][s][0] for s in steps]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_cumulative_cardinality_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_cumulative_cardinality
+
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+    rows = [
+        (1, H(0), 1, "view"), (2, H(2), 1, "view"),    # u1 first at hour 0
+        (3, H(0, 30), 2, "click"),                      # u2 first at hour 0
+        (4, H(2), 3, "view"), (5, H(5), 3, "view"),     # u3 first at hour 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.hour_start: r for r in events_cumulative_cardinality(df).collect()}
+    # only FIRST-seen hours appear; repeat activity adds nothing
+    assert set(got) == {"2024-01-01 00:00:00", "2024-01-01 02:00:00"}
+    assert got["2024-01-01 00:00:00"].n_new_users == 2
+    assert got["2024-01-01 00:00:00"].cum_users == 2
+    assert got["2024-01-01 02:00:00"].n_new_users == 1
+    assert got["2024-01-01 02:00:00"].cum_users == 3
