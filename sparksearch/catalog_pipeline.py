@@ -2509,3 +2509,109 @@ def build_round4_s4g():
             "sized cumsum replaces any running-distinct or HLL merge",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-5 A
+
+
+def q_orders_multi_terms(spark, sf_dir):
+    from .joins import orders_multi_terms
+
+    return orders_multi_terms(_t(spark, sf_dir, "orders"))
+
+
+def q_lineitem_top_metrics(spark, sf_dir):
+    from .joins import lineitem_top_metrics
+
+    return lineitem_top_metrics(_t(spark, sf_dir, "lineitem"))
+
+
+def q_orders_bucket_selector(spark, sf_dir):
+    from .joins import orders_bucket_selector
+
+    return orders_bucket_selector(_t(spark, sf_dir, "orders"))
+
+
+def q_events_serial_diff(spark, sf_dir):
+    from .relational import events_serial_diff
+
+    return events_serial_diff(_events(spark, sf_dir))
+
+
+def q_events_latest_by_user(spark, sf_dir):
+    from .relational import events_latest_by_user
+
+    return events_latest_by_user(_events(spark, sf_dir))
+
+
+_SERIAL_DIFF_SQL = """WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_i FROM events
+),
+c AS (SELECT day_i, COUNT(*) AS n_events FROM d GROUP BY 1),
+rng AS (SELECT MIN(day_i) AS lo, MAX(day_i) AS hi FROM c),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day_i FROM rng),
+filled AS (
+  SELECT g.day_i, COALESCE(c.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN c ON c.day_i = g.day_i
+)
+SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events - LAG(n_events, 7) OVER (ORDER BY day_i) AS BIGINT) AS diff7
+FROM filled"""
+
+
+_LATEST_BY_USER_SQL = """WITH r AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_event_type,
+       CAST(ROUND(CAST(value AS DECIMAL(28,9)), 6) AS DOUBLE) AS last_value
+FROM r WHERE rn = 1"""
+
+
+def build_round4_s5a():
+    from .joins import BUCKET_SELECTOR_SQL, MULTI_TERMS_SQL, TOP_METRICS_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "orders_multi_terms": QuerySpec(
+            q_orders_multi_terms,
+            MULTI_TERMS_SQL,
+            "ES multi_terms agg: top-k composite (priority, status) buckets "
+            "by doc count — one map-side group-by, rank window on the "
+            "bucket-count-sized frame, exact-decimal sums",
+        ),
+        "lineitem_top_metrics": QuerySpec(
+            q_lineitem_top_metrics,
+            TOP_METRICS_SQL,
+            "ES top_metrics agg: metric columns from the latest-shipdate row "
+            "per returnflag via ONE max(struct) map-combinable agg (negated "
+            "tiebreakers make lexicographic max the wanted row) vs the "
+            "oracle's row_number form — two algorithms, one answer",
+        ),
+        "orders_bucket_selector": QuerySpec(
+            q_orders_bucket_selector,
+            BUCKET_SELECTOR_SQL,
+            "ES bucket_selector + bucket_sort pipeline aggs: above-mean "
+            "monthly-revenue gate via exact-decimal cross-multiplication "
+            "(revenue*n_months > total, no division), top-k by revenue",
+        ),
+        "events_serial_diff": QuerySpec(
+            q_events_serial_diff,
+            _SERIAL_DIFF_SQL,
+            "ES serial_diff pipeline agg (lag=7): daily counts on a dense "
+            "min_doc_count=0 day grid (integer epoch-day discipline), "
+            "week-over-week difference, NULL for the first 7 buckets",
+        ),
+        "events_latest_by_user": QuerySpec(
+            q_events_latest_by_user,
+            _LATEST_BY_USER_SQL,
+            "ES latest transform: most recent event per user via ONE "
+            "max(struct) map-combinable agg (no window, monster-user-proof) "
+            "vs the oracle's row_number form",
+        ),
+    }

@@ -709,3 +709,141 @@ WEIGHTED_AVG_SQL = """WITH g AS (
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS weighted_avg_discount
 FROM g"""
+
+
+MULTI_TERMS_K = 10
+
+
+def orders_multi_terms(orders: DataFrame, k: int = MULTI_TERMS_K) -> DataFrame:
+    """ES multi_terms aggregation → DF[rank, o_orderpriority, o_orderstatus,
+    n_orders, sum_total]: top-k composite (priority, status) buckets by doc
+    count — the multi-field sibling of the terms agg (one bucket per value
+    COMBINATION, unlike a nested terms tree). One map-side-combinable
+    group-by; the rank window runs over the bucket-count-sized frame
+    (|priorities|x|statuses| ≤ 15), never the order rows. Total order
+    (n_orders DESC, priority ASC, status ASC); sums exact decimal."""
+    g = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("sum_total"),
+    )
+    w = Window.orderBy(
+        F.desc("n_orders"), F.asc("o_orderpriority"), F.asc("o_orderstatus")
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "o_orderpriority", "o_orderstatus", "n_orders", "sum_total")
+    )
+
+
+MULTI_TERMS_SQL = f"""WITH g AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_total
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_orders DESC, o_orderpriority ASC, o_orderstatus ASC) AS rank
+  FROM g
+)
+SELECT CAST(rank AS BIGINT) AS rank, o_orderpriority, o_orderstatus,
+       CAST(n_orders AS BIGINT) AS n_orders, sum_total
+FROM r WHERE rank <= {MULTI_TERMS_K}"""
+
+
+def lineitem_top_metrics(lineitem: DataFrame) -> DataFrame:
+    """ES top_metrics aggregation per l_returnflag → DF[l_returnflag,
+    latest_shipdate, l_orderkey, top_price, top_discount]: the metric
+    columns taken from the row with the LATEST l_shipdate (ties broken
+    lowest (l_orderkey, l_linenumber) — a total order since that pair is
+    the table key). Implemented as ONE map-side-combinable max(struct)
+    aggregate — sort keys lead the struct with tiebreakers negated so
+    lexicographic max IS the wanted row; no window, no per-group sort, so
+    a 3-group key can't skew at scale. The oracle uses the row_number
+    form — two algorithms, one answer."""
+    s = F.struct(
+        F.col("l_shipdate").alias("sd"),
+        (-F.col("l_orderkey")).alias("nok"),
+        (-F.col("l_linenumber").cast("long")).alias("nln"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(9,2)").alias("disc"),
+    )
+    g = lineitem.groupBy("l_returnflag").agg(F.max(s).alias("t"))
+    return g.select(
+        "l_returnflag",
+        F.date_format("t.sd", "yyyy-MM-dd").alias("latest_shipdate"),
+        (-F.col("t.nok")).cast("long").alias("l_orderkey"),
+        F.col("t.price").alias("top_price"),
+        F.col("t.disc").alias("top_discount"),
+    )
+
+
+TOP_METRICS_SQL = """WITH r AS (
+  SELECT l_returnflag, l_shipdate, l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS top_price,
+         CAST(l_discount AS DECIMAL(9,2)) AS top_discount,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+)
+SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS latest_shipdate,
+       CAST(l_orderkey AS BIGINT) AS l_orderkey, top_price, top_discount
+FROM r WHERE rn = 1"""
+
+
+BUCKET_SORT_K = 6
+
+
+def orders_bucket_selector(orders: DataFrame, k: int = BUCKET_SORT_K) -> DataFrame:
+    """ES bucket_selector + bucket_sort pipeline aggs → DF[rank, month,
+    n_orders, revenue]: monthly revenue buckets, selector keeps buckets
+    ABOVE the mean monthly revenue, bucket_sort takes the top-k by revenue.
+    The above-mean gate is exact-decimal CROSS-MULTIPLICATION
+    (revenue·n_months > total) — no division anywhere, so the selector is
+    engine-exact and scale-factor-robust (a fixed threshold would pass
+    everything or nothing as SF moves). Rank window runs on the
+    months-sized frame only."""
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("revenue"),
+    )
+    tot = m.agg(
+        F.sum("revenue").cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("nm"),
+    )
+    kept = m.crossJoin(F.broadcast(tot)).filter(
+        F.col("revenue").cast("decimal(28,2)") * F.col("nm") > F.col("tot")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("month"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "month", "n_orders", "revenue")
+    )
+
+
+BUCKET_SELECTOR_SQL = f"""WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(revenue) AS DECIMAL(38,2)) AS tot,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS nm
+  FROM m
+),
+kept AS (
+  SELECT m.* FROM m, t WHERE CAST(m.revenue AS DECIMAL(28,2)) * t.nm > t.tot
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, month ASC) AS rank FROM kept
+)
+SELECT CAST(rank AS BIGINT) AS rank, month, CAST(n_orders AS BIGINT) AS n_orders,
+       revenue
+FROM r WHERE rank <= {BUCKET_SORT_K}"""

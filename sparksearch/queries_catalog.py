@@ -966,6 +966,10 @@ from .catalog_pipeline import build_round4_s4g  # noqa: E402
 
 CATALOG.update(build_round4_s4g())
 
+from .catalog_pipeline import build_round4_s5a  # noqa: E402
+
+CATALOG.update(build_round4_s5a())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3045,6 +3049,10 @@ _SWEEP_NEXT = [
     # the committed tri-scale local sweeps carry their record)
     "price_histogram", "discount_weighted_avg",
     "events_cumulative_cardinality",
+    # round-4 session-5 additions (brand new — local tri-scale sweeps carry
+    # their record; head stays frozen at the 50 highest-stakes entries)
+    "orders_multi_terms", "lineitem_top_metrics", "orders_bucket_selector",
+    "events_serial_diff", "events_latest_by_user",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

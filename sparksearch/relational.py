@@ -454,3 +454,71 @@ def events_cumulative_cardinality(events: DataFrame) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+SERIAL_DIFF_LAG = 7
+
+
+def events_serial_diff(events: DataFrame, lag: int = SERIAL_DIFF_LAG) -> DataFrame:
+    """ES serial_diff pipeline agg (lag=7: week-over-week seasonality
+    removal) → DF[day, n_events, diff7]: daily event counts on a DENSE day
+    grid (ES date_histogram emits min_doc_count=0 buckets — missing days
+    count 0, exactly like the histogram the pipeline agg runs over), then
+    n(d) − n(d−lag) with NULL for the first `lag` buckets. Day bucketing is
+    the integer epoch-day discipline (cohort_retention precedent:
+    date_trunc is NOT engine-identical; floor(epoch/86400) is). The grid
+    explode + lag window run on the days-sized frame, never the events."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long").alias("day_i")
+    counts = events.select(day).groupBy("day_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    full = grid.join(counts, "day_i", "left").select(
+        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
+    )
+    w = Window.orderBy("day_i")
+    return full.select(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_i").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        (F.col("n_events") - F.lag("n_events", lag).over(w)).cast("long").alias(
+            "diff7"
+        ),
+    )
+
+
+def events_latest_by_user(events: DataFrame) -> DataFrame:
+    """ES 'latest' transform (continuous latest-doc-per-entity
+    materialization) → DF[user_id, last_ts, last_event_id, last_event_type,
+    last_value]: the most recent event per user, ties (impossible — event_id
+    is unique at equal ts) broken by highest event_id. ONE map-side-
+    combinable max(struct) aggregate — sort keys (ts, event_id) lead the
+    struct so lexicographic max IS the latest row; no window, no per-user
+    sort, so a monster user costs the same as any other. Oracle is the
+    row_number form — two algorithms, one answer. last_value ships round6
+    (raw-double passthrough quantized on both sides, invariant #5)."""
+    s = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+    )
+    g = events.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(s).alias("t")
+    )
+    from .stats import round6
+
+    return g.select(
+        "user_id",
+        F.date_format("t.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("t.eid").cast("long").alias("last_event_id"),
+        F.col("t.et").alias("last_event_type"),
+        round6(F.col("t.v")).alias("last_value"),
+    )

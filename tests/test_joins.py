@@ -242,3 +242,59 @@ def test_histogram_and_weighted_avg_match_pandas(spark, tpch):
         want = float((d * q).sum() / q.sum())
         assert math.isclose(got_w[flag].weighted_avg_discount, want, abs_tol=5e-7)
         assert got_w[flag].n == len(grp)
+
+
+def test_multi_terms_matches_pandas(spark, tpch):
+    from sparksearch.joins import MULTI_TERMS_K, orders_multi_terms
+
+    rows = sorted(orders_multi_terms(tpch["orders"]).collect(), key=lambda r: r.rank)
+    pdf = tpch["orders"].toPandas()
+    g = (
+        pdf.groupby(["o_orderpriority", "o_orderstatus"])
+        .agg(n=("o_orderkey", "size"), s=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    exp = sorted(
+        g.itertuples(), key=lambda t: (-t.n, t.o_orderpriority, t.o_orderstatus)
+    )[:MULTI_TERMS_K]
+    assert [(r.o_orderpriority, r.o_orderstatus, r.n_orders) for r in rows] == [
+        (t.o_orderpriority, t.o_orderstatus, t.n) for t in exp
+    ]
+    for r, t in zip(rows, exp):
+        assert abs(float(r.sum_total) - round(t.s, 2)) < 0.02
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_top_metrics_matches_pandas(spark, tpch):
+    from sparksearch.joins import lineitem_top_metrics
+
+    rows = {r.l_returnflag: r for r in lineitem_top_metrics(tpch["lineitem"]).collect()}
+    pdf = tpch["lineitem"].toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        top = grp.sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).iloc[0]
+        r = rows[flag]
+        assert r.latest_shipdate == top.l_shipdate.strftime("%Y-%m-%d")
+        assert r.l_orderkey == top.l_orderkey
+        assert abs(float(r.top_price) - round(top.l_extendedprice, 2)) < 0.005
+        assert abs(float(r.top_discount) - round(top.l_discount, 2)) < 0.005
+
+
+def test_bucket_selector_above_mean_gate(spark, tpch):
+    from sparksearch.joins import BUCKET_SORT_K, orders_bucket_selector
+
+    rows = sorted(orders_bucket_selector(tpch["orders"]).collect(), key=lambda r: r.rank)
+    pdf = tpch["orders"].toPandas()
+    pdf["month"] = pdf.o_orderdate.map(lambda d: d.strftime("%Y-%m"))
+    m = pdf.groupby("month").agg(n=("o_orderkey", "size"), rev=("o_totalprice", "sum"))
+    mean_rev = m.rev.sum() / len(m)
+    kept = m[m.rev > mean_rev + 1e-9].sort_index()
+    exp = sorted(kept.itertuples(), key=lambda t: (-t.rev, t.Index))[:BUCKET_SORT_K]
+    assert [r.month for r in rows] == [t.Index for t in exp]
+    assert [r.n_orders for r in rows] == [t.n for t in exp]
+    # every returned bucket is strictly above the mean; ranks are dense
+    for r in rows:
+        assert float(r.revenue) > mean_rev - 0.01
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

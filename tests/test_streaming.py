@@ -425,3 +425,43 @@ def test_cumulative_cardinality_hand_case(spark):
     assert got["2024-01-01 00:00:00"].cum_users == 2
     assert got["2024-01-01 02:00:00"].n_new_users == 1
     assert got["2024-01-01 02:00:00"].cum_users == 3
+
+
+def test_serial_diff_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_serial_diff
+
+    D = lambda d, h=0: dt.datetime(2024, 1, d, h, 0, 0)  # noqa: E731
+    # days 1, 2, 9 active (day 9 = day 2 + 7); days 3-8 empty -> dense grid
+    rows = [(1, D(1)), (2, D(1, 5)), (3, D(2)), (4, D(9)), (5, D(9, 23))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.day: r for r in events_serial_diff(df).collect()}
+    assert len(got) == 9  # dense min_doc_count=0 grid: 2024-01-01..09
+    assert got["2024-01-03"].n_events == 0  # gap day materialized
+    assert got["2024-01-01"].diff7 is None  # first `lag` buckets NULL
+    assert got["2024-01-07"].diff7 is None
+    assert got["2024-01-08"].diff7 == 0 - 2  # day8(0) - day1(2)
+    assert got["2024-01-09"].diff7 == 2 - 1  # day9(2) - day2(1)
+
+
+def test_latest_by_user_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_latest_by_user
+
+    T = lambda h: dt.datetime(2024, 3, 1, h, 0, 0)  # noqa: E731
+    rows = [
+        (10, T(1), 1, "view", 1.5),
+        (11, T(9), 1, "click", 2.5),   # u1 latest
+        (12, T(5), 2, "view", 3.0),
+        (13, T(5), 2, "purchase", 4.0),  # u2: equal ts -> higher event_id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.user_id: r for r in events_latest_by_user(df).collect()}
+    assert got[1].last_event_id == 11 and got[1].last_event_type == "click"
+    assert got[1].last_ts == "2024-03-01 09:00:00"
+    assert got[2].last_event_id == 13 and got[2].last_event_type == "purchase"
+    assert abs(got[2].last_value - 4.0) < 1e-9
