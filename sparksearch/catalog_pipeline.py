@@ -2615,3 +2615,97 @@ def build_round4_s5a():
             "vs the oracle's row_number form",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-5 B
+
+
+def q_orders_date_range(spark, sf_dir):
+    from .joins import orders_date_range
+
+    return orders_date_range(_t(spark, sf_dir, "orders"))
+
+
+def q_lineitem_boxplot(spark, sf_dir):
+    from .joins import lineitem_boxplot
+
+    return lineitem_boxplot(_t(spark, sf_dir, "lineitem"))
+
+
+def q_lineitem_t_test(spark, sf_dir):
+    from .joins import lineitem_t_test
+
+    return lineitem_t_test(_t(spark, sf_dir, "lineitem"))
+
+
+def q_lineitem_has_parent(spark, sf_dir):
+    from .joins import lineitem_has_parent_topk
+
+    return lineitem_has_parent_topk(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_events_rate(spark, sf_dir):
+    from .relational import events_rate
+
+    return events_rate(_events(spark, sf_dir))
+
+
+def q_events_geotile(spark, sf_dir):
+    from .relational import events_geotile
+
+    return events_geotile(_events(spark, sf_dir))
+
+
+def build_round4_s5b():
+    from .joins import (
+        BOXPLOT_SQL,
+        DATE_RANGE_SQL,
+        HAS_PARENT_SQL,
+        T_TEST_SQL,
+    )
+    from .relational import GEOTILE_SQL, RATE_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "orders_date_range": QuerySpec(
+            q_orders_date_range,
+            DATE_RANGE_SQL,
+            "ES date_range agg: keyed half-open [from, to) date buckets, "
+            "one map-side when-chain group-by, exact-decimal sums",
+        ),
+        "lineitem_boxplot": QuerySpec(
+            q_lineitem_boxplot,
+            BOXPLOT_SQL,
+            "ES boxplot agg: exact linear-interpolated quartiles (integer "
+            "floor/frac + decimal interpolation — no engine percentile "
+            "builtin executes) + 1.5·IQR whiskers; TDigest/GK documented "
+            "as the 100 TB path with this as its oracle",
+        ),
+        "lineitem_t_test": QuerySpec(
+            q_lineitem_t_test,
+            T_TEST_SQL,
+            "ES t_test agg (Welch): decimal-exact moments, identical final "
+            "double op sequence; one 2-key map-combinable aggregate",
+        ),
+        "lineitem_has_parent": QuerySpec(
+            q_lineitem_has_parent,
+            HAS_PARENT_SQL,
+            "ES has_parent query: parent predicate reduces to a keyset "
+            "before the join, TakeOrderedAndProject page cut",
+        ),
+        "events_rate": QuerySpec(
+            q_events_rate,
+            RATE_SQL,
+            "ES rate agg: monthly counts normalized to events/day via "
+            "integer calendar math + one double division",
+        ),
+        "events_geotile": QuerySpec(
+            q_events_geotile,
+            GEOTILE_SQL,
+            "ES geotile_grid agg: pure-BIGINT fixed-zoom tile bucketing "
+            "over h60-derived deterministic positions; exact distinct "
+            "users per tile",
+        ),
+    }

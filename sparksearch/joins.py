@@ -847,3 +847,333 @@ r AS (
 SELECT CAST(rank AS BIGINT) AS rank, month, CAST(n_orders AS BIGINT) AS n_orders,
        revenue
 FROM r WHERE rank <= {BUCKET_SORT_K}"""
+
+
+DATE_RANGE_BOUNDS = ("1997-01-01", "1999-01-01")
+
+
+def orders_date_range(orders: DataFrame) -> DataFrame:
+    """ES date_range aggregation → DF[range_key, from_date, to_date,
+    n_orders, sum_total]: keyed half-open [from, to) date buckets (the ES
+    contract: from inclusive, to exclusive, unbounded edges allowed) over
+    o_orderdate. One map-side-combinable when-chain group-by — the bucket
+    expression is pure codegen, zero extra shuffle beyond the 3-key agg;
+    sums exact decimal."""
+    lo, hi = DATE_RANGE_BOUNDS
+    d = F.col("o_orderdate").cast("date")
+    key = (
+        F.when(d < F.lit(lo).cast("date"), F.lit(f"*-{lo}"))
+        .when(d < F.lit(hi).cast("date"), F.lit(f"{lo}-{hi}"))
+        .otherwise(F.lit(f"{hi}-*"))
+    )
+    g = orders.groupBy(key.alias("range_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("sum_total"),
+    )
+    return g.select(
+        "range_key",
+        F.when(F.col("range_key") == f"*-{lo}", F.lit(None).cast("string"))
+        .when(F.col("range_key") == f"{lo}-{hi}", F.lit(lo))
+        .otherwise(F.lit(hi))
+        .alias("from_date"),
+        F.when(F.col("range_key") == f"*-{lo}", F.lit(lo))
+        .when(F.col("range_key") == f"{lo}-{hi}", F.lit(hi))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("to_date"),
+        "n_orders",
+        "sum_total",
+    )
+
+
+DATE_RANGE_SQL = f"""WITH b AS (
+  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '{DATE_RANGE_BOUNDS[0]}'
+                THEN '*-{DATE_RANGE_BOUNDS[0]}'
+              WHEN CAST(o_orderdate AS DATE) < DATE '{DATE_RANGE_BOUNDS[1]}'
+                THEN '{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}'
+              ELSE '{DATE_RANGE_BOUNDS[1]}-*' END AS range_key,
+         o_totalprice
+  FROM orders
+)
+SELECT range_key,
+       CASE range_key WHEN '*-{DATE_RANGE_BOUNDS[0]}' THEN NULL
+                      WHEN '{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}' THEN '{DATE_RANGE_BOUNDS[0]}'
+                      ELSE '{DATE_RANGE_BOUNDS[1]}' END AS from_date,
+       CASE range_key WHEN '*-{DATE_RANGE_BOUNDS[0]}' THEN '{DATE_RANGE_BOUNDS[0]}'
+                      WHEN '{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}' THEN '{DATE_RANGE_BOUNDS[1]}'
+                      ELSE NULL END AS to_date,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_total
+FROM b GROUP BY 1"""
+
+
+def lineitem_boxplot(lineitem: DataFrame) -> DataFrame:
+    """ES boxplot aggregation per l_returnflag → DF[l_returnflag, n, vmin,
+    vmax, q1, q2, q3, lower_whisker, upper_whisker]: exact linear-interpolated
+    quartiles (the R-7/NumPy 'linear' rule ES documents) plus the 1.5·IQR
+    whiskers (nearest actual values inside the fences).
+
+    Engine-exact percentile discipline: with h = (n−1)·p, p ∈ {¼,½,¾},
+    lo = floor(h) and frac = h − lo ∈ {0,¼,½,¾} are EXACT in both engines
+    (integer products divided by 4.0 — a power of two), the two bracketing
+    order statistics are picked by conditional aggregation over a
+    row_number window, and the interpolation runs in exact decimals — no
+    engine percentile builtin executes (Spark percentile / DuckDB quantile
+    interpolate in doubles and may differ by ULPs). Cost: ONE
+    per-group-sort window shuffle; at 100 TB the same contract is served by
+    the documented sketch path (ES boxplot itself is TDigest-backed;
+    stats.quantile_thresholds is this repo's GK variant) with this exact
+    form as its small-scale oracle. Whisker pass re-scans with the 3-row
+    quartile frame broadcast."""
+    import decimal as _d
+
+    v = lineitem.select(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(12,2)").alias("v")
+    )
+    ws = Window.partitionBy("l_returnflag").orderBy("v")
+    wa = Window.partitionBy("l_returnflag")
+    r = v.select(
+        "l_returnflag", "v",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    aggs = [
+        F.max("n").cast("long").alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    ]
+    for p in (1, 2, 3):
+        lo = F.floor(((F.col("n") - 1) * p) / F.lit(4.0)).cast("long")
+        aggs += [
+            F.max(F.when(F.col("rn") == lo + 1, F.col("v"))).alias(f"lo{p}"),
+            F.max(F.when(F.col("rn") == lo + 2, F.col("v"))).alias(f"hi{p}"),
+            F.max((F.col("n") - 1) * p - 4 * lo).cast("long").alias(f"rem{p}"),
+        ]
+    g = r.groupBy("l_returnflag").agg(*aggs)
+    qcols = []
+    for p in (1, 2, 3):
+        frac = (F.col(f"rem{p}") * F.lit(_d.Decimal("0.25"))).cast("decimal(3,2)")
+        q = (
+            F.col(f"lo{p}")
+            + (F.coalesce(f"hi{p}", f"lo{p}") - F.col(f"lo{p}")) * frac
+        ).cast("decimal(19,4)")
+        qcols.append(q.alias(f"q{p}"))
+    q = g.select("l_returnflag", "n", "vmin", "vmax", *qcols).select(
+        "*",
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * F.lit(_d.Decimal("1.5")))
+        .cast("decimal(24,5)")
+        .alias("fence_lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * F.lit(_d.Decimal("1.5")))
+        .cast("decimal(24,5)")
+        .alias("fence_hi"),
+    )
+    wk = (
+        v.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("v") >= F.col("fence_lo"), F.col("v"))).alias(
+                "lower_whisker"
+            ),
+            F.max(F.when(F.col("v") <= F.col("fence_hi"), F.col("v"))).alias(
+                "upper_whisker"
+            ),
+        )
+    )
+    return q.join(wk, "l_returnflag").select(
+        "l_returnflag", "n", "vmin", "vmax", "q1", "q2", "q3",
+        "lower_whisker", "upper_whisker",
+    )
+
+
+BOXPLOT_SQL = """WITH v AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+),
+g AS (
+  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(v) AS vmin, MAX(v) AS vmax,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*1)/4.0) AS BIGINT) + 1 THEN v END) AS lo1,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*1)/4.0) AS BIGINT) + 2 THEN v END) AS hi1,
+         CAST(MAX((n-1)*1 - 4*CAST(floor(((n-1)*1)/4.0) AS BIGINT)) AS BIGINT) AS rem1,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*2)/4.0) AS BIGINT) + 1 THEN v END) AS lo2,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*2)/4.0) AS BIGINT) + 2 THEN v END) AS hi2,
+         CAST(MAX((n-1)*2 - 4*CAST(floor(((n-1)*2)/4.0) AS BIGINT)) AS BIGINT) AS rem2,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*3)/4.0) AS BIGINT) + 1 THEN v END) AS lo3,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*3)/4.0) AS BIGINT) + 2 THEN v END) AS hi3,
+         CAST(MAX((n-1)*3 - 4*CAST(floor(((n-1)*3)/4.0) AS BIGINT)) AS BIGINT) AS rem3
+  FROM r GROUP BY 1
+),
+q AS (
+  SELECT l_returnflag, n, vmin, vmax,
+         CAST(lo1 + (COALESCE(hi1, lo1) - lo1) * CAST(rem1 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS q1,
+         CAST(lo2 + (COALESCE(hi2, lo2) - lo2) * CAST(rem2 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS q2,
+         CAST(lo3 + (COALESCE(hi3, lo3) - lo3) * CAST(rem3 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS q3
+  FROM g
+),
+qf AS (
+  SELECT *, CAST(q1 - (q3 - q1) * 1.5 AS DECIMAL(24,5)) AS fence_lo,
+            CAST(q3 + (q3 - q1) * 1.5 AS DECIMAL(24,5)) AS fence_hi
+  FROM q
+),
+wk AS (
+  SELECT v.l_returnflag,
+         MIN(CASE WHEN v.v >= qf.fence_lo THEN v.v END) AS lower_whisker,
+         MAX(CASE WHEN v.v <= qf.fence_hi THEN v.v END) AS upper_whisker
+  FROM v JOIN qf USING (l_returnflag) GROUP BY 1
+)
+SELECT qf.l_returnflag, n, vmin, vmax, q1, q2, q3, lower_whisker, upper_whisker
+FROM qf JOIN wk ON qf.l_returnflag = wk.l_returnflag"""
+
+
+T_TEST_FLAGS = ("A", "R")
+
+
+def lineitem_t_test(lineitem: DataFrame) -> DataFrame:
+    """ES t_test aggregation (heteroscedastic / Welch, the ES default) →
+    one-row DF[n_a, n_b, mean_a, mean_b, t_stat]: two-sample t-statistic of
+    l_discount between l_returnflag populations A and R.
+
+    Decimal-exact moments (width budget good past 10^8 rows/side: x is
+    decimal(4,2), Σx decimal(12,2), Σx² decimal(12,4) — the n·Σx²−(Σx)²
+    variance numerators stay ≤ decimal(26,4), order-independent), then the
+    SAME final double op sequence on both engines: two divisions per
+    moment, one add, one sqrt, one subtract, one divide — each correctly
+    rounded IEEE from identical decimal inputs. ONE map-side-combinable
+    2-key aggregate + a scalar fold; no shuffle wider than 2 rows."""
+    x = F.col("l_discount").cast("decimal(4,2)")
+    g = (
+        lineitem.filter(F.col("l_returnflag").isin(*T_TEST_FLAGS))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+            F.sum(x).cast("decimal(12,2)").alias("s"),
+            F.sum((x * x).cast("decimal(8,4)")).cast("decimal(12,4)").alias("ss"),
+        )
+    )
+    a, b = T_TEST_FLAGS
+    p = g.agg(
+        *[
+            F.max(F.when(F.col("l_returnflag") == f, F.col(c))).alias(f"{c}_{f}")
+            for f in (a, b)
+            for c in ("n", "s", "ss")
+        ]
+    )
+
+    def m(f):
+        return F.col(f"s_{f}").cast("double") / F.col(f"n_{f}").cast("double")
+
+    def var(f):
+        num = (
+            F.col(f"n_{f}") * F.col(f"ss_{f}") - F.col(f"s_{f}") * F.col(f"s_{f}")
+        ).cast("decimal(28,4)")
+        den = F.col(f"n_{f}") * (F.col(f"n_{f}") - 1)
+        return num.cast("double") / den.cast("double")
+
+    from .stats import round6
+
+    se = F.sqrt(
+        var(a) / F.col(f"n_{a}").cast("double")
+        + var(b) / F.col(f"n_{b}").cast("double")
+    )
+    return p.select(
+        F.col(f"n_{a}").cast("long").alias("n_a"),
+        F.col(f"n_{b}").cast("long").alias("n_b"),
+        round6(m(a)).alias("mean_a"),
+        round6(m(b)).alias("mean_b"),
+        round6((m(a) - m(b)) / se).alias("t_stat"),
+    )
+
+
+T_TEST_SQL = """WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2)) AS s,
+         CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS DECIMAL(12,4)) AS ss
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+),
+p AS (
+  SELECT MAX(CASE WHEN l_returnflag = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN l_returnflag = 'A' THEN s END) AS s_a,
+         MAX(CASE WHEN l_returnflag = 'A' THEN ss END) AS ss_a,
+         MAX(CASE WHEN l_returnflag = 'R' THEN n END) AS n_b,
+         MAX(CASE WHEN l_returnflag = 'R' THEN s END) AS s_b,
+         MAX(CASE WHEN l_returnflag = 'R' THEN ss END) AS ss_b
+  FROM g
+),
+d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+         CAST(CAST(n_a * ss_a - s_a * s_a AS DECIMAL(28,4)) AS DOUBLE)
+           / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+         CAST(CAST(n_b * ss_b - s_b * s_b AS DECIMAL(28,4)) AS DOUBLE)
+           / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+  FROM p
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(m_a AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_a,
+       CAST(ROUND(CAST(m_b AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_b,
+       CAST(ROUND(CAST((m_a - m_b) / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS t_stat
+FROM d"""
+
+
+HAS_PARENT_K = 15
+HAS_PARENT_PRIORITY = "1-URGENT"
+
+
+def lineitem_has_parent_topk(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = HAS_PARENT_K,
+) -> DataFrame:
+    """ES parent-child `has_parent` query → DF[rank, l_orderkey,
+    l_linenumber, score]: children (lineitem) whose PARENT (orders) matches
+    the parent query (o_orderpriority = 1-URGENT), scored by the child's
+    own revenue, top-k under the engine total order (round6(score) DESC,
+    l_orderkey ASC, l_linenumber ASC).
+
+    The mirror of has_child: the PARENT side reduces before the join (a
+    bare keyset — the parent predicate never touches child rows), the join
+    is key-partitioned (AQE broadcasts the filtered keyset when small; at
+    100 TB a 20%-selectivity parent set stays a shuffle join, co-partitioned
+    with any bucketed child layout), and the page cut is
+    TakeOrderedAndProject — no global sort, no window over child rows."""
+    parents = orders.filter(
+        F.col("o_orderpriority") == HAS_PARENT_PRIORITY
+    ).select("o_orderkey")
+    scored = lineitem.join(
+        parents, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        round6(_rev().cast("double")).alias("score"),
+    )
+    page = scored.orderBy(
+        F.desc("score"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return page.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "l_orderkey", "l_linenumber", "score"
+    )
+
+
+HAS_PARENT_SQL = f"""WITH s AS (
+  SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(ROUND(CAST(CAST({_REV_SQL} AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{HAS_PARENT_PRIORITY}'
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY score DESC, l_orderkey ASC, l_linenumber ASC) AS rnk
+  FROM s
+)
+SELECT CAST(rnk AS BIGINT) AS rank, l_orderkey, l_linenumber, score
+FROM r WHERE rnk <= {HAS_PARENT_K}"""

@@ -970,6 +970,10 @@ from .catalog_pipeline import build_round4_s5a  # noqa: E402
 
 CATALOG.update(build_round4_s5a())
 
+from .catalog_pipeline import build_round4_s5b  # noqa: E402
+
+CATALOG.update(build_round4_s5b())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3053,6 +3057,8 @@ _SWEEP_NEXT = [
     # their record; head stays frozen at the 50 highest-stakes entries)
     "orders_multi_terms", "lineitem_top_metrics", "orders_bucket_selector",
     "events_serial_diff", "events_latest_by_user",
+    "orders_date_range", "lineitem_boxplot", "lineitem_t_test",
+    "lineitem_has_parent", "events_rate", "events_geotile",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

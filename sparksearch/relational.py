@@ -522,3 +522,97 @@ def events_latest_by_user(events: DataFrame) -> DataFrame:
         F.col("t.et").alias("last_event_type"),
         round6(F.col("t.v")).alias("last_value"),
     )
+
+
+def events_rate(events: DataFrame) -> DataFrame:
+    """ES rate aggregation (unit=day inside a monthly date_histogram) →
+    DF[month, event_type, n_events, days_in_month, rate_per_day]: per-type
+    monthly event counts normalized to events/day. Calendar length comes
+    from integer date math (datediff of consecutive month starts — exact
+    and identical cross-engine, unlike day-of-last-day juggling); the rate
+    is ONE double division of exact integers, round6 on both sides. One
+    map-side-combinable aggregate, zero joins."""
+    ms = F.date_trunc("month", F.col("ts")).cast("date")
+    g = events.groupBy(
+        F.date_format(ms, "yyyy-MM").alias("month"),
+        F.datediff(F.add_months(ms, 1), ms).cast("long").alias("days_in_month"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    from .stats import round6
+
+    return g.select(
+        "month", "event_type", "n_events", "days_in_month",
+        round6(
+            F.col("n_events").cast("double") / F.col("days_in_month").cast("double")
+        ).alias("rate_per_day"),
+    )
+
+
+RATE_SQL = """WITH g AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(date_diff('day', CAST(date_trunc('month', ts) AS DATE),
+              CAST(date_trunc('month', ts) AS DATE) + INTERVAL 1 MONTH) AS BIGINT)
+           AS days_in_month,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT month, event_type, CAST(n_events AS BIGINT) AS n_events, days_in_month,
+       CAST(ROUND(CAST(CAST(n_events AS DOUBLE) / CAST(days_in_month AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS rate_per_day
+FROM g"""
+
+
+GEOTILE_ZOOM = 6
+
+
+def events_geotile(events: DataFrame, zoom: int = GEOTILE_ZOOM) -> DataFrame:
+    """ES geotile_grid aggregation → DF[tile, n_events, n_users]: events
+    bucketed into z/x/y map tiles at a fixed zoom. The fixture has no geo
+    column, so a deterministic synthetic position derives from the data
+    itself (h60 of the user id, the repo's cross-engine hash): integer
+    MILLI-degrees lon ∈ [−180000, 180000), lat ∈ [−85000, 85000) — the
+    geotile latitude clamp band.
+
+    Tile math is PURE BIGINT — x = (lon_mdeg+180000)·2^z div 360000, and an
+    equirectangular y (documented divergence: ES projects Web-Mercator,
+    whose ln/tan would need the quantize discipline; the grid CONTRACT —
+    fixed-zoom keyed buckets, map-side-combinable — is identical). Integer
+    div with provably non-negative operands, so Spark `div` (truncating)
+    and DuckDB `//` (truncating) agree. One codegen projection + one
+    grouped agg; n_users is an exact distinct (at 100 TB the HLL variant
+    swaps in per the cumulative_cardinality precedent)."""
+    from .textpipe import h60
+
+    nt = 1 << zoom
+    lon = (
+        F.pmod(h60(F.concat(F.lit("geo-lon|"), F.col("user_id").cast("string"))), F.lit(360000))
+        - 180000
+    ).alias("lon_mdeg")
+    lat = (
+        F.pmod(h60(F.concat(F.lit("geo-lat|"), F.col("user_id").cast("string"))), F.lit(170000))
+        - 85000
+    ).alias("lat_mdeg")
+    pos = events.select("event_id", "user_id", lon, lat)
+    tx = F.expr(f"((lon_mdeg + 180000) * {nt}) div 360000")
+    ty = F.expr(f"((85000 - 1 - lat_mdeg) * {nt}) div 170000")
+    g = pos.groupBy(
+        F.concat_ws("/", F.lit(zoom), tx, ty).alias("tile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return g
+
+
+GEOTILE_SQL = f"""WITH pos AS (
+  SELECT event_id, user_id,
+         ('0x' || substring(md5('geo-lon|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 360000 - 180000 AS lon_mdeg,
+         ('0x' || substring(md5('geo-lat|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 170000 - 85000 AS lat_mdeg
+  FROM events
+)
+SELECT CAST({GEOTILE_ZOOM} AS VARCHAR) || '/' ||
+       CAST(((lon_mdeg + 180000) * {1 << GEOTILE_ZOOM}) // 360000 AS VARCHAR) || '/' ||
+       CAST(((85000 - 1 - lat_mdeg) * {1 << GEOTILE_ZOOM}) // 170000 AS VARCHAR) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pos GROUP BY 1"""

@@ -298,3 +298,92 @@ def test_bucket_selector_above_mean_gate(spark, tpch):
     for r in rows:
         assert float(r.revenue) > mean_rev - 0.01
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_date_range_partitions_orders(spark, tpch):
+    import datetime as dt
+
+    from sparksearch.joins import DATE_RANGE_BOUNDS, orders_date_range
+
+    rows = {r.range_key: r for r in orders_date_range(tpch["orders"]).collect()}
+    pdf = tpch["orders"].toPandas()
+    lo = dt.date.fromisoformat(DATE_RANGE_BOUNDS[0])
+    hi = dt.date.fromisoformat(DATE_RANGE_BOUNDS[1])
+    d = pdf.o_orderdate.dt.date
+    assert rows[f"*-{DATE_RANGE_BOUNDS[0]}"].n_orders == int((d < lo).sum())
+    assert rows[f"{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}"].n_orders == int(
+        ((d >= lo) & (d < hi)).sum()
+    )
+    assert rows[f"{DATE_RANGE_BOUNDS[1]}-*"].n_orders == int((d >= hi).sum())
+    # half-open buckets partition the table; from/to edges carried
+    assert sum(r.n_orders for r in rows.values()) == len(pdf)
+    assert rows[f"*-{DATE_RANGE_BOUNDS[0]}"].from_date is None
+    assert rows[f"{DATE_RANGE_BOUNDS[1]}-*"].to_date is None
+
+
+def test_boxplot_matches_numpy_linear(spark, tpch):
+    import numpy as np
+
+    from sparksearch.joins import lineitem_boxplot
+
+    rows = {r.l_returnflag: r for r in lineitem_boxplot(tpch["lineitem"]).collect()}
+    pdf = tpch["lineitem"].toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        v = np.round(grp.l_extendedprice.to_numpy(), 2)
+        r = rows[flag]
+        assert r.n == len(v)
+        assert float(r.vmin) == v.min() and float(r.vmax) == v.max()
+        q1, q2, q3 = np.percentile(v, [25, 50, 75], method="linear")
+        assert abs(float(r.q1) - q1) < 1e-6
+        assert abs(float(r.q2) - q2) < 1e-6
+        assert abs(float(r.q3) - q3) < 1e-6
+        iqr = q3 - q1
+        inside = v[(v >= q1 - 1.5 * iqr) & (v <= q3 + 1.5 * iqr)]
+        assert float(r.lower_whisker) == inside.min()
+        assert float(r.upper_whisker) == inside.max()
+
+
+def test_t_test_matches_numpy_welch(spark, tpch):
+    import math
+
+    import numpy as np
+
+    from sparksearch.joins import lineitem_t_test
+
+    r = lineitem_t_test(tpch["lineitem"]).collect()[0]
+    pdf = tpch["lineitem"].toPandas()
+    a = np.round(pdf[pdf.l_returnflag == "A"].l_discount.to_numpy(), 2)
+    b = np.round(pdf[pdf.l_returnflag == "R"].l_discount.to_numpy(), 2)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert math.isclose(r.mean_a, a.mean(), abs_tol=5e-7)
+    assert math.isclose(r.mean_b, b.mean(), abs_tol=5e-7)
+    t = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert math.isclose(r.t_stat, t, abs_tol=5e-6)
+
+
+def test_has_parent_matches_pandas(spark, tpch):
+    from sparksearch.joins import (
+        HAS_PARENT_K,
+        HAS_PARENT_PRIORITY,
+        lineitem_has_parent_topk,
+    )
+
+    rows = sorted(
+        lineitem_has_parent_topk(tpch["orders"], tpch["lineitem"]).collect(),
+        key=lambda r: r.rank,
+    )
+    od = tpch["orders"].toPandas()
+    li = tpch["lineitem"].toPandas()
+    keys = set(od[od.o_orderpriority == HAS_PARENT_PRIORITY].o_orderkey)
+    m = li[li.l_orderkey.isin(keys)].copy()
+    m["score"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    exp = sorted(
+        m.itertuples(), key=lambda t: (-round(t.score, 6), t.l_orderkey, t.l_linenumber)
+    )[:HAS_PARENT_K]
+    assert [(r.l_orderkey, r.l_linenumber) for r in rows] == [
+        (t.l_orderkey, t.l_linenumber) for t in exp
+    ]
+    # every hit's parent really matches the parent query
+    assert all(r.l_orderkey in keys for r in rows)

@@ -465,3 +465,39 @@ def test_latest_by_user_hand_case(spark):
     assert got[1].last_ts == "2024-03-01 09:00:00"
     assert got[2].last_event_id == 13 and got[2].last_event_type == "purchase"
     assert abs(got[2].last_value - 4.0) < 1e-9
+
+
+def test_events_rate_hand_case(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_rate
+
+    rows = [
+        (1, dt.datetime(2024, 2, 3), "view"),   # Feb 2024: leap, 29 days
+        (2, dt.datetime(2024, 2, 28), "view"),
+        (3, dt.datetime(2023, 2, 10), "view"),  # Feb 2023: 28 days
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r.month: r for r in events_rate(df).collect()}
+    assert got["2024-02"].days_in_month == 29
+    assert got["2023-02"].days_in_month == 28
+    assert abs(got["2024-02"].rate_per_day - 2 / 29) < 5e-7
+    assert abs(got["2023-02"].rate_per_day - 1 / 28) < 5e-7
+
+
+def test_geotile_bounds_and_coverage(spark):
+    from sparksearch.relational import GEOTILE_ZOOM, events_geotile
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    rows = events_geotile(events).collect()
+    n = events.count()
+    assert sum(r.n_events for r in rows) == n  # tiles partition the events
+    nt = 1 << GEOTILE_ZOOM
+    for r in rows:
+        z, x, y = map(int, r.tile.split("/"))
+        assert z == GEOTILE_ZOOM and 0 <= x < nt and 0 <= y < nt
+        assert 1 <= r.n_users <= r.n_events
+    # deterministic: a user's position is a pure function of user_id
+    again = {r.tile: (r.n_events, r.n_users) for r in events_geotile(events).collect()}
+    assert again == {r.tile: (r.n_events, r.n_users) for r in rows}
