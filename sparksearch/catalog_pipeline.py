@@ -2709,3 +2709,69 @@ def build_round4_s5b():
             "users per tile",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-5 C
+
+
+def q_events_auto_hist(spark, sf_dir):
+    from .relational import events_auto_date_histogram
+
+    return events_auto_date_histogram(_events(spark, sf_dir))
+
+
+def q_doc_string_stats(spark, sf_dir):
+    from .textpipe import doc_string_stats
+
+    return doc_string_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lineitem_mad(spark, sf_dir):
+    from .joins import lineitem_mad
+
+    return lineitem_mad(_t(spark, sf_dir, "lineitem"))
+
+
+def q_orders_children_agg(spark, sf_dir):
+    from .joins import orders_children_agg
+
+    return orders_children_agg(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def build_round4_s5c():
+    from .joins import CHILDREN_AGG_SQL, MAD_SQL
+    from .relational import AUTO_HIST_SQL
+    from .textpipe import STRING_STATS_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_auto_date_histogram": QuerySpec(
+            q_events_auto_hist,
+            AUTO_HIST_SQL,
+            "ES auto_date_histogram: smallest ladder interval whose bucket "
+            "count fits the target, chosen by integer epoch math from one "
+            "min/max pass, broadcast onto the histogram group-by",
+        ),
+        "doc_string_stats": QuerySpec(
+            q_doc_string_stats,
+            STRING_STATS_SQL,
+            "ES string_stats per lang: length stats + Shannon character "
+            "entropy (9-dp-quantized ln, exact decimal sums, ln(2) shared "
+            "as a literal — no cross-engine log2)",
+        ),
+        "lineitem_mad": QuerySpec(
+            q_lineitem_mad,
+            MAD_SQL,
+            "ES median_absolute_deviation: the exact interpolated-median "
+            "discipline applied twice (values, then absolute deviations)",
+        ),
+        "orders_children_agg": QuerySpec(
+            q_orders_children_agg,
+            CHILDREN_AGG_SQL,
+            "ES children agg: per-parent-bucket child metrics; children "
+            "reduce per (priority, parent) first so the distinct-parent "
+            "count is a plain second-level COUNT",
+        ),
+    }

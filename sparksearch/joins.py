@@ -1177,3 +1177,132 @@ r AS (
 )
 SELECT CAST(rnk AS BIGINT) AS rank, l_orderkey, l_linenumber, score
 FROM r WHERE rnk <= {HAS_PARENT_K}"""
+
+
+def lineitem_mad(lineitem: DataFrame) -> DataFrame:
+    """ES median_absolute_deviation aggregation per l_returnflag →
+    DF[l_returnflag, n, median, mad]: median(|v − median(v)|), the robust
+    dispersion ES pairs with the boxplot agg.
+
+    Same engine-exact percentile discipline as lineitem_boxplot (integer
+    floor/frac from h = (n−1)/2, bracketing order statistics by conditional
+    agg over a row_number window, decimal interpolation — frac ∈ {0, ½} is
+    exact decimal(2,1)), applied TWICE: once on v, once on the absolute
+    deviations (exact decimals, so the second pass inherits exactness).
+    Cost: two per-group-sort window shuffles + a 3-row broadcast join; at
+    100 TB the same contract runs on the TDigest/GK sketch path (ES MAD is
+    TDigest-backed) with this exact form as its oracle."""
+    import decimal as _d
+
+    half = F.lit(_d.Decimal("0.5"))
+
+    def _median(frame, vcol, out_width):
+        ws = Window.partitionBy("l_returnflag").orderBy(vcol)
+        wa = Window.partitionBy("l_returnflag")
+        r = frame.select(
+            "l_returnflag", F.col(vcol).alias("x"),
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+        )
+        lo = F.floor((F.col("n") - 1) / F.lit(2.0)).cast("long")
+        g = r.groupBy("l_returnflag").agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(F.col("rn") == lo + 1, F.col("x"))).alias("xlo"),
+            F.max(F.when(F.col("rn") == lo + 2, F.col("x"))).alias("xhi"),
+            F.max((F.col("n") - 1) - 2 * lo).cast("long").alias("rem"),
+        )
+        med = (
+            F.col("xlo")
+            + (F.coalesce("xhi", "xlo") - F.col("xlo"))
+            * (F.col("rem") * half).cast("decimal(2,1)")
+        ).cast(out_width)
+        return g.select("l_returnflag", "n", med.alias("med"))
+
+    v = lineitem.select(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(12,2)").alias("v")
+    )
+    m1 = _median(v, "v", "decimal(19,4)")
+    dev = v.join(F.broadcast(m1), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("v") - F.col("med")).cast("decimal(20,4)").alias("d"),
+    )
+    m2 = _median(dev, "d", "decimal(26,5)")
+    return (
+        m1.join(m2.select("l_returnflag", F.col("med").alias("mad")), "l_returnflag")
+        .select("l_returnflag", "n", F.col("med").alias("median"), "mad")
+    )
+
+
+def _mad_median_cte(src: str, xexpr: str, name: str, width: str) -> str:
+    return f"""{name}_r AS (
+  SELECT l_returnflag, {xexpr} AS x,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY {xexpr}) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM {src}
+),
+{name}_g AS (
+  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = CAST(floor((n-1)/2.0) AS BIGINT) + 1 THEN x END) AS xlo,
+         MAX(CASE WHEN rn = CAST(floor((n-1)/2.0) AS BIGINT) + 2 THEN x END) AS xhi,
+         CAST(MAX((n-1) - 2*CAST(floor((n-1)/2.0) AS BIGINT)) AS BIGINT) AS rem
+  FROM {name}_r GROUP BY 1
+),
+{name} AS (
+  SELECT l_returnflag, n,
+         CAST(xlo + (COALESCE(xhi, xlo) - xlo) * CAST(rem * 0.5 AS DECIMAL(2,1)) AS {width}) AS med
+  FROM {name}_g
+)"""
+
+
+MAD_SQL = f"""WITH v AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v FROM lineitem
+),
+{_mad_median_cte('v', 'v', 'm1', 'DECIMAL(19,4)')},
+dev AS (
+  SELECT v.l_returnflag, CAST(abs(v.v - m1.med) AS DECIMAL(20,4)) AS d
+  FROM v JOIN m1 USING (l_returnflag)
+),
+{_mad_median_cte('dev', 'd', 'm2', 'DECIMAL(26,5)')}
+SELECT m1.l_returnflag, m1.n, m1.med AS median, m2.med AS mad
+FROM m1 JOIN m2 ON m1.l_returnflag = m2.l_returnflag"""
+
+
+def orders_children_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """ES `children` aggregation → DF[o_orderpriority, n_parents,
+    n_children, sum_child_revenue]: bucket PARENTS (orders) by priority,
+    then aggregate over each bucket's CHILDREN (lineitem) — the agg-side
+    sibling of the has_child query.
+
+    Two-level map-combinable shape: children first reduce per
+    (priority, parent key) — so the heavy agg runs on the co-partitioned
+    join key and the distinct-parent count is a plain COUNT(*) on the
+    already-unique second level, never a countDistinct shuffle of raw child
+    rows. Revenue exact decimal end-to-end."""
+    per_parent = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nc"),
+            F.sum(_rev()).cast("decimal(38,6)").alias("rev"),
+        )
+    )
+    return per_parent.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum("nc").cast("long").alias("n_children"),
+        F.sum("rev").cast("decimal(38,6)").alias("sum_child_revenue"),
+    )
+
+
+CHILDREN_AGG_SQL = f"""WITH per_parent AS (
+  SELECT o.o_orderpriority, o.o_orderkey, COUNT(*) AS nc,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(SUM(nc) AS BIGINT) AS n_children,
+       CAST(SUM(rev) AS DECIMAL(38,6)) AS sum_child_revenue
+FROM per_parent GROUP BY 1"""

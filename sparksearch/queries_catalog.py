@@ -974,6 +974,10 @@ from .catalog_pipeline import build_round4_s5b  # noqa: E402
 
 CATALOG.update(build_round4_s5b())
 
+from .catalog_pipeline import build_round4_s5c  # noqa: E402
+
+CATALOG.update(build_round4_s5c())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -2872,6 +2876,29 @@ def q_bm25_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_shard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textpipe import terms_shard_error
+
+    tf_df, _, _, _ = _stats_for(spark, sf_dir)
+    return terms_shard_error(tf_df)
+
+
+def q_bm25_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import diversified_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    meta = _docs(spark, sf_dir).select("doc_id", "lang")
+    df = diversified_topk(qterms, tf_df, dl_df, ts, meta, "lang")
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        _round6("score").alias("score"),
+    )
+
+
 def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, ts, _ = _stats_for(spark, sf_dir)
     # ts carries n_docs already (with_idf attaches the Observation stats)
@@ -2923,6 +2950,89 @@ WHERE df <= {RARE_TERMS_MAX_FRAC} * (SELECT n_docs FROM gstats)""",
         "CCNet-style line-level boilerplate accounting: lines shared by >= 3 "
         "distinct docs flagged via one distinct+count on h60 line keys, "
         "left-joined back key-partitioned; per-doc removable fraction",
+    ),
+})
+
+
+from .catalog_pipeline import _h60 as _h60_sql  # noqa: E402
+from .textpipe import (  # noqa: E402
+    TERMS_ERR_NSHARDS,
+    TERMS_ERR_SHARD_K,
+    TERMS_ERR_TOPN,
+)
+from .scoring_ext import DIVERSIFIED_K, DIVERSIFIED_MAX_PER_BUCKET  # noqa: E402
+
+CATALOG.update({
+    "terms_shard_error": QuerySpec(
+        q_terms_shard_error,
+        f"""WITH {TOK_SQL.strip()},
+sh AS (
+  SELECT term, {_h60_sql("'shard|' || CAST(doc_id AS VARCHAR)")} % {TERMS_ERR_NSHARDS} AS shard
+  FROM postings
+),
+per AS (SELECT shard, term, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, term ASC) AS rn
+  FROM per
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {TERMS_ERR_SHARD_K}),
+kth AS (SELECT shard, c AS kth FROM ranked WHERE rn = {TERMS_ERR_SHARD_K}),
+shardsf AS (
+  SELECT s.shard, COALESCE(k.kth, 0) AS kth
+  FROM (SELECT DISTINCT shard FROM per) s LEFT JOIN kth k ON s.shard = k.shard
+),
+grid AS (
+  SELECT c.term, s.shard, s.kth
+  FROM (SELECT DISTINCT term FROM kept) c, shardsf s
+),
+j AS (
+  SELECT g.term, g.kth, k.c FROM grid g
+  LEFT JOIN kept k ON g.term = k.term AND g.shard = k.shard
+),
+agg AS (
+  SELECT term, SUM(COALESCE(c, 0)) AS est_df,
+         SUM(CASE WHEN c IS NULL THEN kth ELSE 0 END) AS err_bound
+  FROM j GROUP BY 1
+),
+exact AS (SELECT term, COUNT(*) AS exact_df FROM postings GROUP BY 1),
+r AS (
+  SELECT a.term, a.est_df, a.err_bound, e.exact_df,
+         ROW_NUMBER() OVER (ORDER BY a.est_df DESC, a.term ASC) AS rank
+  FROM agg a JOIN exact e USING (term)
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(est_df AS BIGINT) AS est_df,
+       CAST(err_bound AS BIGINT) AS err_bound, CAST(exact_df AS BIGINT) AS exact_df
+FROM r WHERE rank <= {TERMS_ERR_TOPN}""",
+        "ES terms agg distributed-approximation contract: per-shard top-k "
+        "merged with the exact doc_count_error_upper_bound (h60 shards, "
+        "pure integer math); exact df rides along as the accuracy report",
+    ),
+    "bm25_topk_diversified": QuerySpec(
+        q_bm25_diversified,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+meta AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents),
+grp AS (
+  SELECT s.query_id, s.doc_id, m.lang, s.score,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id, m.lang
+                            ORDER BY CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, s.doc_id ASC) AS br
+  FROM scored s JOIN meta m USING (doc_id)
+),
+kept AS (SELECT * FROM grp WHERE br <= {DIVERSIFIED_MAX_PER_BUCKET}),
+pg AS (
+  SELECT query_id, doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rank
+  FROM kept
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, lang,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM pg WHERE rank <= {DIVERSIFIED_K}""",
+        "ES diversified_sampler: global top page AFTER a per-(query, lang) "
+        "bucket cap — two windows on the flagship scored frame, the cap "
+        "window finer-partitioned than the flagship's",
     ),
 })
 
@@ -3059,6 +3169,8 @@ _SWEEP_NEXT = [
     "events_serial_diff", "events_latest_by_user",
     "orders_date_range", "lineitem_boxplot", "lineitem_t_test",
     "lineitem_has_parent", "events_rate", "events_geotile",
+    "events_auto_date_histogram", "doc_string_stats", "lineitem_mad",
+    "orders_children_agg", "terms_shard_error", "bm25_topk_diversified",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

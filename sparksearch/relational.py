@@ -616,3 +616,92 @@ SELECT CAST({GEOTILE_ZOOM} AS VARCHAR) || '/' ||
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM pos GROUP BY 1"""
+
+
+AUTO_HIST_TARGET = 12
+#: fixed-interval ladder in seconds (minute, hour, day, week, ~month,
+#: ~quarter, ~year). ES auto_date_histogram walks calendar intervals; the
+#: fixed-width rungs keep every bucket boundary pure integer epoch math
+#: (engine-identical), which is the part of the contract that matters:
+#: smallest rung whose bucket count fits the target.
+AUTO_HIST_LADDER = (60, 3600, 86400, 604800, 2592000, 7776000, 31536000)
+
+
+def events_auto_date_histogram(
+    events: DataFrame, target: int = AUTO_HIST_TARGET
+) -> DataFrame:
+    """ES auto_date_histogram aggregation → DF[interval_sec, bucket_start,
+    n_events]: the engine picks the bucketing interval — the smallest
+    ladder rung whose bucket count over [min ts, max ts] is ≤ target — and
+    the caller gets both the chosen interval and the histogram.
+
+    Two tiny jobs + one agg: a 2-value min/max epoch aggregate, a
+    when-chain over the ladder (integer floor-div bucket counts, exact both
+    engines), then the chosen 1-row interval broadcast onto the group-by.
+    All epoch math floors POSITIVE seconds (the serial_diff discipline:
+    DuckDB epoch() is fractional — floor it first)."""
+    ep = F.col("ts").cast("timestamp").cast("long")
+    mm = events.select(ep.alias("ep")).agg(
+        F.min("ep").alias("lo"), F.max("ep").alias("hi")
+    )
+
+    def n_buckets(i):
+        return (
+            F.floor(F.col("hi") / F.lit(float(i)))
+            - F.floor(F.col("lo") / F.lit(float(i)))
+            + 1
+        )
+
+    choice = F.coalesce(
+        *[F.when(n_buckets(i) <= target, F.lit(i)) for i in AUTO_HIST_LADDER],
+        F.lit(AUTO_HIST_LADDER[-1]),
+    )
+    iv = mm.select(choice.cast("long").alias("interval_sec"))
+    b = (
+        events.select(ep.alias("ep"))
+        .crossJoin(F.broadcast(iv))
+        .groupBy(
+            "interval_sec",
+            (
+                F.floor(F.col("ep") / F.col("interval_sec").cast("double")).cast(
+                    "long"
+                )
+                * F.col("interval_sec")
+            ).alias("bucket_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return b.select(
+        "interval_sec",
+        F.date_format(
+            F.col("bucket_epoch").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_start"),
+        "n_events",
+    )
+
+
+def _auto_hist_sql(target: int = AUTO_HIST_TARGET) -> str:
+    rungs = "\n".join(
+        f"    WHEN CAST(floor(hi/{i}.0) AS BIGINT) - CAST(floor(lo/{i}.0) AS BIGINT) + 1 <= {target} THEN {i}"
+        for i in AUTO_HIST_LADDER
+    )
+    return f"""WITH ep AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+mm AS (SELECT MIN(ep) AS lo, MAX(ep) AS hi FROM ep),
+iv AS (
+  SELECT CAST(CASE
+{rungs}
+    ELSE {AUTO_HIST_LADDER[-1]} END AS BIGINT) AS interval_sec
+  FROM mm
+)
+SELECT interval_sec,
+       strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + (CAST(floor(ep / CAST(interval_sec AS DOUBLE)) AS BIGINT)
+                   * interval_sec) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ep, iv GROUP BY 1, 2"""
+
+
+AUTO_HIST_SQL = _auto_hist_sql()

@@ -378,3 +378,46 @@ def boosting_topk(
         .alias("score"),
     )
     return topk_per_query(demoted, k)
+
+
+DIVERSIFIED_MAX_PER_BUCKET = 2
+DIVERSIFIED_K = 5
+
+
+def diversified_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    field: str,
+    max_per_bucket: int = DIVERSIFIED_MAX_PER_BUCKET,
+    k: int = DIVERSIFIED_K,
+) -> DataFrame:
+    """ES diversified_sampler (+ top page): global top-k per query taken
+    AFTER capping each metadata bucket at max_per_bucket hits → DF[query_id,
+    rank, doc_id, <field>, score] — "best results, but never more than two
+    per language/source/domain".
+
+    Two windows on the flagship scored frame, both under the engine total
+    order (round6 DESC, doc_id ASC): the bucket cap partitions by
+    (query_id, field) — finer than per-query, so never more skewed than the
+    flagship — and the final page ranks the ≤ |buckets|·cap survivors, a
+    frame already reduced per query."""
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    wb = Window.partitionBy("query_id", field).orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    kept = (
+        scored.join(meta, "doc_id")
+        .withColumn("br", F.row_number().over(wb))
+        .filter(F.col("br") <= max_per_bucket)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", field, "score")
+    )

@@ -1543,3 +1543,156 @@ def lang_token_fertility(docs: DataFrame) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
         ).alias("tokens_per_doc"),
     )
+
+
+#: ln(2) as an identical double literal in both engines (correctly-rounded
+#: strtod of the same digits) — entropy-in-bits conversion never executes a
+#: cross-engine log2 (whose libm implementations differ), only ln (the
+#: bigram_xent 9-dp-quantize discipline).
+LN2_LITERAL = "0.6931471805599453"
+
+
+def doc_string_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ES string_stats aggregation per language → DF[lang, n_docs, min_len,
+    max_len, avg_len, entropy]: length stats plus the Shannon entropy of the
+    CHARACTER distribution (ES's showed_distribution source).
+
+    Entropy discipline: per character CLASS, ln(c/T) is quantized once to
+    9 dp (bigram_xent precedent), weighted by the exact integer count and
+    summed in decimals (order-independent); the nats→bits conversion
+    divides by an ln(2) double LITERAL shared verbatim by both engines —
+    no cross-engine log2 executes. The char explode is heavy but
+    map-side-combinable into a (lang × charset)-bounded frame; '[\\s\\S]'
+    (not '.') so Java and RE2 agree on newline handling."""
+    from .stats import round6
+
+    chars = docs.select(
+        "lang", F.explode(F.regexp_extract_all(text_col, F.lit(r"[\s\S]"), 0)).alias("ch")
+    )
+    cc = chars.groupBy("lang", "ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cc.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    ent = (
+        cc.join(tot, "lang")
+        .select(
+            "lang", "t",
+            (
+                F.col("c").cast("decimal(9,0)")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("t").cast("double")), 9
+                ).cast("decimal(28,9)")
+            ).alias("term"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("term").cast("decimal(38,9)").alias("s"), F.max("t").alias("t"))
+    )
+    lens = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.length(text_col)).cast("long").alias("min_len"),
+        F.max(F.length(text_col)).cast("long").alias("max_len"),
+        F.sum(F.length(text_col).cast("decimal(18,0)")).alias("sl"),
+    )
+    return lens.join(ent, "lang").select(
+        "lang", "n_docs", "min_len", "max_len",
+        round6(F.col("sl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_len"
+        ),
+        round6(
+            (-F.col("s").cast("double") / F.col("t").cast("double"))
+            / F.lit(float(LN2_LITERAL))
+        ).alias("entropy"),
+    )
+
+
+STRING_STATS_SQL = f"""WITH chars AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch FROM documents
+),
+cc AS (SELECT lang, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cc GROUP BY 1),
+ent AS (
+  SELECT cc.lang,
+         CAST(SUM(CAST(cc.c AS DECIMAL(9,0))
+              * CAST(ROUND(ln(CAST(cc.c AS DOUBLE) / CAST(tot.t AS DOUBLE)), 9)
+                     AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s,
+         MAX(tot.t) AS t
+  FROM cc JOIN tot ON cc.lang = tot.lang GROUP BY 1
+),
+lens AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
+         SUM(CAST(length(text) AS DECIMAL(18,0))) AS sl
+  FROM documents GROUP BY 1
+)
+SELECT l.lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_len AS BIGINT) AS min_len, CAST(max_len AS BIGINT) AS max_len,
+       CAST(ROUND(CAST(CAST(sl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_len,
+       CAST(ROUND(CAST((-CAST(e.s AS DOUBLE) / CAST(e.t AS DOUBLE)) / {LN2_LITERAL} AS DECIMAL(28,9)), 6) AS DOUBLE) AS entropy
+FROM lens l JOIN ent e ON l.lang = e.lang"""
+
+
+TERMS_ERR_NSHARDS = 4
+TERMS_ERR_SHARD_K = 12
+TERMS_ERR_TOPN = 10
+
+
+def terms_shard_error(
+    tf_df: DataFrame,
+    nshards: int = TERMS_ERR_NSHARDS,
+    shard_k: int = TERMS_ERR_SHARD_K,
+    topn: int = TERMS_ERR_TOPN,
+) -> DataFrame:
+    """ES terms aggregation's DISTRIBUTED APPROXIMATION contract →
+    DF[rank, term, est_df, err_bound, exact_df]: per-shard top-k term doc
+    counts merged into a global top-n with the documented
+    doc_count_error_upper_bound — a term missing from a shard's page may
+    hide at most that shard's k-th count.
+
+    Shards are deterministic h60 doc partitions (the real engine's routing
+    hash), so estimate AND bound are value-checkable. Everything is
+    integer: per-shard counts map-combine; the per-shard page is a window
+    over the (shards × vocab)-bounded frame (a TakeOrdered per shard at web
+    scale); candidates (≤ shards·k rows) cross the tiny shard-kth frame
+    broadcast-style. exact_df rides along as the accuracy report —
+    invariant: est_df ≤ exact_df ≤ est_df + err_bound."""
+    shard = F.pmod(
+        h60(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+        F.lit(nshards),
+    )
+    per = (
+        tf_df.select("term", shard.alias("shard"))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("term"))
+    ranked = per.withColumn("rn", F.row_number().over(w)).persist()
+    kept = ranked.filter(F.col("rn") <= shard_k)
+    kth = ranked.filter(F.col("rn") == shard_k).select(
+        "shard", F.col("c").alias("kth")
+    )
+    shards = (
+        per.select("shard")
+        .distinct()
+        .join(kth, "shard", "left")
+        .select("shard", F.coalesce("kth", F.lit(0)).cast("long").alias("kth"))
+    )
+    grid = kept.select("term").distinct().crossJoin(shards)
+    j = grid.join(kept.select("shard", "term", "c"), ["shard", "term"], "left")
+    agg = j.groupBy("term").agg(
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("est_df"),
+        F.sum(F.when(F.col("c").isNull(), F.col("kth")).otherwise(0))
+        .cast("long")
+        .alias("err_bound"),
+    )
+    exact = tf_df.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_df")
+    )
+    out = agg.join(exact, "term")
+    w2 = Window.orderBy(F.desc("est_df"), F.asc("term"))
+    res = (
+        out.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("rank", "term", "est_df", "err_bound", "exact_df")
+    )
+    res = res.persist()
+    res.count()
+    ranked.unpersist()
+    return res

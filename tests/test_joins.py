@@ -387,3 +387,38 @@ def test_has_parent_matches_pandas(spark, tpch):
     ]
     # every hit's parent really matches the parent query
     assert all(r.l_orderkey in keys for r in rows)
+
+
+def test_mad_matches_numpy(spark, tpch):
+    import numpy as np
+
+    from sparksearch.joins import lineitem_mad
+
+    rows = {r.l_returnflag: r for r in lineitem_mad(tpch["lineitem"]).collect()}
+    pdf = tpch["lineitem"].toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        v = np.round(grp.l_extendedprice.to_numpy(), 2)
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        r = rows[flag]
+        assert r.n == len(v)
+        assert abs(float(r.median) - med) < 1e-9
+        assert abs(float(r.mad) - mad) < 1e-9
+
+
+def test_children_agg_matches_pandas(spark, tpch):
+    from sparksearch.joins import orders_children_agg
+
+    rows = {
+        r.o_orderpriority: r
+        for r in orders_children_agg(tpch["orders"], tpch["lineitem"]).collect()
+    }
+    od = tpch["orders"].toPandas()[["o_orderkey", "o_orderpriority"]]
+    li = tpch["lineitem"].toPandas()
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    m["rev"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    for prio, grp in m.groupby("o_orderpriority"):
+        r = rows[prio]
+        assert r.n_parents == grp.o_orderkey.nunique()
+        assert r.n_children == len(grp)
+        assert abs(float(r.sum_child_revenue) - grp.rev.sum()) < 1e-3

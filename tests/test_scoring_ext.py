@@ -263,3 +263,49 @@ def test_boosting_query_demotes_but_keeps(spark):
     assert neg[2] == (1, plain[2][1])   # clean top doc unaffected
     assert neg[1][0] > plain[1][0] or plain[1][0] == neg[1][0]
     assert 4 not in plain  # sanity: non-matching doc never appears
+
+
+def test_diversified_is_capped_top_hits_page(spark, docs_sf0001, queries):
+    from pyspark.sql import functions as F
+
+    from sparksearch.build import tokenize_tf
+    from sparksearch.queries_catalog import parse_queries
+    from sparksearch.scoring_ext import (
+        DIVERSIFIED_K,
+        DIVERSIFIED_MAX_PER_BUCKET,
+        diversified_topk,
+        top_hits_by_field,
+    )
+    from sparksearch.stats import doc_freq, global_stats_df, round6, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    qterms = parse_queries(spark, queries)
+    meta = docs_sf0001.select("doc_id", "lang")
+
+    got = diversified_topk(qterms, tf_df, dl_df, ts, meta, "lang").collect()
+    # cap + page-size invariants
+    from collections import Counter
+
+    per_bucket = Counter((r.query_id, r.lang) for r in got)
+    assert max(per_bucket.values()) <= DIVERSIFIED_MAX_PER_BUCKET
+    per_q = Counter(r.query_id for r in got)
+    assert max(per_q.values()) <= DIVERSIFIED_K
+
+    # equivalence: top_hits at per_bucket=cap, re-ranked globally, is the
+    # same page (two code paths over one scored frame)
+    th = top_hits_by_field(
+        qterms, tf_df, dl_df, ts, meta, "lang",
+        per_bucket=DIVERSIFIED_MAX_PER_BUCKET,
+    ).select("query_id", "doc_id", round6("score").alias("s6"))
+    want = {
+        (r.query_id, r.doc_id)
+        for q, grp in __import__("itertools").groupby(
+            sorted(th.collect(), key=lambda r: (r.query_id, -r.s6, r.doc_id)),
+            key=lambda r: r.query_id,
+        )
+        for r in list(grp)[:DIVERSIFIED_K]
+    }
+    assert {(r.query_id, r.doc_id) for r in got} == want

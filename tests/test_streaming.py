@@ -501,3 +501,23 @@ def test_geotile_bounds_and_coverage(spark):
     # deterministic: a user's position is a pure function of user_id
     again = {r.tile: (r.n_events, r.n_users) for r in events_geotile(events).collect()}
     assert again == {r.tile: (r.n_events, r.n_users) for r in rows}
+
+
+def test_auto_date_histogram_picks_smallest_fitting_interval(spark):
+    import datetime as dt
+
+    from sparksearch.relational import events_auto_date_histogram
+
+    # 30-day span: day buckets (31) exceed target 12 -> week (5-6) chosen
+    month = [(i, dt.datetime(2024, 1, 1 + (i * 29) // 10)) for i in range(11)]
+    df = spark.createDataFrame(month, "event_id long, ts timestamp")
+    rows = events_auto_date_histogram(df).collect()
+    assert {r.interval_sec for r in rows} == {604800}
+    assert sum(r.n_events for r in rows) == len(month)
+
+    # 10-minute span fits in <= 12 minute buckets -> minute rung
+    tight = [(i, dt.datetime(2024, 1, 1, 0, i)) for i in range(10)]
+    df2 = spark.createDataFrame(tight, "event_id long, ts timestamp")
+    rows2 = events_auto_date_histogram(df2).collect()
+    assert {r.interval_sec for r in rows2} == {60}
+    assert len(rows2) == 10 and all(r.n_events == 1 for r in rows2)

@@ -839,3 +839,67 @@ def test_lang_token_fertility_hand_case(spark):
     assert en.chars_per_token == round(22 / 5, 6)
     assert en.tokens_per_doc == 2.5
     assert (fr.n_docs, fr.n_tokens) == (1, 2)
+
+
+def test_string_stats_matches_numpy(spark, docs_sf0001):
+    import math
+    from collections import Counter
+
+    from sparksearch.textpipe import doc_string_stats
+
+    got = {r.lang: r for r in doc_string_stats(docs_sf0001).collect()}
+    pdf = docs_sf0001.toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        lens = grp.text.map(len)
+        r = got[lang]
+        assert r.n_docs == len(grp)
+        assert (r.min_len, r.max_len) == (lens.min(), lens.max())
+        assert math.isclose(r.avg_len, lens.sum() / len(grp), abs_tol=5e-7)
+        cnt = Counter("".join(grp.text))
+        t = sum(cnt.values())
+        h = -sum(c / t * math.log2(c / t) for c in cnt.values())
+        # 9-dp ln quantization keeps the engine value within ~1e-6 of exact
+        assert math.isclose(r.entropy, h, abs_tol=2e-5)
+
+
+def test_terms_shard_error_bound_and_mirror(spark, docs_sf0001):
+    import hashlib
+
+    from sparksearch.build import tokenize_tf
+    from sparksearch.textpipe import (
+        TERMS_ERR_NSHARDS,
+        TERMS_ERR_SHARD_K,
+        TERMS_ERR_TOPN,
+        terms_shard_error,
+    )
+
+    tf_df = tokenize_tf(docs_sf0001.select("doc_id", "text")).select(
+        "term", "doc_id", "tf", "dl"
+    )
+    rows = sorted(terms_shard_error(tf_df).collect(), key=lambda r: r.rank)
+    assert 0 < len(rows) <= TERMS_ERR_TOPN
+
+    # ES invariant: est <= exact <= est + doc_count_error_upper_bound
+    for r in rows:
+        assert r.est_df <= r.exact_df <= r.est_df + r.err_bound
+
+    # brute-force mirror of the shard simulation
+    pdf = tf_df.select("term", "doc_id").toPandas()
+    h = pdf.doc_id.map(
+        lambda d: int(hashlib.md5(f"shard|{d}".encode()).hexdigest()[:15], 16)
+        % TERMS_ERR_NSHARDS
+    )
+    per = pdf.assign(shard=h).groupby(["shard", "term"]).size()
+    kept, kth = {}, {}
+    for s in sorted(per.index.get_level_values(0).unique()):
+        sl = per.loc[s].sort_index().sort_values(ascending=False, kind="stable")
+        order = sorted(sl.items(), key=lambda t: (-t[1], t[0]))[:TERMS_ERR_SHARD_K]
+        kept[s] = dict(order)
+        kth[s] = order[-1][1] if len(order) == TERMS_ERR_SHARD_K else 0
+    cands = {t for d in kept.values() for t in d}
+    est = {t: sum(kept[s].get(t, 0) for s in kept) for t in cands}
+    err = {t: sum(kth[s] for s in kept if t not in kept[s]) for t in cands}
+    want = sorted(est.items(), key=lambda t: (-t[1], t[0]))[: TERMS_ERR_TOPN]
+    assert [(r.term, r.est_df, r.err_bound) for r in rows] == [
+        (t, e, err[t]) for t, e in want
+    ]
