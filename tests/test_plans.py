@@ -489,3 +489,88 @@ def test_filtered_knn_and_boosting_no_python(spark, docs_sf0001):
     qterms = parse_queries(spark, [(1, "data stream")])
     plan2 = _plan(boosting_topk(qterms, tf_df, dl_df, ts))
     assert "BatchEvalPython" not in plan2
+
+
+def test_max_struct_aggs_have_no_window_or_join(spark):
+    """top_metrics and the latest transform are ONE map-side-combinable
+    max(struct) aggregate: no Window (a per-group sort would skew on
+    monster keys), no Join, exactly one Exchange, no Python."""
+    import datetime as dt
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.joins import lineitem_top_metrics
+    from sparksearch.relational import events_latest_by_user
+
+    li = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    for df in (lineitem_top_metrics(li), events_latest_by_user(ev)):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_single_agg_entries_one_exchange(spark):
+    """date_range, rate and multi_terms stay map-side-combinable: the
+    when-chain / calendar bucketing is pure codegen (no join), and the only
+    row-scaled exchange is the group-by hop. multi_terms' rank window then
+    costs one more exchange over the bucket-count-sized frame only."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.joins import orders_date_range, orders_multi_terms
+    from sparksearch.relational import events_rate
+
+    od = spark.read.parquet(str(SF_SMOKE / "orders.parquet"))
+    ev = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    for df in (orders_date_range(od), events_rate(ev)):
+        plan = _plan(df)
+        assert "Join" not in plan, plan
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    plan = _plan(orders_multi_terms(od))
+    assert "Join" not in plan, plan
+    # group-by hop (+ at most the single-partition window hop over the
+    # bucket-count-sized frame)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_has_parent_page_is_take_ordered(spark):
+    """The has_parent page cut plans as TakeOrderedAndProject (distributed
+    top-k) — never a global single-partition sort of the joined children."""
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.joins import lineitem_has_parent_topk
+
+    od = spark.read.parquet(str(SF_SMOKE / "orders.parquet"))
+    li = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    plan = _plan(lineitem_has_parent_topk(od, li))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_geotile_is_jvm_integer_math(spark):
+    """The tile projection is pure codegen integer math — no Python, no
+    join; the only exchanges are the two-level distinct-count aggregation
+    over (tile, user) keys."""
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.relational import events_geotile
+
+    ev = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    import re
+
+    plan = _plan(events_geotile(ev))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    # two-level distinct: (tile, user) partial hop + tile final hop, nothing
+    # row-scaled beyond them
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+    assert "pmod" in plan and "div" in plan, plan  # integer tile math, JVM-side
