@@ -2775,3 +2775,51 @@ def build_round4_s5c():
             "count is a plain second-level COUNT",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-5 D
+
+
+def q_events_geo_distance(spark, sf_dir):
+    from .relational import events_geo_distance_topk
+
+    return events_geo_distance_topk(_events(spark, sf_dir))
+
+
+def q_events_geo_bounds(spark, sf_dir):
+    from .relational import events_geo_bounds_centroid
+
+    return events_geo_bounds_centroid(_events(spark, sf_dir))
+
+
+def q_events_moving_percentiles(spark, sf_dir):
+    from .relational import events_moving_percentiles
+
+    return events_moving_percentiles(_events(spark, sf_dir))
+
+
+def build_round4_s5d():
+    from .relational import GEO_BOUNDS_SQL, GEO_DISTANCE_SQL, MOVING_PCT_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_geo_distance": QuerySpec(
+            q_events_geo_distance,
+            GEO_DISTANCE_SQL,
+            "ES geo_distance sort: k nearest events by pure-BIGINT squared "
+            "equirect distance, TakeOrderedAndProject page",
+        ),
+        "events_geo_bounds": QuerySpec(
+            q_events_geo_bounds,
+            GEO_BOUNDS_SQL,
+            "ES geo_bounds + geo_centroid aggs: integer bounding box + "
+            "exact-decimal centroid sums, one map-combinable aggregate",
+        ),
+        "events_moving_percentiles": QuerySpec(
+            q_events_moving_percentiles,
+            MOVING_PCT_SQL,
+            "ES moving_percentiles pipeline agg: exact interpolated p50/p90 "
+            "of the trailing 7 daily counts (dense day grid; frames are "
+            "days-sized so exact replaces TDigest for free)",
+        ),
+    }

@@ -978,6 +978,10 @@ from .catalog_pipeline import build_round4_s5c  # noqa: E402
 
 CATALOG.update(build_round4_s5c())
 
+from .catalog_pipeline import build_round4_s5d  # noqa: E402
+
+CATALOG.update(build_round4_s5d())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3171,6 +3175,7 @@ _SWEEP_NEXT = [
     "lineitem_has_parent", "events_rate", "events_geotile",
     "events_auto_date_histogram", "doc_string_stats", "lineitem_mad",
     "orders_children_agg", "terms_shard_error", "bm25_topk_diversified",
+    "events_geo_distance", "events_geo_bounds", "events_moving_percentiles",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

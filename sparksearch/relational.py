@@ -564,6 +564,40 @@ FROM g"""
 
 GEOTILE_ZOOM = 6
 
+#: DuckDB twin of _geo_pos (kept next to it; the geo entries' oracles embed it)
+GEO_POS_SQL = """pos AS (
+  SELECT event_id, user_id, event_type,
+         ('0x' || substring(md5('geo-lon|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 360000 - 180000 AS lon_mdeg,
+         ('0x' || substring(md5('geo-lat|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 170000 - 85000 AS lat_mdeg
+  FROM events
+)"""
+
+
+def _geo_pos(events: DataFrame) -> DataFrame:
+    """Deterministic synthetic position per event (the fixture has no geo
+    column): integer MILLI-degrees derived from h60 of the user id —
+    lon ∈ [−180000, 180000), lat ∈ [−85000, 85000) (the geotile clamp
+    band). Pure BIGINT on both engines (h60 is non-negative, so DuckDB %
+    equals Spark pmod). Shared by the geotile / geo_distance / geo_bounds
+    entries so every geo operator sees the same world."""
+    from .textpipe import h60
+
+    lon = (
+        F.pmod(
+            h60(F.concat(F.lit("geo-lon|"), F.col("user_id").cast("string"))),
+            F.lit(360000),
+        )
+        - 180000
+    ).alias("lon_mdeg")
+    lat = (
+        F.pmod(
+            h60(F.concat(F.lit("geo-lat|"), F.col("user_id").cast("string"))),
+            F.lit(170000),
+        )
+        - 85000
+    ).alias("lat_mdeg")
+    return events.select("event_id", "user_id", "event_type", lon, lat)
+
 
 def events_geotile(events: DataFrame, zoom: int = GEOTILE_ZOOM) -> DataFrame:
     """ES geotile_grid aggregation → DF[tile, n_events, n_users]: events
@@ -581,18 +615,8 @@ def events_geotile(events: DataFrame, zoom: int = GEOTILE_ZOOM) -> DataFrame:
     and DuckDB `//` (truncating) agree. One codegen projection + one
     grouped agg; n_users is an exact distinct (at 100 TB the HLL variant
     swaps in per the cumulative_cardinality precedent)."""
-    from .textpipe import h60
-
     nt = 1 << zoom
-    lon = (
-        F.pmod(h60(F.concat(F.lit("geo-lon|"), F.col("user_id").cast("string"))), F.lit(360000))
-        - 180000
-    ).alias("lon_mdeg")
-    lat = (
-        F.pmod(h60(F.concat(F.lit("geo-lat|"), F.col("user_id").cast("string"))), F.lit(170000))
-        - 85000
-    ).alias("lat_mdeg")
-    pos = events.select("event_id", "user_id", lon, lat)
+    pos = _geo_pos(events)
     tx = F.expr(f"((lon_mdeg + 180000) * {nt}) div 360000")
     ty = F.expr(f"((85000 - 1 - lat_mdeg) * {nt}) div 170000")
     g = pos.groupBy(
@@ -604,12 +628,7 @@ def events_geotile(events: DataFrame, zoom: int = GEOTILE_ZOOM) -> DataFrame:
     return g
 
 
-GEOTILE_SQL = f"""WITH pos AS (
-  SELECT event_id, user_id,
-         ('0x' || substring(md5('geo-lon|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 360000 - 180000 AS lon_mdeg,
-         ('0x' || substring(md5('geo-lat|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 170000 - 85000 AS lat_mdeg
-  FROM events
-)
+GEOTILE_SQL = f"""WITH {GEO_POS_SQL}
 SELECT CAST({GEOTILE_ZOOM} AS VARCHAR) || '/' ||
        CAST(((lon_mdeg + 180000) * {1 << GEOTILE_ZOOM}) // 360000 AS VARCHAR) || '/' ||
        CAST(((85000 - 1 - lat_mdeg) * {1 << GEOTILE_ZOOM}) // 170000 AS VARCHAR) AS tile,
@@ -705,3 +724,189 @@ FROM ep, iv GROUP BY 1, 2"""
 
 
 AUTO_HIST_SQL = _auto_hist_sql()
+
+
+GEO_ORIGIN = (12345, -6789)  # (lon_mdeg, lat_mdeg) of the query point
+GEO_DISTANCE_K = 20
+
+
+def events_geo_distance_topk(
+    events: DataFrame,
+    origin: tuple = GEO_ORIGIN,
+    k: int = GEO_DISTANCE_K,
+) -> DataFrame:
+    """ES geo_distance sort / query → DF[rank, event_id, user_id, lon_mdeg,
+    lat_mdeg, d2]: the k events nearest a fixed origin, ranked by squared
+    equirectangular distance in integer milli-degrees — PURE BIGINT
+    (|Δ| < 4·10⁵ → d2 < 3.2·10¹¹, far inside int64), so the sort key is
+    engine-exact with no haversine trig anywhere (the great-circle variant
+    would route sin/cos through the 9-dp quantize discipline; the CONTRACT
+    — distance-ordered page — is identical). TakeOrderedAndProject page
+    cut; total order (d2 ASC, event_id ASC)."""
+    lon0, lat0 = origin
+    pos = _geo_pos(events)
+    d2 = (
+        (F.col("lon_mdeg") - lon0) * (F.col("lon_mdeg") - lon0)
+        + (F.col("lat_mdeg") - lat0) * (F.col("lat_mdeg") - lat0)
+    ).cast("long")
+    scored = pos.select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"),
+        "lon_mdeg", "lat_mdeg", d2.alias("d2"),
+    )
+    page = scored.orderBy(F.asc("d2"), F.asc("event_id")).limit(k)
+    w = Window.orderBy(F.asc("d2"), F.asc("event_id"))
+    return page.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "event_id", "user_id", "lon_mdeg", "lat_mdeg", "d2"
+    )
+
+
+GEO_DISTANCE_SQL = f"""WITH {GEO_POS_SQL},
+s AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, lon_mdeg, lat_mdeg,
+         CAST((lon_mdeg - {GEO_ORIGIN[0]}) * (lon_mdeg - {GEO_ORIGIN[0]})
+              + (lat_mdeg - {GEO_ORIGIN[1]}) * (lat_mdeg - {GEO_ORIGIN[1]}) AS BIGINT) AS d2
+  FROM pos
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY d2 ASC, event_id ASC) AS rank FROM s
+)
+SELECT CAST(rank AS BIGINT) AS rank, event_id, user_id, lon_mdeg, lat_mdeg, d2
+FROM r WHERE rank <= {GEO_DISTANCE_K}"""
+
+
+def events_geo_bounds_centroid(events: DataFrame) -> DataFrame:
+    """ES geo_bounds + geo_centroid aggregations per event_type →
+    DF[event_type, n, min_lon, max_lon, min_lat, max_lat, centroid_lon,
+    centroid_lat]: the bounding box is pure integer min/max; the centroid
+    is an exact-decimal coordinate sum with ONE double division per axis
+    (round6 both sides). One map-side-combinable aggregate, no joins."""
+    from .stats import round6
+
+    pos = _geo_pos(events)
+    g = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lon_mdeg").cast("long").alias("min_lon"),
+        F.max("lon_mdeg").cast("long").alias("max_lon"),
+        F.min("lat_mdeg").cast("long").alias("min_lat"),
+        F.max("lat_mdeg").cast("long").alias("max_lat"),
+        F.sum(F.col("lon_mdeg").cast("decimal(18,0)")).alias("slon"),
+        F.sum(F.col("lat_mdeg").cast("decimal(18,0)")).alias("slat"),
+    )
+    return g.select(
+        "event_type", "n", "min_lon", "max_lon", "min_lat", "max_lat",
+        round6(F.col("slon").cast("double") / F.col("n").cast("double")).alias(
+            "centroid_lon"
+        ),
+        round6(F.col("slat").cast("double") / F.col("n").cast("double")).alias(
+            "centroid_lat"
+        ),
+    )
+
+
+GEO_BOUNDS_SQL = f"""WITH {GEO_POS_SQL},
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         MIN(lon_mdeg) AS min_lon, MAX(lon_mdeg) AS max_lon,
+         MIN(lat_mdeg) AS min_lat, MAX(lat_mdeg) AS max_lat,
+         SUM(CAST(lon_mdeg AS DECIMAL(18,0))) AS slon,
+         SUM(CAST(lat_mdeg AS DECIMAL(18,0))) AS slat
+  FROM pos GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(min_lon AS BIGINT) AS min_lon, CAST(max_lon AS BIGINT) AS max_lon,
+       CAST(min_lat AS BIGINT) AS min_lat, CAST(max_lat AS BIGINT) AS max_lat,
+       CAST(ROUND(CAST(CAST(slon AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS centroid_lon,
+       CAST(ROUND(CAST(CAST(slat AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS centroid_lat
+FROM g"""
+
+
+MOVING_PCT_WINDOW = 7
+
+
+def events_moving_percentiles(
+    events: DataFrame, window: int = MOVING_PCT_WINDOW
+) -> DataFrame:
+    """ES moving_percentiles pipeline aggregation → DF[day, n_events, p50,
+    p90]: exact interpolated percentiles of the trailing `window` daily
+    counts (dense min_doc_count=0 day grid, the serial_diff discipline).
+
+    The trailing frame is collected per bucket (collect_list over a rows
+    window — ≤ `window` longs), sort_array'd, and interpolated with the
+    engine-exact percentile discipline: h = (w−1)·p with p ∈ {0.5, 0.9}
+    exact decimal(2,1), so floor/frac are exact decimals and the
+    interpolation is integer±decimal arithmetic — no TDigest and no engine
+    percentile builtin (ES backs this agg with TDigest; the window frame
+    here is days-sized, so exact is FREE at any corpus scale — the buckets,
+    not the events, bound the cost)."""
+    import decimal as _d
+
+    day = (
+        F.floor(F.col("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day_i")
+    )
+    counts = events.select(day).groupBy("day_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    full = grid.join(counts, "day_i", "left").select(
+        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
+    )
+    w = Window.orderBy("day_i").rowsBetween(-(window - 1), 0)
+    arr = F.sort_array(F.collect_list("n_events").over(w))
+
+    def pct(a, p: str):
+        pd_ = F.lit(_d.Decimal(p))
+        h = (F.size(a) - 1) * pd_
+        lo = F.floor(h).cast("int")
+        frac = h - lo.cast("decimal(10,1)")
+        vlo = F.element_at(a, lo + 1)
+        vhi = F.element_at(a, F.least(lo + 2, F.size(a)))
+        return (vlo + (vhi - vlo) * frac).cast("decimal(14,1)")
+
+    withp = full.select(
+        "day_i", "n_events", arr.alias("a")
+    ).select(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_i").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        pct(F.col("a"), "0.5").alias("p50"),
+        pct(F.col("a"), "0.9").alias("p90"),
+    )
+    return withp
+
+
+MOVING_PCT_SQL = f"""WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_i FROM events
+),
+c AS (SELECT day_i, COUNT(*) AS n_events FROM d GROUP BY 1),
+rng AS (SELECT MIN(day_i) AS lo, MAX(day_i) AS hi FROM c),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day_i FROM rng),
+filled AS (
+  SELECT g.day_i, COALESCE(c.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN c ON c.day_i = g.day_i
+),
+win AS (
+  SELECT day_i, n_events,
+         list_sort(list(n_events) OVER (ORDER BY day_i
+           ROWS BETWEEN {MOVING_PCT_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS a
+  FROM filled
+),
+p AS (
+  SELECT day_i, n_events, a,
+         CAST(floor((len(a) - 1) * 0.5) AS INTEGER) AS lo5,
+         (len(a) - 1) * 0.5 - CAST(floor((len(a) - 1) * 0.5) AS INTEGER) AS f5,
+         CAST(floor((len(a) - 1) * 0.9) AS INTEGER) AS lo9,
+         (len(a) - 1) * 0.9 - CAST(floor((len(a) - 1) * 0.9) AS INTEGER) AS f9
+  FROM win
+)
+SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(a[lo5 + 1] + (a[least(lo5 + 2, len(a))] - a[lo5 + 1]) * f5 AS DECIMAL(14,1)) AS p50,
+       CAST(a[lo9 + 1] + (a[least(lo9 + 2, len(a))] - a[lo9 + 1]) * f9 AS DECIMAL(14,1)) AS p90
+FROM p"""

@@ -521,3 +521,78 @@ def test_auto_date_histogram_picks_smallest_fitting_interval(spark):
     rows2 = events_auto_date_histogram(df2).collect()
     assert {r.interval_sec for r in rows2} == {60}
     assert len(rows2) == 10 and all(r.n_events == 1 for r in rows2)
+
+
+def _py_pos(user_id):
+    import hashlib
+
+    h = lambda p: int(  # noqa: E731
+        hashlib.md5(f"{p}|{user_id}".encode()).hexdigest()[:15], 16
+    )
+    return h("geo-lon") % 360000 - 180000, h("geo-lat") % 170000 - 85000
+
+
+def test_geo_distance_matches_bruteforce(spark):
+    from sparksearch.relational import (
+        GEO_DISTANCE_K,
+        GEO_ORIGIN,
+        events_geo_distance_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    rows = sorted(events_geo_distance_topk(events).collect(), key=lambda r: r.rank)
+    pdf = events.toPandas()
+    lon0, lat0 = GEO_ORIGIN
+    cand = []
+    for eid, uid in zip(pdf.event_id, pdf.user_id):
+        lon, lat = _py_pos(uid)
+        cand.append(((lon - lon0) ** 2 + (lat - lat0) ** 2, eid, lon, lat))
+    want = sorted(cand)[:GEO_DISTANCE_K]
+    assert [(r.d2, r.event_id, r.lon_mdeg, r.lat_mdeg) for r in rows] == want
+
+
+def test_geo_bounds_centroid_matches_bruteforce(spark):
+    import math
+
+    from sparksearch.relational import events_geo_bounds_centroid
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    rows = {r.event_type: r for r in events_geo_bounds_centroid(events).collect()}
+    pdf = events.toPandas()
+    pdf["pos"] = pdf.user_id.map(_py_pos)
+    for et, grp in pdf.groupby("event_type"):
+        lons = grp.pos.map(lambda p: p[0])
+        lats = grp.pos.map(lambda p: p[1])
+        r = rows[et]
+        assert (r.min_lon, r.max_lon) == (lons.min(), lons.max())
+        assert (r.min_lat, r.max_lat) == (lats.min(), lats.max())
+        assert math.isclose(r.centroid_lon, lons.sum() / len(grp), abs_tol=5e-7)
+        assert math.isclose(r.centroid_lat, lats.sum() / len(grp), abs_tol=5e-7)
+
+
+def test_moving_percentiles_hand_case(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from sparksearch.relational import MOVING_PCT_WINDOW, events_moving_percentiles
+
+    # 10 days, counts 1..10 except day 4 empty (0 via the dense grid)
+    rows = []
+    eid = 0
+    for d in range(10):
+        if d == 3:
+            continue
+        for _ in range(d + 1):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 1 + d, 12)))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(events_moving_percentiles(df).collect(), key=lambda r: r.day)
+    series = [1, 2, 3, 0, 5, 6, 7, 8, 9, 10]
+    assert [r.n_events for r in got] == series
+    for i, r in enumerate(got):
+        wnd = series[max(0, i - (MOVING_PCT_WINDOW - 1)) : i + 1]
+        assert float(r.p50) == np.percentile(wnd, 50, method="linear")
+        assert float(r.p90) == np.percentile(wnd, 90, method="linear")
