@@ -2823,3 +2823,111 @@ def build_round4_s5d():
             "days-sized so exact replaces TDigest for free)",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-6
+
+
+def q_events_normalize(spark, sf_dir):
+    from .relational import events_normalize
+
+    return events_normalize(_events(spark, sf_dir))
+
+
+def q_events_bucket_correlation(spark, sf_dir):
+    from .relational import events_bucket_correlation
+
+    return events_bucket_correlation(_events(spark, sf_dir))
+
+
+def q_events_ip_range(spark, sf_dir):
+    from .relational import events_ip_range
+
+    return events_ip_range(_events(spark, sf_dir))
+
+
+def q_events_global_missing(spark, sf_dir):
+    from .relational import events_global_missing
+
+    return events_global_missing(_events(spark, sf_dir))
+
+
+def q_orders_stats_bucket(spark, sf_dir):
+    from .joins import orders_stats_bucket
+
+    return orders_stats_bucket(_t(spark, sf_dir, "orders"))
+
+
+def q_orders_bucket_script(spark, sf_dir):
+    from .joins import orders_bucket_script
+
+    return orders_bucket_script(_t(spark, sf_dir, "orders"))
+
+
+def q_lineitem_percentiles_bucket(spark, sf_dir):
+    from .joins import lineitem_percentiles_bucket
+
+    return lineitem_percentiles_bucket(_t(spark, sf_dir, "lineitem"))
+
+
+def build_round4_s6():
+    from .joins import BUCKET_SCRIPT_SQL, PCTL_BUCKET_SQL, STATS_BUCKET_SQL
+    from .relational import (
+        BUCKET_CORR_SQL,
+        GLOBAL_MISSING_SQL,
+        IP_RANGE_SQL,
+        NORMALIZE_SQL,
+    )
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_normalize": QuerySpec(
+            q_events_normalize,
+            NORMALIZE_SQL,
+            "ES normalize pipeline agg (percent_of_sum + rescale_0_1) over "
+            "the dense min_doc_count=0 day histogram; exact-integer inputs, "
+            "one double division per output",
+        ),
+        "events_bucket_correlation": QuerySpec(
+            q_events_bucket_correlation,
+            BUCKET_CORR_SQL,
+            "ES bucket_correlation pipeline agg: Pearson r between two "
+            "event types' daily-count series on the dense day grid — "
+            "decimal-exact moments, pinned final double sequence",
+        ),
+        "events_ip_range": QuerySpec(
+            q_events_ip_range,
+            IP_RANGE_SQL,
+            "ES ip_range agg (CIDR /2 blocks) over h60-derived "
+            "deterministic IPv4s: pure-BIGINT bucketing + dotted-quad "
+            "rendering, exact distinct users via two-level reduce",
+        ),
+        "events_global_missing": QuerySpec(
+            q_events_global_missing,
+            GLOBAL_MISSING_SQL,
+            "ES global + missing + terms aggs in one search context: the "
+            "global bucket escapes the query filter, the missing bucket "
+            "counts docs lacking the (synthesized) field; one events pass",
+        ),
+        "orders_stats_bucket": QuerySpec(
+            q_orders_stats_bucket,
+            STATS_BUCKET_SQL,
+            "ES stats_bucket sibling pipeline agg (subsumes "
+            "min/max/avg/sum_bucket) over monthly revenue buckets; exact "
+            "decimals, avg as one double division",
+        ),
+        "orders_bucket_script": QuerySpec(
+            q_orders_bucket_script,
+            BUCKET_SCRIPT_SQL,
+            "ES bucket_script pipeline agg: per-month urgent-revenue share "
+            "and avg order value from sibling agg outputs; conditional sums "
+            "ride the one group-by pass",
+        ),
+        "lineitem_percentiles_bucket": QuerySpec(
+            q_lineitem_percentiles_bucket,
+            PCTL_BUCKET_SQL,
+            "ES percentiles_bucket pipeline agg: exact interpolated "
+            "p25/p50/p75 of monthly quantity buckets (boxplot discipline "
+            "on the months-sized frame)",
+        ),
+    }

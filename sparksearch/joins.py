@@ -1306,3 +1306,189 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_parents,
        CAST(SUM(nc) AS BIGINT) AS n_children,
        CAST(SUM(rev) AS DECIMAL(38,6)) AS sum_child_revenue
 FROM per_parent GROUP BY 1"""
+
+
+# ------------------------------------------------- round-4 session-6 aggs
+
+
+def orders_stats_bucket(orders: DataFrame) -> DataFrame:
+    """ES sibling pipeline aggregations over a monthly date_histogram —
+    ``stats_bucket`` (which subsumes min_bucket / max_bucket / avg_bucket /
+    sum_bucket) → one-row DF[n_buckets, min_rev, max_rev, sum_rev,
+    avg_rev]: monthly revenue buckets reduced to bucket-level statistics.
+
+    Two-level aggregation: the month group-by is the only events-sized
+    exchange; the sibling agg runs on the months-sized frame. min/max/sum
+    are exact decimals end-to-end; avg is ONE double division of two exact
+    values then round6 (the training_data_stats float-mean remedy —
+    never an engine AVG over doubles, whose summation order differs)."""
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("revenue")
+    )
+    from .stats import round6
+
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("revenue").alias("min_rev"),
+        F.max("revenue").alias("max_rev"),
+        F.sum("revenue").cast("decimal(38,2)").alias("sum_rev"),
+    ).select(
+        "n_buckets", "min_rev", "max_rev", "sum_rev",
+        round6(
+            F.col("sum_rev").cast("double") / F.col("n_buckets").cast("double")
+        ).alias("avg_rev"),
+    )
+
+
+STATS_BUCKET_SQL = """WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS revenue
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MIN(revenue) AS min_rev,
+         MAX(revenue) AS max_rev,
+         CAST(SUM(revenue) AS DECIMAL(38,2)) AS sum_rev
+  FROM m
+)
+SELECT n_buckets, min_rev, max_rev, sum_rev,
+       CAST(ROUND(CAST(CAST(sum_rev AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_rev
+FROM s"""
+
+
+def orders_bucket_script(orders: DataFrame) -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation → DF[month, n_orders,
+    urgent_rev, total_rev, urgent_share, avg_order_value]: per-month
+    derived metrics computed FROM other aggregations' outputs (the
+    bucket_script contract) — urgent-priority revenue share and average
+    order value.
+
+    One map-combinable group-by (the conditional urgent sum rides the same
+    pass — no second scan, no join); the script part is per-bucket scalar
+    math on the months-sized frame: exact decimal sums, each ratio ONE
+    double division then round6. Priority gate is a startswith, pure
+    codegen."""
+    urgent = F.when(
+        F.col("o_orderpriority").startswith("1-"),
+        F.col("o_totalprice").cast("decimal(12,2)"),
+    ).otherwise(F.lit(None).cast("decimal(12,2)"))
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.coalesce(F.sum(urgent).cast("decimal(28,2)"), F.lit(0).cast("decimal(28,2)"))
+        .alias("urgent_rev"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("total_rev"),
+    )
+    from .stats import round6
+
+    return m.select(
+        "month", "n_orders", "urgent_rev", "total_rev",
+        round6(
+            F.col("urgent_rev").cast("double") / F.col("total_rev").cast("double")
+        ).alias("urgent_share"),
+        round6(
+            F.col("total_rev").cast("double") / F.col("n_orders").cast("double")
+        ).alias("avg_order_value"),
+    )
+
+
+BUCKET_SCRIPT_SQL = """WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+              THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0)
+              AS DECIMAL(28,2)) AS urgent_rev,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_rev
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, urgent_rev, total_rev,
+       CAST(ROUND(CAST(CAST(urgent_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS urgent_share,
+       CAST(ROUND(CAST(CAST(total_rev AS DOUBLE) / CAST(n_orders AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_order_value
+FROM m"""
+
+
+def lineitem_percentiles_bucket(lineitem: DataFrame) -> DataFrame:
+    """ES ``percentiles_bucket`` pipeline aggregation → one-row
+    DF[n_buckets, p25, p50, p75]: exact linear-interpolated percentiles of
+    the monthly sum(l_quantity) bucket values.
+
+    The bucket frame is months-sized BY CONSTRUCTION (pipeline aggs run
+    over a histogram's buckets, never the raw rows), so the exact
+    order-statistic form costs one tiny sort — the boxplot entry's
+    engine-exact discipline (h = (n−1)p, p ∈ {¼,½,¾} → floor/frac exact
+    because ÷4 is a power of two; decimal interpolation; no engine
+    percentile builtin executes). The only lineitem-sized work is the
+    month group-by."""
+    import decimal as _d
+
+    m = lineitem.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(28,2)")
+        .alias("v")
+    )
+    ws = Window.orderBy("v")
+    r = m.select(
+        "v",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_buckets")]
+    for p in (1, 2, 3):
+        lo = F.floor(((F.col("n") - 1) * p) / F.lit(4.0)).cast("long")
+        aggs += [
+            F.max(F.when(F.col("rn") == lo + 1, F.col("v"))).alias(f"lo{p}"),
+            F.max(F.when(F.col("rn") == lo + 2, F.col("v"))).alias(f"hi{p}"),
+            F.max((F.col("n") - 1) * p - 4 * lo).cast("long").alias(f"rem{p}"),
+        ]
+    g = r.groupBy().agg(*aggs)
+    out = ["n_buckets"]
+    cols = []
+    for p, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+        frac = (F.col(f"rem{p}") * F.lit(_d.Decimal("0.25"))).cast("decimal(3,2)")
+        cols.append(
+            (
+                F.col(f"lo{p}")
+                + (F.coalesce(f"hi{p}", f"lo{p}") - F.col(f"lo{p}")) * frac
+            ).cast("decimal(19,4)").alias(name)
+        )
+    return g.select(*out, *cols)
+
+
+PCTL_BUCKET_SQL = """WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS v
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM m
+),
+g AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_buckets,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*1)/4.0) AS BIGINT) + 1 THEN v END) AS lo1,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*1)/4.0) AS BIGINT) + 2 THEN v END) AS hi1,
+         CAST(MAX((n-1)*1 - 4*CAST(floor(((n-1)*1)/4.0) AS BIGINT)) AS BIGINT) AS rem1,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*2)/4.0) AS BIGINT) + 1 THEN v END) AS lo2,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*2)/4.0) AS BIGINT) + 2 THEN v END) AS hi2,
+         CAST(MAX((n-1)*2 - 4*CAST(floor(((n-1)*2)/4.0) AS BIGINT)) AS BIGINT) AS rem2,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*3)/4.0) AS BIGINT) + 1 THEN v END) AS lo3,
+         MAX(CASE WHEN rn = CAST(floor(((n-1)*3)/4.0) AS BIGINT) + 2 THEN v END) AS hi3,
+         CAST(MAX((n-1)*3 - 4*CAST(floor(((n-1)*3)/4.0) AS BIGINT)) AS BIGINT) AS rem3
+  FROM r
+)
+SELECT n_buckets,
+       CAST(lo1 + (COALESCE(hi1, lo1) - lo1) * CAST(rem1 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p25,
+       CAST(lo2 + (COALESCE(hi2, lo2) - lo2) * CAST(rem2 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p50,
+       CAST(lo3 + (COALESCE(hi3, lo3) - lo3) * CAST(rem3 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p75
+FROM g"""

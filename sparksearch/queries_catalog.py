@@ -982,6 +982,10 @@ from .catalog_pipeline import build_round4_s5d  # noqa: E402
 
 CATALOG.update(build_round4_s5d())
 
+from .catalog_pipeline import build_round4_s6  # noqa: E402
+
+CATALOG.update(build_round4_s6())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3093,6 +3097,148 @@ from .catalog_pipeline import build_round4_s4e  # noqa: E402
 
 CATALOG.update(build_round4_s4e())
 
+
+# ------------------------------------------------- round-4 session-6 search
+# search_after cursor pagination (physical form), terms_set per-doc msm,
+# function_score linear decay. All three reuse the flagship scored frame's
+# broadcast-against-postings plan; the synthetic per-doc fields (required
+# matches, age) are h60-derived inline expressions — zero extra joins.
+
+#: DuckDB twin of the h60-derived per-doc fields (textpipe.h60 contract)
+_H60_DOC_SQL = "('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import search_after_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = search_after_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import terms_set_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = terms_set_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("required").cast("long").alias("required"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_bm25_topk_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import decay_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = decay_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("age_days").cast("long").alias("age_days"),
+        _round6("score").alias("score"),
+    )
+
+
+CATALOG.update({
+    "bm25_search_after": QuerySpec(
+        q_bm25_search_after,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk - {K} AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk > {K} AND rnk <= {2 * K}""",
+        "ES search_after cursor pagination, PHYSICAL form: page 2 via the "
+        "page-1 (round6(score), doc_id) cursor pushed as a strict-ordering "
+        "predicate (driver round-trip = the ES client round-trip); "
+        "identical rows to the window form because the order is total — "
+        "two algorithms, one answer",
+    ),
+    "terms_set_topk": QuerySpec(
+        q_terms_set_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score,
+         COUNT(DISTINCT q.term) AS n_hit
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT query_id, doc_id, score, n_hit,
+         1 + {_H60_DOC_SQL.format(salt="req|")} % 3 AS required
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id, required, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM g WHERE n_hit >= required
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(required AS BIGINT) AS required,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "ES terms_set query (minimum_should_match_field): per-document "
+        "required distinct-match count (h60-derived synthetic field, "
+        "computed inline — zero extra joins over the msm plan)",
+    ),
+    "bm25_topk_decay": QuerySpec(
+        q_bm25_topk_decay,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+aged AS (
+  SELECT query_id, doc_id, score,
+         {_H60_DOC_SQL.format(salt="age|")} % 365 AS age_days
+  FROM scored
+),
+fin AS (
+  SELECT query_id, doc_id, age_days,
+         CAST(ROUND(CAST(
+           CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE)
+           * (CAST(300 - LEAST(GREATEST(age_days - 30, 0), 300) AS DOUBLE) / 300.0)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM aged
+),
+ranked AS (
+  SELECT query_id, doc_id, age_days, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM fin
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(age_days AS BIGINT) AS age_days,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "ES function_score LINEAR decay on h60-derived doc recency: "
+        "integer clamp numerator, one double division, final = "
+        "round6(round6(bm25) * decay) — identical op sequence both engines",
+    ),
+})
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -3176,6 +3322,11 @@ _SWEEP_NEXT = [
     "events_auto_date_histogram", "doc_string_stats", "lineitem_mad",
     "orders_children_agg", "terms_shard_error", "bm25_topk_diversified",
     "events_geo_distance", "events_geo_bounds", "events_moving_percentiles",
+    # round-4 session-6 additions (brand new — same policy as session 5)
+    "events_normalize", "events_bucket_correlation", "events_ip_range",
+    "events_global_missing", "orders_stats_bucket", "orders_bucket_script",
+    "lineitem_percentiles_bucket", "bm25_search_after", "terms_set_topk",
+    "bm25_topk_decay",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

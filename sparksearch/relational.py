@@ -910,3 +910,348 @@ SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS day,
        CAST(a[lo5 + 1] + (a[least(lo5 + 2, len(a))] - a[lo5 + 1]) * f5 AS DECIMAL(14,1)) AS p50,
        CAST(a[lo9 + 1] + (a[least(lo9 + 2, len(a))] - a[lo9 + 1]) * f9 AS DECIMAL(14,1)) AS p90
 FROM p"""
+
+
+# ------------------------------------------------- round-4 session-6 aggs
+
+
+def events_normalize(events: DataFrame) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation (methods ``percent_of_sum`` +
+    ``rescale_0_1``) → DF[day, n_events, pct_of_sum, rescale01]: daily event
+    counts on the DENSE min_doc_count=0 day grid (serial_diff discipline —
+    missing days count 0 and legitimately pin the rescale minimum), each
+    bucket normalized against the whole histogram.
+
+    Float discipline: every input is an exact BIGINT (counts, min, max,
+    total), each output is ONE double division of exact integers —
+    IEEE-identical cross-engine — then round6 (invariant #5). A flat
+    histogram (max == min) yields NULL rescale01 on both engines (NULLIF).
+    The grid explode, the 1-row stats frame and the broadcast join all run
+    on the days-sized frame — the events table is touched once by the
+    count aggregation."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long").alias("day_i")
+    counts = events.select(day).groupBy("day_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    full = grid.join(counts, "day_i", "left").select(
+        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
+    )
+    st = full.agg(
+        F.sum("n_events").cast("long").alias("tot"),
+        F.min("n_events").cast("long").alias("mn"),
+        F.max("n_events").cast("long").alias("mx"),
+    )
+    from .stats import round6
+
+    return full.crossJoin(F.broadcast(st)).select(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_i").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        round6(
+            F.col("n_events").cast("double") / F.col("tot").cast("double")
+        ).alias("pct_of_sum"),
+        round6(
+            (F.col("n_events") - F.col("mn")).cast("double")
+            / F.nullif((F.col("mx") - F.col("mn")), F.lit(0)).cast("double")
+        ).alias("rescale01"),
+    )
+
+
+NORMALIZE_SQL = """WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_i FROM events
+),
+c AS (SELECT day_i, COUNT(*) AS n_events FROM d GROUP BY 1),
+rng AS (SELECT MIN(day_i) AS lo, MAX(day_i) AS hi FROM c),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day_i FROM rng),
+filled AS (
+  SELECT g.day_i, COALESCE(c.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN c ON c.day_i = g.day_i
+),
+st AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS tot,
+         CAST(MIN(n_events) AS BIGINT) AS mn,
+         CAST(MAX(n_events) AS BIGINT) AS mx
+  FROM filled
+)
+SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS pct_of_sum,
+       CAST(ROUND(CAST(CAST(n_events - mn AS DOUBLE)
+            / CAST(NULLIF(mx - mn, 0) AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS rescale01
+FROM filled, st"""
+
+
+BUCKET_CORR_X = "click"
+BUCKET_CORR_Y = "purchase"
+
+
+def events_bucket_correlation(
+    events: DataFrame, x_type: str = BUCKET_CORR_X, y_type: str = BUCKET_CORR_Y
+) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline aggregation (x-pack, function
+    ``count_correlation``) → one-row DF[n_days, sum_x, sum_y, r]: Pearson
+    correlation between the daily-count series of two event types over the
+    dense day grid (min_doc_count=0 — a day with clicks and no purchases is
+    a (x, 0) point, not a dropped row; dropping zero days would bias r
+    toward busy days).
+
+    Exactness: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are integer
+    sums of integer products — exact BIGINT at fixture scale and widened
+    through decimal(38,0) for the n·Σxy − Σx·Σy style products so the
+    10^2-events/day ... 10^9-events/day range never wraps (the
+    lineitem_matrix_stats width-budget discipline). The only doubles are
+    the final CAST → sqrt → multiply → divide sequence, pinned identically
+    in both engines (sqrt of the same double is IEEE-exact), then round6."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long").alias("day_i")
+    counts = events.select(day, "event_type").groupBy("day_i").agg(
+        F.sum(F.when(F.col("event_type") == x_type, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == y_type, 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    full = grid.join(counts, "day_i", "left").select(
+        "day_i",
+        F.coalesce("x", F.lit(0).cast("long")).alias("x"),
+        F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+    )
+    m = full.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    from .stats import round6
+
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("sum_x"),
+        F.col("sy").cast("long").alias("sum_y"),
+        round6(num / (F.sqrt(dx) * F.sqrt(dy))).alias("r"),
+    )
+
+
+BUCKET_CORR_SQL = f"""WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_i, event_type
+  FROM events
+),
+c AS (
+  SELECT day_i,
+         SUM(CASE WHEN event_type = '{BUCKET_CORR_X}' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = '{BUCKET_CORR_Y}' THEN 1 ELSE 0 END) AS y
+  FROM d GROUP BY 1
+),
+rng AS (SELECT MIN(day_i) AS lo, MAX(day_i) AS hi FROM c),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day_i FROM rng),
+filled AS (
+  SELECT g.day_i, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+  FROM grid g LEFT JOIN c ON c.day_i = g.day_i
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+  FROM filled
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(sx AS BIGINT) AS sum_x,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(ROUND(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS r
+FROM m"""
+
+
+#: DuckDB twin of the deterministic per-user IPv4 (the fixture has no IP
+#: column — same synthetic-world precedent as GEO_POS_SQL). h60 is
+#: non-negative so DuckDB % equals Spark pmod.
+IP_POS_SQL = """ip AS (
+  SELECT event_id, user_id,
+         ('0x' || substring(md5('ip|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4294967296 AS ip32
+  FROM events
+)"""
+
+
+def _ip32(events: DataFrame) -> DataFrame:
+    """Deterministic synthetic IPv4 (as a BIGINT in [0, 2^32)) per event,
+    derived from h60 of the user id — pure integer math on both engines,
+    shared by the ip_range entry and its oracle (IP_POS_SQL is the twin)."""
+    from .textpipe import h60
+
+    return events.select(
+        "event_id", "user_id",
+        F.pmod(
+            h60(F.concat(F.lit("ip|"), F.col("user_id").cast("string"))),
+            F.lit(4294967296),
+        ).alias("ip32"),
+    )
+
+
+def _dotted(ip: "F.Column"):
+    """Dotted-quad rendering of a BIGINT IPv4 — integer div/mod only."""
+    return F.concat_ws(
+        ".",
+        ((ip / F.lit(16777216)).cast("long") % 256).cast("string"),
+        ((ip / F.lit(65536)).cast("long") % 256).cast("string"),
+        ((ip / F.lit(256)).cast("long") % 256).cast("string"),
+        (ip % 256).cast("string"),
+    )
+
+
+def events_ip_range(events: DataFrame) -> DataFrame:
+    """ES ``ip_range`` aggregation (CIDR form, /2 blocks) → DF[cidr,
+    from_ip, to_ip, n_events, n_users]: events bucketed by the top two bits
+    of a deterministic per-user IPv4 (h60-derived — the fixture carries no
+    IP column; same synthetic-world discipline as the geo entries).
+
+    Pure-BIGINT bucketing (ip32 div 2^30 ∈ {0..3} — operands non-negative,
+    so Spark `div` == DuckDB `//`, the geotile precedent), dotted-quad
+    boundary rendering via integer div/mod. n_users is exact distinct:
+    children_agg discipline — reduce per (bucket, user) FIRST, then the
+    distinct-user count is a plain second-level COUNT with the event count
+    a SUM, so no countDistinct ever sees raw events and a monster user
+    costs one row per bucket."""
+    b = _ip32(events).select(
+        (F.col("ip32") / F.lit(1073741824)).cast("long").alias("bucket"),
+        "user_id",
+    )
+    per_user = b.groupBy("bucket", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = per_user.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    lo = F.col("bucket") * F.lit(1073741824)
+    hi = (F.col("bucket") + 1) * F.lit(1073741824) - 1
+    return g.select(
+        F.concat(_dotted(lo), F.lit("/2")).alias("cidr"),
+        _dotted(lo).alias("from_ip"),
+        _dotted(hi).alias("to_ip"),
+        "n_events",
+        "n_users",
+    )
+
+
+IP_RANGE_SQL = f"""WITH {IP_POS_SQL.strip()},
+b AS (SELECT ip32 // 1073741824 AS bucket, user_id FROM ip),
+pu AS (SELECT bucket, user_id, COUNT(*) AS n FROM b GROUP BY 1, 2),
+g AS (
+  SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pu GROUP BY 1
+),
+r AS (
+  SELECT bucket, n_events, n_users,
+         bucket * 1073741824 AS lo, (bucket + 1) * 1073741824 - 1 AS hi
+  FROM g
+)
+SELECT CAST((lo // 16777216) % 256 AS VARCHAR) || '.' ||
+       CAST((lo // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((lo // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(lo % 256 AS VARCHAR) || '/2' AS cidr,
+       CAST((lo // 16777216) % 256 AS VARCHAR) || '.' ||
+       CAST((lo // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((lo // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(lo % 256 AS VARCHAR) AS from_ip,
+       CAST((hi // 16777216) % 256 AS VARCHAR) || '.' ||
+       CAST((hi // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((hi // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(hi % 256 AS VARCHAR) AS to_ip,
+       n_events, n_users
+FROM r"""
+
+
+GLOBAL_MISSING_FILTER = "purchase"
+
+
+def events_global_missing(events: DataFrame) -> DataFrame:
+    """ES ``global`` + ``missing`` + ``terms`` aggregations in one search
+    context → DF[bucket_kind, bucket_key, n_events, sum_k]: the query
+    filter is event_type = 'purchase'; inside it a terms agg over a derived
+    nullable ``plan`` field (k % 7 == 0 → the field is ABSENT — the
+    fixture's props always carry k, so missingness is synthesized
+    deterministically, the geo/ip precedent), a ``missing`` bucket counting
+    the absent rows, and a ``global`` bucket that escapes the query filter
+    (ES global agg semantics: aggregates over ALL documents in scope, not
+    the query's hits).
+
+    One events pass: every bucket kind is a conditional aggregation over
+    the same frame grouped by a precomputed (kind, key) pair built with a
+    single explode of at most 2 tags per row — no unions, no second scan.
+    sum_k is an exact BIGINT sum."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    plan = F.when(F.pmod(k, F.lit(7)) == 0, F.lit(None).cast("string")).otherwise(
+        F.when(F.pmod(k, F.lit(3)) == 0, F.lit("pro"))
+        .when(F.pmod(k, F.lit(3)) == 1, F.lit("free"))
+        .otherwise(F.lit("team"))
+    )
+    filt = F.col("event_type") == GLOBAL_MISSING_FILTER
+    tagged = events.select(
+        k.alias("k"),
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.lit("global").alias("kind"), F.lit("(all)").alias("key"))),
+                F.when(
+                    filt,
+                    F.array(
+                        F.struct(
+                            F.when(plan.isNull(), F.lit("missing"))
+                            .otherwise(F.lit("term")).alias("kind"),
+                            F.coalesce(plan, F.lit("(missing)")).alias("key"),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<struct<kind:string,key:string>>")),
+            )
+        ).alias("t"),
+    )
+    return tagged.groupBy(
+        F.col("t.kind").alias("bucket_kind"), F.col("t.key").alias("bucket_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
+GLOBAL_MISSING_SQL = f"""WITH e AS (
+  SELECT json_extract_string(props, '$.k')::BIGINT AS k,
+         event_type = '{GLOBAL_MISSING_FILTER}' AS hit,
+         CASE WHEN json_extract_string(props, '$.k')::BIGINT % 7 = 0 THEN NULL
+              WHEN json_extract_string(props, '$.k')::BIGINT % 3 = 0 THEN 'pro'
+              WHEN json_extract_string(props, '$.k')::BIGINT % 3 = 1 THEN 'free'
+              ELSE 'team' END AS plan
+  FROM events
+),
+tagged AS (
+  SELECT 'global' AS bucket_kind, '(all)' AS bucket_key, k FROM e
+  UNION ALL
+  SELECT CASE WHEN plan IS NULL THEN 'missing' ELSE 'term' END,
+         COALESCE(plan, '(missing)'), k
+  FROM e WHERE hit
+)
+SELECT bucket_kind, bucket_key, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM tagged GROUP BY 1, 2"""

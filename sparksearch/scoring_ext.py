@@ -421,3 +421,152 @@ def diversified_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", field, "score")
     )
+
+
+def search_after_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``search_after`` cursor pagination, the PHYSICAL form →
+    DF[query_id, rank, doc_id, score]: page 2 (ranks 1..k within the page)
+    fetched by pushing the page-1 cursor — the k-th (round6(score),
+    doc_id) pair — as a strict-ordering predicate, never by a window over
+    pages 1..N. The logical twin (window rank > k, entry bm25_topk_page2)
+    and this cursor form return identical rows BECAUSE the engine order
+    (round6(score) DESC, doc_id ASC) is total: no ties, so no skipped or
+    duplicated docs across pages.
+
+    The cursor round-trips through the driver exactly as ES's cursor
+    round-trips through the client — a ≤ n_queries-row collect (8 rows
+    here; the CLAUDE.md collect budget), re-entering the plan as a
+    broadcast literal table. A query with fewer than k page-1 hits has no
+    cursor and returns no page 2 (inner join), matching ES. At cluster
+    scale the win over the window form: the filter reaches the scored
+    frame BEFORE any rank window, so page N never re-ranks pages 1..N−1."""
+    from .stats import round6
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    p1 = topk_per_query(scored, k).filter(F.col("rank") == k).select(
+        "query_id", round6("score").alias("cs"), F.col("doc_id").alias("cd")
+    )
+    cur = p1.collect()
+    spark = qterms.sparkSession
+    if not cur:
+        return scored.select(
+            "query_id", F.lit(0).alias("rank"), "doc_id", "score"
+        ).limit(0)
+    cursors = spark.createDataFrame(
+        [(r["query_id"], float(r["cs"]), int(r["cd"])) for r in cur],
+        "query_id long, cs double, cd long",
+    )
+    after = scored.join(F.broadcast(cursors), "query_id").filter(
+        (round6("score") < F.col("cs"))
+        | ((round6("score") == F.col("cs")) & (F.col("doc_id") > F.col("cd")))
+    ).select("query_id", "doc_id", "score")
+    return topk_per_query(after, k)
+
+
+def terms_set_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``terms_set`` query (minimum_should_match_field) →
+    DF[query_id, rank, doc_id, required, score]: like minimum_should_match
+    but the required distinct-match count is PER-DOCUMENT, read from a doc
+    field. The fixture has no such field, so it is derived deterministically
+    (required = 1 + h60('req|'||doc_id) % 3 ∈ {1,2,3} — the geo/ip
+    synthetic-field precedent) and computed INLINE from doc_id in the
+    scored frame: zero extra joins, zero extra scans versus the msm plan.
+    Uncapped ES semantics: a doc requiring more matches than the query has
+    resolved terms simply never qualifies."""
+    from .querying import _attach_dl
+    from .stats import bm25_term_score_col, round6
+    from .textpipe import h60
+
+    q = qterms.join(
+        term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner"
+    )
+    contrib = _attach_dl(tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df)
+    required = (
+        F.pmod(h60(F.concat(F.lit("req|"), F.col("doc_id").cast("string"))), F.lit(3))
+        + 1
+    ).cast("long")
+    scored = (
+        contrib.select(
+            "query_id", "doc_id", "term",
+            bm25_term_score_col(qtf="qtf").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("n_hit"))
+        .withColumn("required", required)
+        .filter(F.col("n_hit") >= F.col("required"))
+        .select("query_id", "doc_id", "required", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "required", "score")
+    )
+
+
+DECAY_OFFSET_DAYS = 30
+DECAY_SCALE_DAYS = 300
+DECAY_AGE_MOD = 365
+
+
+def decay_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` with a LINEAR decay function on document
+    recency → DF[query_id, rank, doc_id, age_days, score]:
+
+        final = bm25 · max(0, scale − max(0, age − offset)) / scale
+
+    (offset=30, scale=300 days). The fixture has no doc timestamp, so age
+    is the deterministic h60-derived ``age_days = h60('age|'||doc_id) %
+    365`` (synthetic-field precedent). Gauss/exp decay differ only in the
+    shape function and would route exp() through the 9-dp quantize
+    discipline; linear keeps everything exact-until-the-last-ops: the
+    decay numerator is pure integer clamp math, decay = ONE double
+    division of the same small integers on both engines, and the final
+    score is round6(round6(bm25) · decay) — an identical double op
+    sequence (invariant #3's output-precision ranking)."""
+    from .stats import round6
+    from .textpipe import h60
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    age = F.pmod(
+        h60(F.concat(F.lit("age|"), F.col("doc_id").cast("string"))),
+        F.lit(DECAY_AGE_MOD),
+    ).cast("long")
+    num = F.lit(DECAY_SCALE_DAYS) - F.least(
+        F.greatest(age - DECAY_OFFSET_DAYS, F.lit(0)), F.lit(DECAY_SCALE_DAYS)
+    )
+    final = scored.select(
+        "query_id", "doc_id", age.alias("age_days"),
+        round6(
+            round6("score")
+            * (num.cast("double") / F.lit(float(DECAY_SCALE_DAYS)))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "age_days", "score")
+    )

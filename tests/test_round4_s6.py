@@ -1,0 +1,287 @@
+"""Round-4 session-6 operators vs independent mirrors (sf0.001).
+
+ES pipeline/bucket aggs (normalize, bucket_correlation, ip_range,
+global+missing, stats_bucket, bucket_script, percentiles_bucket) against
+pandas/NumPy recomputations, and the search-side trio (search_after cursor
+pagination, terms_set per-doc msm, linear-decay function_score) against the
+NumPy BM25 oracle — a third code path beside Spark and the DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _h60(s: str) -> int:
+    """Python mirror of textpipe.h60 / the DuckDB md5-prefix twin."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events_pd(events):
+    return events.toPandas()
+
+
+@pytest.fixture(scope="module")
+def tpch(spark):
+    return {
+        name: spark.read.parquet(str(SF_SMOKE / f"{name}.parquet"))
+        for name in ("orders", "lineitem")
+    }
+
+
+def _daily_counts(events_pd, mask=None):
+    day = (events_pd.ts.astype("datetime64[s]").astype("int64") // 86400).astype(int)
+    if mask is not None:
+        day = day[mask]
+    lo, hi = day.min(), day.max()
+    return day, lo, hi
+
+
+def test_normalize_matches_pandas(spark, events, events_pd):
+    from sparksearch.relational import events_normalize
+
+    rows = {r.day: r for r in events_normalize(events).collect()}
+    day = (events_pd.ts.astype("datetime64[s]").astype("int64") // 86400).astype(int)
+    counts = day.value_counts()
+    lo, hi = int(day.min()), int(day.max())
+    grid = {d: int(counts.get(d, 0)) for d in range(lo, hi + 1)}
+    assert len(rows) == hi - lo + 1
+    tot = sum(grid.values())
+    mn, mx = min(grid.values()), max(grid.values())
+    for d, n in grid.items():
+        key = pd.Timestamp(d * 86400, unit="s").strftime("%Y-%m-%d")
+        r = rows[key]
+        assert r.n_events == n
+        assert math.isclose(r.pct_of_sum, n / tot, abs_tol=5e-7)
+        if mx > mn:
+            assert math.isclose(r.rescale01, (n - mn) / (mx - mn), abs_tol=5e-7)
+
+
+def test_bucket_correlation_matches_numpy(spark, events, events_pd):
+    from sparksearch.relational import events_bucket_correlation
+
+    r = events_bucket_correlation(events).collect()[0]
+    day = (events_pd.ts.astype("datetime64[s]").astype("int64") // 86400).astype(int)
+    lo, hi = int(day.min()), int(day.max())
+    idx = range(lo, hi + 1)
+    x = np.array([int(((day == d) & (events_pd.event_type == "click")).sum()) for d in idx])
+    y = np.array([int(((day == d) & (events_pd.event_type == "purchase")).sum()) for d in idx])
+    assert r.n_days == len(x)
+    assert r.sum_x == int(x.sum()) and r.sum_y == int(y.sum())
+    assert math.isclose(r.r, float(np.corrcoef(x, y)[0, 1]), abs_tol=5e-7)
+
+
+def test_ip_range_partitions_events(spark, events, events_pd):
+    from sparksearch.relational import events_ip_range
+
+    rows = {r.cidr: r for r in events_ip_range(events).collect()}
+    ip = events_pd.user_id.map(lambda u: _h60(f"ip|{u}") % 2**32)
+    bucket = ip // 2**30
+    # buckets partition the events; per-bucket exact event + user counts
+    assert sum(r.n_events for r in rows.values()) == len(events_pd)
+    for b in sorted(bucket.unique()):
+        lo = int(b) * 2**30
+        cidr = (
+            f"{(lo >> 24) & 255}.{(lo >> 16) & 255}.{(lo >> 8) & 255}.{lo & 255}/2"
+        )
+        r = rows[cidr]
+        assert r.n_events == int((bucket == b).sum())
+        assert r.n_users == events_pd.user_id[bucket == b].nunique()
+        assert r.from_ip == cidr[:-2]
+    # boundary rendering: to_ip is the inclusive top of the /2 block
+    for r in rows.values():
+        last = int(r.to_ip.split(".")[-1])
+        assert last == 255
+
+
+def test_global_missing_buckets(spark, events, events_pd):
+    from sparksearch.relational import events_global_missing
+
+    rows = {
+        (r.bucket_kind, r.bucket_key): r
+        for r in events_global_missing(events).collect()
+    }
+    k = events_pd.props.str.extract(r'"k": (\d+)')[0].astype(int)
+    hit = events_pd.event_type == "purchase"
+    g = rows[("global", "(all)")]
+    assert g.n_events == len(events_pd) and g.sum_k == int(k.sum())
+    missing = hit & (k % 7 == 0)
+    m = rows[("missing", "(missing)")]
+    assert m.n_events == int(missing.sum()) and m.sum_k == int(k[missing].sum())
+    plans = {0: "pro", 1: "free", 2: "team"}
+    for mod, name in plans.items():
+        sel = hit & (k % 7 != 0) & (k % 3 == mod)
+        r = rows[("term", name)]
+        assert r.n_events == int(sel.sum()) and r.sum_k == int(k[sel].sum())
+    # term + missing buckets partition the filtered context
+    assert (
+        m.n_events + sum(rows[("term", p)].n_events for p in plans.values())
+        == int(hit.sum())
+    )
+
+
+def test_stats_bucket_matches_pandas(spark, tpch):
+    from sparksearch.joins import orders_stats_bucket
+
+    r = orders_stats_bucket(tpch["orders"]).collect()[0]
+    pdf = tpch["orders"].toPandas()
+    m = (
+        pdf.assign(month=pdf.o_orderdate.dt.strftime("%Y-%m"),
+                   v=pdf.o_totalprice.round(2))
+        .groupby("month").v.sum()
+    )
+    assert r.n_buckets == len(m)
+    assert math.isclose(float(r.min_rev), m.min(), abs_tol=1e-6)
+    assert math.isclose(float(r.max_rev), m.max(), abs_tol=1e-6)
+    assert math.isclose(float(r.sum_rev), m.sum(), abs_tol=1e-4)
+    assert math.isclose(r.avg_rev, m.sum() / len(m), abs_tol=5e-6)
+
+
+def test_bucket_script_matches_pandas(spark, tpch):
+    from sparksearch.joins import orders_bucket_script
+
+    rows = {r.month: r for r in orders_bucket_script(tpch["orders"]).collect()}
+    pdf = tpch["orders"].toPandas()
+    pdf = pdf.assign(month=pdf.o_orderdate.dt.strftime("%Y-%m"),
+                     v=pdf.o_totalprice.round(2))
+    for month, grp in pdf.groupby("month"):
+        r = rows[month]
+        urgent = grp.v[grp.o_orderpriority.str.startswith("1-")].sum()
+        total = grp.v.sum()
+        assert r.n_orders == len(grp)
+        assert math.isclose(float(r.urgent_rev), urgent, abs_tol=1e-6)
+        assert math.isclose(float(r.total_rev), total, abs_tol=1e-6)
+        assert math.isclose(r.urgent_share, urgent / total, abs_tol=5e-7)
+        assert math.isclose(r.avg_order_value, total / len(grp), abs_tol=5e-6)
+
+
+def test_percentiles_bucket_matches_numpy(spark, tpch):
+    from sparksearch.joins import lineitem_percentiles_bucket
+
+    r = lineitem_percentiles_bucket(tpch["lineitem"]).collect()[0]
+    pdf = tpch["lineitem"].toPandas()
+    m = (
+        pdf.assign(month=pdf.l_shipdate.dt.strftime("%Y-%m"),
+                   v=pdf.l_quantity.round(2))
+        .groupby("month").v.sum().to_numpy()
+    )
+    assert r.n_buckets == len(m)
+    p25, p50, p75 = np.percentile(m, [25, 50, 75], method="linear")
+    assert math.isclose(float(r.p25), p25, abs_tol=1e-6)
+    assert math.isclose(float(r.p50), p50, abs_tol=1e-6)
+    assert math.isclose(float(r.p75), p75, abs_tol=1e-6)
+
+
+# ------------------------------------------------------------- search trio
+
+
+@pytest.fixture(scope="module")
+def search_stats(spark, docs_sf0001):
+    from sparksearch.build import tokenize_tf
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text")).persist()
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    stats = global_stats_df(dl_df)
+    ts = with_idf(doc_freq(tf_df), stats)
+    yield tf_df, dl_df, ts
+    tt.unpersist()
+
+
+def test_search_after_equals_window_page2(spark, search_stats, queries):
+    """The cursor form and the window form return IDENTICAL pages — the
+    engine order is total, so pagination cannot skip or duplicate."""
+    from sparksearch.querying import parse_queries, score_logical
+    from sparksearch.scoring_ext import search_after_topk
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    cursor = {
+        (r.query_id, r.rank): (r.doc_id, round(float(r.score), 6))
+        for r in search_after_topk(qterms, tf_df, dl_df, ts, k=10).collect()
+    }
+    window = {
+        (r.query_id, r.rank - 10): (r.doc_id, round(float(r.score), 6))
+        for r in score_logical(qterms, tf_df, dl_df, ts, k=20).collect()
+        if r.rank > 10
+    }
+    assert cursor == window
+
+
+def test_terms_set_matches_numpy_oracle(spark, search_stats, queries, docs_sf0001):
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import terms_set_topk
+    from tests.oracle_bm25 import tokenize
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.required, round(float(r.score), 6))
+        for r in terms_set_topk(qterms, tf_df, dl_df, ts, k=10).collect()
+    ]
+    # NumPy-oracle mirror over the SMOKE corpus (oracle_sf001 is sf0.01) —
+    # rebuild the tiny oracle on sf0.001 to match search_stats' corpus.
+    from tests.oracle_bm25 import Bm25Oracle
+
+    docs = [(r.doc_id, r.text) for r in docs_sf0001.select("doc_id", "text").collect()]
+    oracle = Bm25Oracle(docs)
+    expect = []
+    for qid, text in queries:
+        qterms_py = set(tokenize(text)) & set(oracle.df)
+        scored = []
+        for d in oracle.tf:
+            hit = qterms_py & set(oracle.tf[d])
+            if not hit:
+                continue
+            req = 1 + _h60(f"req|{d}") % 3
+            if len(hit) < req:
+                continue
+            scored.append((d, req, round(oracle.score(text, d), 6)))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (d, req, s) in enumerate(scored[:10], 1):
+            expect.append((qid, rank, d, req, s))
+    assert sorted(got) == sorted(expect)
+
+
+def test_decay_matches_numpy_oracle(spark, search_stats, queries, docs_sf0001):
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import decay_topk
+    from tests.oracle_bm25 import Bm25Oracle, tokenize
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.age_days, round(float(r.score), 6))
+        for r in decay_topk(qterms, tf_df, dl_df, ts, k=10).collect()
+    ]
+    docs = [(r.doc_id, r.text) for r in docs_sf0001.select("doc_id", "text").collect()]
+    oracle = Bm25Oracle(docs)
+    expect = []
+    for qid, text in queries:
+        qterms_py = set(tokenize(text)) & set(oracle.df)
+        scored = []
+        for d in oracle.tf:
+            if not (qterms_py & set(oracle.tf[d])):
+                continue
+            age = _h60(f"age|{d}") % 365
+            decay = (300 - min(max(age - 30, 0), 300)) / 300.0
+            s = round(round(oracle.score(text, d), 6) * decay, 6)
+            scored.append((d, age, s))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (d, age, s) in enumerate(scored[:10], 1):
+            expect.append((qid, rank, d, age, s))
+    assert sorted(got) == sorted(expect)
