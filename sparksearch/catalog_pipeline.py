@@ -2931,3 +2931,103 @@ def build_round4_s6():
             "on the months-sized frame)",
         ),
     }
+
+
+#: match_phrase_prefix query set: last token is a PREFIX (jo→join,
+#: s→{scan,slow,small,sort,spark,stream}, qu→query); includes a pure-prefix
+#: single-token query and a multi-expansion prefix.
+MPP_QUERIES = [
+    (1, "hash jo"),
+    (2, "sort merge jo"),
+    (3, "group s"),
+    (4, "s"),
+    (5, "the qu"),
+]
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    from .phrase import match_phrase_prefix_topk
+
+    return match_phrase_prefix_topk(_docs(spark, sf_dir), MPP_QUERIES, k=10)
+
+
+def _mpp_sql(k: int = 10) -> str:
+    """DuckDB twin of match_phrase_prefix_topk: a positional token-list
+    scan — leading terms contiguous, the next token tested with
+    starts_with. Generated from the SAME query parse (py_tokenize) as the
+    Spark side."""
+    from .tokenize import py_tokenize
+
+    branches = []
+    for qid, text in MPP_QUERIES:
+        toks = py_tokenize(text)
+        fixed, prefix = toks[:-1], toks[-1]
+        m = len(fixed)
+        if m:
+            cond = " AND ".join(
+                f"ts[i+{j}] = '{t}'" for j, t in enumerate(fixed)
+            )
+            cond += f" AND starts_with(ts[i+{m}], '{prefix}')"
+            rng = f"generate_series(1, len(ts) - {m})"
+        else:
+            cond = f"starts_with(ts[i], '{prefix}')"
+            rng = "generate_series(1, len(ts))"
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"       CAST(len(list_filter({rng}, i -> {cond})) AS BIGINT)"
+            f" AS n_occurrences\nFROM tokd"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+pc AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id ASC) AS rnk
+  FROM pc WHERE n_occurrences > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_occurrences
+FROM r WHERE rnk <= {k}"""
+
+
+def q_events_geohash(spark, sf_dir):
+    from .relational import events_geohash
+
+    return events_geohash(_events(spark, sf_dir))
+
+
+def q_events_geo_line(spark, sf_dir):
+    from .relational import events_geo_line
+
+    return events_geo_line(_events(spark, sf_dir))
+
+
+def build_round4_s6b():
+    from .relational import GEO_LINE_SQL, GEOHASH_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "match_phrase_prefix": QuerySpec(
+            q_match_phrase_prefix,
+            _mpp_sql(),
+            "ES match_phrase_prefix (Lucene MultiPhraseQuery): leading "
+            "terms contiguous, last slot prefix-expanded per doc via the "
+            "positions map keys; one corpus pass for the whole batch",
+        ),
+        "events_geohash": QuerySpec(
+            q_events_geohash,
+            GEOHASH_SQL,
+            "ES geohash_grid agg (precision 4): pure-BIGINT bit interleave "
+            "generated from one shared term table, base32 via substring — "
+            "no floats; exact distinct users per cell",
+        ),
+        "events_geo_line": QuerySpec(
+            q_events_geo_line,
+            GEO_LINE_SQL,
+            "ES geo_line agg: per-user (ts, event_id)-ordered linestring, "
+            "size-capped; sortable-string encoding makes array_sort the "
+            "deterministic order on both engines",
+        ),
+    }

@@ -897,3 +897,95 @@ def span_first_topk(docs: DataFrame, queries: list[tuple[int, str, int]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "first_end")
     )
+
+
+def _prefix_positions(prefix: str) -> Column:
+    """Union of the positions of every map key starting with ``prefix`` —
+    an expression over the bound map column ``m``. Duplicate-free by
+    construction: two distinct terms can never share a position, so the
+    flatten needs no array_distinct. Inner lambdas only touch ``m`` (O(1)
+    map probes), so the Catalyst lambda-re-evaluation edge does not bite."""
+    return F.flatten(
+        F.transform(
+            F.filter(F.map_keys(F.col("m")), lambda t: t.startswith(prefix)),
+            lambda t: F.element_at(F.col("m"), t),
+        )
+    )
+
+
+def match_phrase_prefix_topk(docs: DataFrame, queries: list[tuple[int, str]],
+                             k: int = 10, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """ES ``match_phrase_prefix`` (Lucene MultiPhraseQuery with a
+    prefix-expanded last slot) → DF[query_id, rank, doc_id, n_occurrences]:
+    the query's last token is a PREFIX; a match is a contiguous occurrence
+    of the leading terms immediately followed by ANY vocabulary term
+    starting with that prefix. A single-token query degenerates to a pure
+    prefix-occurrence count (ES's edge case).
+
+    Same one-corpus-pass batch shape as phrase_topk: positional postings
+    restricted to (leading terms) ∪ (prefix-matching terms) via a pushed
+    disjunctive predicate, ONE per-doc term→positions map, every query an
+    expression over it. The per-doc expansion is the map-keys filter — the
+    occurrence count is size(array_intersect(shifted_starts, prefix_
+    positions)), both arguments evaluated once per row (never inside a
+    lambda — the re-evaluation sharp edge). ES's max_expansions=50 is an
+    efficiency knob, not a semantic: this form computes the uncapped
+    semantics; at a 10^9-term vocabulary the expansion would come from the
+    range-pruned sorted dictionary (the bm25_topk_prefix path) instead of
+    a per-doc key filter.
+
+    Total order: (n_occurrences DESC, doc_id ASC), the engine's pinned
+    rank identity (exact integer counts — no float discipline needed)."""
+    spark = docs.sparkSession
+    qdefs: dict[int, tuple[list[str], str]] = {}
+    for qid, text in queries:
+        toks = py_tokenize(text)
+        if toks:
+            qdefs[int(qid)] = (toks[:-1], toks[-1])
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_occurrences long"
+        )
+    fixed_terms = sorted({t for ts, _ in qdefs.values() for t in ts})
+    prefixes = sorted({p for _, p in qdefs.values()})
+    keep = F.col("term").isin(fixed_terms) if fixed_terms else F.lit(False)
+    for p in prefixes:
+        keep = keep | F.col("term").startswith(p)
+    pp = positional_postings(docs, text_col, id_col).filter(keep)
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def count_expr(fixed: list[str], prefix: str) -> Column:
+        last_ps = _prefix_positions(prefix)
+        if not fixed:
+            return F.size(last_ps)
+        shifted = F.transform(
+            _phrase_start_positions(fixed), lambda s: s + len(fixed)
+        )
+        return F.size(F.array_intersect(shifted, last_ps))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                count_expr(fixed, prefix).cast("long").alias("n"),
+            )
+            for qid, (fixed, prefix) in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_occurrences")
+    )

@@ -986,6 +986,10 @@ from .catalog_pipeline import build_round4_s6  # noqa: E402
 
 CATALOG.update(build_round4_s6())
 
+from .catalog_pipeline import build_round4_s6b  # noqa: E402
+
+CATALOG.update(build_round4_s6b())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3098,6 +3102,91 @@ from .catalog_pipeline import build_round4_s4e  # noqa: E402
 CATALOG.update(build_round4_s4e())
 
 
+def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import dismax_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = dismax_topk(
+        qterms, _docs(spark, sf_dir), dl_df, ts, k=K, mode="most_fields"
+    )
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+CATALOG.update({
+    "multi_match_most_fields": QuerySpec(
+        q_multi_match_most_fields,
+        f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+occ AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+ftf AS (
+  SELECT doc_id, dl, term,
+         SUM(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS tf_t,
+         SUM(CASE WHEN pos > 5 THEN 1 ELSE 0 END) AS tf_b
+  FROM occ GROUP BY 1, 2, 3
+),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tokd WHERE len(ts) > 0),
+termstats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+  FROM occ GROUP BY 1
+),
+favg AS (
+  SELECT CAST(SUM(LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_t,
+         CAST(SUM(dl - LEAST(dl, 5)) AS DOUBLE) / COUNT(*) AS avg_b
+  FROM tokd, LATERAL (SELECT len(ts) AS dl) WHERE dl > 0
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id, q.qtf * (s_t + s_b) AS s
+  FROM ftf f
+  JOIN q USING (term)
+  JOIN termstats t USING (term)
+  CROSS JOIN favg
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN favg.avg_t > 0 AND f.tf_t > 0
+                THEN t.idf * f.tf_t * 2.2
+                     / (f.tf_t + 1.2 * (0.25 + 0.75 * LEAST(f.dl, 5) / favg.avg_t))
+                ELSE 0.0 END AS s_t,
+           CASE WHEN favg.avg_b > 0 AND f.tf_b > 0
+                THEN t.idf * f.tf_b * 2.2
+                     / (f.tf_b + 1.2 * (0.25 + 0.75 * (f.dl - LEAST(f.dl, 5)) / favg.avg_b))
+                ELSE 0.0 END AS s_b
+  )
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(s) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "ES multi_match most_fields (completes the trio with best_fields = "
+        "dismax, cross_fields = bm25f): per-term score = plain per-field "
+        "SUM of saturated BM25 — computed as a direct s_t + s_b, never as "
+        "tie_break=1.0 (ULP op-sequence discipline); same one-pass "
+        "field-tf plan as dismax",
+    ),
+})
+
+
 # ------------------------------------------------- round-4 session-6 search
 # search_after cursor pagination (physical form), terms_set per-doc msm,
 # function_score linear decay. All three reuse the flagship scored frame's
@@ -3327,6 +3416,8 @@ _SWEEP_NEXT = [
     "events_global_missing", "orders_stats_bucket", "orders_bucket_script",
     "lineitem_percentiles_bucket", "bm25_search_after", "terms_set_topk",
     "bm25_topk_decay",
+    "match_phrase_prefix", "multi_match_most_fields", "events_geohash",
+    "events_geo_line",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -1255,3 +1255,176 @@ tagged AS (
 SELECT bucket_kind, bucket_key, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM tagged GROUP BY 1, 2"""
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 4  # 4 base32 chars = 20 bits (10 lon + 10 lat)
+
+
+def _geohash_terms() -> list[tuple[str, int, int]]:
+    """The 20 (column, divisor, weight) terms of the geohash bit
+    interleave, shared by the Spark and DuckDB code generators: geohash
+    packs bits lon-first (bit 0 = lon MSB), so code bit (19−2i) is lon bit
+    (9−i) and code bit (18−2i) is lat bit (9−i). All integer div/mod on
+    non-negative operands — the geotile `div`/`//` equivalence."""
+    out = []
+    for i in range(10):
+        out.append(("lonbin", 2 ** (9 - i), 2 ** (19 - 2 * i)))
+        out.append(("latbin", 2 ** (9 - i), 2 ** (18 - 2 * i)))
+    return out
+
+
+def events_geohash(events: DataFrame) -> DataFrame:
+    """ES ``geohash_grid`` aggregation (precision 4) → DF[geohash,
+    n_events, n_users]: events bucketed by the base32 geohash of their
+    deterministic position (the shared _geo_pos world — one geo reality
+    across geotile/geohash/distance/bounds/line entries).
+
+    Pure-BIGINT bit math end-to-end: 10-bit lon/lat bins from integer
+    milli-degrees ((x+off)·1024 // span — non-negative, so Spark `div` ==
+    DuckDB `//`), the 20-bit interleave as a sum of div/mod terms
+    (generated from ONE shared table, _geohash_terms, so the two engines
+    cannot drift), and base32 rendering via substring into the alphabet
+    literal — no floats anywhere. Distinct users per cell use the
+    two-level reduce (children_agg discipline)."""
+    pos = _geo_pos(events)
+    lonbin = ((F.col("lon_mdeg") + 180000) * 1024 / F.lit(360000)).cast("long")
+    latbin = ((F.col("lat_mdeg") + 90000) * 1024 / F.lit(180000)).cast("long")
+    # clamp the exact top edge (lat=+90000 would bin to 1024)
+    b = pos.select(
+        "user_id",
+        F.least(lonbin, F.lit(1023)).alias("lonbin"),
+        F.least(latbin, F.lit(1023)).alias("latbin"),
+    )
+    code = None
+    for col, div, w in _geohash_terms():
+        t = ((F.col(col) / F.lit(div)).cast("long") % 2) * w
+        code = t if code is None else code + t
+    coded = b.select("user_id", code.cast("long").alias("code"))
+    gh = F.concat(
+        *[
+            F.lit(GEOHASH_B32).substr(
+                ((F.col("code") / F.lit(2 ** (5 * (3 - i)))).cast("long") % 32 + 1)
+                .cast("int"),
+                F.lit(1),
+            )
+            for i in range(GEOHASH_PRECISION)
+        ]
+    )
+    per_user = coded.groupBy("code", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = per_user.groupBy("code").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return g.select(gh.alias("geohash"), "n_events", "n_users")
+
+
+def _geohash_code_sql() -> str:
+    terms = " + ".join(
+        f"(({col} // {div}) % 2) * {w}" for col, div, w in _geohash_terms()
+    )
+    return terms
+
+
+GEOHASH_SQL = f"""WITH {GEO_POS_SQL.strip()},
+b AS (
+  SELECT user_id,
+         LEAST((lon_mdeg + 180000) * 1024 // 360000, 1023) AS lonbin,
+         LEAST((lat_mdeg + 90000) * 1024 // 180000, 1023) AS latbin
+  FROM pos
+),
+coded AS (SELECT user_id, {_geohash_code_sql()} AS code FROM b),
+pu AS (SELECT code, user_id, COUNT(*) AS n FROM coded GROUP BY 1, 2),
+g AS (
+  SELECT code, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pu GROUP BY 1
+)
+SELECT substring('{GEOHASH_B32}', CAST((code // 32768) % 32 AS INTEGER) + 1, 1) ||
+       substring('{GEOHASH_B32}', CAST((code // 1024) % 32 AS INTEGER) + 1, 1) ||
+       substring('{GEOHASH_B32}', CAST((code // 32) % 32 AS INTEGER) + 1, 1) ||
+       substring('{GEOHASH_B32}', CAST(code % 32 AS INTEGER) + 1, 1) AS geohash,
+       n_events, n_users
+FROM g"""
+
+
+GEO_LINE_SIZE = 5
+
+
+def events_geo_line(events: DataFrame, size: int = GEO_LINE_SIZE) -> DataFrame:
+    """ES ``geo_line`` aggregation → DF[user_id, total_points, n_points,
+    line]: per user, the first ``size`` positions in (ts, event_id) order
+    joined into a "lon,lat lon,lat …" linestring. Positions here are
+    per-EVENT (salt 'line|'||event_id — a per-user salt would collapse
+    every user's track to one point).
+
+    Determinism without a sort-within-group shuffle trick: each point is
+    rendered as ONE sortable string — a zero-padded (epoch-seconds,
+    event_id) prefix, a ':', then the payload — so array_sort's bytewise
+    string order IS the (ts, event_id) order on both engines; the prefix
+    is stripped after the slice. One groupBy; the per-user array is
+    size-capped by slice before any string concat (ES caps at size), so a
+    monster user's line cost is bounded by its collect_list. At true
+    monster-key scale the established remedy is the pre-aggregation cap
+    (diversified_sampler's bucket window); documented, not needed at the
+    fixture's ≤ thousands of events per user."""
+    from .textpipe import h60
+
+    lon = (
+        F.pmod(
+            h60(F.concat(F.lit("line-lon|"), F.col("event_id").cast("string"))),
+            F.lit(360000),
+        )
+        - 180000
+    )
+    lat = (
+        F.pmod(
+            h60(F.concat(F.lit("line-lat|"), F.col("event_id").cast("string"))),
+            F.lit(170000),
+        )
+        - 85000
+    )
+    elem = F.concat(
+        F.lpad(F.col("ts").cast("timestamp").cast("long").cast("string"), 11, "0"),
+        F.lpad(F.col("event_id").cast("string"), 9, "0"),
+        F.lit(":"),
+        lon.cast("string"), F.lit(","), lat.cast("string"),
+    )
+    g = events.select(
+        F.col("user_id").cast("long").alias("user_id"), elem.alias("e")
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total_points"),
+        F.array_sort(F.collect_list("e")).alias("a"),
+    )
+    sliced = F.slice(F.col("a"), 1, size)
+    return g.select(
+        "user_id",
+        "total_points",
+        F.least(F.col("total_points"), F.lit(size)).cast("long").alias("n_points"),
+        F.array_join(
+            F.transform(sliced, lambda x: F.substring(x, 22, 100)), " "
+        ).alias("line"),
+    )
+
+
+GEO_LINE_SQL = f"""WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 11, '0') ||
+         lpad(CAST(event_id AS VARCHAR), 9, '0') || ':' ||
+         CAST(('0x' || substring(md5('line-lon|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 360000 - 180000 AS VARCHAR)
+         || ',' ||
+         CAST(('0x' || substring(md5('line-lat|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 170000 - 85000 AS VARCHAR)
+         AS el
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_points,
+         list_sort(list(el)) AS a
+  FROM e GROUP BY 1
+)
+SELECT user_id, total_points,
+       CAST(LEAST(total_points, {GEO_LINE_SIZE}) AS BIGINT) AS n_points,
+       array_to_string(list_transform(a[1:{GEO_LINE_SIZE}], x -> substring(x, 22, 100)), ' ') AS line
+FROM g"""

@@ -145,6 +145,7 @@ def dismax_topk(
     k: int = 10,
     title_len: int = BM25F_TITLE_LEN,
     tie_break: float = DISMAX_TIE_BREAK,
+    mode: str = "best_fields",
 ) -> DataFrame:
     """Disjunction-max multi-field retrieval (Lucene DisjunctionMaxQuery /
     ES ``best_fields``) → DF[query_id, rank, doc_id, score]: each term
@@ -153,6 +154,14 @@ def dismax_topk(
 
         term_score = max_f s_f + tie_break · (Σ_f s_f − max_f s_f)
         score      = Σ_t qtf · term_score
+
+    ``mode="most_fields"`` completes the ES multi_match trio (best_fields =
+    this DisMax, cross_fields ≈ bm25f's blend-before-saturation): the
+    per-term combiner becomes the plain per-field SUM. It is computed as a
+    DIRECT s_t + s_b — not as tie_break=1.0, which would evaluate
+    max + ((s_t+s_b) − max) and can differ from the direct sum by an ULP
+    (the op-sequence discipline: oracle and engine must run the same
+    double arithmetic, invariant #3).
 
     Where BM25F blends tf across fields BEFORE saturation (combined_fields),
     DisMax saturates per field and takes the best — the classic
@@ -200,9 +209,12 @@ def dismax_topk(
 
     s_t = field_score(F.col("tf_t"), len_t, F.col("avg_t"))
     s_b = field_score(F.col("tf_b"), len_b, F.col("avg_b"))
-    term_score = F.greatest(s_t, s_b) + F.lit(tie_break) * (
-        s_t + s_b - F.greatest(s_t, s_b)
-    )
+    if mode == "most_fields":
+        term_score = s_t + s_b
+    else:
+        term_score = F.greatest(s_t, s_b) + F.lit(tie_break) * (
+            s_t + s_b - F.greatest(s_t, s_b)
+        )
     contrib = (
         ftf.join(F.broadcast(q), "term", "inner")
         .crossJoin(F.broadcast(favg))

@@ -285,3 +285,108 @@ def test_decay_matches_numpy_oracle(spark, search_stats, queries, docs_sf0001):
         for rank, (d, age, s) in enumerate(scored[:10], 1):
             expect.append((qid, rank, d, age, s))
     assert sorted(got) == sorted(expect)
+
+
+# ------------------------------------------------- session-6 second batch
+
+
+def test_match_phrase_prefix_matches_python_scan(spark, docs_sf0001):
+    """Independent positional mirror: tokenize in python, scan token lists."""
+    from sparksearch.catalog_pipeline import MPP_QUERIES
+    from sparksearch.phrase import match_phrase_prefix_topk
+    from sparksearch.tokenize import py_tokenize
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_occurrences)
+        for r in match_phrase_prefix_topk(docs_sf0001, MPP_QUERIES, k=10).collect()
+    }
+    docs = [(r.doc_id, py_tokenize(r.text)) for r in docs_sf0001.collect()]
+    expect = {}
+    for qid, text in MPP_QUERIES:
+        toks = py_tokenize(text)
+        fixed, prefix = toks[:-1], toks[-1]
+        m = len(fixed)
+        counts = []
+        for d, ts in docs:
+            n = sum(
+                1
+                for i in range(len(ts) - m)
+                if ts[i : i + m] == fixed and ts[i + m].startswith(prefix)
+            )
+            if n:
+                counts.append((d, n))
+        counts.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, n) in enumerate(counts[:10], 1):
+            expect[(qid, d)] = (rank, n)
+    assert got == expect
+
+
+def test_most_fields_is_per_field_sum(spark, search_stats, queries, docs_sf0001):
+    """most_fields == dismax with the tie-break algebra collapsed: for every
+    returned doc, score equals the qtf-weighted per-field sum recomputed
+    from the dismax machinery at tie_break=1.0 (identical VALUES — the
+    direct-sum implementation exists for op-sequence hygiene, and at
+    fixture scale the two forms agree to well under the 6th decimal)."""
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import dismax_topk
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    most = {
+        (r.query_id, r.doc_id): (r.rank, round(float(r.score), 5))
+        for r in dismax_topk(
+            qterms, docs_sf0001, dl_df, ts, k=10, mode="most_fields"
+        ).collect()
+    }
+    tie1 = {
+        (r.query_id, r.doc_id): (r.rank, round(float(r.score), 5))
+        for r in dismax_topk(
+            qterms, docs_sf0001, dl_df, ts, k=10, tie_break=1.0
+        ).collect()
+    }
+    assert most == tie1
+
+
+def test_geohash_matches_independent_bit_mirror(spark, events, events_pd):
+    """Mirror with bit-shift ops (the engine uses div/mod) + textbook base32."""
+    from sparksearch.relational import events_geohash
+
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    rows = {r.geohash: r for r in events_geohash(events).collect()}
+
+    def gh(user_id: int) -> str:
+        lon = _h60(f"geo-lon|{user_id}") % 360000 - 180000
+        lat = _h60(f"geo-lat|{user_id}") % 170000 - 85000
+        lonbin = min((lon + 180000) * 1024 // 360000, 1023)
+        latbin = min((lat + 90000) * 1024 // 180000, 1023)
+        code = 0
+        for i in range(10):
+            code |= ((lonbin >> (9 - i)) & 1) << (19 - 2 * i)
+            code |= ((latbin >> (9 - i)) & 1) << (18 - 2 * i)
+        return "".join(B32[(code >> (5 * (3 - i))) & 31] for i in range(4))
+
+    cell = events_pd.user_id.map(gh)
+    assert sum(r.n_events for r in rows.values()) == len(events_pd)
+    for c in sorted(cell.unique()):
+        r = rows[c]
+        assert r.n_events == int((cell == c).sum())
+        assert r.n_users == events_pd.user_id[cell == c].nunique()
+    assert set(rows) == set(cell.unique())
+
+
+def test_geo_line_matches_pandas_order(spark, events, events_pd):
+    from sparksearch.relational import GEO_LINE_SIZE, events_geo_line
+
+    rows = {r.user_id: r for r in events_geo_line(events).collect()}
+    pdf = events_pd.assign(
+        ts_s=events_pd.ts.astype("datetime64[s]").astype("int64"),
+        lon=events_pd.event_id.map(lambda e: _h60(f"line-lon|{e}") % 360000 - 180000),
+        lat=events_pd.event_id.map(lambda e: _h60(f"line-lat|{e}") % 170000 - 85000),
+    )
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts_s", "event_id"]).head(GEO_LINE_SIZE)
+        expect = " ".join(f"{r.lon},{r.lat}" for r in g.itertuples())
+        r = rows[uid]
+        assert r.total_points == len(grp)
+        assert r.n_points == min(len(grp), GEO_LINE_SIZE)
+        assert r.line == expect
