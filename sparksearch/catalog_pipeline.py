@@ -3031,3 +3031,25 @@ def build_round4_s6b():
             "deterministic order on both engines",
         ),
     }
+
+
+def q_events_change_point(spark, sf_dir):
+    from .relational import events_change_point
+
+    return events_change_point(_events(spark, sf_dir))
+
+
+def build_round4_s6c():
+    from .relational import CHANGE_POINT_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_change_point": QuerySpec(
+            q_events_change_point,
+            CHANGE_POINT_SQL,
+            "ES change_point pipeline agg (x-pack), deterministic mean-"
+            "shift variant: argmax |mean_left - mean_right| over the dense "
+            "daily series — exact-integer prefix sums, round6-quantized "
+            "ranking key, TakeOrderedAndProject LIMIT 1",
+        ),
+    }

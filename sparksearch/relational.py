@@ -1428,3 +1428,117 @@ SELECT user_id, total_points,
        CAST(LEAST(total_points, {GEO_LINE_SIZE}) AS BIGINT) AS n_points,
        array_to_string(list_transform(a[1:{GEO_LINE_SIZE}], x -> substring(x, 22, 100)), ' ') AS line
 FROM g"""
+
+
+def events_change_point(events: DataFrame) -> DataFrame:
+    """ES ``change_point`` pipeline aggregation (x-pack), the deterministic
+    mean-shift variant → one-row DF[change_day, n_left, n_right, mean_left,
+    mean_right, stat]: the split of the dense daily-count series that
+    maximizes the between-segment mean difference
+
+        stat(t) = |mean(days < t) − mean(days ≥ t)|
+
+    (ES fits several change types — step_change is this statistic's
+    argmax; its p-value machinery is a significance gate on top of the
+    same split scan). Determinism discipline: the statistic's numerator
+    |sum_l·n_r − sum_r·n_l| and denominator n_l·n_r are exact BIGINTs from
+    one prefix-sum window over the days-sized frame (widened to
+    decimal(38,0) before the cross-products — width-budget rule), the
+    ranking key is the round6-quantized double ratio with day ASC
+    tiebreak (invariant #3), and the argmax is a TakeOrderedAndProject
+    LIMIT 1 — never a driver-side scan. Events are touched once by the
+    day count; everything after runs on the grid."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long").alias("day_i")
+    counts = events.select(day).groupBy("day_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    full = grid.join(counts, "day_i", "left").select(
+        "day_i", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    w = Window.orderBy("day_i").rowsBetween(Window.unboundedPreceding, -1)
+    tot = full.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("st"),
+    )
+    pre = full.select(
+        "day_i",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long").alias("nl"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("sl"),
+    ).filter(F.col("nl") > 0)
+    from .stats import round6
+
+    c = pre.crossJoin(F.broadcast(tot)).select(
+        "day_i", "nl", "sl",
+        (F.col("nd") - F.col("nl")).alias("nr"),
+        (F.col("st") - F.col("sl")).alias("sr"),
+    )
+    num = F.abs(
+        F.col("sl").cast("decimal(38,0)") * F.col("nr")
+        - F.col("sr").cast("decimal(38,0)") * F.col("nl")
+    ).cast("double")
+    den = (F.col("nl").cast("decimal(38,0)") * F.col("nr")).cast("double")
+    scored = c.select(
+        "day_i", "nl", "nr", "sl", "sr", round6(num / den).alias("stat")
+    )
+    best = scored.orderBy(F.desc("stat"), F.asc("day_i")).limit(1)
+    return best.select(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_i").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("change_day"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        round6(F.col("sl").cast("double") / F.col("nl").cast("double")).alias(
+            "mean_left"
+        ),
+        round6(F.col("sr").cast("double") / F.col("nr").cast("double")).alias(
+            "mean_right"
+        ),
+        "stat",
+    )
+
+
+CHANGE_POINT_SQL = """WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_i FROM events
+),
+c AS (SELECT day_i, COUNT(*) AS n FROM d GROUP BY 1),
+rng AS (SELECT MIN(day_i) AS lo, MAX(day_i) AS hi FROM c),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day_i FROM rng),
+filled AS (
+  SELECT g.day_i, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON c.day_i = g.day_i
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS st FROM filled),
+pre AS (
+  SELECT day_i,
+         CAST(COALESCE(COUNT(*) OVER (ORDER BY day_i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nl,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY day_i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sl
+  FROM filled
+),
+s AS (
+  SELECT day_i, nl, sl, nd - nl AS nr, st - sl AS sr
+  FROM pre, tot WHERE nl > 0
+),
+scored AS (
+  SELECT day_i, nl, nr, sl, sr,
+         CAST(ROUND(CAST(
+           CAST(abs(CAST(sl AS DECIMAL(38,0)) * nr - CAST(sr AS DECIMAL(38,0)) * nl) AS DOUBLE)
+           / CAST(CAST(nl AS DECIMAL(38,0)) * nr AS DOUBLE)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS stat
+  FROM s
+),
+best AS (
+  SELECT * FROM scored ORDER BY stat DESC, day_i ASC LIMIT 1
+)
+SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS change_day,
+       nl AS n_left, nr AS n_right,
+       CAST(ROUND(CAST(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_left,
+       CAST(ROUND(CAST(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_right,
+       stat
+FROM best"""

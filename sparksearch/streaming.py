@@ -280,3 +280,22 @@ def session_event_counts(
             "user_id", "n_events",
         )
     )
+
+
+def dedup_events_stream(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop re-deliveries of the same
+    event_id arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — Spark 3.5+). The state store keeps
+    only the keys of one watermark window, so state is BOUNDED regardless
+    of stream length — the streaming twin of the batch ``dedup_exact``
+    contract (at-least-once ingestion → exactly-once index units is how
+    commit_stream_units stays idempotent; this is the same guarantee at
+    the row level). Works unchanged on a batch frame, where it degenerates
+    to dropDuplicates on the key."""
+    if events_stream.isStreaming:
+        return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events_stream.dropDuplicates(["event_id"])

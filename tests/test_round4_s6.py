@@ -390,3 +390,24 @@ def test_geo_line_matches_pandas_order(spark, events, events_pd):
         assert r.total_points == len(grp)
         assert r.n_points == min(len(grp), GEO_LINE_SIZE)
         assert r.line == expect
+
+
+def test_change_point_matches_numpy_argmax(spark, events, events_pd):
+    from sparksearch.relational import events_change_point
+
+    r = events_change_point(events).collect()[0]
+    day = (events_pd.ts.astype("datetime64[s]").astype("int64") // 86400).astype(int)
+    lo, hi = int(day.min()), int(day.max())
+    counts = np.array([int((day == d).sum()) for d in range(lo, hi + 1)])
+    best = None
+    for t in range(1, len(counts)):
+        ml, mr = counts[:t].mean(), counts[t:].mean()
+        stat = round(abs(ml - mr), 6)
+        if best is None or stat > best[1]:
+            best = (t, stat, ml, mr)
+    t, stat, ml, mr = best
+    assert r.change_day == pd.Timestamp((lo + t) * 86400, unit="s").strftime("%Y-%m-%d")
+    assert (r.n_left, r.n_right) == (t, len(counts) - t)
+    assert math.isclose(r.stat, stat, abs_tol=5e-7)
+    assert math.isclose(r.mean_left, ml, abs_tol=5e-7)
+    assert math.isclose(r.mean_right, mr, abs_tol=5e-7)

@@ -596,3 +596,42 @@ def test_moving_percentiles_hand_case(spark):
         wnd = series[max(0, i - (MOVING_PCT_WINDOW - 1)) : i + 1]
         assert float(r.p50) == np.percentile(wnd, 50, method="linear")
         assert float(r.p90) == np.percentile(wnd, 90, method="linear")
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once feed (every event delivered twice, across two
+    micro-batches) → the deduped stream emits each event_id exactly once,
+    and the result equals the batch distinct — the row-level
+    exactly-once contract."""
+    from sparksearch.streaming import EVENTS_STREAM_SCHEMA, dedup_events_stream
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    pdf = events.toPandas().sort_values("event_id").head(200)
+    feed = str(tmp_path / "dfeed")
+    os.makedirs(feed)
+    # batch 1: first copy; batch 2: the duplicate redelivery of the SAME rows
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(feed, mode="append")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = dedup_events_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(feed, mode="append")
+    q.processAllAvailable()
+    q.stop()
+
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()]
+    assert sorted(got) == sorted(pdf.event_id.tolist())  # once each, no dups
+    # batch twin: the same callable on a batch frame is plain dropDuplicates
+    batch = dedup_events_stream(events.unionAll(events))
+    assert batch.count() == events.count()
