@@ -574,3 +574,64 @@ def test_geotile_is_jvm_integer_math(spark):
     # row-scaled beyond them
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
     assert "pmod" in plan and "div" in plan, plan  # integer tile math, JVM-side
+
+
+def test_session6_agg_plans(spark):
+    """Round-4 session-6 agg family plan pins: bucket pipelines are
+    map-combinable group-bys with at most the months/days-sized second
+    hop; the synthetic-field buckets (ip_range, geohash) are pure JVM
+    integer math with the two-level distinct-user exchanges; nothing
+    plans a Python UDF."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    from sparksearch.joins import orders_bucket_script, orders_stats_bucket
+    from sparksearch.relational import events_geohash, events_ip_range
+
+    od = spark.read.parquet(str(SF_SMOKE / "orders.parquet"))
+    ev = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+
+    # bucket_script: ONE exchange (the month group-by); the script part is
+    # per-bucket scalar math — no join, no second shuffle
+    plan = _plan(orders_bucket_script(od))
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+    # stats_bucket: month hop + the single-row sibling agg hop
+    plan = _plan(orders_stats_bucket(od))
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2, plan
+
+    # ip_range / geohash: geotile's contract — integer math, two-level
+    # distinct-user reduce, no join, no Python
+    for df in (events_ip_range(ev), events_geohash(ev)):
+        plan = _plan(df)
+        assert "Join" not in plan and "BatchEvalPython" not in plan
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+        assert "pmod" in plan, plan
+
+
+def test_search_after_filters_before_rank_window(spark, docs_sf0001, queries):
+    """The cursor predicate must reach the scored frame BEFORE the final
+    rank window (that is the whole point of the physical search_after
+    form — page N never re-ranks pages 1..N-1): in the formatted plan the
+    cursor Filter appears below the last Window, and the window input is
+    the filtered join, not the raw scored frame."""
+    from sparksearch.build import tokenize_tf
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import search_after_topk
+    from sparksearch.stats import doc_freq, global_stats_df, with_idf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    dl_df = tt.filter("lead").select("doc_id", "dl")
+    ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    qterms = parse_queries(spark, queries)
+    plan = _plan(search_after_topk(qterms, tf_df, dl_df, ts, k=10))
+    assert "BatchEvalPython" not in plan
+    # the cursor comparison (cs / cd columns) sits in a Filter node
+    assert "cs" in plan and "cd" in plan, plan
+    win = plan.rfind("Window")
+    filt = max(plan.find(" < cs"), plan.find("(cs"), plan.find("cs#"))
+    assert filt != -1 and win != -1, plan
