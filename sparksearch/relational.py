@@ -459,6 +459,39 @@ def events_cumulative_cardinality(events: DataFrame) -> DataFrame:
 SERIAL_DIFF_LAG = 7
 
 
+def dense_daily_counts(events: DataFrame, aggs: "dict[str, object] | None" = None,
+                       keep: tuple = ()) -> DataFrame:
+    """DF[day_i, <agg cols>] over the DENSE min_doc_count=0 epoch-day grid —
+    the shared scaffold of every daily pipeline agg (serial_diff,
+    moving_percentiles, normalize, bucket_correlation, change_point): ES
+    date_histogram emits empty buckets, so missing days are explicit zero
+    rows. Integer epoch-day discipline (floor(epoch/86400) — date_trunc is
+    NOT engine-identical, the cohort_retention precedent). The grid explode
+    and left join run on the days-sized frame; events are touched once by
+    the group-by. ``aggs``: name → aggregate Column (default: n_events
+    count); ``keep``: extra input columns the aggregates read. Missing-day
+    fills are 0 (every agg here is a count)."""
+    day = (
+        F.floor(F.col("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day_i")
+    )
+    if aggs is None:
+        aggs = {"n_events": F.count(F.lit(1)).cast("long")}
+    counts = events.select(day, *keep).groupBy("day_i").agg(
+        *[v.alias(k) for k, v in aggs.items()]
+    )
+    grid = (
+        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
+    )
+    return grid.join(counts, "day_i", "left").select(
+        "day_i",
+        *[F.coalesce(k, F.lit(0).cast("long")).alias(k) for k in aggs],
+    )
+
+
+
 def events_serial_diff(events: DataFrame, lag: int = SERIAL_DIFF_LAG) -> DataFrame:
     """ES serial_diff pipeline agg (lag=7: week-over-week seasonality
     removal) → DF[day, n_events, diff7]: daily event counts on a DENSE day
@@ -468,19 +501,7 @@ def events_serial_diff(events: DataFrame, lag: int = SERIAL_DIFF_LAG) -> DataFra
     the integer epoch-day discipline (cohort_retention precedent:
     date_trunc is NOT engine-identical; floor(epoch/86400) is). The grid
     explode + lag window run on the days-sized frame, never the events."""
-    day = F.floor(
-        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
-    ).cast("long").alias("day_i")
-    counts = events.select(day).groupBy("day_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
-    grid = (
-        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
-    )
-    full = grid.join(counts, "day_i", "left").select(
-        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
-    )
+    full = dense_daily_counts(events)
     w = Window.orderBy("day_i")
     return full.select(
         F.date_format(
@@ -840,21 +861,7 @@ def events_moving_percentiles(
     not the events, bound the cost)."""
     import decimal as _d
 
-    day = (
-        F.floor(F.col("ts").cast("timestamp").cast("long") / F.lit(86400))
-        .cast("long")
-        .alias("day_i")
-    )
-    counts = events.select(day).groupBy("day_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
-    grid = (
-        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
-    )
-    full = grid.join(counts, "day_i", "left").select(
-        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
-    )
+    full = dense_daily_counts(events)
     w = Window.orderBy("day_i").rowsBetween(-(window - 1), 0)
     arr = F.sort_array(F.collect_list("n_events").over(w))
 
@@ -929,19 +936,7 @@ def events_normalize(events: DataFrame) -> DataFrame:
     The grid explode, the 1-row stats frame and the broadcast join all run
     on the days-sized frame — the events table is touched once by the
     count aggregation."""
-    day = F.floor(
-        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
-    ).cast("long").alias("day_i")
-    counts = events.select(day).groupBy("day_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
-    grid = (
-        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
-    )
-    full = grid.join(counts, "day_i", "left").select(
-        "day_i", F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events")
-    )
+    full = dense_daily_counts(events)
     st = full.agg(
         F.sum("n_events").cast("long").alias("tot"),
         F.min("n_events").cast("long").alias("mn"),
@@ -1012,31 +1007,28 @@ def events_bucket_correlation(
     lineitem_matrix_stats width-budget discipline). The only doubles are
     the final CAST → sqrt → multiply → divide sequence, pinned identically
     in both engines (sqrt of the same double is IEEE-exact), then round6."""
-    day = F.floor(
-        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
-    ).cast("long").alias("day_i")
-    counts = events.select(day, "event_type").groupBy("day_i").agg(
-        F.sum(F.when(F.col("event_type") == x_type, 1).otherwise(0))
-        .cast("long").alias("x"),
-        F.sum(F.when(F.col("event_type") == y_type, 1).otherwise(0))
-        .cast("long").alias("y"),
+    full = dense_daily_counts(
+        events,
+        aggs={
+            "x": F.sum(F.when(F.col("event_type") == x_type, 1).otherwise(0)).cast("long"),
+            "y": F.sum(F.when(F.col("event_type") == y_type, 1).otherwise(0)).cast("long"),
+        },
+        keep=("event_type",),
     )
-    grid = (
-        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
-    )
-    full = grid.join(counts, "day_i", "left").select(
-        "day_i",
-        F.coalesce("x", F.lit(0).cast("long")).alias("x"),
-        F.coalesce("y", F.lit(0).cast("long")).alias("y"),
-    )
+    # widen to decimal BEFORE the product AND the sum — long*long products
+    # summed in a long accumulator wrap silently (non-ANSI) right at the
+    # 1e9-events/day scale the width budget is for; the DuckDB twin sums
+    # in HUGEINT (exact), so a wrap here is a cross-engine mismatch, not
+    # an error. Same rule events_change_point applies to its sl·nr.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = full.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
     )
     from .stats import round6
 
@@ -1288,24 +1280,25 @@ def events_geohash(events: DataFrame) -> DataFrame:
     literal — no floats anywhere. Distinct users per cell use the
     two-level reduce (children_agg discipline)."""
     pos = _geo_pos(events)
-    lonbin = ((F.col("lon_mdeg") + 180000) * 1024 / F.lit(360000)).cast("long")
-    latbin = ((F.col("lat_mdeg") + 90000) * 1024 / F.lit(180000)).cast("long")
-    # clamp the exact top edge (lat=+90000 would bin to 1024)
+    # true integer `div` (the geotile F.expr pattern), NOT double `/` +
+    # cast: double division is exact here only by an unstated margin
+    # (numerators < 2^53), and the contract is pure-BIGINT on both engines
     b = pos.select(
         "user_id",
-        F.least(lonbin, F.lit(1023)).alias("lonbin"),
-        F.least(latbin, F.lit(1023)).alias("latbin"),
+        # clamp the exact top edge (lat=+90000 would bin to 1024)
+        F.expr("least((lon_mdeg + 180000) * 1024 div 360000, 1023)").alias("lonbin"),
+        F.expr("least((lat_mdeg + 90000) * 1024 div 180000, 1023)").alias("latbin"),
     )
-    code = None
-    for col, div, w in _geohash_terms():
-        t = ((F.col(col) / F.lit(div)).cast("long") % 2) * w
-        code = t if code is None else code + t
-    coded = b.select("user_id", code.cast("long").alias("code"))
+    code_expr = " + ".join(
+        f"(({col} div {div}) % 2) * {w}" for col, div, w in _geohash_terms()
+    )
+    coded = b.select("user_id", F.expr(f"cast(({code_expr}) as bigint)").alias("code"))
     gh = F.concat(
         *[
             F.lit(GEOHASH_B32).substr(
-                ((F.col("code") / F.lit(2 ** (5 * (3 - i)))).cast("long") % 32 + 1)
-                .cast("int"),
+                F.expr(
+                    f"cast((code div {2 ** (5 * (3 - i))}) % 32 + 1 as int)"
+                ),
                 F.lit(1),
             )
             for i in range(GEOHASH_PRECISION)
@@ -1448,18 +1441,8 @@ def events_change_point(events: DataFrame) -> DataFrame:
     tiebreak (invariant #3), and the argmax is a TakeOrderedAndProject
     LIMIT 1 — never a driver-side scan. Events are touched once by the
     day count; everything after runs on the grid."""
-    day = F.floor(
-        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
-    ).cast("long").alias("day_i")
-    counts = events.select(day).groupBy("day_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    grid = (
-        counts.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day_i"))
-    )
-    full = grid.join(counts, "day_i", "left").select(
-        "day_i", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    full = dense_daily_counts(
+        events, aggs={"n": F.count(F.lit(1)).cast("long")}
     )
     w = Window.orderBy("day_i").rowsBetween(Window.unboundedPreceding, -1)
     tot = full.agg(

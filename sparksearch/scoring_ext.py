@@ -460,7 +460,12 @@ def search_after_topk(
     frame BEFORE any rank window, so page N never re-ranks pages 1..N−1."""
     from .stats import round6
 
-    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    # scored feeds BOTH the cursor collect and the returned page-2 plan —
+    # two actions; without persist the whole scoring DAG executes twice
+    # (the CLAUDE.md multi-consumer sharp edge). Left persisted: the frame
+    # is (query, matched-doc)-sized and the page-2 plan still reads it
+    # after this function returns (LRU eviction reclaims it).
+    scored = score_all(qterms, tf_df, dl_df, term_stats).persist()
     p1 = topk_per_query(scored, k).filter(F.col("rank") == k).select(
         "query_id", round6("score").alias("cs"), F.col("doc_id").alias("cd")
     )

@@ -627,11 +627,27 @@ def test_search_after_filters_before_rank_window(spark, docs_sf0001, queries):
     tf_df = tt.select("term", "doc_id", "tf", "dl")
     dl_df = tt.filter("lead").select("doc_id", "dl")
     ts = with_idf(doc_freq(tf_df), global_stats_df(dl_df))
+    import re
+
     qterms = parse_queries(spark, queries)
     plan = _plan(search_after_topk(qterms, tf_df, dl_df, ts, k=10))
     assert "BatchEvalPython" not in plan
-    # the cursor comparison (cs / cd columns) sits in a Filter node
-    assert "cs" in plan and "cd" in plan, plan
-    win = plan.rfind("Window")
-    filt = max(plan.find(" < cs"), plan.find("(cs"), plan.find("cs#"))
-    assert filt != -1 and win != -1, plan
+    # formatted-explain node ids grow toward the root (leaves low, root
+    # high): the cursor predicate's node (a Filter or the cursor
+    # BroadcastHashJoin whose detail references cs#) must have a LOWER id
+    # than the final rank Window — i.e. the filter executes below it
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    cs_ids = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if re.match(r"\(\d+\) (\*? ?)(Filter|BroadcastHashJoin)", b) and "cs#" in b
+    ]
+    win_ids = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if re.match(r"\(\d+\) (\*? ?)Window\b", b)
+    ]
+    assert cs_ids and win_ids, plan
+    assert min(cs_ids) < max(win_ids), (cs_ids, win_ids)
+    # the multi-consumer scored frame is persisted (one scoring execution)
+    assert "InMemoryRelation" in plan, plan
