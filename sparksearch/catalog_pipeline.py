@@ -3053,3 +3053,72 @@ def build_round4_s6c():
             "ranking key, TakeOrderedAndProject LIMIT 1",
         ),
     }
+
+
+#: SpanNotQuery set (include phrase, exclude term; pre=post=1): the exclude
+#: term must not appear immediately before or after the include span.
+SPAN_NOT_QUERIES = [
+    (1, "join", "hash"),
+    (2, "hash join", "dup"),
+    (3, "sort merge", "join"),
+    (4, "merge join", "sort"),
+    (5, "scan", "filter"),
+]
+
+
+def q_span_not_topk(spark, sf_dir):
+    from .phrase import span_not_topk
+
+    return span_not_topk(_docs(spark, sf_dir), SPAN_NOT_QUERIES, k=10)
+
+
+def _span_not_sql(k: int = 10, pre: int = 1, post: int = 1) -> str:
+    """DuckDB twin of span_not_topk (pre=post=1): contiguous include scan
+    with unrolled boundary-safe exclusion probes (coalesce('') absorbs the
+    out-of-range NULL — position 0 / len+1 hold nothing, matching the
+    Spark side's empty-sequence boundary)."""
+    from .tokenize import py_tokenize
+
+    assert pre == 1 and post == 1  # the unrolled form below
+    branches = []
+    for qid, inc, exc in SPAN_NOT_QUERIES:
+        ts = py_tokenize(inc)
+        (e,) = py_tokenize(exc)
+        m = len(ts)
+        cond = " AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        cond += (
+            f" AND COALESCE(ts[i-1], '') <> '{e}'"
+            f" AND COALESCE(ts[i+{m}], '') <> '{e}'"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"       CAST(len(list_filter(generate_series(1, len(ts) - {m - 1}),"
+            f" i -> {cond})) AS BIGINT) AS n_occurrences\nFROM tokd"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+pc AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id ASC) AS rnk
+  FROM pc WHERE n_occurrences > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_occurrences
+FROM r WHERE rnk <= {k}"""
+
+
+def build_round4_s6d():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "span_not_topk": QuerySpec(
+            q_span_not_topk,
+            _span_not_sql(),
+            "Lucene SpanNotQuery (pre=post=1): include-phrase occurrences "
+            "with no exclude term adjacent to the span; completes the span "
+            "family (near ordered/unordered, first, not)",
+        ),
+    }

@@ -989,3 +989,85 @@ def match_phrase_prefix_topk(docs: DataFrame, queries: list[tuple[int, str]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_occurrences")
     )
+
+
+def span_not_topk(docs: DataFrame, queries: list[tuple[int, str, str]],
+                  k: int = 10, text_col: str = "text",
+                  id_col: str = "doc_id", pre: int = 1,
+                  post: int = 1) -> DataFrame:
+    """Lucene SpanNotQuery (with pre/post margins) → DF[query_id, rank,
+    doc_id, n_occurrences]: occurrences of the include phrase with NO
+    exclude-term occurrence inside the widened window [p−pre,
+    p+len−1+post] — (query_id, "include phrase", "exclude_term") triples.
+    The margins are the semantic heart here: a CONTIGUOUS include span's
+    own positions hold exactly the phrase's tokens, so plain overlap
+    (pre=post=0) only triggers when the exclude term IS a phrase term;
+    Lucene's pre/post (SpanNotQuery(include, exclude, pre, post)) is the
+    "phrase not immediately preceded/followed by X" form that makes
+    exclusion non-degenerate. Docs rank by surviving-occurrence count
+    (the phrase family's total order; exact integers).
+
+    Same one-pass batch shape as phrase_topk: ONE per-doc term→positions
+    map, every query an expression over it. The exclusion probe is
+    array_intersect(window_sequence, exclude_positions) == empty per
+    start — the exclude positions are an O(1) map probe and the window a
+    small sequence, so the re-evaluation edge does not bite."""
+    spark = docs.sparkSession
+    qdefs: dict[int, tuple[list[str], str]] = {}
+    for qid, inc, exc in queries:
+        terms = py_tokenize(inc)
+        et = py_tokenize(exc)
+        if terms and len(et) == 1:
+            qdefs[int(qid)] = (terms, et[0])
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_occurrences long"
+        )
+    all_terms = sorted(
+        {t for ts, e in qdefs.values() for t in ts} | {e for _, e in qdefs.values()}
+    )
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def count_expr(terms: list[str], exc: str) -> Column:
+        exc_ps = F.coalesce(
+            F.element_at(F.col("m"), exc), F.array().cast("array<int>")
+        )
+        span = len(terms)
+
+        def survives(p: Column) -> Column:
+            # positions are 1-based; sequence may start at <= 0 near the
+            # doc head — those indices match no real position, which is
+            # exactly the boundary semantics (nothing before the doc)
+            window = F.sequence(p - F.lit(pre), p + F.lit(span - 1 + post))
+            return F.size(F.array_intersect(window, exc_ps)) == 0
+
+        return F.size(F.filter(_phrase_start_positions(terms), survives))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                count_expr(terms, exc).cast("long").alias("n"),
+            )
+            for qid, (terms, exc) in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_occurrences")
+    )

@@ -994,6 +994,10 @@ from .catalog_pipeline import build_round4_s6c  # noqa: E402
 
 CATALOG.update(build_round4_s6c())
 
+from .catalog_pipeline import build_round4_s6d  # noqa: E402
+
+CATALOG.update(build_round4_s6d())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3422,7 +3426,7 @@ _SWEEP_NEXT = [
     "bm25_topk_decay",
     "match_phrase_prefix", "multi_match_most_fields", "events_geohash",
     "events_geo_line",
-    "events_change_point",
+    "events_change_point", "span_not_topk",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

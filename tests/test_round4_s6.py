@@ -411,3 +411,54 @@ def test_change_point_matches_numpy_argmax(spark, events, events_pd):
     assert math.isclose(r.stat, stat, abs_tol=5e-7)
     assert math.isclose(r.mean_left, ml, abs_tol=5e-7)
     assert math.isclose(r.mean_right, mr, abs_tol=5e-7)
+
+
+def test_span_not_matches_python_scan(spark, docs_sf0001):
+    from sparksearch.catalog_pipeline import SPAN_NOT_QUERIES
+    from sparksearch.phrase import span_not_topk
+    from sparksearch.tokenize import py_tokenize
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_occurrences)
+        for r in span_not_topk(docs_sf0001, SPAN_NOT_QUERIES, k=10).collect()
+    }
+    docs = [(r.doc_id, py_tokenize(r.text)) for r in docs_sf0001.collect()]
+    expect = {}
+    for qid, inc, exc in SPAN_NOT_QUERIES:
+        terms, (e,) = py_tokenize(inc), py_tokenize(exc)
+        m = len(terms)
+        counts = []
+        for d, ts in docs:
+            n = sum(
+                1
+                for i in range(len(ts) - m + 1)
+                if ts[i : i + m] == terms
+                and (i == 0 or ts[i - 1] != e)
+                and (i + m >= len(ts) or ts[i + m] != e)
+            )
+            if n:
+                counts.append((d, n))
+        counts.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, n) in enumerate(counts[:10], 1):
+            expect[(qid, d)] = (rank, n)
+    assert got == expect
+
+
+def test_span_not_margin_hand_case(spark):
+    from sparksearch.phrase import span_not_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join fast"),          # clean include → counts
+            (1, "dup hash join fast"),      # exclude immediately before → dropped
+            (2, "hash join dup fast"),      # exclude immediately after → dropped
+            (3, "dup slow hash join"),      # exclude 2 away (outside pre=1) → counts
+            (4, "hash join"),               # boundary: nothing after the span
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.n_occurrences
+        for r in span_not_topk(docs, [(1, "hash join", "dup")], k=10).collect()
+    }
+    assert rows == {0: 1, 3: 1, 4: 1}
