@@ -3122,3 +3122,89 @@ def build_round4_s6d():
             "family (near ordered/unordered, first, not)",
         ),
     }
+
+
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _rollup_for(spark, sf_dir):
+    """Materialize (once per sf_dir per process) the hourly events rollup
+    artifact the rollup-search entry queries — the _index_for pattern:
+    deterministic content, atomic rename, parquet _SUCCESS as the marker."""
+    import hashlib
+
+    from .queries_catalog import build_artifact_atomic
+    from .relational import build_events_rollup
+
+    key = sf_dir.rstrip("/")
+    if key not in _ROLLUP_CACHE:
+        path = (
+            "/tmp/sparksearch_rollup_"
+            + hashlib.sha256((key + "|v1").encode()).hexdigest()[:12]
+        )
+        build_artifact_atomic(
+            path, "_SUCCESS",
+            lambda tmp: build_events_rollup(_events(spark, sf_dir), tmp),
+        )
+        _ROLLUP_CACHE[key] = path
+    return _ROLLUP_CACHE[key]
+
+
+def q_events_rollup_monthly(spark, sf_dir):
+    from .relational import events_rollup_monthly
+
+    return events_rollup_monthly(spark, _rollup_for(spark, sf_dir))
+
+
+def q_events_frequent_item_sets(spark, sf_dir):
+    from .relational import events_frequent_item_sets
+
+    return events_frequent_item_sets(_events(spark, sf_dir))
+
+
+def q_bm25_random_score(spark, sf_dir):
+    from .queries_catalog import _stats_for, parse_queries, reference_queries
+    from .scoring_ext import random_score_topk
+    from pyspark.sql import functions as F
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = random_score_topk(qterms, tf_df, dl_df, ts, k=10)
+    from .stats import round6
+
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        round6(F.col("score")).alias("score"),
+    )
+
+
+def build_round4_s6e():
+    from .relational import FREQUENT_ITEM_SETS_SQL, ROLLUP_MONTHLY_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_rollup_monthly": QuerySpec(
+            q_events_rollup_monthly,
+            ROLLUP_MONTHLY_SQL,
+            "ES rollup-search / TSDB downsampling: monthly answers served "
+            "FROM the materialized hourly rollup artifact, oracle computes "
+            "from RAW events — exact decimals make re-aggregation bit-"
+            "equal (two data layouts, one answer)",
+        ),
+        "events_frequent_item_sets": QuerySpec(
+            q_events_frequent_item_sets,
+            FREQUENT_ITEM_SETS_SQL,
+            "ES frequent_item_sets (exact Apriori, sizes 2-3): (user, day) "
+            "baskets of distinct event types, wedge-join candidate lattice, "
+            "relative support gate by cross-multiplication",
+        ),
+        "bm25_random_score": QuerySpec(
+            q_bm25_random_score,
+            None,  # replaced below — needs the BM25 CTE from queries_catalog
+            "ES function_score random_score(seed, doc_id): reproducible "
+            "per-doc jitter = h60(seed|doc_id) scaled to [0,1) — no rand(), "
+            "value-checkable like any deterministic entry",
+        ),
+    }

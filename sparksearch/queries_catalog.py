@@ -998,6 +998,10 @@ from .catalog_pipeline import build_round4_s6d  # noqa: E402
 
 CATALOG.update(build_round4_s6d())
 
+from .catalog_pipeline import build_round4_s6e, q_bm25_random_score  # noqa: E402
+
+CATALOG.update(build_round4_s6e())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3194,6 +3198,31 @@ FROM ranked WHERE rnk <= {K}""",
     ),
 })
 
+# random_score oracle needs this module's BM25 CTEs — attach it here
+CATALOG["bm25_random_score"] = QuerySpec(
+    q_bm25_random_score,
+    f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+fin AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(
+           CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE)
+           * (CAST(('0x' || substring(md5('rs|42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) / 1000000.0)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM fin
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+    CATALOG["bm25_random_score"].note,
+)
+
 
 # ------------------------------------------------- round-4 session-6 search
 # search_after cursor pagination (physical form), terms_set per-doc msm,
@@ -3427,6 +3456,7 @@ _SWEEP_NEXT = [
     "match_phrase_prefix", "multi_match_most_fields", "events_geohash",
     "events_geo_line",
     "events_change_point", "span_not_topk",
+    "events_rollup_monthly", "events_frequent_item_sets", "bm25_random_score",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -1525,3 +1525,174 @@ SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS chang
        CAST(ROUND(CAST(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_right,
        stat
 FROM best"""
+
+
+# ------------------------------------------------- rollup / downsampling
+
+
+def build_events_rollup(events: DataFrame, path: str) -> None:
+    """ES rollup job / TSDB downsampling → materialize the HOURLY
+    pre-aggregation of the events stream as a parquet artifact:
+    DF[hour_i (epoch-hour BIGINT), event_type, n_events, sum_value
+    (decimal(28,2))]. Coarser-grain queries (daily/monthly) are then
+    answered FROM the rollup — at 100 TB the raw events are cold storage
+    and every dashboard query touches only the downsampled table (ES
+    rollup-search contract: answers from the rollup equal answers from
+    raw for any grouping coarser than the rollup grain).
+
+    Exactness is what makes the contract checkable: counts are integers
+    and values are summed as exact decimals, so re-aggregating hourly
+    sums to months is bit-equal to aggregating raw rows to months
+    (associativity of exact decimal addition — doubles would NOT give
+    this; their reassociated sums drift by ULPs)."""
+    hour = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(3600)
+    ).cast("long").alias("hour_i")
+    (
+        events.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def events_rollup_monthly(spark, rollup_path: str) -> DataFrame:
+    """Monthly revenue/count per event type answered FROM the hourly
+    rollup artifact (never the raw events) → DF[month, event_type,
+    n_events, sum_value, avg_value]: the ES rollup-search path. The month
+    key derives from the epoch-hour by integer-exact timestamp math; sums
+    re-aggregate the hourly decimals (exact); avg is ONE double division
+    round6. The oracle computes the same answer from RAW events — two
+    data layouts, one answer, which is precisely the rollup guarantee."""
+    r = spark.read.parquet(rollup_path)
+    month = F.date_format(
+        F.timestamp_seconds(F.col("hour_i") * 3600), "yyyy-MM"
+    ).alias("month")
+    g = r.groupBy(month, "event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+    )
+    from .stats import round6
+
+    return g.select(
+        "month", "event_type", "n_events", "sum_value",
+        round6(
+            F.col("sum_value").cast("double") / F.col("n_events").cast("double")
+        ).alias("avg_value"),
+    )
+
+
+ROLLUP_MONTHLY_SQL = """WITH m AS (
+  SELECT strftime(ts, '%Y-%m') AS month, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT month, event_type, n_events, sum_value,
+       CAST(ROUND(CAST(CAST(sum_value AS DOUBLE) / CAST(n_events AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_value
+FROM m"""
+
+
+FIS_MIN_SUPPORT_PCT = 5  # itemset must appear in >= 5% of baskets
+
+
+def events_frequent_item_sets(events: DataFrame) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (exact Apriori for sizes 2-3)
+    → DF[items, size, support, n_baskets]: a basket is a (user_id,
+    epoch-day) pair, its items the DISTINCT event_types that day; an
+    itemset is frequent when its basket count clears the RELATIVE support
+    gate (≥ 5% of all baskets — the rare_terms precedent: a fixed count
+    would pass everything or nothing as SF moves).
+
+    The item vocabulary is the event-type domain (single digits), so the
+    candidate lattice is bounded (≤ C(|types|, 3)) and the exact form is
+    a pair/triple self-join on the baskets-sized distinct frame — the PMI
+    / term_triangles wedge-join shape with the a<b(<c) order dedup; ES's
+    approximate transaction sampling is an efficiency knob this exact
+    form oracles. Support gate by exact-integer CROSS-MULTIPLICATION
+    (support·100 ≥ pct·n_baskets — no division in the filter); the
+    reported ratio is one double division round6."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long")
+    b = events.select(
+        F.concat_ws("|", F.col("user_id").cast("string"), day.cast("string"))
+        .alias("basket"),
+        F.col("event_type").alias("item"),
+    ).distinct()
+    nb = b.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    b2 = b.select("basket", F.col("item").alias("i2"))
+    pairs = (
+        b.join(b2, "basket")
+        .filter(F.col("item") < F.col("i2"))
+        .groupBy("item", "i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select(
+            F.concat_ws("|", "item", "i2").alias("items"),
+            F.lit(2).cast("long").alias("size"),
+            "support",
+        )
+    )
+    b3 = b.select("basket", F.col("item").alias("i3"))
+    triples = (
+        b.join(b2, "basket")
+        .filter(F.col("item") < F.col("i2"))
+        .join(b3, "basket")
+        .filter(F.col("i2") < F.col("i3"))
+        .groupBy("item", "i2", "i3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select(
+            F.concat_ws("|", "item", "i2", "i3").alias("items"),
+            F.lit(3).cast("long").alias("size"),
+            "support",
+        )
+    )
+    from .stats import round6
+
+    out = pairs.unionByName(triples).crossJoin(F.broadcast(nb)).filter(
+        F.col("support") * 100 >= F.lit(FIS_MIN_SUPPORT_PCT) * F.col("n_baskets")
+    )
+    return out.select(
+        "items", "size", "support",
+        round6(
+            F.col("support").cast("double") / F.col("n_baskets").cast("double")
+        ).alias("support_ratio"),
+    )
+
+
+FREQUENT_ITEM_SETS_SQL = f"""WITH b AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+         CAST(CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS VARCHAR) AS basket,
+         event_type AS item
+  FROM events
+),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+pairs AS (
+  SELECT a.item || '|' || c.item AS items, CAST(2 AS BIGINT) AS size,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1
+),
+triples AS (
+  SELECT a.item || '|' || c.item || '|' || d.item AS items,
+         CAST(3 AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS support
+  FROM b a
+  JOIN b c ON a.basket = c.basket AND a.item < c.item
+  JOIN b d ON a.basket = d.basket AND c.item < d.item
+  GROUP BY 1
+),
+u AS (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+SELECT items, size, support,
+       CAST(ROUND(CAST(CAST(support AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS support_ratio
+FROM u, nb
+WHERE support * 100 >= {FIS_MIN_SUPPORT_PCT} * n_baskets"""

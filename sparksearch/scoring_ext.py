@@ -587,3 +587,45 @@ def decay_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "age_days", "score")
     )
+
+
+RANDOM_SCORE_SEED = 42
+RANDOM_SCORE_MOD = 1000000
+
+
+def random_score_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    seed: int = RANDOM_SCORE_SEED,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` with ``random_score(seed, field: doc_id)`` →
+    DF[query_id, rank, doc_id, score]: reproducible per-document jitter
+    multiplied into relevance (result shuffling / A-B bucketing). ES's
+    "random" with a seed + field is exactly a hash of (seed, doc_id) —
+    which is the engine's h60 discipline verbatim, so the entry is
+    value-checkable like any other: u = (h60(seed||doc_id) % 10^6) / 10^6
+    ∈ [0, 1) (one exact-integer division — both engines divide the same
+    small integers), final = round6(round6(bm25) · u) (the decay entry's
+    op-sequence rule). No rand() anywhere — invariant #1."""
+    from .stats import round6
+    from .textpipe import h60
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    u = (
+        F.pmod(
+            h60(
+                F.concat(
+                    F.lit(f"rs|{seed}|"), F.col("doc_id").cast("string")
+                )
+            ),
+            F.lit(RANDOM_SCORE_MOD),
+        ).cast("double")
+        / F.lit(float(RANDOM_SCORE_MOD))
+    )
+    final = scored.select(
+        "query_id", "doc_id", round6(round6("score") * u).alias("score")
+    )
+    return topk_per_query(final, k)

@@ -462,3 +462,115 @@ def test_span_not_margin_hand_case(spark):
         for r in span_not_topk(docs, [(1, "hash join", "dup")], k=10).collect()
     }
     assert rows == {0: 1, 3: 1, 4: 1}
+
+
+def test_rollup_monthly_equals_raw_aggregation(spark, events, tmp_path):
+    """The rollup-search contract on the Spark side itself: monthly answers
+    from the hourly artifact == monthly answers from raw rows (exact
+    decimals make the re-aggregation bit-equal)."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.relational import build_events_rollup, events_rollup_monthly
+    from sparksearch.stats import round6
+
+    path = str(tmp_path / "rollup")
+    build_events_rollup(events, path)
+    got = {
+        (r.month, r.event_type): (r.n_events, float(r.sum_value), r.avg_value)
+        for r in events_rollup_monthly(spark, path).collect()
+    }
+    raw = {
+        (r.month, r.event_type): (r.n, float(r.sv), r.av)
+        for r in events.groupBy(
+            F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("sv"),
+        )
+        .select(
+            "month", "event_type", "n", "sv",
+            round6(F.col("sv").cast("double") / F.col("n").cast("double")).alias("av"),
+        )
+        .collect()
+    }
+    assert got == raw
+    # the artifact really is hourly-grain: one row per (hour, type)
+    r = spark.read.parquet(path)
+    assert r.count() == r.select("hour_i", "event_type").distinct().count()
+    assert r.count() < events.count()  # downsampled, not a copy
+
+
+def test_frequent_item_sets_matches_itertools(spark, events, events_pd):
+    from itertools import combinations
+
+    from sparksearch.relational import (
+        FIS_MIN_SUPPORT_PCT,
+        events_frequent_item_sets,
+    )
+
+    got = {
+        r.items: (r.size, r.support, round(r.support_ratio, 6))
+        for r in events_frequent_item_sets(events).collect()
+    }
+    day = (events_pd.ts.astype("datetime64[s]").astype("int64") // 86400).astype(int)
+    baskets = (
+        events_pd.assign(day=day)
+        .groupby(["user_id", "day"])
+        .event_type.apply(lambda s: frozenset(s))
+    )
+    nb = len(baskets)
+    from collections import Counter
+
+    support = Counter()
+    for items in baskets:
+        for size in (2, 3):
+            for combo in combinations(sorted(items), size):
+                support[combo] += 1
+    expect = {
+        "|".join(c): (len(c), n, round(n / nb, 6))
+        for c, n in support.items()
+        if n * 100 >= FIS_MIN_SUPPORT_PCT * nb
+    }
+    assert got == expect
+
+
+def test_random_score_matches_numpy_oracle(spark, search_stats, queries, docs_sf0001):
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import random_score_topk
+    from tests.oracle_bm25 import Bm25Oracle, tokenize
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    got = [
+        (r.query_id, r.rank, r.doc_id, round(float(r.score), 6))
+        for r in random_score_topk(qterms, tf_df, dl_df, ts, k=10).collect()
+    ]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # python round() is half-EVEN; the engine's round6 is a decimal
+        # quantize with HALF_UP (CLAUDE.md: mirror with Decimal(repr(x)),
+        # never Decimal(x)). u's 6-dp grid makes half-boundaries common
+        # here, unlike the decay mirror where plain round() happened to agree.
+        d = Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        return float(d.quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    docs = [(r.doc_id, r.text) for r in docs_sf0001.select("doc_id", "text").collect()]
+    oracle = Bm25Oracle(docs)
+    expect = []
+    for qid, text in queries:
+        qt = set(tokenize(text)) & set(oracle.df)
+        scored = []
+        for d in oracle.tf:
+            if not (qt & set(oracle.tf[d])):
+                continue
+            u = (_h60(f"rs|42|{d}") % 10**6) / 10**6
+            s = r6(r6(oracle.score(text, d)) * u)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[:10], 1):
+            expect.append((qid, rank, d, s))
+    assert sorted(got) == sorted(expect)
