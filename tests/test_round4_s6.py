@@ -574,3 +574,18 @@ def test_random_score_matches_numpy_oracle(spark, search_stats, queries, docs_sf
         for rank, (d, s) in enumerate(scored[:10], 1):
             expect.append((qid, rank, d, s))
     assert sorted(got) == sorted(expect)
+
+
+def test_rollup_job_self_verifies_and_deterministic(spark, tmp_path):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs") if "/root/repo/jobs" not in _sys.path else None
+    from jobs.rollup_events import run
+
+    s1 = run(spark, str(SF_SMOKE), str(tmp_path / "a"))
+    s2 = run(spark, str(SF_SMOKE), str(tmp_path / "b"))
+    assert s1["rollup_equals_raw"] and s2["rollup_equals_raw"]
+    assert s1["rollup_rows"] == s2["rollup_rows"]
+    a = sorted(map(tuple, spark.read.parquet(s1["artifacts"]["monthly"]).collect()))
+    b = sorted(map(tuple, spark.read.parquet(s2["artifacts"]["monthly"]).collect()))
+    assert a == b
