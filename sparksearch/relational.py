@@ -1622,11 +1622,15 @@ def events_frequent_item_sets(events: DataFrame) -> DataFrame:
     day = F.floor(
         F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
     ).cast("long")
+    # persisted: b feeds FOUR consumers (nb, the pair join's both sides,
+    # the triple join's third side) — without persist the events scan +
+    # distinct shuffle re-executes per consumer (the LSH band-keys sharp
+    # edge). Left persisted for the returned lazy plan; LRU reclaims it.
     b = events.select(
         F.concat_ws("|", F.col("user_id").cast("string"), day.cast("string"))
         .alias("basket"),
         F.col("event_type").alias("item"),
-    ).distinct()
+    ).distinct().persist()
     nb = b.select("basket").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
