@@ -3208,3 +3208,25 @@ def build_round4_s6e():
             "value-checkable like any deterministic entry",
         ),
     }
+
+
+def q_events_geo_polygon(spark, sf_dir):
+    from .relational import events_geo_polygon
+
+    return events_geo_polygon(_events(spark, sf_dir))
+
+
+def build_round4_s6f():
+    from .relational import geo_polygon_sql
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_geo_polygon": QuerySpec(
+            q_events_geo_polygon,
+            geo_polygon_sql(),
+            "ES geo_polygon query: ray-casting point-in-polygon with the "
+            "crossing test cross-multiplied into pure-BIGINT sign "
+            "comparisons (no division, no floats), generated from one "
+            "vertex table for both engines",
+        ),
+    }

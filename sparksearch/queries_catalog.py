@@ -1000,6 +1000,10 @@ CATALOG.update(build_round4_s6d())
 
 from .catalog_pipeline import build_round4_s6e, q_bm25_random_score  # noqa: E402
 
+from .catalog_pipeline import build_round4_s6f  # noqa: E402
+
+CATALOG.update(build_round4_s6f())
+
 CATALOG.update(build_round4_s6e())
 
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
@@ -3224,6 +3228,53 @@ FROM ranked WHERE rnk <= {K}""",
 )
 
 
+def q_bm25_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import pinned_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = pinned_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pinned",
+        _round6("score").alias("score"),
+    )
+
+
+CATALOG["bm25_pinned"] = QuerySpec(
+    q_bm25_pinned,
+    f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+qids AS (SELECT DISTINCT query_id FROM q),
+pins(doc_id, pin_rank) AS (VALUES (3, 1), (1, 2)),
+pinned AS (
+  SELECT qids.query_id, pins.pin_rank AS rank, CAST(pins.doc_id AS BIGINT) AS doc_id,
+         TRUE AS pinned,
+         COALESCE(CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE), 0.0) AS score
+  FROM qids CROSS JOIN pins
+  LEFT JOIN scored s ON s.query_id = qids.query_id AND s.doc_id = pins.doc_id
+),
+organic AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS r
+  FROM scored WHERE doc_id NOT IN (3, 1)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, pinned, score
+FROM pinned
+UNION ALL
+SELECT CAST(query_id AS BIGINT), CAST(r + 2 AS BIGINT), doc_id, FALSE,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE)
+FROM organic WHERE r <= {K - 2}""",
+    "ES pinned query: promoted ids occupy ranks 1..p in promotion order "
+    "(score 0 when they do not match the organic query — ES retrieves "
+    "pinned by id), organic results follow with pins excluded",
+)
+
+
 # ------------------------------------------------- round-4 session-6 search
 # search_after cursor pagination (physical form), terms_set per-doc msm,
 # function_score linear decay. All three reuse the flagship scored frame's
@@ -3457,6 +3508,7 @@ _SWEEP_NEXT = [
     "events_geo_line",
     "events_change_point", "span_not_topk",
     "events_rollup_monthly", "events_frequent_item_sets", "bm25_random_score",
+    "events_geo_polygon", "bm25_pinned",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -1700,3 +1700,76 @@ SELECT items, size, support,
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS support_ratio
 FROM u, nb
 WHERE support * 100 >= {FIS_MIN_SUPPORT_PCT} * n_baskets"""
+
+
+#: Fixed query polygon (CCW, integer milli-degrees) for the geo_polygon
+#: entry — covers a meaningful slice of the h60 position space.
+GEO_POLYGON = [
+    (-120000, -60000),
+    (90000, -70000),
+    (150000, 20000),
+    (10000, 75000),
+    (-140000, 40000),
+]
+
+
+def _pip_parity_terms(px: str, py: str) -> list[str]:
+    """The shared edge-crossing terms of the ray-casting point-in-polygon
+    test, emitted as engine-neutral SQL boolean expressions over integer
+    coordinate columns ``px``/``py`` (generated from ONE vertex table so
+    Spark and DuckDB cannot drift — the _geohash_terms pattern).
+
+    Exactness: the crossing test px < x1 + (x2−x1)(py−y1)/(y2−y1) is
+    cross-multiplied into t = (x2−x1)(py−y1) − (px−x1)(y2−y1) compared
+    against 0 with the sign of (y2−y1) — pure BIGINT, no division, no
+    floats (products ≤ ~360000·160000 ≈ 6e10, far inside int64). A point
+    exactly on an edge (t = 0) counts OUTSIDE (strict crossing) —
+    deterministic either way, and unreachable for h60-derived points
+    against these vertices."""
+    terms = []
+    n = len(GEO_POLYGON)
+    for i in range(n):
+        x1, y1 = GEO_POLYGON[i]
+        x2, y2 = GEO_POLYGON[(i + 1) % n]
+        t = f"(({x2} - {x1}) * ({py} - {y1}) - ({px} - {x1}) * ({y2} - {y1}))"
+        straddles = f"(({y1} > {py}) <> ({y2} > {py}))"
+        crossing = f"({t} {'>' if y2 > y1 else '<'} 0)"
+        terms.append(
+            f"(CASE WHEN {straddles} AND {crossing} THEN 1 ELSE 0 END)"
+        )
+    return terms
+
+
+def events_geo_polygon(events: DataFrame) -> DataFrame:
+    """ES ``geo_polygon`` query (+ the implied filtered aggregation) →
+    DF[event_type, n_events, n_users]: events whose deterministic position
+    falls INSIDE the fixed query polygon, counted per type with exact
+    distinct users.
+
+    Point-in-polygon by ray casting with the crossing test cross-
+    multiplied into pure BIGINT sign comparisons (no division, no floats —
+    _pip_parity_terms, shared verbatim with the oracle). The whole filter
+    is one codegen projection over the positions; counts use the two-level
+    (type, user) reduce."""
+    pos = _geo_pos(events)
+    parity = " + ".join(_pip_parity_terms("lon_mdeg", "lat_mdeg"))
+    inside = pos.filter(F.expr(f"(({parity}) % 2) = 1"))
+    per_user = inside.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+
+
+def geo_polygon_sql() -> str:
+    parity = " + ".join(_pip_parity_terms("lon_mdeg", "lat_mdeg"))
+    return f"""WITH {GEO_POS_SQL.strip()},
+inside AS (
+  SELECT event_type, user_id FROM pos WHERE (({parity}) % 2) = 1
+),
+pu AS (SELECT event_type, user_id, COUNT(*) AS n FROM inside GROUP BY 1, 2)
+SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pu GROUP BY 1"""

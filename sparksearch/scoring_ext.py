@@ -629,3 +629,66 @@ def random_score_topk(
         "query_id", "doc_id", round6(round6("score") * u).alias("score")
     )
     return topk_per_query(final, k)
+
+
+PINNED_IDS = [3, 1]  # promoted doc ids, in promotion order (exist at every sf)
+
+
+def pinned_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    pinned: list[int] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``pinned`` query → DF[query_id, rank, doc_id, pinned, score]:
+    the promoted ids occupy ranks 1..p in their GIVEN order (whether or
+    not they match the organic query — ES retrieves pinned docs by id),
+    then the organic results follow with the pinned ids excluded.
+
+    Pinned rows carry their organic round6 score when they match and 0.0
+    when they don't (ES sorts pinned by a constant boost; the reported
+    score here is the informative one, quantized like every score
+    column). One broadcast anti-condition on the scored frame — no extra
+    corpus work; the pinned rows themselves are a p-row literal union."""
+    from .stats import round6
+
+    pins = PINNED_IDS if pinned is None else pinned
+    spark = qterms.sparkSession
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    qids = qterms.select("query_id").distinct()
+    pin_rows = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(pins)], "doc_id long, pin_rank long"
+    )
+    pinned_df = (
+        qids.crossJoin(F.broadcast(pin_rows))
+        .join(
+            scored.select("query_id", "doc_id", round6("score").alias("s")),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("pin_rank").alias("rank"),
+            "doc_id",
+            F.lit(True).alias("pinned"),
+            F.coalesce("s", F.lit(0.0)).alias("score"),
+        )
+    )
+    organic = scored.filter(~F.col("doc_id").isin([int(d) for d in pins]))
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    organic_ranked = (
+        organic.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k - len(pins))
+        .select(
+            "query_id",
+            (F.col("r") + len(pins)).alias("rank"),
+            "doc_id",
+            F.lit(False).alias("pinned"),
+            round6("score").alias("score"),
+        )
+    )
+    return pinned_df.unionByName(organic_ranked)

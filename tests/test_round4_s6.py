@@ -589,3 +589,62 @@ def test_rollup_job_self_verifies_and_deterministic(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(s1["artifacts"]["monthly"]).collect()))
     b = sorted(map(tuple, spark.read.parquet(s2["artifacts"]["monthly"]).collect()))
     assert a == b
+
+
+def test_geo_polygon_matches_float_raycast(spark, events, events_pd):
+    """Independent mirror: the textbook FLOAT ray cast (different
+    arithmetic path than the engine's integer cross-multiplication)."""
+    from sparksearch.relational import GEO_POLYGON, events_geo_polygon
+
+    def inside(px, py):
+        n = len(GEO_POLYGON)
+        c = False
+        for i in range(n):
+            x1, y1 = GEO_POLYGON[i]
+            x2, y2 = GEO_POLYGON[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xi = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+                if px < xi:
+                    c = not c
+        return c
+
+    rows = {r.event_type: r for r in events_geo_polygon(events).collect()}
+    lon = events_pd.user_id.map(lambda u: _h60(f"geo-lon|{u}") % 360000 - 180000)
+    lat = events_pd.user_id.map(lambda u: _h60(f"geo-lat|{u}") % 170000 - 85000)
+    mask = pd.Series(
+        [inside(a, b) for a, b in zip(lon, lat)], index=events_pd.index
+    )
+    assert mask.sum() > 0  # polygon actually selects something
+    for et, grp in events_pd[mask].groupby("event_type"):
+        assert rows[et].n_events == len(grp)
+        assert rows[et].n_users == grp.user_id.nunique()
+    assert sum(r.n_events for r in rows.values()) == int(mask.sum())
+
+
+def test_pinned_promotes_then_organic(spark, search_stats, queries):
+    from sparksearch.querying import parse_queries, score_logical
+    from sparksearch.scoring_ext import PINNED_IDS, pinned_topk
+
+    tf_df, dl_df, ts = search_stats
+    qterms = parse_queries(spark, queries)
+    rows = pinned_topk(qterms, tf_df, dl_df, ts, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    flagship = {}
+    for r in score_logical(qterms, tf_df, dl_df, ts, k=30).collect():
+        flagship.setdefault(r.query_id, []).append((r.doc_id, round(float(r.score), 6)))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # ranks 1..p are the pins, in promotion order, flagged pinned
+        for i, d in enumerate(PINNED_IDS, 1):
+            assert rs[i - 1].rank == i and rs[i - 1].doc_id == d and rs[i - 1].pinned
+        # organic tail = flagship order with pins removed, ranks shifted
+        organic = [
+            (d, s) for d, s in flagship.get(qid, []) if d not in PINNED_IDS
+        ][: 10 - len(PINNED_IDS)]
+        got = [
+            (r.doc_id, round(float(r.score), 6)) for r in rs[len(PINNED_IDS):]
+        ]
+        assert got == organic
+        assert all(not r.pinned for r in rs[len(PINNED_IDS):])
