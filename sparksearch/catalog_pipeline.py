@@ -3230,3 +3230,57 @@ def build_round4_s6f():
             "vertex table for both engines",
         ),
     }
+
+
+# ---------------------------------------------------- round-4 session-7
+
+
+def q_events_hll_cardinality(spark, sf_dir):
+    from .relational import events_hll_cardinality
+
+    return events_hll_cardinality(_events(spark, sf_dir))
+
+
+def q_events_kmv_overlap(spark, sf_dir):
+    from .relational import events_kmv_overlap
+
+    return events_kmv_overlap(_events(spark, sf_dir))
+
+
+def q_price_vwh(spark, sf_dir):
+    from .joins import price_variable_width_histogram
+
+    return price_variable_width_histogram(_t(spark, sf_dir, "orders"))
+
+
+def build_round4_s7():
+    from .joins import VWH_SQL
+    from .relational import HLL_SQL, KMV_OVERLAP_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "events_hll_cardinality": QuerySpec(
+            q_events_hll_cardinality,
+            HLL_SQL,
+            "HyperLogLog distinct-user sketch per event type (the ES "
+            "cardinality agg's 100 TB estimator) made exact-checkable: "
+            "integer registers via length(bin(w)), exact BIGINT power "
+            "sum, one shared-literal division; n_exact rides along",
+        ),
+        "events_kmv_overlap": QuerySpec(
+            q_events_kmv_overlap,
+            KMV_OVERLAP_SQL,
+            "Theta/KMV sketch set operations: union + intersection "
+            "estimates across two event types' user sketches with one "
+            "pinned op sequence covering both the estimate and the "
+            "exact-degenerate regime; exact counts ride along",
+        ),
+        "price_variable_width_histogram": QuerySpec(
+            q_price_vwh,
+            VWH_SQL,
+            "ES variable_width_histogram, deterministic variant: cut the "
+            "sorted distinct o_totalprice at the 7 largest gaps (ES's "
+            "arrival-order clusterer violates invariant #1); exact "
+            "decimal gaps and means, broadcast bucket-boundary array",
+        ),
+    }

@@ -1492,3 +1492,93 @@ SELECT n_buckets,
        CAST(lo2 + (COALESCE(hi2, lo2) - lo2) * CAST(rem2 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p50,
        CAST(lo3 + (COALESCE(hi3, lo3) - lo3) * CAST(rem3 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p75
 FROM g"""
+
+
+# ------------------------------------------------- round-4 session-7
+
+VWH_BUCKETS = 8
+
+
+def price_variable_width_histogram(orders: DataFrame, b: int = VWH_BUCKETS) -> DataFrame:
+    """ES ``variable_width_histogram`` agg (deterministic variant) →
+    DF[bucket, min_price, max_price, n_orders, avg_price]: o_totalprice
+    split into ``b`` natural clusters. ES's implementation is an online
+    shard-local clusterer whose buckets depend on document arrival order —
+    unacceptable under invariant #1 — so this entry pins the
+    ORDER-INDEPENDENT definition of the same contract: cut the sorted
+    DISTINCT values at the b−1 LARGEST adjacent gaps (ties broken by lower
+    value ASC). Same promise to the user (buckets hug the data's clusters,
+    no fixed interval), reproducible on any engine.
+
+    Exactness: prices quantize to DECIMAL(12,2) (2-dp inputs, exact on
+    both engines), gaps are decimal subtractions, the per-bucket mean is
+    an exact decimal sum with ONE double division (the stats_bucket
+    discipline). The gap ranking runs on the distinct-values frame — a
+    global window, fixture-fine; at 100 TB the distinct frame is first
+    quantized/sampled (the boxplot→TDigest note), then the same b−1-cut
+    runs on the bounded sketch. Bucket assignment is a 7-value broadcast
+    array membership count — map-side, no shuffle beyond the distinct."""
+    from .stats import round6
+
+    v = F.col("o_totalprice").cast("decimal(12,2)")
+    d = orders.select(v.alias("v")).distinct()
+    wv = Window.orderBy("v")
+    gaps = d.withColumn("gap", F.col("v") - F.lag("v").over(wv)).filter(
+        F.col("gap").isNotNull()
+    )
+    wg = Window.orderBy(F.desc("gap"), F.asc("v"))
+    bounds = (
+        gaps.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= b - 1)
+        .agg(F.sort_array(F.collect_list("v")).alias("bs"))
+    )
+    assigned = orders.select(v.alias("v")).crossJoin(F.broadcast(bounds)).select(
+        "v",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda x: x <= F.col("v")))
+        ).cast("long").alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.min("v").alias("min_price"),
+            F.max("v").alias("max_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("v").cast("decimal(28,2)").alias("_sum"),
+        )
+        .select(
+            "bucket",
+            "min_price",
+            "max_price",
+            "n_orders",
+            round6(
+                F.col("_sum").cast("double") / F.col("n_orders").cast("double")
+            ).alias("avg_price"),
+        )
+    )
+
+
+VWH_SQL = f"""WITH d AS (
+  SELECT DISTINCT CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders
+),
+gaps AS (
+  SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM d
+),
+bounds AS (
+  SELECT list_sort(list(v)) AS bs FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY gap DESC, v ASC) AS r
+    FROM gaps WHERE gap IS NOT NULL
+  ) WHERE r <= {VWH_BUCKETS - 1}
+),
+assigned AS (
+  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         1 + len(list_filter(bs, x -> x <= CAST(o_totalprice AS DECIMAL(12,2)))) AS bucket
+  FROM orders, bounds
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       MIN(v) AS min_price, MAX(v) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_price
+FROM assigned GROUP BY 1"""

@@ -1006,6 +1006,10 @@ CATALOG.update(build_round4_s6f())
 
 CATALOG.update(build_round4_s6e())
 
+from .catalog_pipeline import build_round4_s7  # noqa: E402
+
+CATALOG.update(build_round4_s7())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3416,6 +3420,240 @@ FROM ranked WHERE rnk <= {K}""",
 })
 
 
+# ------------------------------------------------- round-4 session-7 search
+# Modern ES relevance features (rank_feature / distance_feature) + the
+# sampler aggregation — all on the flagship scored frame, synthetic per-doc
+# signals h60-derived inline (zero extra joins), decay-entry op-sequence
+# discipline for every double.
+
+
+def q_bm25_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import rank_feature_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = rank_feature_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("feature").cast("long").alias("feature"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_bm25_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import distance_feature_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = distance_feature_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dist_days").cast("long").alias("dist_days"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_bm25_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import sampler_agg
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = sampler_agg(qterms, tf_df, dl_df, ts)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "sample_n",
+        "n_shards_hit",
+        _round6("max_score").alias("max_score"),
+        _round6("avg_score").alias("avg_score"),
+    )
+
+
+CATALOG.update({
+    "bm25_rank_feature": QuerySpec(
+        q_bm25_rank_feature,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+feat AS (
+  SELECT query_id, doc_id, score,
+         1 + {_H60_DOC_SQL.format(salt="rf|")} % 100 AS feature
+  FROM scored
+),
+fin AS (
+  SELECT query_id, doc_id, feature,
+         CAST(ROUND(CAST(
+           CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE)
+           + CAST(ROUND(CAST(2.0 * (CAST(feature AS DOUBLE) / CAST(feature + 10 AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM feat
+),
+ranked AS (
+  SELECT query_id, doc_id, feature, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM fin
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(feature AS BIGINT) AS feature,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "ES rank_feature query (saturation f/(f+pivot)) on an h60-derived "
+        "static doc signal: final = round6(round6(bm25) + round6(boost * "
+        "sat)) — small-integer saturation, pinned double op sequence",
+    ),
+    "bm25_distance_feature": QuerySpec(
+        q_bm25_distance_feature,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+feat AS (
+  SELECT query_id, doc_id, score,
+         ABS({_H60_DOC_SQL.format(salt="age|")} % 365 - 180) AS dist_days
+  FROM scored
+),
+fin AS (
+  SELECT query_id, doc_id, dist_days,
+         CAST(ROUND(CAST(
+           CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE)
+           + CAST(ROUND(CAST(1.5 * (60.0 / CAST(dist_days + 60 AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM feat
+),
+ranked AS (
+  SELECT query_id, doc_id, dist_days, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM fin
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(dist_days AS BIGINT) AS dist_days,
+       CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}""",
+        "ES distance_feature query: additive bounded recency bonus "
+        "boost*pivot/(pivot+|age-origin|) on the decay entry's h60 time "
+        "reality — integer distance, one division, capped contribution "
+        "(the WAND-friendly boost form)",
+    ),
+    "bm25_sampler_agg": QuerySpec(
+        q_bm25_sampler_agg,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+sh AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS s6,
+         {_H60_DOC_SQL.format(salt="shard|")} % 4 AS shard
+  FROM scored
+),
+pg AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, shard ORDER BY s6 DESC, doc_id ASC) AS r
+  FROM sh
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS sample_n,
+       CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards_hit,
+       MAX(s6) AS max_score,
+       CAST(ROUND(CAST(CAST(SUM(CAST(s6 AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_score
+FROM pg WHERE r <= 3 GROUP BY 1""",
+        "ES sampler agg: sub-aggs over only the top shard_size docs per "
+        "h60 shard (terms_shard_error's checkable-distribution precedent); "
+        "mean of round6 scores via exact decimal(18,6) sum + one division",
+    ),
+})
+
+
+def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import hybrid_linear_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = hybrid_linear_topk(qterms, tf_df, dl_df, ts, emb, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("bm25_norm").alias("bm25_norm"),
+        _round6("cos_norm").alias("cos_norm"),
+        _round6("score").alias("score"),
+    )
+
+
+_R6T = "CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+
+CATALOG.update({
+    "hybrid_linear_topk": QuerySpec(
+        q_hybrid_linear_topk,
+        f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+tpool AS (
+  SELECT query_id, doc_id, {_R6T.format(x="score")} AS s6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_R6T.format(x="score")} DESC, doc_id ASC) AS r
+  FROM scored
+),
+tp AS (SELECT query_id, doc_id, s6 FROM tpool WHERE r <= 20),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id IN (SELECT DISTINCT query_id FROM q)),
+cs AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         {_R6T.format(x="list_dot_product(e.v, qv.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv)))")} AS c6
+  FROM e, qv
+),
+cpool AS (
+  SELECT query_id, doc_id, c6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c6 DESC, doc_id ASC) AS r
+  FROM cs
+),
+cp AS (SELECT query_id, doc_id, c6 FROM cpool WHERE r <= 20),
+nb AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx > mn THEN (s6 - mn) / (mx - mn) ELSE 1.0 END AS nb
+  FROM (SELECT *, MIN(s6) OVER (PARTITION BY query_id) AS mn,
+                  MAX(s6) OVER (PARTITION BY query_id) AS mx FROM tp)
+),
+nc AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx > mn THEN (c6 - mn) / (mx - mn) ELSE 1.0 END AS nc
+  FROM (SELECT *, MIN(c6) OVER (PARTITION BY query_id) AS mn,
+                  MAX(c6) OVER (PARTITION BY query_id) AS mx FROM cp)
+),
+fused AS (
+  SELECT COALESCE(nb.query_id, nc.query_id) AS query_id,
+         COALESCE(nb.doc_id, nc.doc_id) AS doc_id,
+         COALESCE(nb.nb, 0.0) AS nbv, COALESCE(nc.nc, 0.0) AS ncv
+  FROM nb FULL OUTER JOIN nc
+    ON nb.query_id = nc.query_id AND nb.doc_id = nc.doc_id
+),
+fin AS (
+  SELECT query_id, doc_id,
+         {_R6T.format(x="nbv")} AS bm25_norm,
+         {_R6T.format(x="ncv")} AS cos_norm,
+         {_R6T.format(x="0.5 * nbv + 0.5 * ncv")} AS score
+  FROM fused
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25_norm, cos_norm, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_R6T.format(x="score")} DESC, doc_id ASC) AS rnk
+  FROM fin
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, bm25_norm, cos_norm, score
+FROM ranked WHERE rnk <= {K}""",
+        "Hybrid lexical+vector retrieval, LINEAR score fusion (the "
+        "score-level sibling of bm25_rrf_fusion): per-ranker top-20 "
+        "pools, min-max normalization within each pool, "
+        "alpha-blend on the pinned op sequence; missing side scores 0, "
+        "flat pool normalizes to 1",
+    ),
+})
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -3509,6 +3747,10 @@ _SWEEP_NEXT = [
     "events_change_point", "span_not_topk",
     "events_rollup_monthly", "events_frequent_item_sets", "bm25_random_score",
     "events_geo_polygon", "bm25_pinned",
+    # round-4 session-7 additions (brand new — same policy)
+    "bm25_rank_feature", "bm25_distance_feature", "bm25_sampler_agg",
+    "events_hll_cardinality", "events_kmv_overlap",
+    "price_variable_width_histogram", "hybrid_linear_topk",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -1773,3 +1773,295 @@ pu AS (SELECT event_type, user_id, COUNT(*) AS n FROM inside GROUP BY 1, 2)
 SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM pu GROUP BY 1"""
+
+
+# ------------------------------------------------- round-4 session-7 sketches
+
+HLL_M = 64            # registers (p = 6)
+HLL_RANK_BITS = 24    # rank window bits -> rank in [1, 25]
+#: alpha_64 from Flajolet et al. 2007 (the m=64 bias constant), folded with
+#: m^2 * 2^25 into ONE shared double literal so neither engine multiplies:
+#: C = 0.709 * 64^2 * 2^25. repr() so both engines parse the identical double.
+HLL_EST_NUMERATOR = 0.709 * float(HLL_M * HLL_M) * float(1 << (HLL_RANK_BITS + 1))
+
+
+def events_hll_cardinality(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type → DF[event_type,
+    n_exact, v_zero, s_sum, hll_est]: the ES ``cardinality`` agg's actual
+    algorithm (the engine's exact first-occurrence rewrite in
+    cumulative_cardinality is the small-scale twin; THIS is the 100 TB
+    estimator), made value-checkable because every step is integer:
+
+        h = h60('hll|'||user_id); register = h % 64
+        w = (h >> 6) % 2^24; rank = 25 − bitlen(w)   (w = 0 → 25)
+        S = Σ_regs 2^(25 − max_rank) + V·2^25        (V = empty registers)
+        est = C / S     with C = alpha_64·m²·2^25 a SHARED double literal
+
+    bitlen via length(bin(w)) — both engines render minimal binary
+    strings, so the register ranks are engine-identical; S is an exact
+    BIGINT (≤ 64·2^25); the raw estimate is ONE double division. The
+    published SMALL-RANGE correction applies (raw ≤ 2.5m with empty
+    registers → linear counting m·ln(m/V)): the branch predicate compares
+    the identical raw double on both engines, and ln routes through the
+    string_stats round9-quantize discipline (ROUND(ln(x), 9) — libm ulp
+    noise sits 7 decimal orders below the cut) before the exact ×m
+    (a power of two) and round6. n_exact makes the entry its own accuracy
+    report (the KMV precedent).
+
+    Scale shape: register build is ONE map-combinable groupBy on
+    (event_type, idx) — 64 rows per type out of any corpus size; sketches
+    merge by register-max, the property that makes HLL the distributed
+    cardinality workhorse."""
+    from .stats import round6
+    from .textpipe import h60
+
+    m, rb = HLL_M, HLL_RANK_BITS
+    h = h60(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    base = events.select(
+        "event_type",
+        F.pmod(h, F.lit(m)).alias("idx"),
+        F.pmod(F.shiftright(h, 6), F.lit(1 << rb)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, rb + 1).otherwise(
+        F.lit(rb + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = base.groupBy("event_type", "idx").agg(F.max(rank).alias("r"))
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        # shiftleft's python wrapper takes only an int literal for the
+        # shift amount; the Catalyst expression accepts a column — SQL form.
+        F.sum(F.expr(f"CAST(shiftleft(1, {rb + 1} - r) AS BIGINT)"))
+        .cast("long")
+        .alias("s_hit"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    s_sum = (
+        F.col("s_hit") + (F.lit(m) - F.col("n_hit")) * F.lit(1 << (rb + 1))
+    ).cast("long")
+    est_raw = F.lit(HLL_EST_NUMERATOR) / s_sum.cast("double")
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(m) - F.col("n_hit")).cast("long").alias("v_zero"),
+        s_sum.alias("s_sum"),
+        round6(
+            F.when(
+                (est_raw <= F.lit(2.5 * m)) & (F.col("n_hit") < m),
+                F.lit(float(m))
+                * F.round(
+                    F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_hit")).cast("double")),
+                    9,
+                ),
+            ).otherwise(est_raw)
+        ).alias("hll_est"),
+    )
+
+
+HLL_SQL = f"""WITH base AS (
+  SELECT event_type,
+         ('0x' || substring(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+rw AS (
+  SELECT event_type, h % {HLL_M} AS idx, (h >> 6) % {1 << HLL_RANK_BITS} AS w
+  FROM base
+),
+regs AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN w = 0 THEN {HLL_RANK_BITS + 1}
+                  ELSE {HLL_RANK_BITS + 1} - length(bin(w)) END) AS r
+  FROM rw GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_hit,
+         SUM((1::BIGINT << ({HLL_RANK_BITS + 1} - r))) AS s_hit
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+),
+ss AS (
+  SELECT event_type, n_hit,
+         s_hit + ({HLL_M} - n_hit) * {1 << (HLL_RANK_BITS + 1)} AS s
+  FROM sk
+)
+SELECT e.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST({HLL_M} - s.n_hit AS BIGINT) AS v_zero,
+       CAST(s.s AS BIGINT) AS s_sum,
+       CAST(ROUND(CAST(
+         CASE WHEN ({HLL_EST_NUMERATOR!r} / CAST(s.s AS DOUBLE)) <= {2.5 * HLL_M}
+                   AND s.n_hit < {HLL_M}
+              THEN {float(HLL_M)!r} * ROUND(ln({float(HLL_M)!r} / CAST({HLL_M} - s.n_hit AS DOUBLE)), 9)
+              ELSE {HLL_EST_NUMERATOR!r} / CAST(s.s AS DOUBLE) END
+       AS DECIMAL(28,9)), 6) AS DOUBLE) AS hll_est
+FROM exact e JOIN ss s USING (event_type)"""
+
+
+KMV_OVERLAP_K = 64
+KMV_TYPE_A = "click"
+KMV_TYPE_B = "purchase"
+_KMV_RANGE_LIT = repr(float(1 << 60))
+
+
+def events_kmv_overlap(
+    events: DataFrame,
+    type_a: str = KMV_TYPE_A,
+    type_b: str = KMV_TYPE_B,
+    k: int = KMV_OVERLAP_K,
+) -> DataFrame:
+    """Theta/KMV sketch SET OPERATIONS (union + intersection across two
+    sketches — the DataSketches workflow behind "how many users did BOTH")
+    → one-row DF[type_a, type_b, n_a_sketch, n_b_sketch, theta, est_union,
+    est_intersection, exact_union, exact_intersection]:
+
+        sketch_T = k smallest distinct h60('u|'||user) of type T
+        merged   = k smallest of (sketch_A ∪ sketch_B)
+        θ        = kth smallest of merged (2^60 when |merged| < k = exact regime)
+        est_∪    = |{h ∈ merged : h < θ}| / (θ/2^60)
+        est_∩    = |{h ∈ A ∩ B : h < θ}| / (θ/2^60)
+
+    One formula covers both regimes: θ = 2^60 makes the divisor exactly
+    1.0, so the estimate degenerates to the exact count. The op sequence
+    (count → double, θ → double, ONE inner division by the shared 2^60
+    literal, ONE outer division, round6) is pinned identically in SQL —
+    the kmv_distinct_terms form extended to sketch algebra. Exact
+    union/intersection counts ride along as the accuracy report.
+
+    Scale shape: distinct (type, h) is map-combinable; per-type k-smallest
+    would use the salted two-phase prune at vocabulary scale (the
+    kmv_distinct_terms lever — distinct users per type here is fixture-
+    bounded, and the sketches themselves are ≤ k rows from there on)."""
+    from .stats import round6
+    from .textpipe import h60
+
+    uh = (
+        events.filter(F.col("event_type").isin([type_a, type_b]))
+        .select(
+            "event_type",
+            h60(F.concat(F.lit("u|"), F.col("user_id").cast("string"))).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        uh.withColumn("r", F.row_number().over(w_t))
+        .filter(F.col("r") <= k)
+        .select("event_type", "h")
+        .persist()
+    )
+    ska = sk.filter(F.col("event_type") == type_a).select("h")
+    skb = sk.filter(F.col("event_type") == type_b).select("h")
+    merged = (
+        ska.unionByName(skb)
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= k)
+        .persist()
+    )
+    theta = merged.agg(
+        F.when(F.count(F.lit(1)) >= k, F.max("h"))
+        .otherwise(F.lit(1 << 60))
+        .cast("long")
+        .alias("theta")
+    )
+    n_below = (
+        merged.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_below"))
+    )
+    c_int = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_int"))
+    )
+    sizes = sk.groupBy().pivot("event_type", [type_a, type_b]).count()
+    ex_union = (
+        uh.select("h").distinct().agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+    )
+    ex_int = (
+        uh.groupBy("h")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    est = lambda c: round6(
+        c.cast("double")
+        / (F.col("theta").cast("double") / F.lit(float(1 << 60)))
+    )
+    out = (
+        theta.crossJoin(n_below)
+        .crossJoin(c_int)
+        .crossJoin(sizes)
+        .crossJoin(ex_union)
+        .crossJoin(ex_int)
+        .select(
+            F.lit(type_a).alias("type_a"),
+            F.lit(type_b).alias("type_b"),
+            F.coalesce(F.col(type_a), F.lit(0)).cast("long").alias("n_a_sketch"),
+            F.coalesce(F.col(type_b), F.lit(0)).cast("long").alias("n_b_sketch"),
+            "theta",
+            est(F.col("n_below")).alias("est_union"),
+            est(F.col("c_int")).alias("est_intersection"),
+            "exact_union",
+            "exact_intersection",
+        )
+    )
+    return out
+
+
+KMV_OVERLAP_SQL = f"""WITH uh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5('u|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type IN ('{KMV_TYPE_A}', '{KMV_TYPE_B}')
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM uh
+  ) WHERE r <= {KMV_OVERLAP_K}
+),
+merged AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE r <= {KMV_OVERLAP_K}
+),
+th AS (
+  SELECT CASE WHEN COUNT(*) >= {KMV_OVERLAP_K} THEN MAX(h)
+              ELSE {1 << 60} END AS theta
+  FROM merged
+),
+nb AS (SELECT COUNT(*) AS n_below FROM merged, th WHERE h < theta),
+ci AS (
+  SELECT COUNT(*) AS c_int
+  FROM (SELECT h FROM sk WHERE event_type = '{KMV_TYPE_A}') a
+  JOIN (SELECT h FROM sk WHERE event_type = '{KMV_TYPE_B}') b USING (h), th
+  WHERE h < theta
+),
+sz AS (
+  SELECT SUM(CASE WHEN event_type = '{KMV_TYPE_A}' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN event_type = '{KMV_TYPE_B}' THEN 1 ELSE 0 END) AS n_b
+  FROM sk
+),
+exu AS (SELECT COUNT(DISTINCT h) AS exact_union FROM uh),
+exi AS (
+  SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT h FROM uh GROUP BY h HAVING COUNT(DISTINCT event_type) = 2
+  )
+)
+SELECT '{KMV_TYPE_A}' AS type_a, '{KMV_TYPE_B}' AS type_b,
+       CAST(sz.n_a AS BIGINT) AS n_a_sketch, CAST(sz.n_b AS BIGINT) AS n_b_sketch,
+       CAST(th.theta AS BIGINT) AS theta,
+       CAST(ROUND(CAST(CAST(nb.n_below AS DOUBLE)
+            / (CAST(th.theta AS DOUBLE) / {_KMV_RANGE_LIT})
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS est_union,
+       CAST(ROUND(CAST(CAST(ci.c_int AS DOUBLE)
+            / (CAST(th.theta AS DOUBLE) / {_KMV_RANGE_LIT})
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS est_intersection,
+       CAST(exu.exact_union AS BIGINT) AS exact_union,
+       CAST(exi.exact_intersection AS BIGINT) AS exact_intersection
+FROM th, nb, ci, sz, exu, exi"""

@@ -692,3 +692,292 @@ def pinned_topk(
         )
     )
     return pinned_df.unionByName(organic_ranked)
+
+
+# ------------------------------------------------- round-4 session-7
+# Modern ES relevance features: rank_feature + distance_feature queries
+# (score contributions from per-document numeric signals) and the sampler
+# aggregation. All reuse score_all's broadcast-against-postings skeleton.
+
+RANK_FEATURE_PIVOT = 10
+RANK_FEATURE_BOOST = 2.0
+
+
+def rank_feature_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``rank_feature`` query (saturation function) inside a bool
+    ``should`` → DF[query_id, rank, doc_id, feature, score]:
+
+        final = round6(round6(bm25) + round6(boost · f / (f + pivot)))
+
+    with ``f`` a static per-document relevance signal (pagerank, url
+    length, popularity). The fixture has no such column, so f =
+    1 + h60('rf|'||doc_id) % 100 (the synthetic-field precedent: decay's
+    age, terms_set's required). Saturation is the bounded monotone form
+    ES defaults to; its numerator/denominator are SMALL INTEGERS, so the
+    only doubles are one division, one multiply by the boost literal and
+    the final add — identical op sequence both engines (the decay entry's
+    discipline). At cluster scale the feature is a real column riding the
+    forward index; the saturation math stays per-row and codegen-able."""
+    from .stats import round6
+    from .textpipe import h60
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    f_col = (
+        F.pmod(h60(F.concat(F.lit("rf|"), F.col("doc_id").cast("string"))), F.lit(100))
+        + 1
+    ).cast("long")
+    fin = scored.select(
+        "query_id",
+        "doc_id",
+        f_col.alias("feature"),
+        round6(
+            round6("score")
+            + round6(
+                F.lit(RANK_FEATURE_BOOST)
+                * (
+                    f_col.cast("double")
+                    / (f_col + RANK_FEATURE_PIVOT).cast("double")
+                )
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        fin.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "feature", "score")
+    )
+
+
+DISTANCE_FEATURE_ORIGIN = 180  # days — the "origin" recency anchor
+DISTANCE_FEATURE_PIVOT = 60
+DISTANCE_FEATURE_BOOST = 1.5
+
+
+def distance_feature_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``distance_feature`` query → DF[query_id, rank, doc_id,
+    dist_days, score]: a boost that DECAYS with distance from an origin,
+
+        final = round6(round6(bm25) + round6(boost · pivot / (pivot + dist)))
+
+    where dist = |age_days − origin| reuses the decay entry's h60-derived
+    document age (age = h60('age|'||doc_id) % 365 — ONE synthetic time
+    reality shared by both recency entries). Unlike function_score decay
+    (which MULTIPLIES relevance), distance_feature ADDS a bounded bonus —
+    ES's cheap "boost recent/nearby docs" primitive that skips
+    non-competitive docs under WAND because its contribution is capped at
+    ``boost``. Distance is pure integer math; then one division of small
+    ints, one multiply, one add — the pinned double sequence."""
+    from .stats import round6
+    from .textpipe import h60
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    age = F.pmod(
+        h60(F.concat(F.lit("age|"), F.col("doc_id").cast("string"))),
+        F.lit(DECAY_AGE_MOD),
+    ).cast("long")
+    dist = F.abs(age - F.lit(DISTANCE_FEATURE_ORIGIN))
+    fin = scored.select(
+        "query_id",
+        "doc_id",
+        dist.alias("dist_days"),
+        round6(
+            round6("score")
+            + round6(
+                F.lit(DISTANCE_FEATURE_BOOST)
+                * (
+                    F.lit(float(DISTANCE_FEATURE_PIVOT))
+                    / (dist + DISTANCE_FEATURE_PIVOT).cast("double")
+                )
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        fin.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "dist_days", "score")
+    )
+
+
+SAMPLER_SHARDS = 4
+SAMPLER_SHARD_SIZE = 3
+
+
+def sampler_agg(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    n_shards: int = SAMPLER_SHARDS,
+    shard_size: int = SAMPLER_SHARD_SIZE,
+) -> DataFrame:
+    """ES ``sampler`` aggregation → DF[query_id, sample_n, n_shards_hit,
+    max_score, avg_score]: sub-aggregations run over only the top
+    ``shard_size`` highest-scoring docs PER SHARD (ES's knob for "agg
+    over the best few hundred matches, not all of them"). Shards are the
+    deterministic h60 doc shards (terms_shard_error's precedent — the
+    distributed semantics made value-checkable), the per-shard page is
+    the engine total order (round6(score) DESC, doc_id ASC), and the
+    sub-agg here is the stats pair every dashboard asks for: max + mean
+    score of the sample.
+
+    Float discipline: per-shard top-k compares round6 keys; the mean sums
+    round6 scores as EXACT decimal(18,6) (a 6-dp-grid double casts to
+    decimal(18,6) identically on both engines — shortest-repr on Spark,
+    value-rounding on DuckDB, equal on the grid) and divides ONCE. The
+    window runs on the matched-docs frame, partitioned (query, shard) —
+    at cluster scale this is the same per-partition bounded heap the DAAT
+    path uses, never a global sort."""
+    from .stats import round6
+    from .textpipe import h60
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    shard = F.pmod(
+        h60(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+        F.lit(n_shards),
+    ).alias("shard")
+    w = Window.partitionBy("query_id", "shard").orderBy(
+        F.desc("s6"), F.asc("doc_id")
+    )
+    sample = (
+        scored.select("query_id", "doc_id", shard, round6("score").alias("s6"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shard_size)
+    )
+    return (
+        sample.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sample_n"),
+            F.count_distinct("shard").cast("long").alias("n_shards_hit"),
+            F.max("s6").alias("max_score"),
+            F.sum(F.col("s6").cast("decimal(18,6)")).alias("_sum"),
+        )
+        .select(
+            "query_id",
+            "sample_n",
+            "n_shards_hit",
+            "max_score",
+            round6(
+                F.col("_sum").cast("double") / F.col("sample_n").cast("double")
+            ).alias("avg_score"),
+        )
+    )
+
+
+HYBRID_ALPHA = 0.5
+HYBRID_POOL = 20
+
+
+def hybrid_linear_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    embeddings: DataFrame,
+    alpha: float = HYBRID_ALPHA,
+    pool: int = HYBRID_POOL,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with LINEAR score fusion (the
+    score-level sibling of bm25_rrf_fusion's rank-level fusion; ES 8.9+
+    "linear" retriever / Weaviate hybrid alpha) → DF[query_id, rank,
+    doc_id, bm25_norm, cos_norm, score]:
+
+        score = round6(alpha · norm(bm25) + (1−alpha) · norm(cosine))
+
+    Each ranker retrieves its top ``pool`` candidates, scores are min-max
+    normalized WITHIN the retrieved pool (the convention: fusion weighs
+    relative standing in each list, absolute scales are incomparable), a
+    doc missing from one pool contributes 0 from that ranker, and a flat
+    pool (max == min) normalizes to 1.0 everywhere.
+
+    Determinism: both pools cut on the engine total order; normalization
+    subtracts/divides round6-grid doubles (deterministic — identical
+    operands and single ops on both engines); the blend is the pinned
+    alpha·nb + (1−alpha)·nc sequence. Query vectors are the embeddings
+    with vec_id == query_id (doc-aligned fixture; in production the query
+    encoder output). Scale: the vector side is the brute-force baseline
+    (broadcast queries × scan — ann_cosine_topk's plan); the LSH/IVF/PQ
+    entries are its sub-linear replacements, and fusion happens on two
+    ≤ pool·|Q|-row frames — driver-free, shuffle-free beyond the pools."""
+    from .stats import round6
+    from .vectors import _vecs, cosine
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    wq = Window.partitionBy("query_id").orderBy(round6("score").desc(), F.asc("doc_id"))
+    tpool = (
+        scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id", round6("score").alias("s6"))
+    )
+    vecs = _vecs(embeddings)
+    qids = qterms.select("query_id").distinct()
+    qv = vecs.join(
+        qids, vecs.vec_id == qids.query_id
+    ).select("query_id", F.col("v").alias("qv"))
+    cscored = (
+        vecs.join(F.broadcast(qv))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            round6(cosine(F.col("v"), F.col("qv"))).alias("c6"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("doc_id"))
+    cpool = (
+        cscored.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id", "c6")
+    )
+
+    def norm(df: DataFrame, col: str, out: str) -> DataFrame:
+        wn = Window.partitionBy("query_id")
+        mn, mx = F.min(col).over(wn), F.max(col).over(wn)
+        return df.select(
+            "query_id", "doc_id",
+            F.when(mx > mn, (F.col(col) - mn) / (mx - mn))
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    nb = norm(tpool, "s6", "nb")
+    nc = norm(cpool, "c6", "nc")
+    fused = (
+        nb.join(nc, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id",
+            F.coalesce("nb", F.lit(0.0)).alias("nb"),
+            F.coalesce("nc", F.lit(0.0)).alias("nc"),
+        )
+        .select(
+            "query_id", "doc_id",
+            round6("nb").alias("bm25_norm"),
+            round6("nc").alias("cos_norm"),
+            round6(
+                F.lit(alpha) * F.col("nb") + F.lit(1.0 - alpha) * F.col("nc")
+            ).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(round6("score").desc(), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25_norm", "cos_norm", "score")
+    )
