@@ -3284,3 +3284,166 @@ def build_round4_s7():
             "decimal gaps and means, broadcast bucket-boundary array",
         ),
     }
+
+
+def q_categorize_text(spark, sf_dir):
+    from .textpipe import categorize_text
+
+    return categorize_text(_docs(spark, sf_dir))
+
+
+def q_nb_lang_confusion(spark, sf_dir):
+    from .textpipe import nb_lang_confusion
+
+    return nb_lang_confusion(_docs(spark, sf_dir))
+
+
+def q_embedding_outliers(spark, sf_dir):
+    from .vectors import embedding_outliers
+
+    return embedding_outliers(_emb(spark, sf_dir))
+
+
+def build_round4_s7b():
+    from .textpipe import CATEGORIZE_SQL, NB_LANG_SQL
+    from .vectors import OUTLIER_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "categorize_text": QuerySpec(
+            q_categorize_text,
+            CATEGORIZE_SQL,
+            "ES categorize_text agg (log categorization), deterministic "
+            "core: digit runs masked to '#', fixed leading-token template "
+            "key, min-doc exemplar; two-level combinable terms-agg shape",
+        ),
+        "nb_lang_confusion": QuerySpec(
+            q_nb_lang_confusion,
+            NB_LANG_SQL,
+            "multinomial naive-Bayes language classifier trained+evaluated "
+            "in one job (label-quality audit): round9-quantized log probs "
+            "as exact decimals, decimal argmax, confusion-matrix output",
+        ),
+        "embedding_outliers": QuerySpec(
+            q_embedding_outliers,
+            OUTLIER_SQL,
+            "ES outlier detection (kth-NN cosine distance): round6 "
+            "distances before every rank boundary, exact form on the "
+            "deterministic sample prefix, IVF-bucketed as the scale path",
+        ),
+    }
+
+
+def q_phrase_suggest(spark, sf_dir):
+    from .search_ext import phrase_suggest
+
+    return phrase_suggest(spark, _docs(spark, sf_dir))
+
+
+def build_round4_s7c():
+    from .search_ext import phrase_suggest_sql
+    from .queries_catalog import QuerySpec
+
+    return {
+        "phrase_suggest": QuerySpec(
+            q_phrase_suggest,
+            phrase_suggest_sql(),
+            "ES phrase suggester (did-you-mean): levenshtein<=2 per-slot "
+            "candidates re-ranked as whole phrases by an add-one bigram "
+            "LM — round9-decimal log-probs, exact-decimal ranking; "
+            "completes the suggester family (term=query_suggestions, "
+            "completion=completion_suggest)",
+        ),
+    }
+
+
+#: intervals query set: (query_id, ordered pair, max_gaps, not_containing)
+INTERVALS_QUERIES = [
+    (1, "hash join", 2, "slow"),
+    (2, "sort merge", 3, "join"),
+    (3, "group agg", 1, "window"),
+    (4, "table row", 4, "column"),
+    (5, "key value", 2, "data"),
+]
+
+
+def q_intervals_topk(spark, sf_dir):
+    from .phrase import intervals_topk
+
+    return intervals_topk(_docs(spark, sf_dir), INTERVALS_QUERIES, k=10)
+
+
+def _intervals_sql(k: int = 10) -> str:
+    """DuckDB twin of intervals_topk: position lists per term via
+    generate_series filters, then the same minimality/gaps/not_containing
+    algebra as nested list lambdas — generated from the SAME py_tokenize
+    parse."""
+    from .tokenize import py_tokenize
+
+    branches = []
+    for qid, pair, gaps, notc in INTERVALS_QUERIES:
+        ta, tb = py_tokenize(pair)
+        (tc,) = py_tokenize(notc)
+        pos = "list_filter(generate_series(1, len(ts)), i -> ts[i] = '{t}')"
+        pa, pb, pc = (pos.format(t=t) for t in (ta, tb, tc))
+        branches.append(f"""SELECT {qid} AS query_id, doc_id,
+       CAST(len(list_filter(pb, b ->
+         list_max(list_filter(pa, x -> x < b)) IS NOT NULL
+         AND list_min(list_filter(pb, x -> x > list_max(list_filter(pa, y -> y < b)))) = b
+         AND b - list_max(list_filter(pa, x -> x < b)) - 1 <= {gaps}
+         AND len(list_filter(pc, x -> x >= list_max(list_filter(pa, y -> y < b)) AND x <= b)) = 0
+       )) AS BIGINT) AS n_intervals
+FROM (SELECT doc_id, {pa} AS pa, {pb} AS pb, {pc} AS pc FROM tokd)""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH tokd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TS} AS ts FROM documents),
+pc AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, n_intervals,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_intervals DESC, doc_id ASC) AS rnk
+  FROM pc WHERE n_intervals > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_intervals
+FROM r WHERE rnk <= {k}"""
+
+
+def build_round4_s7d():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "intervals_topk": QuerySpec(
+            q_intervals_topk,
+            _intervals_sql(),
+            "ES intervals query: MINIMAL ordered two-term intervals "
+            "(last-anchor/first-close contract) with max_gaps and a "
+            "not_containing filter probing INSIDE the interval — the "
+            "axis the span family's pre/post margins don't cover",
+        ),
+    }
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    from .joins import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def build_round4_s7e():
+    from .joins import SHIPPING_PRIORITY_SQL
+    from .queries_catalog import QuerySpec
+
+    return {
+        "tpch_shipping_priority": QuerySpec(
+            q_tpch_shipping_priority,
+            SHIPPING_PRIORITY_SQL,
+            "TPC-H Q3 shipping priority: date filters pushed into both "
+            "fact scans before the join chain, exact-decimal revenue "
+            "ranking, TakeOrderedAndProject top-10",
+        ),
+    }

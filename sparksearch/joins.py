@@ -1582,3 +1582,74 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(ROUND(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_price
 FROM assigned GROUP BY 1"""
+
+
+Q3_CUTOFF = "1997-01-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    cutoff: str = Q3_CUTOFF,
+    segment: str = Q3_SEGMENT,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 (shipping priority) → DF[l_orderkey, o_orderdate,
+    o_orderpriority, revenue, n_items]: unshipped-revenue top-10 — orders
+    from one market segment placed before the cutoff whose line items
+    shipped after it, ranked by order revenue.
+
+    Plan shape: both date filters push into the scans BEFORE the fact
+    chain (l_shipdate on lineitem, o_orderdate on orders — at 100 TB this
+    is most of the win; the joins see only the filtered slices), the
+    segment-filtered customer keyset joins on custkey, the top-10 is
+    TakeOrderedAndProject. Ranking compares the EXACT decimal revenue
+    (quantized per-row contributions, exact sum — no float order
+    anywhere), ties break (o_orderdate ASC, l_orderkey ASC), the Q3
+    output order made total."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", _rev().alias("rev"))
+    g = (
+        li.join(ords.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum("rev").cast("decimal(28,6)").alias("rev_d"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    return (
+        g.orderBy(F.desc("rev_d"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(k)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round(F.col("rev_d").cast("double"), 6).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10"""

@@ -1071,3 +1071,105 @@ def span_not_topk(docs: DataFrame, queries: list[tuple[int, str, str]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_occurrences")
     )
+
+
+# ------------------------------------------------- round-4 session-7
+
+
+def intervals_topk(docs: DataFrame, queries: list[tuple[int, str, int, str]],
+                   k: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """ES ``intervals`` query → DF[query_id, rank, doc_id, n_intervals]:
+    MINIMAL ordered intervals of a two-term ``match`` with ``max_gaps``,
+    under a ``not_containing`` filter — (query_id, "a b", max_gaps,
+    "not_term") tuples. The intervals surface differs from the span
+    family on two axes this entry pins down:
+
+    * **Minimality** (the Lucene IntervalIterator contract): an interval
+      survives only if it contains no smaller qualifying interval — for
+      the pair (a, b): b's interval anchors at the LAST a before it, and
+      survives only if b is the FIRST b after that anchor (both checks
+      are O(positions) array probes; nested [a1, a2, b] yields one
+      interval [a2, b], never [a1, b]).
+    * **not_containing**: the filtered term may appear nowhere INSIDE
+      [start, end] — contrast SpanNot's pre/post margins, which probe
+      OUTSIDE a contiguous span.
+
+    max_gaps counts interior slack (b − a − 1 ≤ gaps; 0 = adjacent).
+    Docs rank by qualifying-interval count (exact integers, the phrase
+    family's total order). Same one-pass shape as span_not: ONE per-doc
+    term→positions map, every query an expression over it."""
+    spark = docs.sparkSession
+    qdefs: dict[int, tuple[str, str, int, str]] = {}
+    for qid, pair, gaps, notc in queries:
+        ts = py_tokenize(pair)
+        nt = py_tokenize(notc)
+        if len(ts) == 2 and len(nt) == 1:
+            qdefs[int(qid)] = (ts[0], ts[1], int(gaps), nt[0])
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_intervals long"
+        )
+    all_terms = sorted(
+        {x for a, b, _, c in qdefs.values() for x in (a, b, c)}
+    )
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def count_expr(ta: str, tb: str, gaps: int, tc: str) -> Column:
+        empty = F.array().cast("array<int>")
+        pa = F.coalesce(F.element_at(F.col("m"), ta), empty)
+        pb = F.coalesce(F.element_at(F.col("m"), tb), empty)
+        pc = F.coalesce(F.element_at(F.col("m"), tc), empty)
+
+        # Materialize each candidate's anchor ONCE via transform-to-struct:
+        # referencing `a` four times inside one filter lambda re-evaluates
+        # the array_max(filter(...)) per use site (the Catalyst lambda
+        # re-evaluation edge — measured 8x here), while a struct field is
+        # a cheap access on the already-computed element.
+        cand = F.transform(
+            pb,
+            lambda b: F.struct(
+                b.alias("b"),
+                F.array_max(F.filter(pa, lambda x: x < b)).alias("a"),
+            ),
+        )
+
+        def qualifies(s: Column) -> Column:
+            a, b = s["a"], s["b"]
+            return (
+                a.isNotNull()
+                & (F.array_min(F.filter(pb, lambda x: x > a)) == b)
+                & (b - a - 1 <= F.lit(gaps))
+                & (F.size(F.filter(pc, lambda x: (x >= a) & (x <= b))) == 0)
+            )
+
+        return F.size(F.filter(cand, qualifies))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                count_expr(*args).cast("long").alias("n"),
+            )
+            for qid, args in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.n").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_intervals"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_intervals")
+    )

@@ -1010,6 +1010,22 @@ from .catalog_pipeline import build_round4_s7  # noqa: E402
 
 CATALOG.update(build_round4_s7())
 
+from .catalog_pipeline import build_round4_s7b  # noqa: E402
+
+CATALOG.update(build_round4_s7b())
+
+from .catalog_pipeline import build_round4_s7c  # noqa: E402
+
+CATALOG.update(build_round4_s7c())
+
+from .catalog_pipeline import build_round4_s7d  # noqa: E402
+
+CATALOG.update(build_round4_s7d())
+
+from .catalog_pipeline import build_round4_s7e  # noqa: E402
+
+CATALOG.update(build_round4_s7e())
+
 # (build_round4_s4e registers AFTER BM25_SCORED_SQL is defined, below)
 CATALOG.update({
     "bm25_topk_suffix": QuerySpec(
@@ -3564,6 +3580,89 @@ FROM pg WHERE r <= 3 GROUP BY 1""",
 })
 
 
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import MPP_QUERIES
+    from .scoring_ext import match_bool_prefix_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    df = match_bool_prefix_topk(spark, MPP_QUERIES, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_hit", "prefix_hit",
+        _round6("score").alias("score"),
+    )
+
+
+def _match_bool_prefix_sql() -> str:
+    """DuckDB twin generated from the SAME py_tokenize parse of
+    MPP_QUERIES (leading terms = OR clauses, last token = prefix)."""
+    from .catalog_pipeline import MPP_QUERIES
+    from .tokenize import py_tokenize
+
+    lead_rows, pre_rows = [], []
+    for qid, text in MPP_QUERIES:
+        toks = py_tokenize(text)
+        if not toks:
+            continue
+        *lead, pre = toks
+        for t, n in sorted(Counter(lead).items()):
+            lead_rows.append(f"({qid}, '{t}', {n})")
+        pre_rows.append(f"({qid}, '{pre}')")
+    ql = ", ".join(lead_rows)
+    qp = ", ".join(pre_rows)
+    return f"""WITH {TOK_SQL.strip()},
+ql(query_id, term, qtf) AS (VALUES {ql}),
+qp(query_id, prefix) AS (VALUES {qp}),
+scored AS (
+  SELECT ql.query_id, p.doc_id,
+         SUM(ql.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM gstats)))) AS score,
+         COUNT(DISTINCT ql.term) AS n_hit
+  FROM ql
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+exp AS (
+  SELECT qp.query_id, t.term FROM qp JOIN termstats t ON starts_with(t.term, qp.prefix)
+),
+ph AS (SELECT DISTINCT e.query_id, p.doc_id FROM exp e JOIN postings p USING (term)),
+fused AS (
+  SELECT COALESCE(s.query_id, ph.query_id) AS query_id,
+         COALESCE(s.doc_id, ph.doc_id) AS doc_id,
+         COALESCE(s.n_hit, 0) AS n_hit,
+         CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END AS prefix_hit,
+         CAST(ROUND(CAST(
+           COALESCE(CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE), 0.0)
+           + CAST(CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) * 1.0
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM scored s FULL OUTER JOIN ph
+    ON s.query_id = ph.query_id AND s.doc_id = ph.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_hit, prefix_hit, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(prefix_hit AS BIGINT) AS prefix_hit, score
+FROM ranked WHERE rnk <= {K}"""
+
+
+CATALOG["match_bool_prefix"] = QuerySpec(
+    q_match_bool_prefix,
+    _match_bool_prefix_sql(),
+    "ES match_bool_prefix: leading tokens as independent OR term clauses "
+    "(BM25), last token a constant-score prefix clause (Lucene PrefixQuery "
+    "rewrite semantics) — the bag-of-words sibling of match_phrase_prefix; "
+    "completes the match family",
+)
+
+
 def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scoring_ext import hybrid_linear_topk
 
@@ -3751,6 +3850,9 @@ _SWEEP_NEXT = [
     "bm25_rank_feature", "bm25_distance_feature", "bm25_sampler_agg",
     "events_hll_cardinality", "events_kmv_overlap",
     "price_variable_width_histogram", "hybrid_linear_topk",
+    "categorize_text", "nb_lang_confusion", "embedding_outliers",
+    "phrase_suggest", "intervals_topk", "match_bool_prefix",
+    "tpch_shipping_priority",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

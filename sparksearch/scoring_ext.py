@@ -981,3 +981,100 @@ def hybrid_linear_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "bm25_norm", "cos_norm", "score")
     )
+
+
+def match_bool_prefix_topk(
+    spark,
+    queries: list[tuple[int, str]],
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` → DF[query_id, rank, doc_id, n_hit,
+    prefix_hit, score]: every token but the last is an independent OR
+    term clause (plain BM25 contribution), the last token is a PREFIX
+    clause scoring a CONSTANT 1.0 when the document contains ANY term
+    with that prefix (Lucene PrefixQuery under its constant-score
+    rewrite — multi-term expansions score flat, not per-term BM25).
+    Completes the match trio: match_phrase_prefix demands contiguity,
+    this is its bag-of-words sibling (type-ahead over unordered terms).
+
+        score = round6(Σ_leading bm25 + 1.0·[any prefix term present])
+
+    The sum is the flagship's per-(query, doc) aggregation; +1.0 of a
+    round6-grid double is deterministic. Docs matching neither clause do
+    not appear (bool with all-should semantics). Prefix expansion is the
+    dictionary range scan (sorted-sidecar-served in the physical path);
+    the presence probe is a semi-join of the expanded terms against the
+    postings, reduced to distinct (query, doc) BEFORE the outer join —
+    no per-expansion scoring work."""
+    from .stats import round6
+    from .tokenize import py_tokenize
+
+    rows_lead, rows_pre = [], []
+    for qid, text in queries:
+        toks = py_tokenize(text)
+        if not toks:
+            continue
+        *lead, pre = toks
+        from collections import Counter
+
+        for t, n in sorted(Counter(lead).items()):
+            rows_lead.append((int(qid), t, int(n)))
+        rows_pre.append((int(qid), pre))
+    qlead = spark.createDataFrame(
+        rows_lead or [(None, None, None)], "query_id long, term string, qtf long"
+    ).filter(F.col("query_id").isNotNull())
+    qpre = spark.createDataFrame(rows_pre, "query_id long, prefix string")
+
+    # score_all's plan skeleton with n_hit riding along for the output
+    # contract (the msm shape)
+    from .querying import _attach_dl
+    from .stats import bm25_term_score_col
+
+    q = qlead.join(
+        term_stats.select("term", "idf", "n_docs", "avgdl"), "term", "inner"
+    )
+    contrib = _attach_dl(tf_df.join(F.broadcast(q), "term", "inner"), tf_df, dl_df)
+    scored = (
+        contrib.select(
+            "query_id", "doc_id", bm25_term_score_col(qtf="qtf").alias("s"), "term"
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("s").alias("score"),
+            F.count_distinct("term").cast("long").alias("n_hit"),
+        )
+        .select("query_id", "doc_id", round6("score").alias("s6"), "n_hit")
+    )
+    exp = term_stats.select("term").join(
+        F.broadcast(qpre), F.col("term").startswith(F.col("prefix"))
+    )
+    pre_hits = (
+        tf_df.select("term", "doc_id")
+        .join(exp.select("query_id", "term"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("prefix_hit", F.lit(1).cast("long"))
+    )
+    fused = (
+        scored.join(pre_hits, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce("prefix_hit", F.lit(0)).cast("long").alias("prefix_hit"),
+            round6(
+                F.coalesce("s6", F.lit(0.0))
+                + F.coalesce("prefix_hit", F.lit(0)).cast("double") * F.lit(1.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_hit", "prefix_hit", "score")
+    )

@@ -540,3 +540,187 @@ def sort_by_field_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", field)
     )
+
+
+# ------------------------------------------------- round-4 session-7
+
+PS_MAX_EDITS = 2
+PS_TOPN = 3
+#: "did you mean" inputs: one misspelled slot per query (transpositions are
+#: levenshtein-2 — both engines implement CLASSIC levenshtein, no Damerau),
+#: plus one all-correct query (the suggester should keep it on top).
+PS_QUERIES = [
+    (1, "hsah join"),
+    (2, "sort mrege"),
+    (3, "group scna"),
+    (4, "window agg"),
+]
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    max_edits: int = PS_MAX_EDITS,
+    topn: int = PS_TOPN,
+) -> DataFrame:
+    """ES ``phrase`` suggester ("did you mean") → DF[query_id, rank,
+    suggestion, score]: per-slot spell candidates (vocabulary terms within
+    levenshtein ``max_edits``, distance 0 included) re-ranked as WHOLE
+    PHRASES by an add-one bigram language model — the component that makes
+    phrase suggestion beat term-by-term correction ("sort mrege" →
+    "sort merge" because the bigram is frequent, not because "merge" is
+    the closest word):
+
+        score(w1 w2) = round9(ln((uc1+1)/(T+V))) + round9(ln((bc+1)/(uc1+V)))
+
+    (unigram prior + conditional; uc = corpus unigram count, bc = bigram
+    count, T = token count, V = vocabulary). Both lns ride the round9→
+    decimal(28,9) quantize, the sum is a 2-term decimal add, so ranking
+    compares exact decimals (the nb_lang_confusion discipline); ties break
+    (w1 ASC, w2 ASC). ES's collate/real-word-error heuristics are
+    confidence knobs on top of this same candidate×LM core.
+
+    Scale shape: unigram/bigram counts are the bigram_xent map-combinable
+    aggregations (vocabulary²-bounded outputs); candidate generation is a
+    |queries|·|vocab| levenshtein filter — the spell-correction linear
+    dictionary scan, range-prunable by length/prefix exactly like the
+    fuzzy entries; everything after is broadcast-tiny."""
+    qs = PS_QUERIES if queries is None else queries
+    from .tokenize import py_tokenize
+
+    qrows = []
+    for qid, text in qs:
+        t = py_tokenize(text)
+        assert len(t) == 2, f"phrase_suggest fixture queries are bigrams: {text}"
+        qrows.append((qid, t[0], t[1]))
+    qdf = spark.createDataFrame(qrows, "query_id long, t1 string, t2 string")
+
+    toks = docs.select(tokens_col(F.col("text")).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("uc"))
+        .persist()
+    )
+    tv = uni.agg(
+        F.sum("uc").cast("long").alias("t_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    big = (
+        toks.select(
+            F.when(F.size("toks") >= 2, grams)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("g")
+        )
+        .select(F.explode("g").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    )
+    c1 = qdf.crossJoin(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("uc").alias("uc1")))).filter(
+        F.levenshtein("t1", "w1") <= max_edits
+    )
+    c2 = qdf.select("query_id", "t2").crossJoin(
+        F.broadcast(uni.select(F.col("term").alias("w2")))
+    ).filter(F.levenshtein("t2", "w2") <= max_edits)
+    pairs = (
+        c1.join(c2, "query_id")
+        .crossJoin(F.broadcast(tv))
+        .join(
+            F.broadcast(big),
+            F.concat_ws("|", F.col("w1"), F.col("w2")) == F.col("bg"),
+            "left",
+        )
+        .select(
+            "query_id", "w1", "w2",
+            (
+                F.round(
+                    F.log(
+                        (F.col("uc1") + 1).cast("double")
+                        / (F.col("t_tokens") + F.col("v")).cast("double")
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+                + F.round(
+                    F.log(
+                        (F.coalesce(F.col("bc"), F.lit(0)) + 1).cast("double")
+                        / (F.col("uc1") + F.col("v")).cast("double")
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("w1"), F.asc("w2")
+    )
+    from .stats import round6
+
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("suggestion"),
+            round6(F.col("s").cast("double")).alias("score"),
+        )
+    )
+
+
+def phrase_suggest_sql(topn: int = PS_TOPN, max_edits: int = PS_MAX_EDITS) -> str:
+    """DuckDB twin — query VALUES generated from the SAME py_tokenize parse."""
+    from .tokenize import py_tokenize
+
+    vals = []
+    for qid, text in PS_QUERIES:
+        t = py_tokenize(text)
+        vals.append(f"({qid}, '{t[0]}', '{t[1]}')")
+    return f"""WITH tokd AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT unnest(ts) AS term FROM tokd
+),
+uc AS (SELECT term, COUNT(*) AS uc FROM uni GROUP BY 1),
+tv AS (SELECT SUM(uc) AS t_tokens, COUNT(*) AS v FROM uc),
+big AS (
+  SELECT unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || '|' || ts[i+1])
+    ELSE [] END) AS bg
+  FROM tokd
+),
+bc AS (SELECT bg, COUNT(*) AS bc FROM big GROUP BY 1),
+q(query_id, t1, t2) AS (VALUES {', '.join(vals)}),
+c1 AS (
+  SELECT q.query_id, q.t2, u.term AS w1, u.uc AS uc1
+  FROM q JOIN uc u ON levenshtein(q.t1, u.term) <= {max_edits}
+),
+c2 AS (
+  SELECT q.query_id, u.term AS w2
+  FROM q JOIN uc u ON levenshtein(q.t2, u.term) <= {max_edits}
+),
+pairs AS (
+  SELECT c1.query_id, c1.w1, c2.w2,
+         CAST(ROUND(ln(CAST(c1.uc1 + 1 AS DOUBLE) / CAST(tv.t_tokens + tv.v AS DOUBLE)), 9) AS DECIMAL(28,9))
+         + CAST(ROUND(ln(CAST(COALESCE(b.bc, 0) + 1 AS DOUBLE) / CAST(c1.uc1 + tv.v AS DOUBLE)), 9) AS DECIMAL(28,9)) AS s
+  FROM c1 JOIN c2 USING (query_id)
+  CROSS JOIN tv
+  LEFT JOIN bc b ON b.bg = c1.w1 || '|' || c2.w2
+),
+ranked AS (
+  SELECT query_id, w1, w2, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, w1 ASC, w2 ASC) AS rnk
+  FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       w1 || ' ' || w2 AS suggestion,
+       CAST(ROUND(CAST(CAST(s AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {topn}"""

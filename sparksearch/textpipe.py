@@ -1696,3 +1696,193 @@ def terms_shard_error(
     res.count()
     ranked.unpersist()
     return res
+
+
+# ------------------------------------------------- round-4 session-7
+
+CATEGORIZE_TOKENS = 4
+
+
+def categorize_text(docs: DataFrame, n_tokens: int = CATEGORIZE_TOKENS) -> DataFrame:
+    """ES ``categorize_text`` aggregation (log-message categorization) →
+    DF[category, n_docs, example_doc_id]: documents grouped by message
+    TEMPLATE — the leading token sequence with digit runs masked to '#'
+    (ES's categorizer also tokenizes, strips numerics and clusters on the
+    residual token stream; its online drain-tree is arrival-order-dependent, so
+    this entry pins the deterministic core: mask + fixed-prefix key,
+    reproducible on any engine — the variable_width_histogram precedent).
+
+    One codegen projection (tokenize → slice → per-token digit mask →
+    join) and one map-combinable group-by; example_doc_id = MIN(doc_id)
+    gives each category a stable exemplar. The masked-prefix key is also
+    what a 100 TB log pipeline shards on — categories are Zipfian but the
+    agg is two-level combinable, the terms-agg shape."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.slice(tokens_col(F.col("text")), 1, n_tokens).alias("head"),
+    )
+    cat = toks.select(
+        "doc_id",
+        F.array_join(
+            F.transform("head", lambda x: F.regexp_replace(x, "[0-9]+", "#")),
+            " ",
+        ).alias("category"),
+    )
+    return cat.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("example_doc_id"),
+    )
+
+
+CATEGORIZE_SQL = f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+cat AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(ts[1:{CATEGORIZE_TOKENS}], x -> regexp_replace(x, '[0-9]+', '#', 'g')),
+           ' ') AS category
+  FROM tokd
+)
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM cat GROUP BY 1"""
+
+
+def nb_lang_confusion(docs: DataFrame) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained AND evaluated
+    in one job → confusion matrix DF[true_lang, pred_lang, n_docs]: the
+    label-quality audit a training-data pipeline runs on its language
+    tags (fastText-style linear classification reduced to its exactly-
+    checkable core — NB is the one text classifier whose training is a
+    single group-by).
+
+        logp(t|L) = round9(ln((cnt+1) / (tot_L + V)))   (add-one smoothing)
+        score(d, L) = round9(ln(n_L / N)) + Σ_t tf · logp(t|L)
+        pred(d) = argmax_L score  (DECIMAL compare — exact; tie → lang ASC)
+
+    Float discipline: every ln routes through the string_stats round9
+    quantize, is cast to decimal(28,9) and weighted by exact integer tf
+    (decimal(9,0) cast BEFORE the product — the 38-digit-cap sharp edge);
+    scores are decimal(38,9) sums, so the argmax compares exact decimals,
+    never doubles. Plan: training is one (lang, term) group-by; scoring
+    joins the postings against the (V × n_langs)-bounded model table —
+    broadcast at any corpus scale — and reduces per (doc, lang); the only
+    corpus-sized shuffle is the per-doc aggregation the flagship already
+    pays. Docs with zero tokens have no posterior and are excluded (both
+    engines identically)."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("true_lang"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "true_lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cnt = postings.groupBy(F.col("true_lang").alias("lang"), "term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    vocab = postings.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    nl = docs.groupBy(F.col("lang")).agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    n_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    model = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "term",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("logp"),
+        )
+    )
+    lang_side = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(nl, "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.lit(1.0) / (F.col("t") + F.col("v")).cast("double")), 9
+            ).cast("decimal(28,9)").alias("logp_unseen"),
+            F.round(
+                F.log(F.col("n_l").cast("double") / F.col("n").cast("double")), 9
+            ).cast("decimal(28,9)").alias("log_prior"),
+        )
+    )
+    scored = (
+        postings.crossJoin(F.broadcast(lang_side))
+        .join(F.broadcast(model), ["lang", "term"], "left")
+        .select(
+            "doc_id", "true_lang", "lang", "log_prior",
+            (
+                F.col("tf").cast("decimal(9,0)")
+                * F.coalesce("logp", "logp_unseen")
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            (F.sum("contrib").cast("decimal(38,9)") + F.max("log_prior")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+NB_LANG_SQL = """WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS true_lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, true_lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+),
+cnt AS (SELECT true_lang AS lang, term, SUM(tf) AS c FROM postings GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT term) AS v FROM postings),
+nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+ntot AS (SELECT COUNT(*) AS n FROM documents),
+model AS (
+  SELECT cnt.lang, cnt.term,
+         CAST(ROUND(ln(CAST(cnt.c + 1 AS DOUBLE) / CAST(tot.t + vocab.v AS DOUBLE)), 9) AS DECIMAL(28,9)) AS logp
+  FROM cnt JOIN tot USING (lang), vocab
+),
+lang_side AS (
+  SELECT tot.lang,
+         CAST(ROUND(ln(1.0 / CAST(tot.t + vocab.v AS DOUBLE)), 9) AS DECIMAL(28,9)) AS logp_unseen,
+         CAST(ROUND(ln(CAST(nl.n_l AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS log_prior
+  FROM tot JOIN nl USING (lang), vocab, ntot
+),
+scored AS (
+  SELECT p.doc_id, p.true_lang, ls.lang,
+         CAST(SUM(CAST(p.tf AS DECIMAL(9,0)) * COALESCE(m.logp, ls.logp_unseen)) AS DECIMAL(38,9))
+           + MAX(ls.log_prior) AS score
+  FROM postings p
+  CROSS JOIN lang_side ls
+  LEFT JOIN model m ON m.lang = ls.lang AND m.term = p.term
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS r
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE r = 1 GROUP BY 1, 2"""

@@ -1023,3 +1023,86 @@ def cosine_topk_filtered(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score"
         )
     )
+
+
+# ------------------------------------------------- round-4 session-7
+
+OUTLIER_K = 5
+OUTLIER_TOPN = 20
+OUTLIER_SAMPLE = 1000
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = OUTLIER_K,
+    topn: int = OUTLIER_TOPN,
+    sample: int = OUTLIER_SAMPLE,
+) -> DataFrame:
+    """ES outlier detection (data-frame analytics, ``distance_kth_nn``
+    method) → DF[rank, vec_id, knn_dist]: each vector's outlier score is
+    its cosine DISTANCE (1 − cos) to its k-th nearest neighbor; the topn
+    highest scores are the outliers. The audit a training pipeline runs
+    before trusting an embedding space (mislabeled / off-manifold rows
+    surface first).
+
+    Determinism + exactness: distances round6-quantized BEFORE both the
+    k-th-NN selection and the final ranking (invariant #3 at every rank
+    boundary — ties break on the neighbor id, then the vector id). The
+    analysis runs on the deterministic vec_id < sample prefix: kth-NN
+    needs the TRUE neighborhood, so the exact form is quadratic in the
+    analysis set — the production path bounds it by sampling (this knob)
+    or by IVF-bucketed candidate generation with the same downstream
+    selection (the semdedup/neardup scale story); the oracle covers the
+    exact form."""
+    from .stats import round6
+
+    vecs = _vecs(embeddings).filter(F.col("vec_id") < sample)
+    a = vecs.select(F.col("vec_id").alias("vid"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("oid"), F.col("v").alias("vb"))
+    dists = (
+        a.join(F.broadcast(b), F.col("vid") != F.col("oid"))
+        .select(
+            "vid", "oid",
+            round6(F.lit(1.0) - cosine(F.col("va"), F.col("vb"))).alias("d6"),
+        )
+    )
+    wk = Window.partitionBy("vid").orderBy(F.asc("d6"), F.asc("oid"))
+    kth = (
+        dists.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") == k)
+        .select(F.col("vid").alias("vec_id"), F.col("d6").alias("knn_dist"))
+    )
+    wo = Window.orderBy(F.desc("knn_dist"), F.asc("vec_id"))
+    return (
+        kth.withColumn("rank", F.row_number().over(wo))
+        .filter(F.col("rank") <= topn)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "knn_dist",
+        )
+    )
+
+
+OUTLIER_SQL = f"""WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < {OUTLIER_SAMPLE}
+),
+dists AS (
+  SELECT a.vec_id AS vid, b.vec_id AS oid,
+         CAST(ROUND(CAST(1.0 - list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              AS DECIMAL(28,9)), 6) AS DOUBLE) AS d6
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+kth AS (
+  SELECT vid AS vec_id, d6 AS knn_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d6 ASC, oid ASC) AS r
+    FROM dists
+  ) WHERE r = {OUTLIER_K}
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, knn_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY knn_dist DESC, vec_id ASC) AS rank
+  FROM kth
+) WHERE rank <= {OUTLIER_TOPN}"""

@@ -343,3 +343,318 @@ def test_hybrid_scores_bounded(spark, search_stats, queries):
         assert len(rs) == 10
         ranks = sorted(r.rank for r in rs)
         assert ranks == list(range(1, 11))
+
+
+# ------------------------------------------------------- session-7 batch 2
+
+
+def test_categorize_text_matches_python(spark, docs_sf0001):
+    import re
+
+    from sparksearch.textpipe import CATEGORIZE_TOKENS, categorize_text
+    from tests.oracle_bm25 import tokenize
+
+    got = {r.category: (r.n_docs, r.example_doc_id)
+           for r in categorize_text(docs_sf0001).collect()}
+    expect: dict[str, list] = {}
+    for r in docs_sf0001.select("doc_id", "text").collect():
+        head = tokenize(r.text)[:CATEGORIZE_TOKENS]
+        cat = " ".join(re.sub(r"[0-9]+", "#", t) for t in head)
+        expect.setdefault(cat, []).append(r.doc_id)
+    assert got == {c: (len(ds), min(ds)) for c, ds in expect.items()}
+
+
+def test_nb_lang_confusion_matches_python(spark, docs_sf0001):
+    from collections import Counter
+
+    from sparksearch.textpipe import nb_lang_confusion
+    from tests.oracle_bm25 import tokenize
+
+    got = {(r.true_lang, r.pred_lang): r.n_docs
+           for r in nb_lang_confusion(docs_sf0001).collect()}
+    rows = docs_sf0001.select("doc_id", "lang", "text").collect()
+    docs = [(r.doc_id, r.lang, Counter(tokenize(r.text))) for r in rows]
+    cnt: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    nl: dict[str, int] = {}
+    vocab = set()
+    for _, lang, tf in docs:
+        nl[lang] = nl.get(lang, 0) + 1
+        for t, c in tf.items():
+            cnt[(lang, t)] = cnt.get((lang, t), 0) + c
+            tot[lang] = tot.get(lang, 0) + c
+            vocab.add(t)
+    # empty docs still count toward the prior (docs table group-by)
+    n = len(docs)
+    v = len(vocab)
+
+    def ln9(x: float) -> Decimal:
+        return Decimal(repr(math.log(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    langs = sorted(tot)
+    expect: dict[tuple, int] = {}
+    for _, true_lang, tf in docs:
+        if not tf:
+            continue  # no posterior — excluded on both engines
+        best = None
+        for lang in langs:
+            s = ln9(nl[lang] / n)
+            for t, c in tf.items():
+                if (lang, t) in cnt:
+                    s += c * ln9((cnt[(lang, t)] + 1) / (tot[lang] + v))
+                else:
+                    s += c * ln9(1.0 / (tot[lang] + v))
+            if best is None or (s, ) > (best[1], ) or (s == best[1] and lang < best[0]):
+                if best is None or s > best[1]:
+                    best = (lang, s)
+        key = (true_lang, best[0])
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+    # every tokenized doc is classified exactly once
+    assert sum(got.values()) == sum(1 for _, _, tf in docs if tf)
+
+
+def test_embedding_outliers_matches_numpy(spark):
+    from sparksearch.vectors import (
+        OUTLIER_K, OUTLIER_SAMPLE, OUTLIER_TOPN, embedding_outliers,
+    )
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = [(r.rank, r.vec_id, round(float(r.knn_dist), 6))
+           for r in embedding_outliers(emb).collect()]
+    pdf = emb.toPandas()
+    pdf = pdf[pdf.vec_id < OUTLIER_SAMPLE]
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    kth = []
+    for i in range(len(ids)):
+        ds = []
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            c = float(m[i] @ m[j]) / (
+                math.sqrt(float(m[i] @ m[i])) * math.sqrt(float(m[j] @ m[j]))
+            )
+            ds.append((r6(1.0 - c), int(ids[j])))
+        ds.sort()
+        kth.append((int(ids[i]), ds[OUTLIER_K - 1][0]))
+    kth.sort(key=lambda x: (-x[1], x[0]))
+    expect = [(rank, vid, d) for rank, (vid, d) in enumerate(kth[:OUTLIER_TOPN], 1)]
+    assert got == expect
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein (no transpositions — matches both engines)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_phrase_suggest_matches_python(spark, docs_sf0001):
+    from collections import Counter
+
+    from sparksearch.search_ext import (
+        PS_MAX_EDITS, PS_QUERIES, PS_TOPN, phrase_suggest,
+    )
+    from tests.oracle_bm25 import tokenize
+
+    got = [(r.query_id, r.rank, r.suggestion, round(float(r.score), 6))
+           for r in phrase_suggest(spark, docs_sf0001).collect()]
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in docs_sf0001.select("text").collect():
+        ts = tokenize(r.text)
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    t_tokens, v = sum(uni.values()), len(uni)
+
+    def ln9(x: float) -> Decimal:
+        return Decimal(repr(math.log(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    expect = []
+    for qid, text in PS_QUERIES:
+        t1, t2 = tokenize(text)
+        c1 = [w for w in uni if _lev(t1, w) <= PS_MAX_EDITS]
+        c2 = [w for w in uni if _lev(t2, w) <= PS_MAX_EDITS]
+        pairs = []
+        for w1 in c1:
+            for w2 in c2:
+                s = ln9((uni[w1] + 1) / (t_tokens + v)) + ln9(
+                    (big.get((w1, w2), 0) + 1) / (uni[w1] + v)
+                )
+                pairs.append((w1, w2, s))
+        pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+        for rank, (w1, w2, s) in enumerate(pairs[:PS_TOPN], 1):
+            expect.append((qid, rank, f"{w1} {w2}", r6(float(s))))
+    assert sorted(got) == sorted(expect)
+    # the LM actually repairs the fixture misspellings
+    top = {qid: sug for qid, rank, sug, _ in got if rank == 1}
+    assert top.get(2) == "sort merge"
+
+
+def test_intervals_matches_python_scan(spark, docs_sf0001):
+    from sparksearch.catalog_pipeline import INTERVALS_QUERIES
+    from sparksearch.phrase import intervals_topk
+    from tests.oracle_bm25 import tokenize
+
+    got = [(r.query_id, r.rank, r.doc_id, r.n_intervals)
+           for r in intervals_topk(docs_sf0001, INTERVALS_QUERIES, k=10).collect()]
+    docs = [(r.doc_id, tokenize(r.text))
+            for r in docs_sf0001.select("doc_id", "text").collect()]
+    expect = []
+    for qid, pair, gaps, notc in INTERVALS_QUERIES:
+        ta, tb = tokenize(pair)
+        (tc,) = tokenize(notc)
+        scored = []
+        for did, ts in docs:
+            pa = [i for i, t in enumerate(ts, 1) if t == ta]
+            pb = [i for i, t in enumerate(ts, 1) if t == tb]
+            pcs = [i for i, t in enumerate(ts, 1) if t == tc]
+            n = 0
+            for b in pb:
+                before = [x for x in pa if x < b]
+                if not before:
+                    continue
+                a = max(before)
+                if min(x for x in pb if x > a) != b:
+                    continue  # a smaller interval [a, b'] nests inside
+                if b - a - 1 > gaps:
+                    continue
+                if any(a <= x <= b for x in pcs):
+                    continue
+                n += 1
+            if n:
+                scored.append((did, n))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (did, n) in enumerate(scored[:10], 1):
+            expect.append((qid, rank, did, n))
+    assert sorted(got) == sorted(expect)
+
+
+def test_intervals_minimality_hand_case(spark):
+    """[a, a, b]: only [a2, b] qualifies (nesting drops the outer);
+    not_containing kills an interval with c strictly inside."""
+    from sparksearch.phrase import intervals_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta"),          # minimality: 1, not 2
+            (2, "alpha gamma beta"),          # c inside [1, 3] -> 0
+            (3, "alpha beta alpha beta"),     # two disjoint intervals
+            (4, "beta alpha"),                # wrong order -> 0
+        ],
+        "doc_id long, text string",
+    )
+    qs = [(1, "alpha beta", 5, "gamma")]
+    got = {(r.doc_id): r.n_intervals
+           for r in intervals_topk(docs, qs, k=10).collect()}
+    assert got == {1: 1, 3: 2}
+
+
+def test_match_bool_prefix_matches_python(spark, search_stats, bm25_oracle, docs_sf0001):
+    from sparksearch.catalog_pipeline import MPP_QUERIES
+    from sparksearch.scoring_ext import match_bool_prefix_topk
+    from tests.oracle_bm25 import tokenize
+
+    tf_df, dl_df, ts = search_stats
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.n_hit, r.prefix_hit,
+         round(float(r.score), 6))
+        for r in match_bool_prefix_topk(
+            spark, MPP_QUERIES, tf_df, dl_df, ts, k=10
+        ).collect()
+    ]
+    vocab = set(bm25_oracle.df)
+    expect = []
+    for qid, text in MPP_QUERIES:
+        toks = tokenize(text)
+        *lead, pre = toks
+        lead_text = " ".join(lead)
+        exp_terms = {t for t in vocab if t.startswith(pre)}
+        scored = []
+        for d in bm25_oracle.tf:
+            dset = set(bm25_oracle.tf[d])
+            n_hit = len(set(lead) & dset & vocab)
+            p_hit = 1 if (exp_terms & dset) else 0
+            if n_hit == 0 and p_hit == 0:
+                continue
+            base = r6(bm25_oracle.score(lead_text, d)) if n_hit else 0.0
+            s = r6(base + p_hit * 1.0)
+            scored.append((d, n_hit, p_hit, s))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        for rank, (d, nh, ph, s) in enumerate(scored[:10], 1):
+            expect.append((qid, rank, d, nh, ph, s))
+    assert sorted(got) == sorted(expect)
+
+
+def test_shipping_priority_plan_and_values(spark):
+    """TPC-H Q3: both date filters reach the parquet scans (PushedFilters),
+    the page cut is TakeOrderedAndProject, and values match a pandas
+    recomputation."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.joins import Q3_CUTOFF, Q3_SEGMENT, shipping_priority
+
+    li = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    od = spark.read.parquet(str(SF_SMOKE / "orders.parquet"))
+    cu = spark.read.parquet(str(SF_SMOKE / "customer.parquet"))
+    df = shipping_priority(li, od, cu)
+
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "GreaterThan" in ln for ln in pushed), plan
+    assert any("o_orderdate" in ln and "LessThan" in ln for ln in pushed), plan
+
+    got = [(r.l_orderkey, r.o_orderdate, r.o_orderpriority,
+            round(float(r.revenue), 6), r.n_items) for r in df.collect()]
+    lp, op, cp = li.toPandas(), od.toPandas(), cu.toPandas()
+    cut = pd.Timestamp(Q3_CUTOFF)
+    m = lp[lp.l_shipdate > cut].merge(
+        op[op.o_orderdate < cut], left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(cp[cp.c_mktsegment == Q3_SEGMENT], left_on="o_custkey",
+            right_on="c_custkey")
+    m["rev"] = m.apply(
+        lambda r: Decimal(repr(round(r.l_extendedprice * (1.0 - r.l_discount), 6))),
+        axis=1,
+    )
+    g = m.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).agg(
+        rev=("rev", "sum"), n=("rev", "size")
+    ).reset_index()
+    g = g.sort_values(
+        ["rev", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).head(10)
+    expect = [
+        (int(r.l_orderkey), r.o_orderdate.strftime("%Y-%m-%d"),
+         r.o_orderpriority, r6(float(r.rev)), int(r.n))
+        for r in g.itertuples()
+    ]
+    assert got == expect
+
+
+def test_embedding_audit_job_deterministic(spark, tmp_path):
+    import sys as _sys
+
+    if "/root/repo/jobs" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/jobs")
+    from jobs.embedding_audit import audit
+
+    s1 = audit(spark, str(SF_SMOKE), str(tmp_path / "a"))
+    s2 = audit(spark, str(SF_SMOKE), str(tmp_path / "b"))
+    for k in ("n_vectors", "ann_recall_vs_exact", "ann_panel_size",
+              "top_outlier", "neardup_pairs", "semdedup_dropped",
+              "semdedup_kept"):
+        assert s1[k] == s2[k], k
+    assert s1["semdedup_dropped"] + s1["semdedup_kept"] == s1["n_vectors"]
+    assert 0.0 <= s1["ann_recall_vs_exact"] <= 1.0
+    a = sorted(map(tuple, spark.read.parquet(s1["audits"]["outliers"]).collect()))
+    b = sorted(map(tuple, spark.read.parquet(s2["audits"]["outliers"]).collect()))
+    assert a == b
