@@ -3753,6 +3753,146 @@ FROM ranked WHERE rnk <= {K}""",
 })
 
 
+# ---------------------------------------------------------------- round-4 s8
+# Session-8 additions: the third classical LM ranker (Jelinek-Mercer), the
+# ES sparse_vector (learned-sparse / ELSER) query operator, the filters
+# aggregation, and an EQL two-step sequence query.
+
+
+def q_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankers import jm_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = jm_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_sparse_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import sparse_vector_topk
+
+    tf_df, _, _, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = sparse_vector_topk(qterms, tf_df, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+def q_events_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _events
+    from .relational import events_filters_agg
+
+    return events_filters_agg(_events(spark, sf_dir))
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _events
+    from .relational import eql_sequence
+
+    return eql_sequence(_events(spark, sf_dir))
+
+
+def _round4_s8a_specs():
+    from .rankers import JM_LAMBDA, JM_RATIO
+    from .relational import EQL_SEQUENCE_SQL, FILTERS_AGG_SQL
+
+    jm_sql = f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM doclen),
+qk AS (
+  SELECT q.query_id, q.term, q.qtf, t.cf / (SELECT c FROM coll) AS bg
+  FROM q JOIN termstats t USING (term)
+),
+qconst AS (
+  SELECT query_id, SUM(qtf * LN({JM_LAMBDA!r} * bg)) AS qc FROM qk GROUP BY 1
+),
+matched AS (
+  SELECT qk.query_id, p.doc_id,
+         SUM(qk.qtf * LN(1.0 + {JM_RATIO!r} * p.tf / d.dl / qk.bg)) AS ms
+  FROM qk JOIN postings p USING (term) JOIN doclen d ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.query_id, m.doc_id, m.ms + qc.qc AS score
+  FROM matched m JOIN qconst qc USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+    sv_sql = f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+qw AS (
+  SELECT DISTINCT query_id, term,
+         1 + ('0x' || substring(md5('svq|' || term), 1, 15))::BIGINT % 4 AS wq
+  FROM q
+),
+sc AS (
+  SELECT qw.query_id, p.doc_id,
+         SUM(qw.wq * (p.tf * (1 + ('0x' || substring(md5('sv|' || qw.term || '|' || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8))) AS score
+  FROM qw JOIN postings p USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+    return {
+        "lm_jelinek_mercer_topk": QuerySpec(
+            q_jm_topk,
+            jm_sql,
+            "Jelinek-Mercer-smoothed query likelihood (Lucene "
+            "LMJelinekMercerSimilarity, lambda=0.1): matched-postings "
+            "decomposition with a per-query background constant — the "
+            "third classical LM ranker beside Dirichlet and BM25",
+        ),
+        "sparse_vector_topk": QuerySpec(
+            q_sparse_vector_topk,
+            sv_sql,
+            "ES sparse_vector query (ELSER / learned-sparse retrieval): "
+            "dot product of h60-derived deterministic query-expansion and "
+            "per-(term,doc) stored weights — exact BIGINT scores, the "
+            "flagship broadcast-against-postings plan",
+        ),
+        "events_filters_agg": QuerySpec(
+            q_events_filters_agg,
+            FILTERS_AGG_SQL,
+            "ES filters aggregation: named independent filter buckets + "
+            "other_bucket in one events pass (map-side tag explode, "
+            "two-level distinct-user reduce)",
+        ),
+        "eql_sequence": QuerySpec(
+            q_eql_sequence,
+            EQL_SEQUENCE_SQL,
+            "EQL sequence by user_id with maxspan=1h [view][click]: first "
+            "qualifying successor per head event via min(struct) over a "
+            "user-co-partitioned range join — floored-epoch discipline",
+        ),
+    }
+
+
+CATALOG.update(_round4_s8a_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -3853,6 +3993,9 @@ _SWEEP_NEXT = [
     "categorize_text", "nb_lang_confusion", "embedding_outliers",
     "phrase_suggest", "intervals_topk", "match_bool_prefix",
     "tpch_shipping_priority",
+    # round-4 session-8 additions (brand new — same policy)
+    "lm_jelinek_mercer_topk", "sparse_vector_topk", "events_filters_agg",
+    "eql_sequence",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

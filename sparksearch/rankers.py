@@ -248,3 +248,76 @@ def bm25f_topk(
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
     return topk_per_query(scored, k)
+
+
+JM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity default
+#: (1-λ)/λ computed ONCE in doubles and shared with the SQL twin via repr()
+#: — writing "9.0" in SQL while Spark computes (1.0-0.1)/0.1 (= 9.000…002)
+#: would diverge at the 16th digit and leak into 6-dp ties.
+JM_RATIO = (1.0 - JM_LAMBDA) / JM_LAMBDA
+
+
+def jm_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood (Lucene's
+    ``LMJelinekMercerSimilarity``, λ=0.1) → DF[query_id, rank, doc_id,
+    score] — the third classical LM ranker beside Dirichlet (qlm_topk):
+
+        p(t|d) = (1-λ)·tf/dl + λ·cf/C
+        score(q,d) = Σ_t qtf_t · ln p(t|d)
+
+    over the query's KNOWN terms (unknown terms drop, the engine-wide
+    rule). Unlike Dirichlet there is NO per-doc constant — an unmatched
+    term contributes exactly ln(λ·cf/C) — so the matched-postings
+    decomposition is two terms, not three:
+
+        score = Σ_matched qtf·ln(1 + (1-λ)/λ · (tf/dl)/(cf/C))
+              + Σ_known  qtf·ln(λ·cf/C)                    (per-query const)
+
+    Plan: identical skeleton to qlm_topk — tiny per-query term table
+    (with its background stat riding along) broadcast against postings,
+    one partial+final agg per (query, doc); candidates = docs matching
+    ≥1 known term. Float discipline: per-row ln/div sequences are pinned
+    identically in the DuckDB twin (``1.0 + 9.0 * tf / dl / bg`` with
+    bg = cf/C computed once per query term); the accumulated sum spans a
+    query's few matched terms, the long-green qlm risk profile."""
+    from .querying import topk_per_query
+
+    lam = JM_LAMBDA
+    ratio = JM_RATIO
+    coll = dl_df.agg(F.sum("dl").cast("double").alias("coll_len"))
+    q = (
+        qterms.join(term_stats.select("term", "cf"), "term", "inner")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "query_id",
+            "term",
+            "qtf",
+            (F.col("cf") / F.col("coll_len")).alias("bg"),
+        )
+    )
+    qconst = q.groupBy("query_id").agg(
+        F.sum(F.col("qtf") * F.log(F.lit(lam) * F.col("bg"))).alias("qc")
+    )
+    matched = (
+        tf_df.join(F.broadcast(q), "term", "inner")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("qtf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.lit(ratio) * F.col("tf") / F.col("dl") / F.col("bg")
+                )
+            ).alias("ms")
+        )
+    )
+    scored = matched.join(F.broadcast(qconst), "query_id").select(
+        "query_id", "doc_id", (F.col("ms") + F.col("qc")).alias("score")
+    )
+    return topk_per_query(scored, k)

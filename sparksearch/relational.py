@@ -2065,3 +2065,224 @@ SELECT '{KMV_TYPE_A}' AS type_a, '{KMV_TYPE_B}' AS type_b,
        CAST(exu.exact_union AS BIGINT) AS exact_union,
        CAST(exi.exact_intersection AS BIGINT) AS exact_intersection
 FROM th, nb, ci, sz, exu, exi"""
+
+
+FILTERS_HIGH_VALUE = 150.0  # high_value bucket threshold (parquet doubles
+                            # compare identically against the shared literal)
+
+
+def events_filters_agg(events: DataFrame) -> DataFrame:
+    """ES ``filters`` aggregation (named filter buckets + other_bucket) →
+    DF[bucket, n_events, n_users]: three named buckets — clicks
+    (event_type='click'), errors (event_type='error'), high_value
+    (value >= 150.0) — where one event lands in EVERY bucket it matches
+    (ES filters-agg semantics: buckets are independent predicates, not a
+    partition), plus ``_other_`` for events matching none
+    (other_bucket=true, other_bucket_key='_other_').
+
+    One events pass: the matched-bucket list is built map-side as a
+    filtered literal array and exploded (≤ 3 tags/row + the other
+    fallback); distinct users reduce per (bucket, user) first so the
+    final count is a plain second-level COUNT — no countDistinct over raw
+    rows, monster-bucket-proof at any scale. All outputs exact BIGINTs."""
+    tags = F.filter(
+        F.array(
+            F.when(F.col("event_type") == "click", F.lit("clicks")),
+            F.when(F.col("event_type") == "error", F.lit("errors")),
+            F.when(F.col("value") >= FILTERS_HIGH_VALUE, F.lit("high_value")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.explode(
+            F.when(F.size(tags) == 0, F.array(F.lit("_other_"))).otherwise(tags)
+        ).alias("bucket"),
+    )
+    per_user = tagged.groupBy("bucket", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_user.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+
+
+FILTERS_AGG_SQL = f"""WITH tagged AS (
+  SELECT user_id,
+         unnest(CASE WHEN len(l) = 0 THEN ['_other_'] ELSE l END) AS bucket
+  FROM (
+    SELECT user_id,
+           list_filter([
+             CASE WHEN event_type = 'click' THEN 'clicks' END,
+             CASE WHEN event_type = 'error' THEN 'errors' END,
+             CASE WHEN value >= {FILTERS_HIGH_VALUE} THEN 'high_value' END
+           ], x -> x IS NOT NULL) AS l
+    FROM events)
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged GROUP BY 1"""
+
+
+EQL_FIRST, EQL_SECOND = "view", "click"
+EQL_MAXSPAN_S = 3600
+
+
+def eql_sequence(events: DataFrame) -> DataFrame:
+    """EQL two-step sequence query (``sequence by user_id with maxspan=1h
+    [view] [click]``) → DF[user_id, a_event_id, b_event_id, span_s]: for
+    every head event (view) the FIRST qualifying successor (click) by the
+    same user strictly after it and within maxspan — the pinned
+    deterministic contract for ES EQL's sequence matcher (real EQL's
+    internal event reuse rules are engine-version-dependent; first-
+    successor-per-head is the form every version agrees on for two-step
+    sequences, and it is the events_asof_join/funnel family's semantics).
+
+    Time discipline: BOTH epochs floored to whole seconds before any
+    comparison or diff (the asof-join sharp edge — DuckDB epoch() is
+    fractional and CAST rounds while Spark ts→long truncates); the
+    successor pick is min(struct(b_epoch, b_event_id)) — the max(struct)
+    top_metrics precedent, map-combinable, no window over the join.
+
+    Plan at scale: the join is an equality join on user_id with range
+    residuals — sort-merge co-partitioned on the by-key, exactly how a
+    SIEM would shard it; per-user match lists are bounded by per-key
+    activity like sessionize."""
+    ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    a = events.filter(F.col("event_type") == EQL_FIRST).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("a_event_id"),
+        ep("ts").alias("ae"),
+    )
+    b = events.filter(F.col("event_type") == EQL_SECOND).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("b_event_id"),
+        ep("ts").alias("be"),
+    )
+    j = a.join(
+        b,
+        [
+            a.user_id == b.user_id,
+            b.be > a.ae,
+            b.be <= a.ae + F.lit(EQL_MAXSPAN_S),
+        ],
+    ).select(a.user_id, "a_event_id", "ae", "b_event_id", "be")
+    first = j.groupBy("user_id", "a_event_id", "ae").agg(
+        F.min(F.struct("be", "b_event_id")).alias("m")
+    )
+    return first.select(
+        "user_id",
+        "a_event_id",
+        F.col("m.b_event_id").alias("b_event_id"),
+        (F.col("m.be") - F.col("ae")).cast("long").alias("span_s"),
+    )
+
+
+EQL_SEQUENCE_SQL = f"""WITH a AS (
+  SELECT user_id, event_id AS a_event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ae
+  FROM events WHERE event_type = '{EQL_FIRST}'
+),
+b AS (
+  SELECT user_id, event_id AS b_event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS be
+  FROM events WHERE event_type = '{EQL_SECOND}'
+),
+j AS (
+  SELECT a.user_id, a.a_event_id, a.ae, b.b_event_id, b.be,
+         ROW_NUMBER() OVER (PARTITION BY a.a_event_id
+                            ORDER BY b.be ASC, b.b_event_id ASC) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+               AND b.be > a.ae AND b.be <= a.ae + {EQL_MAXSPAN_S}
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(a_event_id AS BIGINT) AS a_event_id,
+       CAST(b_event_id AS BIGINT) AS b_event_id,
+       CAST(be - ae AS BIGINT) AS span_s
+FROM j WHERE rn = 1"""
+
+
+CM_DEPTH = 4   # hash rows
+CM_WIDTH = 64  # counters per row
+CM_TOPN = 10
+
+
+def events_count_min(events: DataFrame) -> DataFrame:
+    """Count-min sketch per-user event counts → DF[user_id, n_exact,
+    est_cm, overcount]: the streaming heavy-hitters estimator (Cormode &
+    Muthukrishnan 2005) evaluated against exact truth on one frame. A
+    d×w counter matrix (d=4, w=64) is filled by hashing every event's
+    user into one cell per row; est(u) = min over rows of its cell —
+    always ≥ the exact count (one-sided error ≤ εN with ε=e/w at the
+    published depth), surfaced as ``overcount`` and pinned as an
+    invariant in tests. Output = the top-10 users by EXACT count (ties
+    user_id ASC), their estimates alongside — the shape a production
+    heavy-hitters report has.
+
+    Determinism: cell(r, u) = h60('cm<r>|'||u) % w — both engines fill
+    bit-identical counters, so the approximate estimate is exact-oracle
+    value-checked (the HLL/KMV/Bloom discipline).
+
+    100 TB shape: counters are a (d·w)-row map-combinable aggregate
+    (constant size — THE point of a CM sketch); per-user exact counts are
+    one group-by; the estimate join touches d rows per REPORTED user
+    only. No corpus-sized shuffle beyond the one user group-by that the
+    exact report needs anyway."""
+    per_user = events.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+
+    def cell(r):
+        from .textpipe import h60
+
+        return F.pmod(
+            h60(F.concat(F.lit(f"cm{r}|"), F.col("user_id").cast("string"))),
+            F.lit(CM_WIDTH),
+        )
+
+    cells = per_user.select(
+        "user_id", "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), cell(r).alias("c"))
+                for r in range(CM_DEPTH)
+            ])
+        ).alias("rc"),
+    ).select("user_id", "n_exact", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    counters = cells.groupBy("r", "c").agg(F.sum("n_exact").alias("cnt"))
+    est = (
+        cells.join(counters, ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("est_cm"), F.max("n_exact").alias("n_exact"))
+    )
+    top = (
+        est.orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(CM_TOPN)
+        .select(
+            "user_id", "n_exact", "est_cm",
+            (F.col("est_cm") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+    return top
+
+
+_CM_CELL_SQL = "('0x' || substring(md5('cm{r}|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {w}"
+
+COUNT_MIN_SQL = f"""WITH per_user AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+cells AS (
+  {" UNION ALL ".join(f'''SELECT user_id, n_exact, {r} AS r, {_CM_CELL_SQL.format(r=r, w=CM_WIDTH)} AS c FROM per_user''' for r in range(CM_DEPTH))}
+),
+counters AS (
+  SELECT r, c, SUM(n_exact) AS cnt FROM cells GROUP BY 1, 2
+),
+est AS (
+  SELECT cells.user_id, MAX(cells.n_exact) AS n_exact,
+         CAST(MIN(counters.cnt) AS BIGINT) AS est_cm
+  FROM cells JOIN counters USING (r, c) GROUP BY 1
+)
+SELECT user_id, n_exact, est_cm, CAST(est_cm - n_exact AS BIGINT) AS overcount
+FROM est ORDER BY n_exact DESC, user_id ASC LIMIT {CM_TOPN}"""

@@ -1078,3 +1078,74 @@ def match_bool_prefix_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_hit", "prefix_hit", "score")
     )
+
+
+SPARSE_VEC_QMOD = 4   # query weights in 1..4
+SPARSE_VEC_DMOD = 8   # per-(term,doc) impact multipliers in 1..8
+
+
+def sparse_vector_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``sparse_vector`` query (the ELSER / learned-sparse retrieval
+    operator, 8.15+) → DF[query_id, rank, doc_id, score]: documents carry a
+    term→weight map produced by a sparse encoder at index time; the query
+    carries its own term→weight expansion; score = Σ over shared terms of
+    w_q(t) · w_d(t, d) — a pure weighted-overlap dot product, no idf, no
+    length normalization (the model's weights subsume both).
+
+    The fixture has no learned weights, so both sides derive them
+    deterministically (the synthetic-field precedent — decay's age,
+    rank_feature's signal): w_q(t) = 1 + h60('svq|'||t) % 4 on the query's
+    DISTINCT terms, w_d(t,d) = tf · (1 + h60('sv|'||t||'|'||d) % 8) — the
+    doc weight stays text-dependent through tf, as a real encoder's
+    would. All-integer weights ⇒ the score is an EXACT BIGINT sum (no
+    float discipline needed anywhere); ranking ties break on doc_id under
+    the engine total order.
+
+    Plan: the flagship shape verbatim — tiny distinct-term query table
+    broadcast against postings, one partial+final agg per (query, doc),
+    TakeOrdered window top-k. At cluster scale the stored weights ride the
+    inverted index exactly like tf does (one more int column per posting),
+    so the sparse_vector query costs what a term query costs."""
+    from .textpipe import h60
+
+    wq = (
+        F.pmod(h60(F.concat(F.lit("svq|"), F.col("term"))), F.lit(SPARSE_VEC_QMOD))
+        + 1
+    ).cast("long")
+    q = qterms.select("query_id", "term").distinct().withColumn("wq", wq)
+    wd = F.col("tf") * (
+        F.pmod(
+            h60(
+                F.concat(
+                    F.lit("sv|"),
+                    F.col("term"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            F.lit(SPARSE_VEC_DMOD),
+        )
+        + 1
+    )
+    scored = (
+        tf_df.join(F.broadcast(q), "term", "inner")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("wq") * wd).cast("long").alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
