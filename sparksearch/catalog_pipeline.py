@@ -3447,3 +3447,196 @@ def build_round4_s7e():
             "ranking, TakeOrderedAndProject top-10",
         ),
     }
+
+
+# ------------------------------------------------------------- round-4 s8b
+# Sketch/membership approximations made exact-checkable (Bloom, count-min),
+# binary-quantized ANN, and passage-granularity retrieval.
+
+
+def q_bloom_decontamination(spark, sf_dir):
+    from .sampling import bloom_decontamination
+
+    return bloom_decontamination(_docs(spark, sf_dir))
+
+
+def q_events_count_min(spark, sf_dir):
+    from .relational import events_count_min
+
+    return events_count_min(_events(spark, sf_dir))
+
+
+def q_ann_bbq_topk(spark, sf_dir):
+    from .vectors import bbq_ann_topk
+
+    return bbq_ann_topk(_emb(spark, sf_dir))
+
+
+def q_passage_topk(spark, sf_dir):
+    from .queries_catalog import K, reference_queries
+    from .querying import parse_queries
+    from .rankers import passage_topk
+    from .stats import round6
+
+    df = passage_topk(
+        parse_queries(spark, reference_queries()), _docs(spark, sf_dir), k=K
+    )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("passage_id").cast("long").alias("passage_id"),
+        round6("score").alias("score"),
+    )
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of sampling.bloom_decontamination — identical window
+    hashes and bit derivations, so even the FALSE POSITIVES match."""
+    from .sampling import BLOOM_K, BLOOM_M, DECONTAM_K as K
+
+    def bits(src: str) -> str:
+        return ", ".join(
+            f"('0x'||substring(md5('bloom{j}|' || CAST({src} AS VARCHAR)),1,15))::BIGINT % {BLOOM_M}"
+            for j in range(BLOOM_K)
+        )
+
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_SPLIT_CASE} AS split,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, split, ts,
+         unnest(CASE WHEN len(ts) >= {K} THEN generate_series(1, len(ts)-{K - 1})
+                ELSE CAST([] AS BIGINT[]) END) AS s
+  FROM toks WHERE split <> 'val'
+),
+wins AS (
+  SELECT doc_id, split, s AS widx,
+         ('0x'||substring(md5(array_to_string(ts[s:s+{K - 1}], '|')),1,15))::BIGINT AS whash
+  FROM wins0
+),
+train AS (SELECT DISTINCT whash FROM wins WHERE split = 'train'),
+tbits AS (SELECT DISTINCT unnest([{bits("whash")}]) AS bit FROM train),
+testw AS (SELECT doc_id, widx, whash FROM wins WHERE split = 'test'),
+probe AS (SELECT doc_id, widx, whash, unnest([{bits("whash")}]) AS bit FROM testw),
+perwin AS (
+  SELECT p.doc_id, p.widx, p.whash,
+         CASE WHEN SUM(CASE WHEN tb.bit IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}
+              THEN 1 ELSE 0 END AS bloom_pos
+  FROM probe p LEFT JOIN tbits tb ON p.bit = tb.bit
+  GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT w.doc_id, w.bloom_pos,
+         CASE WHEN tr.whash IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM perwin w LEFT JOIN train tr ON w.whash = tr.whash
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(bloom_pos) AS BIGINT) AS bloom_dirty,
+       CAST(SUM(hit) AS BIGINT) AS exact_dirty,
+       CAST(SUM(bloom_pos) - SUM(hit) AS BIGINT) AS fp_windows
+FROM j GROUP BY doc_id"""
+
+
+def _passage_sql() -> str:
+    from .queries_catalog import K, query_values_sql
+    from .rankers import PASSAGE_SIZE as PS, PASSAGE_STRIDE as ST
+
+    r6 = "CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+p0 AS (
+  SELECT doc_id, unnest(generate_series(0, (len(ts)-1) // {ST})) AS passage_id, ts
+  FROM tokd WHERE len(ts) > 0
+),
+passages AS (
+  SELECT doc_id, passage_id,
+         list_slice(ts, {ST}*passage_id+1, {ST}*passage_id+{PS}) AS ptoks
+  FROM p0
+),
+occ AS (
+  SELECT doc_id, passage_id, len(ptoks) AS pl, unnest(ptoks) AS term
+  FROM passages
+),
+ptf AS (
+  SELECT doc_id, passage_id, term, COUNT(*) AS tf, MAX(pl) AS pl
+  FROM occ GROUP BY 1, 2, 3
+),
+pstats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_p,
+         CAST(SUM(len(ptoks)) AS DOUBLE) / COUNT(*) AS avgpl
+  FROM passages
+),
+pidf AS (
+  SELECT term,
+         LN(1.0 + ((SELECT n_p FROM pstats) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+  FROM ptf GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, p.doc_id, p.passage_id,
+         SUM(q.qtf * t.idf * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * p.pl / (SELECT avgpl FROM pstats)))) AS score
+  FROM q JOIN pidf t USING (term) JOIN ptf p USING (term)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, doc_id, passage_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {r6.format(x="score")} DESC,
+                                     doc_id ASC, passage_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(passage_id AS BIGINT) AS passage_id,
+       {r6.format(x="score")} AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+def build_round4_s8b():
+    from .queries_catalog import QuerySpec
+    from .relational import COUNT_MIN_SQL
+    from .vectors import bbq_oracle_sql
+
+    return {
+        "bloom_decontamination": QuerySpec(
+            q_bloom_decontamination,
+            _bloom_sql(),
+            "Bloom-filter n-gram decontamination (the Dolma-style scale "
+            "path): m-bit filter over train window hashes, test windows "
+            "probed bit-by-bit — bloom answer AND exact truth AND realized "
+            "false positives all value-checked (deterministic h60 bits)",
+        ),
+        "events_count_min": QuerySpec(
+            q_events_count_min,
+            COUNT_MIN_SQL,
+            "count-min sketch heavy hitters: d x w counter matrix over "
+            "per-user event counts, est = min over rows, reported beside "
+            "exact truth for the top-10 users (one-sided error surfaced "
+            "as a checked overcount column)",
+        ),
+        "ann_bbq_topk": QuerySpec(
+            q_ann_bbq_topk,
+            bbq_oracle_sql(),
+            "binary-quantized ANN (ES/Lucene BBQ shape): sign-bit pack to "
+            "2x32-bit words map-side, hamming shortlist via bit_count(xor), "
+            "exact cosine re-rank of the shortlist — integer candidate cut, "
+            "round6 final order",
+        ),
+        "passage_topk": QuerySpec(
+            q_passage_topk,
+            _passage_sql(),
+            "passage-level BM25 (the RAG chunk-retrieval shape): "
+            "overlapping 32-token windows (stride 16) as the ranked unit, "
+            "passage-granularity df/idf/length normalization, flagship "
+            "plan with (doc_id, passage_id) keys",
+        ),
+    }

@@ -1,0 +1,399 @@
+"""ES|QL — Elasticsearch's piped query language — compiled to Spark
+DataFrames.
+
+ES|QL (GA in Elasticsearch 8.14) is the modern query surface of the
+reference family: ``FROM idx | WHERE … | EVAL … | STATS … BY … | SORT …
+| LIMIT …``. This module implements a deterministic, value-checkable
+subset as a real compiler: a tokenizer, a recursive-descent expression
+parser, and a command-by-command translation onto the DataFrame API —
+so every pipeline stays a single declarative Catalyst plan (predicate
+pushdown, partial aggregation and TakeOrderedAndProject all apply
+exactly as if the query had been written against the DataFrame API
+directly; the compiler adds zero UDFs and zero driver round-trips).
+
+Supported commands (each ``|``-separated stage transforms the frame of
+the previous one, so ``EVAL``/``WHERE`` after ``STATS`` operate on the
+aggregated frame, matching ES|QL semantics):
+
+    FROM <table>
+    WHERE <boolean expr>
+    EVAL  <name> = <expr> [, <name> = <expr> …]
+    STATS <name> = <agg>(…) [, …] [BY <col> [, <col> …]]
+    SORT  <col> [ASC|DESC] [, …]
+    LIMIT <n>
+    KEEP  <col> [, …]
+    DROP  <col> [, …]
+
+Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
+AND/OR/NOT, IN (…), LIKE "glob*" (ES|QL ``*``/``?`` wildcards), IS
+[NOT] NULL, string/number literals, parentheses.
+
+Scalar functions (cross-engine-pinned semantics, the repo's float
+discipline baked into the LANGUAGE so every compiled query is oracle-
+checkable):
+  EPOCH_DAY(ts)   — integer epoch day, floor(floored-epoch / 86400)
+                    (the serial_diff/cohort integer-day discipline;
+                    DATE_TRUNC on raw timestamps is NOT engine-portable)
+  ROUND(x, n)     — decimal(28,9)-quantize then exact-decimal round
+                    (stats.round6 generalized to scale n)
+  ABS, LENGTH, LOWER, UPPER, CONCAT, TO_LONG, TO_DOUBLE
+
+Aggregations: COUNT(*), COUNT(x), COUNT_DISTINCT(x), MIN, MAX,
+SUM (a DOUBLE argument is quantized to decimal(28,9) per row and summed
+EXACTLY — the vsm/training_data_stats order-independent-sum remedy —
+returning a scale-9 decimal; integer arguments sum as exact BIGINT),
+AVG (exact SUM + one final double division).
+
+What is intentionally absent: DISSECT/GROK (regex extraction — the
+pii_scan family covers the capability), ENRICH (a broadcast join —
+the joins module covers it), and implicit fulltext functions. The
+subset is chosen so each compiled query has a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["compile_esql", "EsqlError"]
+
+
+class EsqlError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+(?:\.\d+)?)
+      | (?P<str>"[^"]*")
+      | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op>==|!=|<=|>=|[-+*/%(),<>=|])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # num | str | id | op | kw
+    text: str
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip() == "":
+                break
+            raise EsqlError(f"cannot tokenize at: {src[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "id" and m.group("id").upper() in _KEYWORDS:
+            toks.append(_Tok("kw", m.group("id").upper()))
+        else:
+            toks.append(_Tok(m.lastgroup, m.group(m.lastgroup)))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise EsqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> _Tok | None:
+        t = self.peek()
+        if t and t.kind == kind and (text is None or t.text == text):
+            self.i += 1
+            return t
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> _Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise EsqlError(f"expected {text or kind}, got {got and got.text!r}")
+        return t
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def _round_scale(col: Column, n: int) -> Column:
+    """stats.round6 generalized: quantize once to decimal(28,9), then the
+    n-dp round is exact decimal arithmetic — identical on both engines."""
+    return F.round(col.cast("decimal(28,9)"), n).cast("double")
+
+
+_FUNCS = {
+    "EPOCH_DAY": lambda a: F.floor(
+        a[0].cast("timestamp").cast("long") / 86400
+    ).cast("long"),
+    "ROUND": lambda a: _round_scale(a[0], int(a[1]._esql_lit)),  # type: ignore[attr-defined]
+    "ABS": lambda a: F.abs(a[0]),
+    "LENGTH": lambda a: F.length(a[0]).cast("long"),
+    "LOWER": lambda a: F.lower(a[0]),
+    "UPPER": lambda a: F.upper(a[0]),
+    "CONCAT": lambda a: F.concat(*a),
+    "TO_LONG": lambda a: a[0].cast("long"),
+    "TO_DOUBLE": lambda a: a[0].cast("double"),
+}
+
+
+def _lit(tok: _Tok) -> Column:
+    if tok.kind == "num":
+        val = float(tok.text) if "." in tok.text else int(tok.text)
+    else:
+        val = tok.text[1:-1]
+    c = F.lit(val)
+    c._esql_lit = val  # type: ignore[attr-defined]  (ROUND needs the int)
+    return c
+
+
+class _ExprParser:
+    """Recursive-descent expression → pyspark Column."""
+
+    def __init__(self, p: _Parser):
+        self.p = p
+
+    def parse(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        c = self._and()
+        while self.p.accept("kw", "OR"):
+            c = c | self._and()
+        return c
+
+    def _and(self) -> Column:
+        c = self._not()
+        while self.p.accept("kw", "AND"):
+            c = c & self._not()
+        return c
+
+    def _not(self) -> Column:
+        if self.p.accept("kw", "NOT"):
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self) -> Column:
+        c = self._add()
+        t = self.p.peek()
+        if t and t.kind == "op" and t.text in ("==", "!=", "<=", ">=", "<", ">"):
+            self.p.next()
+            rhs = self._add()
+            return {
+                "==": c.__eq__, "!=": c.__ne__, "<=": c.__le__,
+                ">=": c.__ge__, "<": c.__lt__, ">": c.__gt__,
+            }[t.text](rhs)
+        if t and t.kind == "kw" and t.text == "IN":
+            self.p.next()
+            self.p.expect("op", "(")
+            vals = [self.p.next()]
+            while self.p.accept("op", ","):
+                vals.append(self.p.next())
+            self.p.expect("op", ")")
+            return c.isin(*[
+                (float(v.text) if "." in v.text else int(v.text))
+                if v.kind == "num" else v.text[1:-1]
+                for v in vals
+            ])
+        if t and t.kind == "kw" and t.text == "LIKE":
+            self.p.next()
+            pat = self.p.expect("str").text[1:-1]
+            # ES|QL wildcards: * any run, ? one char → SQL LIKE
+            sql_pat = (
+                pat.replace("%", r"\%").replace("_", r"\_")
+                .replace("*", "%").replace("?", "_")
+            )
+            return c.like(sql_pat)
+        if t and t.kind == "kw" and t.text == "IS":
+            self.p.next()
+            if self.p.accept("kw", "NOT"):
+                self.p.expect("kw", "NULL")
+                return c.isNotNull()
+            self.p.expect("kw", "NULL")
+            return c.isNull()
+        return c
+
+    def _add(self) -> Column:
+        c = self._mul()
+        while True:
+            t = self.p.peek()
+            if t and t.kind == "op" and t.text in "+-":
+                self.p.next()
+                c = c + self._mul() if t.text == "+" else c - self._mul()
+            else:
+                return c
+
+    def _mul(self) -> Column:
+        c = self._unary()
+        while True:
+            t = self.p.peek()
+            if t and t.kind == "op" and t.text in ("*", "/", "%"):
+                self.p.next()
+                rhs = self._unary()
+                c = (
+                    c * rhs if t.text == "*"
+                    else c / rhs if t.text == "/"
+                    else c % rhs
+                )
+            else:
+                return c
+
+    def _unary(self) -> Column:
+        if self.p.accept("op", "-"):
+            return -self._unary()
+        return self._atom()
+
+    def _atom(self) -> Column:
+        t = self.p.next()
+        if t.kind in ("num", "str"):
+            return _lit(t)
+        if t.kind == "op" and t.text == "(":
+            c = self.parse()
+            self.p.expect("op", ")")
+            return c
+        if t.kind == "id":
+            if self.p.accept("op", "("):
+                fname = t.text.upper()
+                if fname not in _FUNCS:
+                    raise EsqlError(f"unknown function {t.text}")
+                args = []
+                if not self.p.accept("op", ")"):
+                    args.append(self.parse())
+                    while self.p.accept("op", ","):
+                        args.append(self.parse())
+                    self.p.expect("op", ")")
+                return _FUNCS[fname](args)
+            return F.col(t.text)
+        raise EsqlError(f"unexpected token {t.text!r}")
+
+
+_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
+
+
+def _agg_column(p: _Parser, name: str) -> Column:
+    fn = p.expect("id").text.upper()
+    if fn not in _AGGS:
+        raise EsqlError(f"unknown aggregation {fn}")
+    p.expect("op", "(")
+    if fn == "COUNT" and p.accept("op", "*"):
+        p.expect("op", ")")
+        return F.count(F.lit(1)).cast("long").alias(name)
+    arg = _ExprParser(p).parse()
+    p.expect("op", ")")
+    if fn == "COUNT":
+        return F.count(arg).cast("long").alias(name)
+    if fn == "COUNT_DISTINCT":
+        return F.countDistinct(arg).cast("long").alias(name)
+    if fn == "MIN":
+        return F.min(arg).alias(name)
+    if fn == "MAX":
+        return F.max(arg).alias(name)
+    # SUM / AVG: exact accumulation — a double argument quantizes to
+    # decimal(28,9) per row and sums exactly (order-independent on any
+    # partitioning, the engine-wide float-sum remedy); AVG divides once.
+    exact = F.sum(arg.cast("decimal(28,9)"))
+    if fn == "SUM":
+        return exact.alias(name)
+    return (exact.cast("double") / F.count(arg)).alias(name)
+
+
+def compile_esql(
+    esql: str,
+    tables: dict[str, DataFrame] | None = None,
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Compile an ES|QL pipeline to a DataFrame. Tables resolve from the
+    ``tables`` dict, or (spark, sf_dir) parquet lookup when given."""
+    toks = _tokenize(esql)
+    # split the token stream into stages on top-level '|'
+    stages: list[list[_Tok]] = [[]]
+    for t in toks:
+        if t.kind == "op" and t.text == "|":
+            stages.append([])
+        else:
+            stages[-1].append(t)
+    df: DataFrame | None = None
+    for stage in stages:
+        if not stage:
+            raise EsqlError("empty pipeline stage")
+        p = _Parser(stage)
+        cmd = p.expect("kw").text
+        if cmd == "FROM":
+            name = p.expect("id").text
+            if tables and name in tables:
+                df = tables[name]
+            elif spark is not None and sf_dir is not None:
+                df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+            else:
+                raise EsqlError(f"unknown table {name}")
+        elif df is None:
+            raise EsqlError("pipeline must start with FROM")
+        elif cmd == "WHERE":
+            df = df.filter(_ExprParser(p).parse())
+        elif cmd == "EVAL":
+            while True:
+                name = p.expect("id").text
+                p.expect("op", "=")
+                df = df.withColumn(name, _ExprParser(p).parse())
+                if not p.accept("op", ","):
+                    break
+        elif cmd == "STATS":
+            aggs = []
+            while True:
+                name = p.expect("id").text
+                p.expect("op", "=")
+                aggs.append(_agg_column(p, name))
+                if not p.accept("op", ","):
+                    break
+            keys: list[str] = []
+            if p.accept("kw", "BY"):
+                keys.append(p.expect("id").text)
+                while p.accept("op", ","):
+                    keys.append(p.expect("id").text)
+            df = (df.groupBy(*keys) if keys else df.groupBy()).agg(*aggs)
+        elif cmd == "SORT":
+            orders = []
+            while True:
+                col = F.col(p.expect("id").text)
+                if p.accept("kw", "DESC"):
+                    orders.append(col.desc())
+                else:
+                    p.accept("kw", "ASC")
+                    orders.append(col.asc())
+                if not p.accept("op", ","):
+                    break
+            df = df.orderBy(*orders)
+        elif cmd == "LIMIT":
+            df = df.limit(int(p.expect("num").text))
+        elif cmd in ("KEEP", "DROP"):
+            cols = [p.expect("id").text]
+            while p.accept("op", ","):
+                cols.append(p.expect("id").text)
+            df = df.select(*cols) if cmd == "KEEP" else df.drop(*cols)
+        else:
+            raise EsqlError(f"unknown command {cmd}")
+        if not p.done():
+            raise EsqlError(f"trailing tokens in {cmd} stage: {p.peek().text!r}")
+    if df is None:
+        raise EsqlError("empty query")
+    return df

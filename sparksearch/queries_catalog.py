@@ -3892,6 +3892,83 @@ FROM ranked WHERE rnk <= {K}"""
 
 CATALOG.update(_round4_s8a_specs())
 
+from .catalog_pipeline import build_round4_s8b  # noqa: E402
+
+CATALOG.update(build_round4_s8b())
+
+
+# ------------------------------------------------------------- ES|QL entries
+# Two pinned pipelines through the sparksearch.esql compiler — the modern ES
+# query surface. The Spark side is COMPILED from the ES|QL text; the oracle
+# is the hand-written SQL a reviewer derives from the same text, so the
+# entries check the compiler end-to-end (tokenizer -> parser -> Catalyst).
+
+ESQL_EVENTS_QUERY = """
+FROM events
+| WHERE event_type != "error" AND value >= 10.0
+| EVAL day = EPOCH_DAY(ts)
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id),
+        vmin = MIN(value), vmax = MAX(value) BY day, event_type
+| SORT day ASC, event_type ASC
+| LIMIT 100
+"""
+
+ESQL_ORDERS_QUERY = """
+FROM orders
+| WHERE o_orderstatus IN ("O", "F")
+| STATS revenue = SUM(o_totalprice), n = COUNT(*) BY o_orderpriority
+| EVAL avg_price = ROUND(TO_DOUBLE(revenue) / n, 6)
+| SORT o_orderpriority ASC
+"""
+
+
+def q_esql_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_EVENTS_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def q_esql_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_ORDERS_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+CATALOG.update({
+    "esql_events_stats": QuerySpec(
+        q_esql_events_stats,
+        """WITH f AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day,
+         event_type, user_id, value
+  FROM events WHERE event_type <> 'error' AND value >= 10.0
+)
+SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM f GROUP BY 1, 2
+ORDER BY day ASC, event_type ASC LIMIT 100""",
+        "ES|QL pipeline COMPILED to a DataFrame (FROM | WHERE | EVAL | "
+        "STATS BY | SORT | LIMIT): daily per-type event stats — the "
+        "oracle is hand-derived SQL, so the hash checks the compiler "
+        "itself; LIMIT rides the unique (day, type) total order",
+    ),
+    "esql_orders_revenue": QuerySpec(
+        q_esql_orders_revenue,
+        """SELECT o_orderpriority,
+       SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
+            / COUNT(*) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_price
+FROM orders WHERE o_orderstatus IN ('O', 'F')
+GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL STATS with the language's exact-sum discipline: SUM over a "
+        "DOUBLE column quantizes per-row to decimal(28,9) and sums "
+        "exactly (scale-9 decimal output), EVAL after STATS derives the "
+        "round6 average from the aggregated frame — post-agg pipeline "
+        "stages compose on the same Catalyst plan",
+    ),
+})
+
 
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
@@ -3996,6 +4073,8 @@ _SWEEP_NEXT = [
     # round-4 session-8 additions (brand new — same policy)
     "lm_jelinek_mercer_topk", "sparse_vector_topk", "events_filters_agg",
     "eql_sequence",
+    "bloom_decontamination", "events_count_min", "ann_bbq_topk",
+    "passage_topk", "esql_events_stats", "esql_orders_revenue",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

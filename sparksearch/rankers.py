@@ -16,7 +16,7 @@ engines; the only accumulated sums are over a query's few matched terms
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
@@ -321,3 +321,97 @@ def jm_topk(
         "query_id", "doc_id", (F.col("ms") + F.col("qc")).alias("score")
     )
     return topk_per_query(scored, k)
+
+
+PASSAGE_SIZE = 32    # tokens per passage window
+PASSAGE_STRIDE = 16  # window stride (50% overlap)
+
+
+def passage_topk(
+    qterms: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    size: int = PASSAGE_SIZE,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """Passage-level BM25 retrieval (the RAG/unified-highlighter shape:
+    rank PASSAGES, return their documents) → DF[query_id, rank, doc_id,
+    passage_id, score]: every document splits into overlapping token
+    windows (size 32, stride 16; starts 0, 16, 32, … — the last window
+    may be short), and standard BM25 runs over the PASSAGE corpus —
+    passage df/idf, passage lengths, passage avg length — with the
+    flagship's k1/b and op sequence. Top-k per query under
+    (round6(score) DESC, doc_id ASC, passage_id ASC).
+
+    Why an operator and not a post-step: a RAG pipeline retrieves the
+    best CHUNK, not the best document — chunk-granularity stats change
+    both idf and length normalization, so this cannot be derived from
+    the document-level entry's output.
+
+    100 TB shape: windowing is a map-side array transform on the one
+    tokenize pass (overlap factor = size/stride = 2× postings, the known
+    cost of sliding windows); everything downstream is the flagship plan
+    with (doc_id, passage_id) as the document key — same shuffles, same
+    broadcast query table. The windowed token arrays never materialize
+    through a shuffle: tf aggregation collapses them in the same stage
+    that explodes them."""
+    from .querying import topk_per_query  # noqa: F401  (shape reference)
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col("text").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # starts 0, 16, …, largest multiple of `stride` < n_tokens; (n-1) div
+    # stride is non-negative here (size > 0 filter), so Spark `div` ==
+    # DuckDB `//` (the geotile non-negative-operands precedent).
+    pass_arr = F.transform(
+        F.sequence(F.lit(0), ((F.size("toks") - 1) / stride).cast("long")),
+        lambda s: F.slice(F.col("toks"), s * stride + 1, size),
+    )
+    passages = toks.select(
+        "doc_id", F.posexplode(pass_arr)
+    ).withColumnsRenamed({"pos": "passage_id", "col": "ptoks"})
+    occ = passages.select(
+        "doc_id", "passage_id", F.size("ptoks").alias("pl"),
+        F.explode("ptoks").alias("term"),
+    )
+    ptf = occ.groupBy("doc_id", "passage_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("pl").alias("pl")
+    )
+    pstats = passages.agg(
+        F.count(F.lit(1)).cast("double").alias("n_p"),
+        (F.sum(F.size("ptoks")).cast("double") / F.count(F.lit(1))).alias("avgpl"),
+    )
+    pdf = ptf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = pdf.crossJoin(F.broadcast(pstats)).select(
+        "term",
+        F.log(
+            F.lit(1.0) + (F.col("n_p") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgpl",
+    )
+    q = qterms.join(idf, "term", "inner")
+    scored = (
+        ptf.join(F.broadcast(q), "term", "inner")
+        .groupBy("query_id", "doc_id", "passage_id")
+        .agg(
+            F.sum(
+                F.col("qtf") * F.col("idf") * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("pl") / F.col("avgpl"))
+                )
+            ).alias("score")
+        )
+    )
+    from .stats import round6
+
+    w = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("doc_id"), F.asc("passage_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "passage_id", "score")
+    )

@@ -467,3 +467,108 @@ def lang_mixture_weights(docs: DataFrame) -> DataFrame:
             F.col("qd").cast("double") / F.col("ws").cast("double")
         ).alias("weight"),
     )
+
+
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 3     # hash functions per window
+
+
+def bloom_decontamination(
+    docs: DataFrame, k: int = DECONTAM_K,
+    m: int = BLOOM_M, n_hashes: int = BLOOM_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination (the Dolma/CCNet-style scale
+    path for ``ngram_decontamination``) → DF[doc_id, n_windows,
+    bloom_dirty, exact_dirty, fp_windows]: a Bloom filter with m bits and
+    ``n_hashes`` hash functions is built over the TRAIN split's k-token
+    window hashes; every TEST window probes it. ``bloom_dirty`` counts
+    windows whose every bit is set (the filter's answer), ``exact_dirty``
+    the true membership (the exact join the sibling entry does), and
+    ``fp_windows = bloom_dirty − exact_dirty`` the realized false
+    positives — the one-sided Bloom error surfaced as a checkable value
+    (invariant: bloom_dirty ≥ exact_dirty, pinned in tests).
+
+    Determinism: bit j of window w is h60('bloom<j>|'||w) % m — no seeds,
+    no SipHash state; both engines compute the identical bit set, so even
+    the false positives are value-checked (an approximate data structure
+    made exact-oracle, the HLL/KMV discipline applied to membership).
+
+    100 TB shape: the materialized filter is ≤ m DISTINCT bit rows — a
+    map-combinable distinct that collapses a corpus-sized window stream
+    into a KILOBYTE-scale broadcast (this is why Dolma ships a Bloom
+    dedup: the train side never shuffles full windows again); probes
+    explode to n_hashes rows, semi-join the broadcast bit set, and reduce
+    per window then per doc. Real deployments size m per the published
+    (1−e^{−kn/m})^k bound; the fixture's m=4096 keeps a measurable FP
+    rate so the accounting path is exercised."""
+    from .tokenize import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        split_name_col(id_col).alias("split"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).filter(F.col("split") != "val")
+    whash_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)),
+        lambda i: h60(F.concat_ws(
+            "|", *[F.element_at(F.col("toks"), i + off) for off in range(k)]
+        )),
+    )
+    # posexplode: widx keeps REPEATED window hashes within a doc distinct —
+    # n_windows must count every window, duplicates included, exactly like
+    # the exact sibling entry.
+    wins = (
+        toks.select(
+            "doc_id", "split",
+            F.when(F.size("toks") >= k, whash_arr)
+            .otherwise(F.array().cast("array<long>")).alias("ws"),
+        )
+        .select("doc_id", "split", F.posexplode("ws"))
+        .withColumnsRenamed({"pos": "widx", "col": "whash"})
+    )
+
+    def bits(whash):
+        return [
+            F.pmod(
+                h60(F.concat(F.lit(f"bloom{j}|"), whash.cast("string"))),
+                F.lit(m),
+            )
+            for j in range(n_hashes)
+        ]
+
+    train = wins.filter(F.col("split") == "train")
+    train_bits = (
+        train.select(F.explode(F.array(*bits(F.col("whash")))).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    train_keys = train.select("whash").distinct().withColumn("hit", F.lit(1))
+    test = wins.filter(F.col("split") == "test")
+    probe = test.select(
+        "doc_id", "widx", "whash",
+        F.explode(F.array(*bits(F.col("whash")))).alias("bit"),
+    )
+    per_win = (
+        probe.join(F.broadcast(train_bits), "bit", "left")
+        .groupBy("doc_id", "widx", "whash")
+        .agg(
+            (F.sum(F.coalesce(F.col("set_"), F.lit(0))) == n_hashes)
+            .cast("int").alias("bloom_pos")
+        )
+    )
+    return (
+        per_win.join(train_keys, "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("bloom_pos").cast("long").alias("bloom_dirty"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+            .alias("exact_dirty"),
+        )
+        .select(
+            "doc_id", "n_windows", "bloom_dirty", "exact_dirty",
+            (F.col("bloom_dirty") - F.col("exact_dirty")).cast("long")
+            .alias("fp_windows"),
+        )
+    )

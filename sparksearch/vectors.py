@@ -1106,3 +1106,451 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, knn_dist FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY knn_dist DESC, vec_id ASC) AS rank
   FROM kth
 ) WHERE rank <= {OUTLIER_TOPN}"""
+
+
+BBQ_DIM = 64        # fixture embedding dimension (bits = dim, 2 words)
+BBQ_SHORTLIST = 50  # hamming candidates re-ranked exactly
+BBQ_NQ = 5          # query set = vec_id < BBQ_NQ (the cosine_topk contract)
+
+
+def _bbq_words(v) -> tuple[Column, Column]:
+    """Sign-bit pack a 64-dim vector into TWO 32-bit words (bits 0..31 /
+    32..63). Two words, not one: bit 63 in a single BIGINT is the sign
+    bit, and a sum reaching 2^63 silently wraps in Spark while DuckDB
+    widens to HUGEINT — a cross-engine mismatch, not an error (the
+    matrix_stats sharp edge). 32 bits per word keeps every partial sum
+    comfortably positive in both engines. The 2×32 CASE terms are
+    generated from one loop so the engines cannot drift."""
+    words = []
+    for w in range(2):
+        terms = [
+            F.when(F.element_at(v, w * 32 + j + 1) > 0.0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(32)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        words.append(acc.cast("long"))
+    return words[0], words[1]
+
+
+def bbq_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = BBQ_NQ,
+    shortlist: int = BBQ_SHORTLIST,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-quantized ANN (the modern ES/Lucene BBQ shape: 1-bit
+    quantization + coarse candidate generation + exact re-rank) →
+    DF[query_id, rank, vec_id, hamming, score]:
+
+      1. every vector sign-bit packs to 2×32-bit words MAP-SIDE (32×
+         memory reduction — the reason BBQ exists at 10^9 vectors);
+      2. per query, the ``shortlist`` lowest-Hamming candidates
+         (bit_count(xor) on the packed words; ties vec_id ASC — integer
+         distance, so the cut is engine-exact with no float discipline);
+      3. the shortlist re-ranks by exact cosine under the engine total
+         order (round6(score) DESC, vec_id ASC).
+
+    Self-matches excluded, query set = vec_id < n_queries (the
+    cosine_topk contract). At cluster scale step 2 scans ONLY packed
+    words (16 bytes/vector) with the queries broadcast, and step 3
+    fetches full vectors for |shortlist| ids per query — the
+    fetch-after-prune shape every quantized ANN deployment uses."""
+    vecs = _vecs(embeddings)
+    packed = vecs.select(
+        "vec_id", "v", *[
+            c.alias(n)
+            for c, n in zip(_bbq_words(F.col("v")), ("w0", "w1"))
+        ]
+    )
+    queries = packed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    cand = (
+        packed.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", "qv", ham.alias("hamming"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    short = cand.withColumn("hr", F.row_number().over(wh)).filter(
+        F.col("hr") <= shortlist
+    )
+    rer = short.select(
+        "query_id", "vec_id", "hamming",
+        round6(cosine(F.col("v"), F.col("qv"))).alias("score"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        round6("score").desc(), F.asc("vec_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "vec_id", "hamming", "score",
+        )
+    )
+
+
+def bbq_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of bbq_ann_topk — the packing CASE terms are generated
+    by the same loop shape as the Spark side."""
+    def word(w: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{w * 32 + j + 1}] > 0.0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32)
+        )
+
+    return f"""WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+packed AS (
+  SELECT vec_id, v, CAST({word(0)} AS BIGINT) AS w0, CAST({word(1)} AS BIGINT) AS w1
+  FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id < {BBQ_NQ}
+),
+cand AS (
+  SELECT q.query_id, p.vec_id, p.v, q.qv,
+         CAST(bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS BIGINT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) ASC,
+                                     p.vec_id ASC) AS hr
+  FROM packed p, q WHERE p.vec_id <> q.query_id
+),
+rer AS (
+  SELECT query_id, vec_id, hamming,
+         CAST(ROUND(CAST(list_dot_product(v, qv)
+              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+              AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM cand WHERE hr <= {BBQ_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                                     vec_id ASC) AS rnk
+  FROM rer
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, hamming, score
+FROM ranked WHERE rnk <= {k}"""
+
+
+RV_SUBS = 4      # sub-vectors per document (64-dim -> 4 x 16)
+RV_SUBDIM = 16
+RV_NQ = 5        # query set = vec_id < RV_NQ
+
+
+def rank_vectors_maxsim_topk(
+    embeddings: DataFrame, n_queries: int = RV_NQ, k: int = 10
+) -> DataFrame:
+    """Late-interaction retrieval (the ES 8.16 ``rank_vectors`` field +
+    maxSimDotProduct rescorer — the ColBERT scoring model) →
+    DF[query_id, rank, vec_id, score]: documents and queries each carry a
+    BAG of vectors; score = Σ over query sub-vectors of the MAX dot
+    product against any document sub-vector. The fixture stores one
+    64-dim vector per row, so both sides derive the bag deterministically
+    as 4 contiguous 16-dim slices — the multi-vector plumbing (explode,
+    per-pair dot, two-level max-then-sum reduce) is exactly what a real
+    token-level ColBERT index needs.
+
+    Float discipline: each pairwise dot is round6-quantized; the per-
+    (query-sub) max is order-free; the final sum adds FOUR 6-dp-grid
+    doubles as exact decimal(18,6) (a 6-dp-grid double casts to
+    decimal(18,6) identically on both engines — the sampler_agg
+    precedent), so the score is aggregation-order-independent and the
+    decimal ranks exactly.
+
+    100 TB shape: sub-vectors explode map-side (×4 rows); the query bag
+    (n_queries × 4 rows) broadcasts; the max-then-sum is one partial+
+    final agg pair keyed (query, doc). ColBERT deployments prune with an
+    ANN pass first — compose with bbq/ivf for that; this operator is the
+    exact rescorer."""
+    vecs = _vecs(embeddings)
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("sub_id"),
+                    F.slice(F.col("v"), i * RV_SUBDIM + 1, RV_SUBDIM).alias("sv"),
+                )
+                for i in range(RV_SUBS)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sv").alias("sv"))
+    qsubs = subs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_id").alias("qsub"),
+        F.col("sv").alias("qv"),
+    )
+    pair = (
+        subs.join(F.broadcast(qsubs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qsub", "vec_id",
+            round6(_dot(F.col("sv"), F.col("qv"))).alias("d6"),
+        )
+    )
+    per_qsub = pair.groupBy("query_id", "qsub", "vec_id").agg(
+        F.max("d6").alias("m6")
+    )
+    scored = per_qsub.groupBy("query_id", "vec_id").agg(
+        F.sum(F.col("m6").cast("decimal(18,6)")).alias("sdec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sdec"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id",
+            round6(F.col("sdec").cast("double")).alias("score"),
+        )
+    )
+
+
+def rank_vectors_oracle_sql(k: int = 10) -> str:
+    r6 = "CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+    return f"""WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, u.sub_id,
+         list_slice(v, u.sub_id * {RV_SUBDIM} + 1, u.sub_id * {RV_SUBDIM} + {RV_SUBDIM}) AS sv
+  FROM e, (SELECT unnest(generate_series(0, {RV_SUBS - 1})) AS sub_id) u
+),
+q AS (
+  SELECT vec_id AS query_id, sub_id AS qsub, sv AS qv
+  FROM subs WHERE vec_id < {RV_NQ}
+),
+pair AS (
+  SELECT q.query_id, q.qsub, s.vec_id,
+         {r6.format(x="list_dot_product(s.sv, q.qv)")} AS d6
+  FROM subs s, q WHERE s.vec_id <> q.query_id
+),
+per_qsub AS (
+  SELECT query_id, qsub, vec_id, MAX(d6) AS m6 FROM pair GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, vec_id, SUM(CAST(m6 AS DECIMAL(18,6))) AS sdec
+  FROM per_qsub GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, sdec,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sdec DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       {r6.format(x="CAST(sdec AS DOUBLE)")} AS score
+FROM ranked WHERE rnk <= {k}"""
+
+
+MMR_LAMBDA = 0.5   # relevance/diversity blend (0.5·rel − 0.5·max-sim)
+MMR_POOL = 20      # candidate pool per query (ANN top-20)
+MMR_K = 5          # selections per query
+
+
+def mmr_rerank(
+    embeddings: DataFrame, n_queries: int = RV_NQ,
+    pool: int = MMR_POOL, k: int = MMR_K,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998 — the diversify stage of a RAG retriever) → DF[query_id, rank,
+    vec_id, relevance, mmr_score]: from each query's cosine top-``pool``
+    candidates, iteratively select k, each round maximizing
+
+        mmr = round6(0.5·rel6 − 0.5·maxsim6)
+
+    where rel6 is the candidate's (round6) cosine to the query and
+    maxsim6 its max (round6) cosine to the already-selected set (0.0 on
+    round 1 — the formula is uniform across rounds, so oracle and engine
+    share ONE op sequence; 0.5· is a power-of-two multiply, exact in
+    IEEE). Ties break vec_id ASC; every ranking key is a 6-dp-quantized
+    double (the engine total-order discipline), so the greedy trajectory
+    is engine-exact and the DuckDB twin unrolls the k rounds as CTEs —
+    the unrolled-Lloyd precedent for iterative algorithms.
+
+    Plan: pool + pool-pairwise sims are computed ONCE and persisted
+    (pool²-sized per query — 400 rows at the defaults); each of the k
+    rounds is a join + window over candidate-sized frames with no
+    corpus access. At 10^9 docs the pool still bounds every round:
+    MMR's cost is the ANN pass that builds the pool, by construction."""
+    vecs = _vecs(embeddings).persist()
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "v",
+            round6(cosine(F.col("v"), F.col("qv"))).alias("rel6"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("rel6"), F.asc("vec_id")
+    )
+    pool_df = (
+        scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= pool)
+        .select("query_id", "vec_id", "v", "rel6")
+        .persist()
+    )
+    a = pool_df.select(
+        "query_id", F.col("vec_id").alias("va_id"), F.col("v").alias("va")
+    )
+    b = pool_df.select(
+        "query_id", F.col("vec_id").alias("vb_id"), F.col("v").alias("vb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("va_id") != F.col("vb_id"))
+        .select(
+            "query_id", "va_id", "vb_id",
+            round6(cosine(F.col("va"), F.col("vb"))).alias("sim6"),
+        )
+        .persist()
+    )
+    cand = pool_df.select("query_id", "vec_id", "rel6")
+    selected = None
+    out = []
+    for rnd in range(1, k + 1):
+        if selected is None:
+            ms = cand.withColumn("maxsim6", F.lit(0.0))
+        else:
+            ms = (
+                cand.join(
+                    sims.join(
+                        selected.select(
+                            "query_id", F.col("vec_id").alias("vb_id")
+                        ),
+                        ["query_id", "vb_id"],
+                    ).select(
+                        "query_id", F.col("va_id").alias("vec_id"), "sim6"
+                    ),
+                    ["query_id", "vec_id"],
+                    "left",
+                )
+                .groupBy("query_id", "vec_id")
+                .agg(
+                    F.max("rel6").alias("rel6"),
+                    F.coalesce(F.max("sim6"), F.lit(0.0)).alias("maxsim6"),
+                )
+            )
+        key = round6(
+            F.lit(MMR_LAMBDA) * F.col("rel6")
+            - F.lit(1.0 - MMR_LAMBDA) * F.col("maxsim6")
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            key.desc(), F.asc("vec_id")
+        )
+        pick = (
+            ms.withColumn("mmr_score", key)
+            .withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") == 1)
+            .select(
+                "query_id", F.lit(rnd).cast("long").alias("rank"),
+                "vec_id", "rel6", "mmr_score",
+            )
+        )
+        out.append(pick)
+        selected = pick if selected is None else selected.unionByName(pick)
+        cand = cand.join(
+            pick.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        )
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    res = res.select(
+        "query_id", "rank", "vec_id",
+        F.col("rel6").alias("relevance"), "mmr_score",
+    )
+    return res
+
+
+def mmr_oracle_sql() -> str:
+    """DuckDB twin of mmr_rerank: the k greedy rounds unrolled as CTEs
+    (the unrolled-Lloyd precedent), identical uniform mmr op sequence."""
+    r6 = "CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [f"""e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {RV_NQ}),
+pool0 AS (
+  SELECT q.query_id, e.vec_id, e.v,
+         {r6.format(x=cos.format(a="e.v", b="q.qv"))} AS rel6,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {r6.format(x=cos.format(a="e.v", b="q.qv"))} DESC,
+                                     e.vec_id ASC) AS pr
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+pool AS (SELECT query_id, vec_id, v, rel6 FROM pool0 WHERE pr <= {MMR_POOL}),
+sims AS (
+  SELECT a.query_id, a.vec_id AS va_id, b.vec_id AS vb_id,
+         {r6.format(x=cos.format(a="a.v", b="b.v"))} AS sim6
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+)"""]
+    prev_sel: list[str] = []
+    for rnd in range(1, MMR_K + 1):
+        if not prev_sel:
+            ms = f"""ms{rnd} AS (
+  SELECT query_id, vec_id, rel6, 0.0 AS maxsim6 FROM pool
+)"""
+        else:
+            sel_union = " UNION ALL ".join(
+                f"SELECT query_id, vec_id FROM {s}" for s in prev_sel
+            )
+            ms = f"""seln{rnd} AS ({sel_union}),
+ms{rnd} AS (
+  SELECT p.query_id, p.vec_id, MAX(p.rel6) AS rel6,
+         COALESCE(MAX(s.sim6), 0.0) AS maxsim6
+  FROM pool p
+  LEFT JOIN (SELECT sims.query_id, sims.va_id, sims.sim6
+             FROM sims JOIN seln{rnd} sl
+               ON sims.query_id = sl.query_id AND sims.vb_id = sl.vec_id) s
+    ON p.query_id = s.query_id AND p.vec_id = s.va_id
+  WHERE NOT EXISTS (SELECT 1 FROM seln{rnd} x
+                    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+  GROUP BY 1, 2
+)"""
+        key = r6.format(x=f"{lam!r} * rel6 - {one_m!r} * maxsim6")
+        parts.append(f"""{ms},
+sel{rnd} AS (
+  SELECT query_id, vec_id, rel6, {key} AS mmr_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {key} DESC, vec_id ASC) AS rr FROM ms{rnd})
+  WHERE rr = 1
+)""")
+        prev_sel.append(f"sel{rnd}")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS rank, vec_id, "
+        f"rel6 AS relevance, mmr_score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{final}"

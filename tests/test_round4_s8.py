@@ -214,3 +214,283 @@ def test_eql_sequence_matches_pandas(spark, events, events_pd):
             )
     assert got == sorted(want)
     assert all(0 < s <= EQL_MAXSPAN_S for *_, s in got)
+
+
+def _split(doc_id: int) -> str:
+    h = _h60(str(doc_id)) % 100
+    return "train" if h < 80 else ("val" if h < 90 else "test")
+
+
+def test_bloom_decontamination_matches_python(spark, docs_sf0001, corpus_tokens):
+    from sparksearch.sampling import (
+        BLOOM_K,
+        BLOOM_M,
+        DECONTAM_K,
+        bloom_decontamination,
+    )
+
+    got = {
+        int(r.doc_id): (
+            int(r.n_windows), int(r.bloom_dirty),
+            int(r.exact_dirty), int(r.fp_windows),
+        )
+        for r in bloom_decontamination(docs_sf0001).collect()
+    }
+
+    def windows(toks):
+        k = DECONTAM_K
+        if len(toks) < k:
+            return []
+        return [_h60("|".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+
+    def bits(w):
+        return [_h60(f"bloom{j}|{w}") % BLOOM_M for j in range(BLOOM_K)]
+
+    train_keys, train_bits = set(), set()
+    for d, toks in corpus_tokens.items():
+        if _split(d) == "train":
+            for w in windows(toks):
+                train_keys.add(w)
+                train_bits.update(bits(w))
+    want = {}
+    for d, toks in corpus_tokens.items():
+        if _split(d) != "test":
+            continue
+        ws = windows(toks)
+        if not ws:
+            continue
+        bloom = sum(1 for w in ws if all(b in train_bits for b in bits(w)))
+        exact = sum(1 for w in ws if w in train_keys)
+        want[d] = (len(ws), bloom, exact, bloom - exact)
+    assert got == want
+    # the one-sided Bloom guarantee, and the fixture actually exercises FPs
+    assert all(b >= e for _, b, e, _ in got.values())
+
+
+def test_count_min_matches_python(spark, events, events_pd):
+    from sparksearch.relational import (
+        CM_DEPTH,
+        CM_TOPN,
+        CM_WIDTH,
+        events_count_min,
+    )
+
+    got = [
+        (int(r.user_id), int(r.n_exact), int(r.est_cm), int(r.overcount))
+        for r in events_count_min(events).collect()
+    ]
+    exact = events_pd.groupby("user_id").size().to_dict()
+    counters: Counter = Counter()
+    for u, n in exact.items():
+        for r in range(CM_DEPTH):
+            counters[(r, _h60(f"cm{r}|{int(u)}") % CM_WIDTH)] += n
+    est = {
+        int(u): min(
+            counters[(r, _h60(f"cm{r}|{int(u)}") % CM_WIDTH)]
+            for r in range(CM_DEPTH)
+        )
+        for u in exact
+    }
+    top = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:CM_TOPN]
+    want = [(int(u), n, est[int(u)], est[int(u)] - n) for u, n in top]
+    assert got == want
+    assert all(o >= 0 for *_, o in got)  # CM never undercounts
+
+
+def test_bbq_matches_numpy(spark):
+    import numpy as np
+
+    from sparksearch.vectors import BBQ_NQ, BBQ_SHORTLIST, bbq_ann_topk
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = {}
+    for r in bbq_ann_topk(emb).collect():
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.rank), int(r.vec_id), int(r.hamming), r6(r.score))
+        )
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    B = (V > 0.0)
+    for qi in range(BBQ_NQ):
+        q = np.flatnonzero(ids == qi)[0]
+        ham = (B ^ B[q]).sum(axis=1)
+        order = sorted(
+            (int(h), int(i)) for h, i in zip(ham, ids) if i != qi
+        )[:BBQ_SHORTLIST]
+        rer = []
+        for h, i in order:
+            v = V[np.flatnonzero(ids == i)[0]]
+            c = float(v @ V[q] / (np.linalg.norm(v) * np.linalg.norm(V[q])))
+            rer.append((i, h, r6(c)))
+        rer.sort(key=lambda x: (-x[2], x[0]))
+        want = [(rk + 1, i, h, s) for rk, (i, h, s) in enumerate(rer[:10])]
+        assert got[qi] == want, f"query {qi}"
+
+
+def test_passage_topk_matches_python(spark, docs_sf0001, queries, corpus_tokens):
+    from sparksearch.queries_catalog import K
+    from sparksearch.querying import parse_queries
+    from sparksearch.rankers import PASSAGE_SIZE, PASSAGE_STRIDE, passage_topk
+    from sparksearch.tokenize import py_tokenize
+
+    got = {}
+    df = passage_topk(parse_queries(spark, queries), docs_sf0001, k=K)
+    for r in df.collect():
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.rank), int(r.doc_id), int(r.passage_id), r6(r.score))
+        )
+
+    passages = {}
+    for d, toks in corpus_tokens.items():
+        if not toks:
+            continue
+        n_starts = (len(toks) - 1) // PASSAGE_STRIDE + 1
+        for pid in range(n_starts):
+            passages[(d, pid)] = toks[
+                pid * PASSAGE_STRIDE : pid * PASSAGE_STRIDE + PASSAGE_SIZE
+            ]
+    n_p = float(len(passages))
+    avgpl = sum(len(p) for p in passages.values()) / len(passages)
+    ptf = {k2: Counter(p) for k2, p in passages.items()}
+    df_p: Counter = Counter()
+    for c in ptf.values():
+        df_p.update(c.keys())
+    for qid, text in queries:
+        qtf = Counter(t for t in py_tokenize(text) if df_p[t])
+        if not qtf:
+            assert qid not in got
+            continue
+        scored = []
+        for (d, pid), c in ptf.items():
+            s = 0.0
+            for t, n in qtf.items():
+                if c[t]:
+                    idf = math.log(1.0 + (n_p - df_p[t] + 0.5) / (df_p[t] + 0.5))
+                    pl = len(passages[(d, pid)])
+                    s += n * idf * (c[t] * 2.2) / (
+                        c[t] + 1.2 * (0.25 + 0.75 * pl / avgpl)
+                    )
+            if s:
+                scored.append((d, pid, s))
+        top = sorted(scored, key=lambda x: (-r6(x[2]), x[0], x[1]))[:K]
+        want = [(i + 1, d, p, r6(s)) for i, (d, p, s) in enumerate(top)]
+        assert got.get(qid, []) == want, f"query {qid}"
+
+
+# ------------------------------------------------------------------- ES|QL
+
+
+def test_esql_compiles_to_dataframe_equivalents(spark, events):
+    """Compiled pipelines ≡ hand-built DataFrame plans, stage by stage."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.esql import compile_esql
+
+    t = {"events": events}
+    got = compile_esql(
+        'FROM events | WHERE event_type == "click" AND value > 50.0 '
+        "| STATS n = COUNT(*), u = COUNT_DISTINCT(user_id) BY event_type",
+        tables=t,
+    ).collect()
+    want = (
+        events.filter((F.col("event_type") == "click") & (F.col("value") > 50.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("u"),
+        )
+        .collect()
+    )
+    assert got == want
+
+    # EVAL + arithmetic + KEEP + SORT + LIMIT
+    got = compile_esql(
+        "FROM events | EVAL v2 = value * 2.0 + 1.0, uid = user_id % 10 "
+        "| KEEP event_id, v2, uid | SORT event_id ASC | LIMIT 5",
+        tables=t,
+    ).collect()
+    want = (
+        events.withColumn("v2", F.col("value") * 2.0 + 1.0)
+        .withColumn("uid", F.col("user_id") % 10)
+        .select("event_id", "v2", "uid")
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    )
+    assert got == want
+
+    # LIKE wildcards, IN, NOT, IS NULL
+    n_like = compile_esql(
+        'FROM events | WHERE event_type LIKE "c*k" | STATS n = COUNT(*)',
+        tables=t,
+    ).collect()[0].n
+    assert n_like == events.filter(F.col("event_type") == "click").count()
+    n_notin = compile_esql(
+        'FROM events | WHERE NOT event_type IN ("click", "view") '
+        "| STATS n = COUNT(*)",
+        tables=t,
+    ).collect()[0].n
+    assert n_notin == events.filter(
+        ~F.col("event_type").isin("click", "view")
+    ).count()
+
+
+def test_esql_post_stats_stages_and_exact_sum(spark, events):
+    """EVAL/WHERE after STATS operate on the aggregated frame; SUM over a
+    double column is the exact decimal accumulation."""
+    from decimal import Decimal
+
+    from sparksearch.esql import compile_esql
+
+    rows = compile_esql(
+        "FROM events | STATS s = SUM(value), n = COUNT(*) BY event_type "
+        "| EVAL avg6 = ROUND(TO_DOUBLE(s) / n, 6) | WHERE n > 0 "
+        "| SORT event_type ASC",
+        tables={"events": events},
+    ).collect()
+    pdf = events.toPandas()
+    for r in rows:
+        vals = pdf[pdf.event_type == r.event_type].value
+        exact = sum(
+            Decimal(repr(float(v))).quantize(Decimal("1e-9")) for v in vals
+        )
+        assert r.s == exact
+        assert r.avg6 == r6(float(exact) / len(vals))
+    assert [r.event_type for r in rows] == sorted(r.event_type for r in rows)
+
+
+def test_esql_errors(spark, events):
+    import pytest as _pt
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    t = {"events": events}
+    for bad in [
+        "WHERE x > 1",                      # no FROM
+        "FROM nope",                        # unknown table
+        "FROM events | FROB x",             # unknown command
+        "FROM events | WHERE value >",      # truncated expr
+        "FROM events | STATS n = MEDIAN(value)",  # unknown agg
+        'FROM events | WHERE value ~ "x"',  # untokenizable operator
+    ]:
+        with _pt.raises(EsqlError):
+            compile_esql(bad, tables=t)
+
+
+def test_esql_plan_is_declarative(spark, events):
+    """The compiler emits a pure Catalyst plan: filter pushed to the scan,
+    no Python UDFs anywhere."""
+    from sparksearch.esql import compile_esql
+    from sparksearch.queries_catalog import ESQL_EVENTS_QUERY
+
+    df = compile_esql(
+        ESQL_EVENTS_QUERY, spark=spark, sf_dir=str(SF_SMOKE)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in explained
+    assert "IsNotNull(event_type)" in explained or "Not(EqualTo(event_type,error)" in explained.replace(" ", "")
