@@ -3970,6 +3970,67 @@ GROUP BY 1 ORDER BY 1 ASC""",
 })
 
 
+# ----------------------------------------------------- round-4 s8 batch 4
+# Late-interaction multi-vector scoring, MMR diversification, and the
+# significant_text aggregation.
+
+
+def q_rank_vectors_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _emb
+    from .vectors import rank_vectors_maxsim_topk
+
+    return rank_vectors_maxsim_topk(_emb(spark, sf_dir))
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _emb
+    from .vectors import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf_dir))
+
+
+def q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import significant_text
+
+    return significant_text(_docs(spark, sf_dir))
+
+
+def _round4_s8c_specs():
+    from .search_ext import SIGNIFICANT_TEXT_SQL
+    from .vectors import mmr_oracle_sql, rank_vectors_oracle_sql
+
+    return {
+        "rank_vectors_maxsim": QuerySpec(
+            q_rank_vectors_maxsim,
+            rank_vectors_oracle_sql(),
+            "late-interaction retrieval (ES rank_vectors maxSimDotProduct, "
+            "the ColBERT scoring model): per-(query-subvec) max dot over "
+            "doc subvec bags, summed as exact decimal(18,6) of round6-grid "
+            "doubles — multi-vector explode/reduce plumbing, exact ranks",
+        ),
+        "mmr_rerank": QuerySpec(
+            q_mmr_rerank,
+            mmr_oracle_sql(),
+            "maximal-marginal-relevance diversification over the cosine "
+            "top-20 pool: k greedy rounds on round6-quantized keys "
+            "(uniform 0.5*rel - 0.5*maxsim op sequence, round 1 included); "
+            "oracle unrolls the rounds as CTEs (the unrolled-Lloyd "
+            "precedent)",
+        ),
+        "significant_text": QuerySpec(
+            q_significant_text,
+            SIGNIFICANT_TEXT_SQL,
+            "ES significant_text agg: significant terms from the TEXT of "
+            "a pinned term query's hits with filter_duplicate_text (exact-"
+            "dedup survivors before any counting, fg AND bg over the "
+            "deduped corpus), lift as one double division of exact longs",
+        ),
+    }
+
+
+CATALOG.update(_round4_s8c_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4075,6 +4136,7 @@ _SWEEP_NEXT = [
     "eql_sequence",
     "bloom_decontamination", "events_count_min", "ann_bbq_topk",
     "passage_topk", "esql_events_stats", "esql_orders_revenue",
+    "rank_vectors_maxsim", "mmr_rerank", "significant_text",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -724,3 +724,170 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        w1 || ' ' || w2 AS suggestion,
        CAST(ROUND(CAST(CAST(s AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
 FROM ranked WHERE rnk <= {topn}"""
+
+
+SIG_TEXT_FG_TERM = "merge"  # pinned foreground query (fixture-vocab-stable)
+SIG_TEXT_MIN_DF = 3
+
+
+def significant_text(
+    docs: DataFrame,
+    min_df: int = SIG_TEXT_MIN_DF,
+    fg_term: str = SIG_TEXT_FG_TERM,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation → DF[rank, term, df_fg, df_bg,
+    score]: significant terms computed from the raw TEXT of a query's
+    hits — the two behaviors that distinguish it from significant_terms:
+
+      * the foreground is the HIT SET of a query (here the pinned term
+        query ``fg_term``), not a stored facet field;
+      * ``filter_duplicate_text`` (the ES default here): exact-duplicate
+        documents are collapsed BEFORE any counting — near-copy boiler-
+        plate otherwise dominates the "significant" list. Survivor =
+        min doc_id per sha256(text), the engine-wide dedup rule; both
+        foreground AND background df are computed over the deduped
+        corpus, so the lift is self-consistent.
+
+    score = (df_fg · N) / (df_bg · n_fg) as ONE double division of exact
+    long products (the significant_terms discipline), round6; order
+    (score DESC, df_fg DESC, term ASC).
+
+    Plan: dedup is the exact-dedup hash agg; tokenization runs ONCE over
+    survivors; fg membership is a semi-join of the survivor postings on
+    the query term — all map-combinable aggs over postings-sized data."""
+    from .tokenize import tokens_col
+
+    surv = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.sha2(F.col("text"), 256).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .join(surv, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    )
+    fg_docs = toks.filter(F.col("term") == fg_term).select("doc_id")
+    n_all = toks.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_fg = fg_docs.agg(F.count(F.lit(1)).alias("n_fg"))
+    df_bg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_bg"))
+    df_fg = (
+        toks.join(fg_docs, "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_fg"))
+        .filter(F.col("df_fg") >= min_df)
+    )
+    from .stats import round6
+
+    scored = (
+        df_fg.join(df_bg, "term")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(n_fg))
+        .select(
+            "term", "df_fg", "df_bg",
+            round6(
+                (F.col("df_fg") * F.col("n_docs")).cast("double")
+                / (F.col("df_bg") * F.col("n_fg"))
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.desc("df_fg"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"), "term",
+            F.col("df_fg").cast("long").alias("df_fg"),
+            F.col("df_bg").cast("long").alias("df_bg"), "score",
+        )
+    )
+
+
+SIGNIFICANT_TEXT_SQL = f"""WITH surv AS (
+  SELECT MIN(CAST(doc_id AS BIGINT)) AS doc_id
+  FROM documents GROUP BY sha256(text)
+),
+toks AS (
+  SELECT d.doc_id, t.term FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''
+           ))) AS term
+    FROM documents
+  ) t JOIN surv d ON t.doc_id = d.doc_id
+),
+fg_docs AS (SELECT doc_id FROM toks WHERE term = '{SIG_TEXT_FG_TERM}'),
+n_all AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+n_fg AS (SELECT COUNT(*) AS n_fg FROM fg_docs),
+df_bg AS (SELECT term, COUNT(*) AS df_bg FROM toks GROUP BY 1),
+df_fg AS (
+  SELECT term, COUNT(*) AS df_fg
+  FROM toks JOIN fg_docs USING (doc_id)
+  GROUP BY 1 HAVING COUNT(*) >= {SIG_TEXT_MIN_DF}
+),
+scored AS (
+  SELECT f.term, f.df_fg, b.df_bg,
+         CAST(ROUND(CAST(
+           CAST(f.df_fg * (SELECT n_docs FROM n_all) AS DOUBLE)
+           / (b.df_bg * (SELECT n_fg FROM n_fg))
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM df_fg f JOIN df_bg b USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, df_fg DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rank, term, CAST(df_fg AS BIGINT) AS df_fg,
+       CAST(df_bg AS BIGINT) AS df_bg, score
+FROM ranked WHERE rnk <= 10"""
+
+
+SPAN_FIRST_END = 10  # Lucene SpanFirstQuery end boundary (positions 0..9)
+
+
+def span_first_topk(
+    qterms: DataFrame, docs: DataFrame, end: int = SPAN_FIRST_END, k: int = 10
+) -> DataFrame:
+    """Lucene ``SpanFirstQuery`` → DF[query_id, rank, doc_id,
+    n_first_hits]: documents where a query term occurs within the first
+    ``end`` token positions — the "match near the start" primitive
+    (headline/lead-paragraph boosting). Per (query, doc) the score is the
+    COUNT of query-term occurrences inside the boundary (Lucene's span
+    freq), an exact integer, ranked (n_first_hits DESC, doc_id ASC).
+
+    Plan: one tokenize + posexplode with the position predicate applied
+    MAP-SIDE (only the first ``end`` positions of each doc survive the
+    explode), then the broadcast query join and one map-combinable
+    count. The span family's indexed path (positional blocks) serves
+    this at scale by reading only leading positions per posting — this
+    logical form is its oracle."""
+    from .tokenize import tokens_col
+
+    occ = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(tokens_col("text")).alias("pos", "term"),
+    ).filter(F.col("pos") < end)
+    q = qterms.select("query_id", "term").distinct()
+    scored = (
+        occ.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first_hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_first_hits"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "doc_id", "n_first_hits",
+        )
+    )

@@ -494,3 +494,142 @@ def test_esql_plan_is_declarative(spark, events):
     )
     assert "PushedFilters" in explained
     assert "IsNotNull(event_type)" in explained or "Not(EqualTo(event_type,error)" in explained.replace(" ", "")
+
+
+def test_rank_vectors_maxsim_matches_numpy(spark):
+    import numpy as np
+
+    from sparksearch.vectors import (
+        RV_NQ,
+        RV_SUBDIM,
+        RV_SUBS,
+        rank_vectors_maxsim_topk,
+    )
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = {}
+    for r in rank_vectors_maxsim_topk(emb).collect():
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.rank), int(r.vec_id), r6(r.score))
+        )
+    pdf = emb.toPandas()
+    V = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+
+    def bag(v):
+        return [v[i * RV_SUBDIM : (i + 1) * RV_SUBDIM] for i in range(RV_SUBS)]
+
+    for qi in range(RV_NQ):
+        qb = bag(V[qi])
+        scored = []
+        for d, v in V.items():
+            if d == qi:
+                continue
+            db = bag(v)
+            s = Decimal(0)
+            for qs in qb:
+                m = max(r6(float(qs @ ds)) for ds in db)
+                s += Decimal(repr(m)).quantize(Decimal("1e-6"))
+            scored.append((d, s))
+        top = sorted(scored, key=lambda x: (-x[1], x[0]))[:10]
+        want = [(i + 1, d, r6(float(s))) for i, (d, s) in enumerate(top)]
+        assert got[qi] == want, f"query {qi}"
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    from sparksearch.vectors import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        RV_NQ,
+        mmr_rerank,
+    )
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = {}
+    for r in mmr_rerank(emb).collect():
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.rank), int(r.vec_id), r6(r.relevance), r6(r.mmr_score))
+        )
+    pdf = emb.toPandas()
+    V = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+
+    def cos(a, b):
+        return r6(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+
+    for qi in range(RV_NQ):
+        rel = {
+            d: cos(v, V[qi]) for d, v in V.items() if d != qi
+        }
+        pool = sorted(rel, key=lambda d: (-rel[d], d))[:MMR_POOL]
+        selected, want = [], []
+        for rnd in range(1, MMR_K + 1):
+            best = None
+            for d in pool:
+                if d in selected:
+                    continue
+                maxsim = max(
+                    (cos(V[d], V[s]) for s in selected), default=0.0
+                )
+                key = r6(MMR_LAMBDA * rel[d] - (1.0 - MMR_LAMBDA) * maxsim)
+                cand = (key, -d)
+                if best is None or cand > best[0]:
+                    best = (cand, d, key)
+            _, d, key = best
+            selected.append(d)
+            want.append((rnd, d, rel[d], key))
+        assert got[qi] == want, f"query {qi}"
+        # diversification really engaged: selections are not simply the
+        # relevance top-k whenever any near-duplicate sits in the pool
+        assert len(set(d for _, d, *_ in want)) == MMR_K
+
+
+def test_significant_text_matches_python(spark, docs_sf0001, corpus_tokens):
+    from sparksearch.search_ext import (
+        SIG_TEXT_FG_TERM,
+        SIG_TEXT_MIN_DF,
+        significant_text,
+    )
+
+    got = [
+        (int(r.rank), r.term, int(r.df_fg), int(r.df_bg), r6(r.score))
+        for r in significant_text(docs_sf0001).collect()
+    ]
+    texts = {
+        int(r.doc_id): r.text
+        for r in docs_sf0001.select("doc_id", "text").collect()
+    }
+    surv = {}
+    for d, t in texts.items():
+        h = hashlib.sha256(t.encode()).hexdigest()
+        if h not in surv or d < surv[h]:
+            surv[h] = d
+    keep = set(surv.values())
+    tsets = {
+        d: set(corpus_tokens[d]) for d in keep if corpus_tokens[d]
+    }
+    fg = {d for d, s in tsets.items() if SIG_TEXT_FG_TERM in s}
+    n_all, n_fg = len(tsets), len(fg)
+    df_bg: Counter = Counter()
+    df_fg: Counter = Counter()
+    for d, s in tsets.items():
+        df_bg.update(s)
+        if d in fg:
+            df_fg.update(s)
+    scored = [
+        (t, df_fg[t], df_bg[t], r6(float(df_fg[t] * n_all) / (df_bg[t] * n_fg)))
+        for t in df_fg
+        if df_fg[t] >= SIG_TEXT_MIN_DF
+    ]
+    scored.sort(key=lambda x: (-x[3], -x[1], x[0]))
+    want = [(i + 1, t, f, b, s) for i, (t, f, b, s) in enumerate(scored[:10])]
+    assert got == want
+    # the fg term itself is maximally significant (df_fg == its df_bg)
+    assert any(t == SIG_TEXT_FG_TERM for _, t, *_ in got)
