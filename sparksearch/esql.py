@@ -78,6 +78,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
+    "LOOKUP", "JOIN", "ON",
 }
 
 
@@ -385,6 +386,26 @@ def compile_esql(
             df = df.orderBy(*orders)
         elif cmd == "LIMIT":
             df = df.limit(int(p.expect("num").text))
+        elif cmd == "LOOKUP":
+            # LOOKUP JOIN <lookup_table> ON <field> (ES|QL 8.18): LEFT join
+            # on a field that exists under the SAME NAME on both sides (the
+            # ES contract — EVAL a copy first when names differ). Lookup
+            # indexes are small by ES's own constraint (single-shard), so
+            # the translation broadcasts the lookup side: at any corpus
+            # scale this is a map-side hash join, never a shuffle.
+            p.expect("kw", "JOIN")
+            lname = p.expect("id").text
+            p.expect("kw", "ON")
+            field = p.expect("id").text
+            if tables and lname in tables:
+                lk = tables[lname]
+            elif spark is not None and sf_dir is not None:
+                lk = spark.read.parquet(f"{sf_dir.rstrip('/')}/{lname}.parquet")
+            else:
+                raise EsqlError(f"unknown lookup table {lname}")
+            if field not in lk.columns:
+                raise EsqlError(f"lookup field {field} absent from {lname}")
+            df = df.join(F.broadcast(lk), field, "left")
         elif cmd in ("KEEP", "DROP"):
             cols = [p.expect("id").text]
             while p.accept("op", ","):

@@ -1653,3 +1653,78 @@ WHERE c_mktsegment = '{Q3_SEGMENT}'
 GROUP BY 1, 2, 3
 ORDER BY CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT 10"""
+
+
+Q10_START = "1996-01-01"   # one-quarter window [start, end)
+Q10_END = "1996-04-01"
+Q10_K = 20
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = Q10_K,
+) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) → DF[c_custkey, c_name, n_name,
+    revenue, n_items]: customers who returned items (l_returnflag = 'R')
+    on orders placed in one quarter, ranked by lost revenue — the classic
+    4-table chain (lineitem ⋈ orders ⋈ customer ⋈ nation).
+
+    Plan: the quarter predicate pushes into the orders scan and the
+    returnflag predicate into the lineitem scan before the fact chain;
+    nation (25 rows) broadcasts; revenue accumulates as the exact
+    quantized decimal the whole tpch family uses (_rev); top-20 is
+    TakeOrderedAndProject on (revenue DESC, c_custkey ASC) — decimal
+    compare, total order."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev().alias("rev")
+    )
+    g = (
+        li.join(ords.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_nationkey").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("rev").cast("decimal(28,6)").alias("rev_d"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    return (
+        g.orderBy(F.desc("rev_d"), F.asc("c_custkey"))
+        .limit(k)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_d").cast("double"), 6).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+RETURNED_ITEMS_SQL = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       ROUND(CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_END} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) DESC, c_custkey ASC
+LIMIT {Q10_K}"""

@@ -3922,6 +3922,21 @@ FROM orders
 """
 
 
+ESQL_LOOKUP_QUERY = """
+FROM customer
+| EVAL n_nationkey = c_nationkey
+| LOOKUP JOIN nation ON n_nationkey
+| STATS n_customers = COUNT(*), total_bal = SUM(c_acctbal) BY n_name
+| SORT n_name ASC
+"""
+
+
+def q_esql_nation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_LOOKUP_QUERY, spark=spark, sf_dir=sf_dir)
+
+
 def q_esql_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
@@ -3966,6 +3981,18 @@ GROUP BY 1 ORDER BY 1 ASC""",
         "exactly (scale-9 decimal output), EVAL after STATS derives the "
         "round6 average from the aggregated frame — post-agg pipeline "
         "stages compose on the same Catalyst plan",
+    ),
+    "esql_nation_lookup": QuerySpec(
+        q_esql_nation_lookup,
+        """SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(CAST(c_acctbal AS DECIMAL(28,9))) AS total_bal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL LOOKUP JOIN (8.18): EVAL aligns the key name, the lookup "
+        "index joins LEFT as a broadcast map-side hash join (the "
+        "single-shard lookup-index contract), then STATS over the "
+        "enriched frame — exact-decimal balance sum",
     ),
 })
 
@@ -4029,6 +4056,144 @@ def _round4_s8c_specs():
 
 
 CATALOG.update(_round4_s8c_specs())
+
+
+# ----------------------------------------------------- round-4 s8 batch 5
+# TPC-H Q10, Lucene SpanFirst, Matryoshka truncation audit, split KL drift.
+
+
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import returned_items
+
+    return returned_items(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search_ext import span_first_topk
+
+    qterms = parse_queries(spark, reference_queries())
+    return span_first_topk(qterms, _docs(spark, sf_dir), k=K)
+
+
+def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _emb
+    from .vectors import matryoshka_overlap
+
+    return matryoshka_overlap(_emb(spark, sf_dir))
+
+
+def q_split_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_kl_divergence
+
+    return split_kl_divergence(_docs(spark, sf_dir))
+
+
+def _round4_s8d_specs():
+    from .catalog_pipeline import _SPLIT_CASE
+    from .joins import RETURNED_ITEMS_SQL
+    from .search_ext import SPAN_FIRST_END
+    from .vectors import matryoshka_oracle_sql
+
+    span_first_sql = f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+occ AS (
+  SELECT doc_id, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+qd AS (SELECT DISTINCT query_id, term FROM q),
+sc AS (
+  SELECT qd.query_id, occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_first_hits
+  FROM occ JOIN qd USING (term)
+  WHERE occ.pos <= {SPAN_FIRST_END}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, n_first_hits,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_first_hits DESC, doc_id ASC) AS rnk
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_first_hits
+FROM ranked WHERE rnk <= {K}"""
+
+    _q9 = "CAST(ROUND({x}, 9) AS DECIMAL(28,9))"
+    _pd = "((CAST(c_tr AS DOUBLE) + 1.0) / CAST(tot_tr + v AS DOUBLE))"
+    _qd = "((CAST(c_te AS DOUBLE) + 1.0) / CAST(tot_te + v AS DOUBLE))"
+    split_kl_sql = f"""WITH toks AS (
+  SELECT lang, {_SPLIT_CASE} AS split,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+  FROM documents
+),
+ct AS (
+  SELECT lang, term,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_tr,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_te
+  FROM toks WHERE split <> 'val' GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, SUM(c_tr) AS tot_tr, SUM(c_te) AS tot_te, COUNT(*) AS v
+  FROM ct GROUP BY 1
+),
+contrib AS (
+  SELECT ct.lang, tot.tot_tr, tot.tot_te, tot.v,
+         {_q9.format(x=f"{_pd} * LN({_pd} / {_qd})")} AS kpq,
+         {_q9.format(x=f"{_qd} * LN({_qd} / {_pd})")} AS kqp
+  FROM ct JOIN tot USING (lang)
+)
+SELECT lang, CAST(MAX(v) AS BIGINT) AS n_terms,
+       CAST(MAX(tot_tr) AS BIGINT) AS tot_train,
+       CAST(MAX(tot_te) AS BIGINT) AS tot_test,
+       CAST(ROUND(CAST(CAST(SUM(kpq) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS kl_train_test,
+       CAST(ROUND(CAST(CAST(SUM(kqp) AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS kl_test_train
+FROM contrib GROUP BY lang"""
+
+    return {
+        "tpch_returned_items": QuerySpec(
+            q_tpch_returned_items,
+            RETURNED_ITEMS_SQL,
+            "TPC-H Q10 returned-item reporting: quarter + returnflag "
+            "predicates pushed into both fact scans, 25-row nation "
+            "broadcast, exact-decimal revenue, TakeOrderedAndProject "
+            "top-20",
+        ),
+        "span_first_topk": QuerySpec(
+            q_span_first,
+            span_first_sql,
+            "Lucene SpanFirstQuery: query-term occurrences within the "
+            "first 10 positions (lead-paragraph matching) — the position "
+            "predicate applies map-side at the explode; exact integer "
+            "span freq ranks",
+        ),
+        "ann_matryoshka_overlap": QuerySpec(
+            q_ann_matryoshka,
+            matryoshka_oracle_sql(),
+            "Matryoshka truncation audit: top-10 overlap between "
+            "truncated-prefix (16/32-dim) and full 64-dim cosine "
+            "rankings per query — the dimension-vs-recall trade of MRL "
+            "embeddings as an exact-integer checked report",
+        ),
+        "split_kl_divergence": QuerySpec(
+            q_split_kl,
+            split_kl_sql,
+            "train/test distribution drift: per-lang add-one-smoothed "
+            "unigram KL in both directions over the union vocabulary — "
+            "9-dp-quantized per-term contributions summed as exact "
+            "decimals (the bigram_xent discipline)",
+        ),
+    }
+
+
+CATALOG.update(_round4_s8d_specs())
 
 
 # Entries left past slot 50 are exactly the ones whose loss costs least:
@@ -4137,6 +4302,8 @@ _SWEEP_NEXT = [
     "bloom_decontamination", "events_count_min", "ann_bbq_topk",
     "passage_topk", "esql_events_stats", "esql_orders_revenue",
     "rank_vectors_maxsim", "mmr_rerank", "significant_text",
+    "tpch_returned_items", "span_first_topk", "ann_matryoshka_overlap",
+    "split_kl_divergence", "esql_nation_lookup",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -572,3 +572,63 @@ def bloom_decontamination(
             .alias("fp_windows"),
         )
     )
+
+
+def split_kl_divergence(docs: DataFrame) -> DataFrame:
+    """Distribution drift between the train and test splits → DF[lang,
+    n_terms, tot_train, tot_test, kl_train_test, kl_test_train]: per
+    language, the add-one-smoothed unigram KL divergence in both
+    directions — the split-health audit a pretraining pipeline runs
+    beside contamination checks (a large KL means the deterministic
+    split accidentally stratified content; near-zero means the splits
+    are distributionally exchangeable).
+
+        p(t) = (c_train(t)+1)/(T_train+V),  q(t) = (c_test(t)+1)/(T_test+V)
+        KL(p‖q) = Σ_t p·ln(p/q)   over the two splits' UNION vocabulary V
+
+    Float discipline (the bigram_xent rule): each term's contribution is
+    one pinned chain of double ops on exact integers — two divisions, one
+    division, one ln, one multiply — identical in the twin, quantized to
+    9 dp and summed as exact decimals, so the corpus-sized sum is
+    aggregation-order-free; outputs round6.
+
+    Plan: one tokenize pass with map-side split assignment; per-(lang,
+    term) conditional counts in ONE group-by (no per-split scans); the
+    per-lang totals/vocab broadcast back onto the vocabulary-sized
+    frame."""
+    from .stats import round6
+    from .tokenize import tokens_col
+
+    toks = docs.select(
+        F.col("lang").alias("lang"),
+        split_name_col("doc_id").alias("split"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    ).filter(F.col("split") != "val")
+    ct = toks.groupBy("lang", "term").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("c_te"),
+    )
+    tot = ct.groupBy("lang").agg(
+        F.sum("c_tr").alias("tot_tr"),
+        F.sum("c_te").alias("tot_te"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = F.col("c_tr").cast("double") + 1.0
+    q = F.col("c_te").cast("double") + 1.0
+    pd_ = p / (F.col("tot_tr") + F.col("v")).cast("double")
+    qd_ = q / (F.col("tot_te") + F.col("v")).cast("double")
+    contrib = ct.join(F.broadcast(tot), "lang").select(
+        "lang", "tot_tr", "tot_te", "v",
+        F.round(pd_ * F.log(pd_ / qd_), 9).cast("decimal(28,9)").alias("kpq"),
+        F.round(qd_ * F.log(qd_ / pd_), 9).cast("decimal(28,9)").alias("kqp"),
+    )
+    return (
+        contrib.groupBy("lang")
+        .agg(
+            F.max("v").cast("long").alias("n_terms"),
+            F.max("tot_tr").cast("long").alias("tot_train"),
+            F.max("tot_te").cast("long").alias("tot_test"),
+            round6(F.sum("kpq").cast("double")).alias("kl_train_test"),
+            round6(F.sum("kqp").cast("double")).alias("kl_test_train"),
+        )
+    )

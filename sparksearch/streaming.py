@@ -299,3 +299,59 @@ def dedup_events_stream(
             ["event_id"]
         )
     return events_stream.dropDuplicates(["event_id"])
+
+
+def sequence_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    maxspan_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch EQL two-step sequence
+    (relational.eql_sequence): a watermarked STREAM-STREAM interval join —
+    each view event joins the same user's click events that arrive
+    strictly after it and within ``maxspan_s`` seconds.
+
+    The time-bound condition on both inputs plus the watermark is what
+    makes stream-stream join state FINITE: Spark evicts a buffered view
+    row once the click-side watermark passes view.ts + maxspan (no
+    qualifying click can arrive anymore), and vice versa — without the
+    interval condition the state store would grow without bound, the
+    canonical stream-stream-join mistake. Emits the raw qualifying pairs;
+    the batch form's min(struct) "first successor" pick needs completed
+    windows, so a consumer applies it per micro-batch downstream (or uses
+    the batch entry on the lakehouse table — same rows by construction,
+    asserted in tests on identical input).
+
+    Works unchanged on batch frames, where it degenerates to the plain
+    interval join (the engine's streaming≡batch discipline)."""
+    v = views.select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("a_ts", watermark)
+        c = c.withWatermark("b_ts", watermark)
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {maxspan_s} SECONDS")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "a_event_id", "b_event_id",
+        (
+            F.col("b_ts").cast("timestamp").cast("long")
+            - F.col("a_ts").cast("timestamp").cast("long")
+        ).cast("long").alias("span_s"),
+    )

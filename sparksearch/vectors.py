@@ -1554,3 +1554,119 @@ sel{rnd} AS (
         for i in range(1, MMR_K + 1)
     )
     return "WITH " + ",\n".join(parts) + f"\n{final}"
+
+
+MRL_DIMS = (16, 32)  # truncation prefixes evaluated against the full 64
+MRL_K = 10
+
+
+def matryoshka_overlap(
+    embeddings: DataFrame, n_queries: int = RV_NQ, k: int = MRL_K
+) -> DataFrame:
+    """Matryoshka-truncation retrieval audit → DF[query_id, dim,
+    overlap_k, overlap_frac]: for each query and each truncated prefix
+    dimension (16, 32), the size of the intersection between the
+    truncated-cosine top-k and the full-dimension top-k — the
+    dimension-vs-recall trade every MRL embedding deployment measures
+    before serving truncated vectors (truncation cuts index memory
+    dim/64-fold; this reports what it costs).
+
+    Determinism: each ranking is the engine total order on round6
+    cosines; the overlap is an exact integer intersection of two pinned
+    k-sets, so the audit is value-checkable end to end. Plan: one
+    scan computes all three prefix cosines map-side (slice + dot);
+    three windows over the per-query candidate frames; the intersection
+    is a self-join of k-row sets."""
+    vecs = _vecs(embeddings)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    base = vecs.join(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    tops = []
+    for dim in (*MRL_DIMS, 64):
+        c6 = round6(
+            cosine(F.slice(F.col("v"), 1, dim), F.slice(F.col("qv"), 1, dim))
+        )
+        # materialize c6 BEFORE the window (ordering on the raw expression
+        # would re-reference the projected-away vector columns)
+        scored_d = base.select("query_id", "vec_id", c6.alias("c6"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("c6"), F.asc("vec_id")
+        )
+        tops.append(
+            scored_d.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("query_id", "vec_id", F.lit(dim).alias("dim"))
+        )
+    full = tops[-1].select("query_id", F.col("vec_id").alias("fv"))
+    out = None
+    for t in tops[:-1]:
+        ov = (
+            t.join(
+                full,
+                (t.query_id == full.query_id) & (t.vec_id == full.fv),
+                "inner",
+            )
+            .groupBy(t.query_id, "dim")
+            .agg(F.count(F.lit(1)).alias("overlap_k"))
+        )
+        out = ov if out is None else out.unionByName(ov)
+    # queries × dims is tiny; a left join restores 0-overlap rows
+    grid = queries.select("query_id").crossJoin(
+        F.broadcast(
+            queries.sparkSession.createDataFrame(
+                [(d,) for d in MRL_DIMS], "dim int"
+            )
+        )
+    )
+    res = grid.join(out, ["query_id", "dim"], "left").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.coalesce(F.col("overlap_k"), F.lit(0)).cast("long").alias("overlap_k"),
+        round6(
+            F.coalesce(F.col("overlap_k"), F.lit(0)).cast("double") / float(k)
+        ).alias("overlap_frac"),
+    )
+    return res
+
+
+def matryoshka_oracle_sql(k: int = MRL_K) -> str:
+    r6 = "CAST(ROUND(CAST({x} AS DECIMAL(28,9)), 6) AS DOUBLE)"
+
+    def top_cte(dim: int, name: str) -> str:
+        cos = (f"list_dot_product(e.v[1:{dim}], q.qv[1:{dim}]) / "
+               f"(sqrt(list_dot_product(e.v[1:{dim}], e.v[1:{dim}])) * "
+               f"sqrt(list_dot_product(q.qv[1:{dim}], q.qv[1:{dim}])))")
+        return f"""{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {r6.format(x=cos)} DESC, e.vec_id ASC) AS r
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE r <= {k}
+)"""
+
+    dims_union = " UNION ALL ".join(
+        f"""SELECT q.query_id, {d} AS dim,
+       (SELECT COUNT(*) FROM top{d} t JOIN top64 f
+        ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+        WHERE t.query_id = q.query_id) AS overlap_k
+FROM (SELECT DISTINCT query_id FROM q) q"""
+        for d in MRL_DIMS
+    )
+    ctes = ",\n".join(
+        [
+            """e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < """
+            + str(RV_NQ) + ")"
+        ]
+        + [top_cte(d, f"top{d}") for d in (*MRL_DIMS, 64)]
+    )
+    return f"""WITH {ctes}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(dim AS BIGINT) AS dim,
+       CAST(overlap_k AS BIGINT) AS overlap_k,
+       {r6.format(x=f"CAST(overlap_k AS DOUBLE) / {float(k)!r}")} AS overlap_frac
+FROM ({dims_union})"""

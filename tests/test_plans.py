@@ -651,3 +651,63 @@ def test_search_after_filters_before_rank_window(spark, docs_sf0001, queries):
     assert min(cs_ids) < max(win_ids), (cs_ids, win_ids)
     # the multi-consumer scored frame is persisted (one scoring execution)
     assert "InMemoryRelation" in plan, plan
+
+
+def test_session8_entry_plans(spark, docs_sf0001):
+    """Round-4 session-8 plan pins: sparse_vector keeps the flagship
+    broadcast-against-postings shape; Q10 pushes both predicates into the
+    fact scans and broadcasts nation; bloom's filter side reduces to a
+    broadcast; no BatchEvalPython anywhere."""
+    from sparksearch.queries_catalog import reference_queries
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import sparse_vector_topk
+    from sparksearch.build import tokenize_tf
+
+    tt = tokenize_tf(docs_sf0001.select("doc_id", "text"))
+    tf_df = tt.select("term", "doc_id", "tf", "dl")
+    qterms = parse_queries(spark, reference_queries())
+    sv = sparse_vector_topk(qterms, tf_df, k=10)
+    plan = _plan(sv)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # query table broadcast, not shuffled
+
+    from tests.conftest import SF_SMOKE
+    from sparksearch.joins import returned_items
+
+    t = {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "nation")
+    }
+    q10 = returned_items(t["lineitem"], t["orders"], t["customer"], t["nation"])
+    plan = _plan(q10)
+    assert "TakeOrderedAndProject" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_returnflag" in ln for ln in pushed), plan
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    assert "BatchEvalPython" not in plan
+
+    from sparksearch.sampling import bloom_decontamination
+
+    bl = bloom_decontamination(docs_sf0001)
+    plan = _plan(bl)
+    assert "BatchEvalPython" not in plan
+    # the materialized bit set joins broadcast (kilobyte-scale by design)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session8_vector_entry_plans(spark):
+    """BBQ packs words map-side and broadcasts queries; maxsim and the
+    matryoshka audit stay JVM-side end to end."""
+    from tests.conftest import SF_SMOKE
+    from sparksearch.vectors import (
+        bbq_ann_topk,
+        matryoshka_overlap,
+        rank_vectors_maxsim_topk,
+    )
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    for df in (bbq_ann_topk(emb), rank_vectors_maxsim_topk(emb),
+               matryoshka_overlap(emb)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

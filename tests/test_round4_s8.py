@@ -633,3 +633,195 @@ def test_significant_text_matches_python(spark, docs_sf0001, corpus_tokens):
     assert got == want
     # the fg term itself is maximally significant (df_fg == its df_bg)
     assert any(t == SIG_TEXT_FG_TERM for _, t, *_ in got)
+
+
+def test_tpch_q10_matches_pandas(spark):
+    from sparksearch.joins import Q10_END, Q10_K, Q10_START, returned_items
+
+    t = {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "nation")
+    }
+    got = [
+        (int(r.c_custkey), r.c_name, r.n_name, r6(r.revenue), int(r.n_items))
+        for r in returned_items(
+            t["lineitem"], t["orders"], t["customer"], t["nation"]
+        ).collect()
+    ]
+    li = t["lineitem"].toPandas()
+    o = t["orders"].toPandas()
+    c = t["customer"].toPandas()
+    n = t["nation"].toPandas()
+    o = o[(o.o_orderdate >= Q10_START) & (o.o_orderdate < Q10_END)]
+    j = (
+        li[li.l_returnflag == "R"]
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["rev"] = [
+        Decimal(repr(round(p * (1.0 - d), 6))).quantize(Decimal("1e-6"))
+        for p, d in zip(j.l_extendedprice, j.l_discount)
+    ]
+    g = (
+        j.groupby(["c_custkey", "c_name", "n_name"])
+        .agg(rev=("rev", "sum"), n=("rev", "size"))
+        .reset_index()
+    )
+    g = g.sort_values(["rev", "c_custkey"], ascending=[False, True]).head(Q10_K)
+    want = [
+        (int(r.c_custkey), r.c_name, r.n_name, r6(float(r.rev)), int(r.n))
+        for r in g.itertuples()
+    ]
+    assert got == want
+
+
+def test_span_first_matches_python(spark, docs_sf0001, queries, corpus_tokens):
+    from sparksearch.queries_catalog import K
+    from sparksearch.querying import parse_queries
+    from sparksearch.search_ext import SPAN_FIRST_END, span_first_topk
+    from sparksearch.tokenize import py_tokenize
+
+    got = {}
+    df = span_first_topk(
+        parse_queries(spark, queries), docs_sf0001, k=K
+    )
+    for r in df.collect():
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.rank), int(r.doc_id), int(r.n_first_hits))
+        )
+    for qid, text in queries:
+        terms = set(py_tokenize(text))
+        if not terms:
+            assert qid not in got
+            continue
+        scored = []
+        for d, toks in corpus_tokens.items():
+            hits = sum(1 for t in toks[:SPAN_FIRST_END] if t in terms)
+            if hits:
+                scored.append((d, hits))
+        top = sorted(scored, key=lambda x: (-x[1], x[0]))[:K]
+        want = [(i + 1, d, h) for i, (d, h) in enumerate(top)]
+        assert got.get(qid, []) == want, f"query {qid}"
+
+
+def test_matryoshka_overlap_matches_numpy(spark):
+    import numpy as np
+
+    from sparksearch.vectors import MRL_DIMS, MRL_K, RV_NQ, matryoshka_overlap
+
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet"))
+    got = {
+        (int(r.query_id), int(r.dim)): (int(r.overlap_k), r6(r.overlap_frac))
+        for r in matryoshka_overlap(emb).collect()
+    }
+    pdf = emb.toPandas()
+    V = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+
+    def topk(qi, dim):
+        scored = []
+        for d, v in V.items():
+            if d == qi:
+                continue
+            a, b = v[:dim], V[qi][:dim]
+            c = r6(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+            scored.append((d, c))
+        return {
+            d for d, _ in sorted(scored, key=lambda x: (-x[1], x[0]))[:MRL_K]
+        }
+
+    for qi in range(RV_NQ):
+        full = topk(qi, 64)
+        for dim in MRL_DIMS:
+            ov = len(topk(qi, dim) & full)
+            assert got[(qi, dim)] == (ov, r6(ov / float(MRL_K))), (qi, dim)
+    # monotone-ish sanity: 32-dim should never track the full ranking
+    # WORSE than 16-dim on average (property of nested prefixes here)
+    avg16 = sum(got[(q, 16)][0] for q in range(RV_NQ))
+    avg32 = sum(got[(q, 32)][0] for q in range(RV_NQ))
+    assert avg32 >= avg16
+
+
+def test_split_kl_matches_python(spark, docs_sf0001, corpus_tokens):
+    from sparksearch.sampling import split_kl_divergence
+
+    langs = {
+        int(r.doc_id): r.lang
+        for r in docs_sf0001.select("doc_id", "lang").collect()
+    }
+    got = {
+        r.lang: (
+            int(r.n_terms), int(r.tot_train), int(r.tot_test),
+            r6(r.kl_train_test), r6(r.kl_test_train),
+        )
+        for r in split_kl_divergence(docs_sf0001).collect()
+    }
+    ctr: dict = {}
+    for d, toks in corpus_tokens.items():
+        sp = _split(d)
+        if sp == "val":
+            continue
+        for t in toks:
+            key = (langs[d], t)
+            c = ctr.setdefault(key, [0, 0])
+            c[0 if sp == "train" else 1] += 1
+    want = {}
+    for lang in set(langs.values()):
+        terms = {t: c for (lg, t), c in ctr.items() if lg == lang}
+        if not terms:
+            continue
+        v = len(terms)
+        tot_tr = sum(c[0] for c in terms.values())
+        tot_te = sum(c[1] for c in terms.values())
+        kpq = Decimal(0)
+        kqp = Decimal(0)
+        for c_tr, c_te in terms.values():
+            p = (c_tr + 1.0) / float(tot_tr + v)
+            q = (c_te + 1.0) / float(tot_te + v)
+            kpq += Decimal(repr(p * math.log(p / q))).quantize(Decimal("1e-9"))
+            kqp += Decimal(repr(q * math.log(q / p))).quantize(Decimal("1e-9"))
+        want[lang] = (v, tot_tr, tot_te, r6(float(kpq)), r6(float(kqp)))
+    assert got == want
+    assert all(k1 >= 0 and k2 >= 0 for *_, k1, k2 in got.values())
+
+
+def test_esql_lookup_join(spark):
+    from pyspark.sql import functions as F
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    cust = spark.read.parquet(str(SF_SMOKE / "customer.parquet"))
+    nation = spark.read.parquet(str(SF_SMOKE / "nation.parquet"))
+    t = {"customer": cust, "nation": nation}
+    got = compile_esql(
+        "FROM customer | EVAL n_nationkey = c_nationkey "
+        "| LOOKUP JOIN nation ON n_nationkey "
+        "| STATS n = COUNT(*) BY n_name | SORT n_name ASC",
+        tables=t,
+    ).collect()
+    want = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left"
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert got == want
+    # the broadcast actually lands in the physical plan
+    df = compile_esql(
+        "FROM customer | EVAL n_nationkey = c_nationkey "
+        "| LOOKUP JOIN nation ON n_nationkey",
+        tables=t,
+    )
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+    import pytest as _pt
+
+    with _pt.raises(EsqlError):
+        compile_esql(
+            "FROM customer | LOOKUP JOIN nation ON missing_field", tables=t
+        )

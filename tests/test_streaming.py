@@ -635,3 +635,80 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch twin: the same callable on a batch frame is plain dropDuplicates
     batch = dedup_events_stream(events.unionAll(events))
     assert batch.count() == events.count()
+
+
+def test_sequence_join_stream_matches_batch_eql(spark, tmp_path):
+    """The watermarked stream-stream interval join, fed the fixture events
+    over two micro-batches, emits exactly the qualifying (view, click)
+    pairs — and reducing them with the batch first-successor pick
+    reproduces relational.eql_sequence row for row."""
+    import pyspark.sql.functions as F
+
+    from sparksearch.relational import (
+        EQL_FIRST,
+        EQL_MAXSPAN_S,
+        EQL_SECOND,
+        eql_sequence,
+    )
+    from sparksearch.streaming import EVENTS_STREAM_SCHEMA, sequence_join_stream
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    # batch degenerate form == plain interval join
+    batch_pairs = sequence_join_stream(
+        events.filter(F.col("event_type") == EQL_FIRST),
+        events.filter(F.col("event_type") == EQL_SECOND),
+        maxspan_s=EQL_MAXSPAN_S,
+    )
+    first = (
+        batch_pairs.groupBy("user_id", "a_event_id")
+        .agg(F.min(F.struct("span_s", "b_event_id")).alias("m"))
+        .select(
+            "user_id", "a_event_id",
+            F.col("m.b_event_id").alias("b_event_id"),
+            F.col("m.span_s").alias("span_s"),
+        )
+    )
+    want = sorted(tuple(r) for r in eql_sequence(events).collect())
+    got = sorted(tuple(r) for r in first.collect())
+    assert got == want
+
+    # streaming form: two micro-batches through a memory sink
+    src = tmp_path / "seq_src"
+    src.mkdir()
+    pdf = events.toPandas().sort_values("event_id")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_json(src / "b0.json", orient="records", lines=True,
+                            date_format="iso")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sequence_join_stream(
+        stream.filter(F.col("event_type") == EQL_FIRST),
+        stream.filter(F.col("event_type") == EQL_SECOND),
+        maxspan_s=EQL_MAXSPAN_S,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf.iloc[half:].to_json(src / "b1.json", orient="records", lines=True,
+                                date_format="iso")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, a_event_id, b_event_id, span_s FROM seq_join_test"
+        ).collect()
+    )
+    batch_rows = sorted(tuple(r) for r in batch_pairs.collect())
+    assert stream_rows == batch_rows
