@@ -78,7 +78,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
-    "LOOKUP", "JOIN", "ON",
+    "LOOKUP", "JOIN", "ON", "DISSECT",
 }
 
 
@@ -154,7 +154,21 @@ _FUNCS = {
     "CONCAT": lambda a: F.concat(*a),
     "TO_LONG": lambda a: a[0].cast("long"),
     "TO_DOUBLE": lambda a: a[0].cast("double"),
+    "TO_STRING": lambda a: a[0].cast("string"),
+    "COALESCE": lambda a: F.coalesce(*a),
+    "CASE": lambda a: _case(a),
 }
+
+
+def _case(args: list[Column]) -> Column:
+    """CASE(cond1, val1, [cond2, val2, …,] default) — the ES|QL variadic
+    conditional."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise EsqlError("CASE needs cond/value pairs plus a default")
+    c = F.when(args[0], args[1])
+    for i in range(2, len(args) - 1, 2):
+        c = c.when(args[i], args[i + 1])
+    return c.otherwise(args[-1])
 
 
 def _lit(tok: _Tok) -> Column:
@@ -386,6 +400,27 @@ def compile_esql(
             df = df.orderBy(*orders)
         elif cmd == "LIMIT":
             df = df.limit(int(p.expect("num").text))
+        elif cmd == "DISSECT":
+            # DISSECT <col> "%{a}<sep>%{b>…" (ES|QL log-line structuring):
+            # literal separators between %{name} fields. This subset
+            # requires ONE distinct separator (the overwhelmingly common
+            # pattern); the translation is a single JVM-side split —
+            # DISSECT's whole point vs GROK is that it needs no regex
+            # engine, and the compiled plan honors that.
+            import re as _re
+
+            src_col = p.expect("id").text
+            pat = p.expect("str").text[1:-1]
+            fields = _re.findall(r"%\{(\w+)\}", pat)
+            seps = [s for s in _re.split(r"%\{\w+\}", pat) if s]
+            if not fields or len(set(seps)) != 1 or not pat.startswith("%{"):
+                raise EsqlError(
+                    "DISSECT subset needs %{field} parts joined by ONE "
+                    f"literal separator, got {pat!r}"
+                )
+            parts = F.split(F.col(src_col), _re.escape(seps[0]))
+            for i, name in enumerate(fields):
+                df = df.withColumn(name, parts.getItem(i))
         elif cmd == "LOOKUP":
             # LOOKUP JOIN <lookup_table> ON <field> (ES|QL 8.18): LEFT join
             # on a field that exists under the SAME NAME on both sides (the

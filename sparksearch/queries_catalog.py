@@ -4196,6 +4196,117 @@ FROM contrib GROUP BY lang"""
 CATALOG.update(_round4_s8d_specs())
 
 
+# ----------------------------------------------------- round-4 s8 batch 7
+# Hard-negative mining, the geo_distance ring aggregation, ES|QL DISSECT.
+
+ESQL_DISSECT_QUERY = """
+FROM events
+| EVAL line = CONCAT(event_type, "|", TO_STRING(user_id))
+| DISSECT line "%{etype}|%{uid}"
+| EVAL uid_mod = TO_LONG(uid) % 7
+| STATS n = COUNT(*) BY etype, uid_mod
+| SORT etype ASC, uid_mod ASC
+"""
+
+
+def q_esql_events_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_DISSECT_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring_ext import hard_negatives_topk
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = hard_negatives_topk(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def q_events_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _events
+    from .relational import events_geo_rings
+
+    return events_geo_rings(_events(spark, sf_dir))
+
+
+def _round4_s8e_specs():
+    from .relational import _geo_rings_sql
+
+    hn_sql = f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORED_SQL},
+qn AS (SELECT query_id, COUNT(*) AS nt FROM q GROUP BY 1),
+qrels AS (
+  SELECT h.query_id, h.doc_id FROM (
+    SELECT q.query_id, p.doc_id, COUNT(*) AS hit
+    FROM q JOIN postings p USING (term) GROUP BY 1, 2
+  ) h JOIN qn USING (query_id) WHERE h.hit = qn.nt
+),
+negs AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s LEFT JOIN qrels r
+    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+  WHERE r.doc_id IS NULL
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC, doc_id ASC) AS rnk
+  FROM negs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+    dissect_sql = """WITH f AS (
+  SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS line FROM events
+),
+d AS (
+  SELECT string_split(line, '|')[1] AS etype,
+         CAST(string_split(line, '|')[2] AS BIGINT) % 7 AS uid_mod
+  FROM f
+)
+SELECT etype, CAST(uid_mod AS BIGINT) AS uid_mod,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2 ORDER BY etype ASC, uid_mod ASC"""
+
+    return {
+        "hard_negatives": QuerySpec(
+            q_hard_negatives,
+            hn_sql,
+            "hard-negative mining (DPR-style BM25 negatives): per query "
+            "the top-scoring docs OUTSIDE the deterministic conjunctive "
+            "qrels set — the flagship scored frame anti-joined with the "
+            "same judgments bm25_rank_eval scores against",
+        ),
+        "events_geo_rings": QuerySpec(
+            q_events_geo_rings,
+            _geo_rings_sql(),
+            "ES geo_distance ring aggregation: half-open distance bands "
+            "around the pinned origin on the shared integer geo world "
+            "(pure-BIGINT squared distances), two-level distinct-user "
+            "reduce — completes the geo agg family",
+        ),
+        "esql_events_dissect": QuerySpec(
+            q_esql_events_dissect,
+            dissect_sql,
+            "ES|QL DISSECT (log-line structuring without a regex engine): "
+            "%{field} parts split on one literal separator as a single "
+            "JVM-side split, composed with EVAL %/STATS — compiler "
+            "round-trips a synthesized line back into typed columns",
+        ),
+    }
+
+
+CATALOG.update(_round4_s8e_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4304,6 +4415,7 @@ _SWEEP_NEXT = [
     "rank_vectors_maxsim", "mmr_rerank", "significant_text",
     "tpch_returned_items", "span_first_topk", "ann_matryoshka_overlap",
     "split_kl_divergence", "esql_nation_lookup",
+    "hard_negatives", "events_geo_rings", "esql_events_dissect",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -2286,3 +2286,63 @@ est AS (
 )
 SELECT user_id, n_exact, est_cm, CAST(est_cm - n_exact AS BIGINT) AS overcount
 FROM est ORDER BY n_exact DESC, user_id ASC LIMIT {CM_TOPN}"""
+
+
+GEO_RING_RADII = (50000, 100000, 150000)  # milli-degrees from GEO_ORIGIN
+
+
+def events_geo_rings(events: DataFrame) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION (ring buckets around an origin) →
+    DF[ring, n_events, n_users]: events bucketed by distance band from
+    the pinned origin — the "how far are my users" dashboard agg,
+    completing the geo family (grid/tile/bounds/line/sort → rings).
+
+    Distance stays the squared-equirectangular INTEGER of the
+    geo_distance entry (pure BIGINT, engine-exact — ES's arc distances
+    would route trig through the quantize discipline; the keyed-bucket
+    contract is identical); ring edges compare d2 against squared radii,
+    half-open [from, to) like ES date_range. One events pass, two-level
+    distinct-user reduce."""
+    lon0, lat0 = GEO_ORIGIN
+    pos = _geo_pos(events)
+    d2 = (
+        (F.col("lon_mdeg") - lon0) * (F.col("lon_mdeg") - lon0)
+        + (F.col("lat_mdeg") - lat0) * (F.col("lat_mdeg") - lat0)
+    ).cast("long")
+    r1, r2, r3 = (r * r for r in GEO_RING_RADII)
+    ring = (
+        F.when(d2 < r1, F.lit("ring_0"))
+        .when(d2 < r2, F.lit("ring_1"))
+        .when(d2 < r3, F.lit("ring_2"))
+        .otherwise(F.lit("ring_3"))
+    )
+    tagged = pos.select(
+        ring.alias("ring"), F.col("user_id").cast("long").alias("user_id")
+    )
+    per_user = tagged.groupBy("ring", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_user.groupBy("ring").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+
+
+def _geo_rings_sql() -> str:
+    lon0, lat0 = GEO_ORIGIN
+    r1, r2, r3 = (r * r for r in GEO_RING_RADII)
+    return f"""WITH {GEO_POS_SQL},
+tagged AS (
+  SELECT CASE WHEN d2 < {r1} THEN 'ring_0'
+              WHEN d2 < {r2} THEN 'ring_1'
+              WHEN d2 < {r3} THEN 'ring_2'
+              ELSE 'ring_3' END AS ring,
+         user_id
+  FROM (
+    SELECT user_id,
+           CAST((lon_mdeg - {lon0}) * (lon_mdeg - {lon0})
+                + (lat_mdeg - {lat0}) * (lat_mdeg - {lat0}) AS BIGINT) AS d2
+    FROM pos)
+)
+SELECT ring, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged GROUP BY 1"""
+

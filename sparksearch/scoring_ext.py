@@ -1149,3 +1149,31 @@ def sparse_vector_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def hard_negatives_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training → DF[query_id,
+    rank, doc_id, score]: the top-k BM25-scored documents per query that
+    are NOT in the (deterministic conjunctive-containment) relevance set
+    — the highest-scoring non-relevant docs, exactly the negatives a
+    dense-retriever/reranker training pipeline mines from a lexical
+    index (DPR's "BM25 hard negatives").
+
+    Plan: the flagship scored frame anti-joins the qrels keyset (both
+    sides (query, doc)-keyed, the anti join is a broadcast of the
+    per-query relevant sets at any scale since qrels are query-bounded),
+    then the standard quantized top-k window. Reuses evaluate.
+    conjunctive_qrels — the same judgments bm25_rank_eval scores
+    against, so metrics and mined negatives are mutually consistent."""
+    from .evaluate import conjunctive_qrels
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats)
+    qrels = conjunctive_qrels(qterms, tf_df)
+    negs = scored.join(qrels, ["query_id", "doc_id"], "left_anti")
+    return topk_per_query(negs, k)

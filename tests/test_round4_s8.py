@@ -825,3 +825,98 @@ def test_esql_lookup_join(spark):
         compile_esql(
             "FROM customer | LOOKUP JOIN nation ON missing_field", tables=t
         )
+
+
+def test_hard_negatives_excludes_all_relevant(spark, search_stats, queries, corpus_tokens):
+    from sparksearch.queries_catalog import K
+    from sparksearch.querying import parse_queries
+    from sparksearch.scoring_ext import hard_negatives_topk
+    from sparksearch.tokenize import py_tokenize
+
+    tf_df, dl_df, ts, _ = search_stats
+    qterms = parse_queries(spark, queries)
+    got = {}
+    for r in hard_negatives_topk(qterms, tf_df, dl_df, ts, k=K).collect():
+        got.setdefault(int(r.query_id), []).append(int(r.doc_id))
+    tsets = {d: set(t) for d, t in corpus_tokens.items()}
+    vocab = set().union(*tsets.values())
+    for qid, text in queries:
+        all_terms = set(py_tokenize(text))
+        known = {t for t in all_terms if t in vocab}
+        if not known:
+            assert qid not in got
+            continue
+        # conjunctive_qrels counts ALL distinct query terms: one unknown
+        # term makes the relevance set empty (hit can never reach nt)
+        relevant = {d for d, s in tsets.items() if all_terms <= s}
+        # every mined negative is genuinely non-relevant
+        assert not (set(got.get(qid, [])) & relevant), qid
+    # and at least one query has a non-empty negative set
+    assert any(got.values())
+
+
+def test_geo_rings_partition_users_and_events(spark, events, events_pd):
+    from sparksearch.relational import (
+        GEO_ORIGIN,
+        GEO_RING_RADII,
+        events_geo_rings,
+    )
+
+    got = {
+        r.ring: (int(r.n_events), int(r.n_users))
+        for r in events_geo_rings(events).collect()
+    }
+    lon0, lat0 = GEO_ORIGIN
+    want_e: Counter = Counter()
+    want_u: dict = {}
+    for u in events_pd.user_id:
+        u = int(u)
+        lon = _h60(f"geo-lon|{u}") % 360000 - 180000
+        lat = _h60(f"geo-lat|{u}") % 170000 - 85000
+        d2 = (lon - lon0) ** 2 + (lat - lat0) ** 2
+        ring = next(
+            (f"ring_{i}" for i, r in enumerate(GEO_RING_RADII) if d2 < r * r),
+            "ring_3",
+        )
+        want_e[ring] += 1
+        want_u.setdefault(ring, set()).add(u)
+    assert got == {k: (want_e[k], len(want_u[k])) for k in want_e}
+    # rings partition events exactly
+    assert sum(e for e, _ in got.values()) == len(events_pd)
+
+
+def test_esql_dissect(spark, events):
+    from pyspark.sql import functions as F
+
+    import pytest as _pt
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    t = {"events": events}
+    got = compile_esql(
+        'FROM events | EVAL line = CONCAT(event_type, "|", TO_STRING(user_id)) '
+        '| DISSECT line "%{etype}|%{uid}" '
+        "| STATS n = COUNT(*) BY etype | SORT etype ASC",
+        tables=t,
+    ).collect()
+    want = (
+        events.groupBy(F.col("event_type").alias("etype"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("etype")
+        .collect()
+    )
+    assert got == want
+    # CASE + COALESCE functions
+    rows = compile_esql(
+        'FROM events | EVAL big = CASE(value > 100.0, "hi", "lo") '
+        "| STATS n = COUNT(*) BY big | SORT big ASC",
+        tables=t,
+    ).collect()
+    n_hi = events.filter(F.col("value") > 100.0).count()
+    assert {r.big: r.n for r in rows} == {
+        "hi": n_hi, "lo": events.count() - n_hi,
+    }
+    with _pt.raises(EsqlError):
+        compile_esql(
+            'FROM events | DISSECT props "%{a}|%{b},%{c}"', tables=t
+        )  # two distinct separators — outside the pinned subset
