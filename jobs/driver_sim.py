@@ -45,6 +45,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated entry names: run just these (fast iteration "
+        "on new entries; the no-flag full sweep stays the committed record)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -62,6 +68,11 @@ def main() -> int:
         )
 
     qs, osql = contract.queries(), contract.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        missing = keep - set(qs)
+        assert not missing, f"--only names absent from the catalog: {missing}"
+        qs = {n: f for n, f in qs.items() if n in keep}
     records: dict[str, dict] = {}
     n_green = n_rows_only = 0
     for name, fn in qs.items():  # catalog order, same as the driver

@@ -1728,3 +1728,441 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) DESC, c_custkey ASC
 LIMIT {Q10_K}"""
+
+
+# --------------------------------------------------------------- round-4 s9
+# TPC-H join-breadth completion: the Q4 / Q6 / Q7 / Q14 / Q18 / Q19 / Q22
+# query SHAPES (semi-join, pure scan-agg, nation-pair 6-way chain, promo
+# ratio, HAVING group filter, OR-of-ANDs pushdown, scalar-subquery +
+# anti-join) adapted to the fixture schema — no partsupp / l_shipmode /
+# l_commitdate / c_phone columns exist (FIXTURES.md §A), so each query
+# keeps the reference query's PLAN shape and swaps the missing predicate
+# for an equivalent one on available columns. Float discipline and join
+# strategy follow the module header.
+
+Q4_START = "1997-01-01"   # one-quarter window [start, end)
+Q4_END = "1997-04-01"
+
+
+def order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) → DF[o_orderpriority, n_orders]:
+    orders placed in one quarter having at least one RETURNED line item
+    (l_returnflag = 'R' replaces the reference's commitdate < receiptdate —
+    the fixture carries no commit/receipt dates), counted by priority.
+
+    Plan: the quarter predicate pushes into the orders scan and the
+    returnflag predicate into the lineitem scan; the EXISTS is a LEFT SEMI
+    join (never duplicates orders, never materializes match counts) on the
+    two filtered slices — both sides grow with SF, so it shuffles on
+    orderkey (SMJ), then one tiny 5-group aggregate."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(
+            li.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_END} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1"""
+
+
+Q6_START = "1996-01-01"   # one-year window [start, end)
+Q6_END = "1997-01-01"
+
+
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) → DF[revenue, n_items]: the
+    discount revenue that would vanish if discounts in [0.03, 0.07] on
+    small (< 25) quantities were eliminated for one shipping year.
+
+    Plan: a PURE scan-side aggregate — every predicate (two date bounds,
+    two discount bounds, the quantity bound) reaches PushedFilters, no
+    join, no shuffle beyond the 1-row partial+final agg. Per-row
+    l_extendedprice·l_discount is 6-dp-quantized then summed as exact
+    decimal (module float policy)."""
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).cast(
+        "decimal(28,6)"
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25.0)
+        )
+        .agg(
+            F.round(F.sum(disc).cast("double"), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+REVENUE_FORECAST_SQL = f"""
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_END} 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 25.0"""
+
+
+Q7_START = "1996-01-01"   # two shipping years [start, end)
+Q7_END = "1998-01-01"
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 (volume shipping) → DF[supp_nation, cust_nation, l_year,
+    revenue, n_items]: revenue shipped between every distinct (supplier
+    nation → customer nation) pair over two years — the widest fact chain
+    in the family (lineitem ⋈ supplier ⋈ orders ⋈ customer) with the
+    nation dim broadcast TWICE under different roles.
+
+    The reference query pins two specific nations; the fixture keeps all
+    cross-nation pairs (supp ≠ cust) so the result is non-degenerate at
+    every SF while the plan shape — date bounds pushed into the lineitem
+    scan, three SMJ fact joins, two 25-row broadcasts, inequality applied
+    after the broadcasts — is exactly Q7's."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        _rev().alias("rev"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(
+            supplier.select("s_suppkey", "s_nationkey").hint("merge"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q7_END} 00:00:00'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3"""
+
+
+Q14_START = "1997-09-01"   # one-month window [start, end)
+Q14_END = "1997-10-01"
+
+
+def promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 (promotion effect) → DF[promo_pct, promo_revenue,
+    total_revenue, n_items]: the percentage of one month's revenue that
+    came from PROMO-type parts (the fixture's p_type is the single word
+    the reference embeds as a prefix).
+
+    Plan: the month bounds push into the lineitem scan; lineitem ⋈ part is
+    an SMJ (part grows with SF — a 60k-fixture broadcast pick would OOM at
+    real scale); both revenue branches accumulate as exact decimal. The
+    ratio is the repo's division discipline: exact decimal sums, ONE
+    pinned double op sequence (cast, ×100.0, divide), round6 quantize —
+    decimal×100 in-engine is avoided entirely because Spark widens a
+    decimal(38,6)×int product by dropping scale silently (CLAUDE.md
+    round-3 sharp edge)."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    ).select("l_partkey", _rev().alias("rev"))
+    zero = F.lit(0).cast("decimal(28,6)")
+    g = (
+        li.join(
+            part.select("p_partkey", "p_type").hint("merge"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero))
+            .cast("decimal(28,6)")
+            .alias("promo_d"),
+            F.sum("rev").cast("decimal(28,6)").alias("tot_d"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    pct = (F.col("promo_d").cast("double") * F.lit(100.0)) / F.col("tot_d").cast(
+        "double"
+    )
+    return g.select(
+        round6(pct).alias("promo_pct"),
+        F.round(F.col("promo_d").cast("double"), 6).alias("promo_revenue"),
+        F.round(F.col("tot_d").cast("double"), 6).alias("total_revenue"),
+        "n_items",
+    )
+
+
+PROMO_EFFECT_SQL = f"""
+WITH g AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DECIMAL(28,6)) AS promo_d,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS tot_d,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q14_END} 00:00:00'
+)
+SELECT CAST(ROUND(CAST(CAST(promo_d AS DOUBLE) * 100.0 / CAST(tot_d AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS promo_pct,
+       ROUND(CAST(promo_d AS DOUBLE), 6) AS promo_revenue,
+       ROUND(CAST(tot_d AS DOUBLE), 6) AS total_revenue,
+       n_items
+FROM g"""
+
+
+Q18_MIN_QTY = 200   # "large volume" threshold on Σ l_quantity per order
+Q18_K = 100
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    k: int = Q18_K,
+    min_qty: int = Q18_MIN_QTY,
+) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) → DF[c_name, c_custkey,
+    o_orderkey, o_orderdate, o_totalprice, total_qty]: orders whose total
+    line quantity exceeds the threshold, with their customers, ranked by
+    quantity.
+
+    Plan: the HAVING filter runs on the lineitem-only aggregate FIRST —
+    the orders/customer chain joins against the (tiny) surviving keyset,
+    not the raw fact table; quantity sums as exact decimal(12,2) (the
+    fixture's quantities are integral doubles, but the decimal
+    accumulator keeps the compare and the rank key order-independent on
+    both engines); top-k is TakeOrderedAndProject on (qty DESC,
+    o_orderkey ASC)."""
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(28,2)")
+            .alias("qty_d")
+        )
+        .filter(F.col("qty_d") > F.lit(min_qty))
+    )
+    j = per_order.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").hint(
+            "merge"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        customer.select("c_custkey", "c_name").hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.orderBy(F.desc("qty_d"), F.asc("o_orderkey"))
+        .limit(k)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+            F.col("qty_d").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS qty_d
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) > {Q18_MIN_QTY}
+)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 6) AS o_totalprice,
+       CAST(qty_d AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY qty_d DESC, o_orderkey ASC
+LIMIT {Q18_K}"""
+
+
+#: Q19's three (brand, size-range, quantity-range) clauses — the fixture's
+#: brands are Brand#1..Brand#25, sizes 1..50, quantities 1..50.
+Q19_CLAUSES = (
+    ("Brand#3", 1, 15, 1, 20),
+    ("Brand#15", 10, 30, 5, 25),
+    ("Brand#21", 20, 50, 20, 40),
+)
+
+
+def discount_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) → DF[revenue, n_items]: revenue from
+    line items matching ANY of three (brand, part-size range, quantity
+    range) clause conjunctions — the classic OR-of-ANDs predicate.
+
+    Plan: the quantity envelope (the OR's per-table projection: qty
+    between the min of all lows and the max of all highs) and the brand
+    IN-list both reach PushedFilters on their respective scans, so the
+    SMJ joins only candidate rows; the exact OR applies post-join."""
+    qlo = min(c[3] for c in Q19_CLAUSES)
+    qhi = max(c[4] for c in Q19_CLAUSES)
+    li = lineitem.filter(
+        (F.col("l_quantity") >= float(qlo)) & (F.col("l_quantity") <= float(qhi))
+    ).select("l_partkey", "l_quantity", _rev().alias("rev"))
+    pt = part.filter(
+        F.col("p_brand").isin([c[0] for c in Q19_CLAUSES])
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, slo, shi, lo, hi in Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= float(lo))
+            & (F.col("l_quantity") <= float(hi))
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(pt.hint("merge"), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q19_clause_sql() -> str:
+    parts = [
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {lo}.0 AND {hi}.0)"
+        for b, slo, shi, lo, hi in Q19_CLAUSES
+    ]
+    return "\n   OR ".join(parts)
+
+
+DISCOUNT_REVENUE_SQL = f"""
+SELECT ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_clause_sql()}"""
+
+
+Q22_CUTOFF = "2000-01-01"   # "lapsed" = no orders on/after this date
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) → DF[n_name, n_custs,
+    total_acctbal]: above-average-balance customers with NO recent orders
+    (the reference's "never ordered" is degenerate on the fixture — every
+    customer has orders — so the anti-join keys on orders placed after
+    the cutoff; same plan shape), grouped by nation instead of the
+    missing phone country code.
+
+    Plan: the threshold is a 1-row broadcast (exact decimal sum → ONE
+    double division), the candidate set crossJoins it (never shuffles),
+    the NOT EXISTS is a LEFT ANTI SMJ against the date-filtered orders
+    slice, nation broadcasts for the name."""
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avg_row = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    cand = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        cand.join(
+            recent.hint("merge"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_acctbal"),
+        )
+    )
+
+
+IDLE_CUSTOMERS_SQL = f"""
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_acctbal
+FROM customer CROSS JOIN a
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY 1"""

@@ -4307,6 +4307,145 @@ FROM d GROUP BY 1, 2 ORDER BY etype ASC, uid_mod ASC"""
 CATALOG.update(_round4_s8e_specs())
 
 
+# ----------------------------------------------------- round-4 s9 batch A
+# TPC-H join-breadth completion: Q4/Q6/Q7/Q14/Q18/Q19/Q22 shapes (joins.py
+# round-4 s9 section). Every fixture-schema adaptation is documented on the
+# operator docstring; plan shapes are pinned in tests/test_plans.py.
+
+
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import order_priority
+
+    return order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import revenue_forecast
+
+    return revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import volume_shipping
+
+    return volume_shipping(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import promo_effect
+
+    return promo_effect(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import large_orders
+
+    return large_orders(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def q_tpch_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import discount_revenue
+
+    return discount_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import idle_customers
+
+    return idle_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _round4_s9a_specs():
+    from .joins import (
+        DISCOUNT_REVENUE_SQL,
+        IDLE_CUSTOMERS_SQL,
+        LARGE_ORDERS_SQL,
+        ORDER_PRIORITY_SQL,
+        PROMO_EFFECT_SQL,
+        REVENUE_FORECAST_SQL,
+        VOLUME_SHIPPING_SQL,
+    )
+
+    return {
+        "tpch_order_priority": QuerySpec(
+            q_tpch_order_priority,
+            ORDER_PRIORITY_SQL,
+            "TPC-H Q4 order-priority checking: quarter-filtered orders "
+            "LEFT SEMI joined to returned line items (the EXISTS that "
+            "never duplicates or counts matches), 5-group priority tally",
+        ),
+        "tpch_revenue_forecast": QuerySpec(
+            q_tpch_revenue_forecast,
+            REVENUE_FORECAST_SQL,
+            "TPC-H Q6 revenue forecast: the pure scan-aggregate — five "
+            "predicates all in PushedFilters, zero joins, exact-decimal "
+            "discount-revenue sum",
+        ),
+        "tpch_volume_shipping": QuerySpec(
+            q_tpch_volume_shipping,
+            VOLUME_SHIPPING_SQL,
+            "TPC-H Q7 volume shipping: the widest fact chain (lineitem⋈"
+            "supplier⋈orders⋈customer SMJ) with nation broadcast twice "
+            "under supplier/customer roles, all cross-nation pairs",
+        ),
+        "tpch_promo_effect": QuerySpec(
+            q_tpch_promo_effect,
+            PROMO_EFFECT_SQL,
+            "TPC-H Q14 promotion effect: month-sliced lineitem⋈part SMJ, "
+            "promo/total revenue as exact decimals, the percentage as ONE "
+            "pinned double op sequence (×100.0 then divide) + round6",
+        ),
+        "tpch_large_orders": QuerySpec(
+            q_tpch_large_orders,
+            LARGE_ORDERS_SQL,
+            "TPC-H Q18 large-volume customers: HAVING on the lineitem-only "
+            "quantity aggregate BEFORE the orders/customer chain joins the "
+            "surviving keyset; decimal rank key, top-100",
+        ),
+        "tpch_discount_revenue": QuerySpec(
+            q_tpch_discount_revenue,
+            DISCOUNT_REVENUE_SQL,
+            "TPC-H Q19 discounted revenue: OR-of-ANDs over three (brand, "
+            "size, quantity) clauses — the brand IN-list and the quantity "
+            "envelope push into the scans, the exact OR applies post-join",
+        ),
+        "tpch_idle_customers": QuerySpec(
+            q_tpch_idle_customers,
+            IDLE_CUSTOMERS_SQL,
+            "TPC-H Q22 global sales opportunity: above-average-balance "
+            "customers with no recent orders — 1-row broadcast threshold, "
+            "LEFT ANTI SMJ on the date-filtered orders slice, nation "
+            "rollup (fixture has no phone country code)",
+        ),
+    }
+
+
+CATALOG.update(_round4_s9a_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4416,6 +4555,10 @@ _SWEEP_NEXT = [
     "tpch_returned_items", "span_first_topk", "ann_matryoshka_overlap",
     "split_kl_divergence", "esql_nation_lookup",
     "hard_negatives", "events_geo_rings", "esql_events_dissect",
+    # round-4 session-9 additions (brand new — same policy)
+    "tpch_order_priority", "tpch_revenue_forecast", "tpch_volume_shipping",
+    "tpch_promo_effect", "tpch_large_orders", "tpch_discount_revenue",
+    "tpch_idle_customers",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -711,3 +711,88 @@ def test_session8_vector_entry_plans(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_session9_tpch_plans(spark):
+    """Round-4 session-9 plan pins for the TPC-H join-breadth batch:
+    semi/anti joins stay SMJ on SF-growing sides, nation stays broadcast,
+    Q6 is join-free with every predicate pushed, Q19's envelope reaches
+    both scans, Q18 aggregates lineitem BEFORE any join."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from sparksearch.joins import (
+        discount_revenue,
+        idle_customers,
+        large_orders,
+        order_priority,
+        promo_effect,
+        revenue_forecast,
+        volume_shipping,
+    )
+
+    t = {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "supplier", "part", "nation")
+    }
+
+    # Q4: LEFT SEMI sort-merge join, both filters pushed
+    plan = _plan(order_priority(t["orders"], t["lineitem"]))
+    assert re.search(r"SortMergeJoin .*LeftSemi", plan), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    assert any("l_returnflag" in ln for ln in pushed), plan
+
+    # Q6: no join at all; all five predicates at the scan
+    plan = _plan(revenue_forecast(t["lineitem"]))
+    assert "Join" not in plan, plan
+    (pf,) = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, plan
+
+    # Q7: three SMJ fact joins, exactly two broadcast nation joins
+    plan = _plan(
+        volume_shipping(
+            t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+        )
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+
+    # Q14: SMJ against the SF-growing part table (no fixture-stats broadcast)
+    plan = _plan(promo_effect(t["lineitem"], t["part"]))
+    assert "SortMergeJoin" in plan, plan
+
+    # Q18: the quantity HAVING runs on a lineitem-only aggregate before joins
+    plan = _plan(large_orders(t["lineitem"], t["orders"], t["customer"]))
+    assert "TakeOrderedAndProject" in plan, plan
+    blocks = plan.split("\n\n")
+    agg_ids = [
+        int(m.group(1))
+        for b in blocks
+        if (m := re.match(r"\((\d+)\) (\*? ?)HashAggregate", b)) and "qty_d" in b
+    ]
+    smj_ids = [
+        int(m.group(1))
+        for b in blocks
+        if (m := re.match(r"\((\d+)\) (\*? ?)SortMergeJoin", b))
+    ]
+    assert agg_ids and smj_ids and min(agg_ids) < min(smj_ids), (agg_ids, smj_ids)
+
+    # Q19: brand IN-list and quantity envelope both reach PushedFilters
+    plan = _plan(discount_revenue(t["lineitem"], t["part"]))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "In(" in ln for ln in pushed), plan
+    assert any("l_quantity" in ln for ln in pushed), plan
+
+    # Q22: LEFT ANTI SMJ on the date-filtered orders slice
+    plan = _plan(idle_customers(t["customer"], t["orders"], t["nation"]))
+    assert re.search(r"SortMergeJoin .*LeftAnti", plan), plan
+    assert "BroadcastHashJoin" in plan, plan  # nation name join
+
+    for df in (
+        order_priority(t["orders"], t["lineitem"]),
+        revenue_forecast(t["lineitem"]),
+        promo_effect(t["lineitem"], t["part"]),
+    ):
+        assert "BatchEvalPython" not in _plan(df)
