@@ -44,10 +44,15 @@ EXACTLY — the vsm/training_data_stats order-independent-sum remedy —
 returning a scale-9 decimal; integer arguments sum as exact BIGINT),
 AVG (exact SUM + one final double division).
 
-What is intentionally absent: DISSECT/GROK (regex extraction — the
-pii_scan family covers the capability), ENRICH (a broadcast join —
-the joins module covers it), and implicit fulltext functions. The
-subset is chosen so each compiled query has a DuckDB twin.
+Structuring commands: DISSECT (one-literal-separator split → typed
+columns, no regex engine), GROK (%{WORD|INT|NUMBER:name} core syntaxes
+compiled to ONE anchored regex, capture groups → typed columns),
+MV_EXPAND (explode a multi-valued column; SPLIT/SUBSTRING produce the
+arrays/slices it consumes), LOOKUP JOIN (broadcast left join).
+
+What is intentionally absent: ENRICH (LOOKUP JOIN covers the shape),
+full GROK pattern library (the three core syntaxes keep every compiled
+query DuckDB-twinnable), and implicit fulltext functions.
 """
 
 from __future__ import annotations
@@ -78,7 +83,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
-    "LOOKUP", "JOIN", "ON", "DISSECT",
+    "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND",
 }
 
 
@@ -157,6 +162,12 @@ _FUNCS = {
     "TO_STRING": lambda a: a[0].cast("string"),
     "COALESCE": lambda a: F.coalesce(*a),
     "CASE": lambda a: _case(a),
+    # SPLIT(str, delim) — delim is a LITERAL string (the ES|QL contract),
+    # regex-escaped before it reaches Spark's regex-based split.
+    "SPLIT": lambda a: F.split(a[0], re.escape(a[1]._esql_lit)),  # type: ignore[attr-defined]
+    "SUBSTRING": lambda a: F.substring(
+        a[0], int(a[1]._esql_lit), int(a[2]._esql_lit)  # type: ignore[attr-defined]
+    ),
 }
 
 
@@ -421,6 +432,56 @@ def compile_esql(
             parts = F.split(F.col(src_col), _re.escape(seps[0]))
             for i, name in enumerate(fields):
                 df = df.withColumn(name, parts.getItem(i))
+        elif cmd == "GROK":
+            # GROK <col> "<pattern>" — regex extraction with the three
+            # deterministic core syntaxes (%{WORD:name}, %{INT:name},
+            # %{NUMBER:name}) joined by literal text. The pattern compiles
+            # to ONE anchored regex whose capture groups become typed
+            # columns (INT → long, NUMBER → double); \\w and \\d mean the
+            # same thing to Java regex and DuckDB's RE2, so every compiled
+            # GROK has an exact twin. Non-matching rows yield NULL fields
+            # (the ES contract).
+            import re as _re
+
+            src_col = p.expect("id").text
+            pat = p.expect("str").text[1:-1]
+            _syntax = {
+                "WORD": r"\w+",
+                "INT": r"-?\d+",
+                "NUMBER": r"-?\d+(?:\.\d+)?",
+            }
+            regex_parts, fields = [], []
+            pos = 0
+            for m in _re.finditer(r"%\{(\w+):(\w+)\}", pat):
+                regex_parts.append(_re.escape(pat[pos:m.start()]))
+                syntax, fname = m.group(1), m.group(2)
+                if syntax not in _syntax:
+                    raise EsqlError(f"unknown GROK syntax %{{{syntax}}}")
+                regex_parts.append(f"({_syntax[syntax]})")
+                fields.append((fname, syntax))
+                pos = m.end()
+            regex_parts.append(_re.escape(pat[pos:]))
+            if not fields:
+                raise EsqlError(f"GROK pattern has no %{{SYNTAX:name}}: {pat!r}")
+            regex = "".join(regex_parts)
+            for i, (fname, syntax) in enumerate(fields):
+                # regexp_extract yields '' on no-match; the ES contract is
+                # NULL fields — nullif first, and try_cast (not cast: ANSI
+                # mode throws on '' → BIGINT) for the numeric syntaxes.
+                c = F.nullif(
+                    F.regexp_extract(F.col(src_col), regex, i + 1), F.lit("")
+                )
+                if syntax == "INT":
+                    c = c.try_cast("long")
+                elif syntax == "NUMBER":
+                    c = c.try_cast("double")
+                df = df.withColumn(fname, c)
+        elif cmd == "MV_EXPAND":
+            # MV_EXPAND <col>: one row per element of a multi-valued column
+            # (ES|QL's explode) — empty arrays drop the row, matching both
+            # ES and F.explode semantics.
+            col = p.expect("id").text
+            df = df.withColumn(col, F.explode(F.col(col)))
         elif cmd == "LOOKUP":
             # LOOKUP JOIN <lookup_table> ON <field> (ES|QL 8.18): LEFT join
             # on a field that exists under the SAME NAME on both sides (the

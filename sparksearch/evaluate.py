@@ -162,3 +162,66 @@ def ranking_eval(
             round6(F.col("dcg").cast("double") / ideal.cast("double")),
         ).alias("ndcg_at_k"),
     )
+
+
+def binary_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact ROC-AUC of a scalar score against a binary label →
+    DF[n_pos, n_neg, auc_numer2, auc] (one row).
+
+    The classifier-evaluation metric every pretraining quality filter is
+    judged by (fastText wiki-vs-crawl, CCNet perplexity gates). Computed
+    as the Mann-Whitney rank-sum in EXACT integer arithmetic with
+    average-rank tie handling: group rows by distinct score, prefix-sum
+    the negatives strictly below each score, then
+
+        2·AUC·n_pos·n_neg = Σ_s n_pos(s) · (2·neg_below(s) + n_neg(s))
+
+    — the ×2 keeps the tied-pair half-credits integral, so ``auc_numer2``
+    is a hash-checkable BIGINT and the only float op is ONE double
+    division (pinned op sequence: numer / (pos · neg · 2.0)), round6.
+
+    NULL scores (undefined on zero-token docs) are excluded. Scale: the
+    groupBy is map-combinable; the prefix sum runs over the DISTINCT
+    score values only (scores are round6-quantized upstream, so the
+    grouped frame is grid-bounded — the global window never sees row-
+    scale data). Degenerate single-class inputs yield NULL auc on both
+    engines."""
+    from .stats import round6
+
+    base = scored.filter(F.col(score_col).isNotNull())
+    pos = F.sum(F.col(label_col).cast("long"))
+    g = base.groupBy(score_col).agg(
+        pos.alias("n_pos"),
+        (F.count(F.lit(1)) - pos).cast("long").alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.asc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long")
+    )
+    a = c.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("auc_numer2"),
+    )
+    auc = F.col("auc_numer2").cast("double") / (
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double") * F.lit(2.0)
+    )
+    return a.select(
+        "n_pos",
+        "n_neg",
+        "auc_numer2",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), round6(auc)).alias(
+            "auc"
+        ),
+    )

@@ -4446,6 +4446,221 @@ def _round4_s9a_specs():
 CATALOG.update(_round4_s9a_specs())
 
 
+# ----------------------------------------------------- round-4 s9 batch B
+# Classifier evaluation (exact ROC-AUC), fuzzy cross-split leakage, and the
+# ES|QL structuring commands (GROK regex extraction, SPLIT + MV_EXPAND).
+
+ESQL_GROK_QUERY = """
+FROM events
+| EVAL line = CONCAT(event_type, "-", TO_STRING(user_id), ":", TO_STRING(event_id))
+| GROK line "%{WORD:etype}-%{INT:uid}:%{INT:eid}"
+| EVAL bucket = uid % 10
+| STATS n = COUNT(*), max_eid = MAX(eid) BY etype, bucket
+| SORT etype ASC, bucket ASC
+"""
+
+ESQL_MV_EXPAND_QUERY = """
+FROM documents
+| EVAL words = SPLIT(LOWER(text), " ")
+| MV_EXPAND words
+| WHERE LENGTH(words) > 3
+| STATS n_words = COUNT(*), n_distinct = COUNT_DISTINCT(words) BY lang
+| SORT lang ASC
+"""
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the cheap scalar quality score against the Gopher rule gate:
+    the filter-agreement audit a pipeline runs before swapping a rule set
+    for a learned scorer (both signals derive from text but from DIFFERENT
+    statistics — the fixture has no language signal to classify, so the
+    gate is the honest label with both classes populated)."""
+    from .evaluate import binary_auc
+    from .textpipe import gopher_rules, text_quality
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        text_quality(docs)
+        .select("doc_id", F.col("quality_score").alias("score"))
+        .join(
+            gopher_rules(docs).select(
+                "doc_id", F.col("passes").cast("int").alias("y")
+            ),
+            "doc_id",
+        )
+    )
+    return binary_auc(scored)
+
+
+def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_neardup_leakage
+
+    return split_neardup_leakage(_docs(spark, sf_dir))
+
+
+def q_esql_events_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_GROK_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def q_esql_docs_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_MV_EXPAND_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def _round4_s9b_specs():
+    from .catalog_pipeline import (
+        MINHASH_CAND_SQL,
+        SHINGLE_SQL,
+        _TS,
+        _h60,
+    )
+
+    from .catalog_pipeline import _gopher_sql
+
+    _sw = "('a','the','of','to','and','in','is','it','on','for')"
+    quality_auc_sql = f"""WITH gp AS ({_gopher_sql()}),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN {_sw})) AS BIGINT) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND(CAST(sum_len / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_token_len,
+         CAST(ROUND(CAST(sw / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS stopword_ratio
+  FROM base
+),
+s AS (
+  SELECT CAST(gp.passes AS INT) AS y,
+         CAST(ROUND(CAST(least(r.n_tokens / 100.0, 1.0) * 0.4
+               + (1.0 - least(abs(r.mean_token_len - 5.0) / 5.0, 1.0)) * 0.3
+               + least(r.stopword_ratio * 5.0, 1.0) * 0.3 AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM r JOIN gp USING (doc_id)
+),
+g AS (
+  SELECT score, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+  FROM s WHERE score IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (ORDER BY score ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM g
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS auc_numer2,
+       CASE WHEN SUM(n_pos) > 0 AND SUM(n_neg) > 0 THEN
+         CAST(ROUND(CAST(CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+              / (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE) * 2.0)
+              AS DECIMAL(28,9)), 6) AS DOUBLE)
+       END AS auc
+FROM c"""
+
+    def _split_of(col: str) -> str:
+        h = _h60(f"CAST({col} AS BIGINT)::VARCHAR")
+        return (
+            f"CASE WHEN {h} % 100 < 80 THEN 'train' "
+            f"WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+        )
+
+    leakage_sql = f"""WITH {SHINGLE_SQL.strip()},
+{MINHASH_CAND_SQL.strip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.doc_id_a, i.doc_id_b, ROUND(i.i / (ca.n + cb.n - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_id_a
+  JOIN cnt cb ON cb.doc_id = i.doc_id_b
+  WHERE i.i / (ca.n + cb.n - i.i) >= 0.8
+),
+sp AS (
+  SELECT doc_id_a, doc_id_b, jaccard,
+         {_split_of('doc_id_a')} AS sa, {_split_of('doc_id_b')} AS sb
+  FROM jp
+)
+SELECT CASE WHEN sa = 'train' THEN doc_id_a ELSE doc_id_b END AS train_doc,
+       CASE WHEN sa = 'train' THEN doc_id_b ELSE doc_id_a END AS eval_doc,
+       CASE WHEN sa = 'train' THEN sb ELSE sa END AS eval_split,
+       jaccard
+FROM sp
+WHERE (sa = 'train' AND sb <> 'train') OR (sb = 'train' AND sa <> 'train')"""
+
+    grok_sql = r"""WITH f AS (
+  SELECT event_type || '-' || CAST(user_id AS VARCHAR)
+         || ':' || CAST(event_id AS VARCHAR) AS line
+  FROM events
+),
+d AS (
+  SELECT regexp_extract(line, '(\w+)\-(-?\d+):(-?\d+)', 1) AS etype,
+         CAST(regexp_extract(line, '(\w+)\-(-?\d+):(-?\d+)', 2) AS BIGINT) % 10 AS bucket,
+         CAST(regexp_extract(line, '(\w+)\-(-?\d+):(-?\d+)', 3) AS BIGINT) AS eid
+  FROM f
+)
+SELECT etype, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n, MAX(eid) AS max_eid
+FROM d GROUP BY 1, 2 ORDER BY etype ASC, bucket ASC"""
+
+    mv_expand_sql = """WITH w AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS words FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT words) AS BIGINT) AS n_distinct
+FROM w WHERE length(words) > 3
+GROUP BY 1 ORDER BY lang ASC"""
+
+    return {
+        "quality_auc": QuerySpec(
+            q_quality_auc,
+            quality_auc_sql,
+            "classifier-evaluation ROC-AUC, EXACT: the heuristic quality "
+            "score judged against the Gopher rule gate (filter-agreement "
+            "audit) via the Mann-Whitney rank-sum with average-rank ties "
+            "— 2·AUC·P·N kept integral (hash-checked BIGINT), ONE pinned "
+            "double division; the metric every pretraining quality "
+            "filter is graded by",
+        ),
+        "split_neardup_leakage": QuerySpec(
+            q_split_neardup_leakage,
+            leakage_sql,
+            "NEAR-duplicate train→eval leakage: verified MinHash+LSH "
+            "pairs whose h60 splits straddle train — the fuzzy complement "
+            "of split_contamination's exact-sha256 check (benchmark "
+            "decontamination at jaccard granularity)",
+        ),
+        "esql_events_grok": QuerySpec(
+            q_esql_events_grok,
+            grok_sql,
+            "ES|QL GROK: %{WORD/INT:name} core syntaxes compiled to ONE "
+            "anchored regex whose capture groups become typed columns — "
+            "round-trips a synthesized log line, then EVAL %/STATS/SORT "
+            "over the extracted fields",
+        ),
+        "esql_docs_mv_expand": QuerySpec(
+            q_esql_docs_mv_expand,
+            mv_expand_sql,
+            "ES|QL SPLIT + MV_EXPAND: literal-delimiter split to a multi-"
+            "value column exploded to rows (the ES|QL unnest), filtered "
+            "with LENGTH and aggregated with COUNT_DISTINCT per lang",
+        ),
+    }
+
+
+CATALOG.update(_round4_s9b_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4559,6 +4774,8 @@ _SWEEP_NEXT = [
     "tpch_order_priority", "tpch_revenue_forecast", "tpch_volume_shipping",
     "tpch_promo_effect", "tpch_large_orders", "tpch_discount_revenue",
     "tpch_idle_customers",
+    "quality_auc", "split_neardup_leakage", "esql_events_grok",
+    "esql_docs_mv_expand",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -632,3 +632,42 @@ def split_kl_divergence(docs: DataFrame) -> DataFrame:
             round6(F.sum("kqp").cast("double")).alias("kl_test_train"),
         )
     )
+
+
+def split_neardup_leakage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """NEAR-duplicate train→eval leakage → DF[train_doc, eval_doc,
+    eval_split, jaccard]: MinHash+LSH near-dup pairs (textpipe's verified
+    candidates, jaccard ≥ 0.8) whose endpoints land in different splits
+    with one end in train — the fuzzy complement of
+    ``split_contamination``'s exact-hash check. Pretraining pipelines run
+    exactly this before releasing a benchmark: an eval doc that is a
+    near-copy of a train doc contaminates the metric even though its
+    sha256 differs.
+
+    The split is the same deterministic h60 assignment as
+    ``dataset_splits`` — a pure function of the doc id, so attaching
+    splits to pairs is a map-side projection, no join. Scale profile is
+    minhash_lsh_dedup's (banded self-join + candidate-restricted verify);
+    this adds one filter."""
+    from .textpipe import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(docs)
+    sa = split_name_col("doc_id_a")
+    sb = split_name_col("doc_id_b")
+    p = pairs.select(
+        "doc_id_a", "doc_id_b", "jaccard", sa.alias("sa"), sb.alias("sb")
+    ).filter(
+        ((F.col("sa") == "train") & (F.col("sb") != "train"))
+        | ((F.col("sb") == "train") & (F.col("sa") != "train"))
+    )
+    train_first = F.col("sa") == "train"
+    return p.select(
+        F.when(train_first, F.col("doc_id_a")).otherwise(F.col("doc_id_b"))
+        .cast("long")
+        .alias("train_doc"),
+        F.when(train_first, F.col("doc_id_b")).otherwise(F.col("doc_id_a"))
+        .cast("long")
+        .alias("eval_doc"),
+        F.when(train_first, F.col("sb")).otherwise(F.col("sa")).alias("eval_split"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
