@@ -2166,3 +2166,359 @@ WHERE c_acctbal > a.avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
 GROUP BY 1"""
+
+
+# ------------------------------------------------------------ round-4 s9b
+# Second TPC-H wave: Q8 / Q13 / Q15 / Q17 / Q21 shapes (share-of-group
+# division, left-outer distribution, agg-max scalar subquery, correlated
+# avg threshold by cross-multiplication, sole-blame exists/not-exists as
+# one aggregate). Same schema-adaptation and float rules as the first wave.
+
+Q8_START = "1996-01-01"   # two order years [start, end)
+Q8_END = "1998-01-01"
+
+
+def regional_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 (national market share) shape → DF[r_name, o_year,
+    local_share, local_revenue, total_revenue, n_items]: per customer
+    region and order year, the fraction of revenue supplied from WITHIN
+    that region (the reference pins one nation's share of one region —
+    the fixture keeps every region so the result is non-degenerate at
+    every SF; the plan is identical: the revenue rows fan out through the
+    full 7-table chain, the share is a conditional sum over the same
+    rows).
+
+    Plan: two-year bound pushed into the orders scan, four SMJ fact
+    joins (lineitem ⋈ supplier is the extra hop Q7 lacks on the customer
+    side), nation broadcast twice + region broadcast once; the share is
+    exact-decimal local/total sums and ONE pinned double division."""
+    li = lineitem.select("l_orderkey", "l_suppkey", _rev().alias("rev"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+    ).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_region")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("s_region")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    g = (
+        li.join(ords.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_nationkey").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey").hint("merge"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("c_region") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("s_region") == F.col("c_region"), F.col("rev")).otherwise(
+                    zero
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("local_d"),
+            F.sum("rev").cast("decimal(28,6)").alias("tot_d"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    share = F.col("local_d").cast("double") / F.col("tot_d").cast("double")
+    return g.select(
+        "r_name",
+        "o_year",
+        round6(share).alias("local_share"),
+        F.round(F.col("local_d").cast("double"), 6).alias("local_revenue"),
+        F.round(F.col("tot_d").cast("double"), 6).alias("total_revenue"),
+        "n_items",
+    )
+
+
+REGIONAL_SHARE_SQL = f"""
+WITH g AS (
+  SELECT r.r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN sn.n_regionkey = cn.n_regionkey THEN {_REV_SQL}
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DECIMAL(28,6)) AS local_d,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS tot_d,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN region r  ON cn.n_regionkey = r.r_regionkey
+  WHERE o_orderdate >= TIMESTAMP '{Q8_START} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q8_END} 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT r_name, o_year,
+       CAST(ROUND(CAST(CAST(local_d AS DOUBLE) / CAST(tot_d AS DOUBLE)
+            AS DECIMAL(28,9)), 6) AS DOUBLE) AS local_share,
+       ROUND(CAST(local_d AS DOUBLE), 6) AS local_revenue,
+       ROUND(CAST(tot_d AS DOUBLE), 6) AS total_revenue,
+       n_items
+FROM g"""
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 (customer distribution) → DF[c_count, custdist]: the
+    histogram of per-customer order counts, INCLUDING zero-order
+    customers — the reference excludes orders by a comment pattern (no
+    comment column in the fixture), this adaptation excludes one
+    priority class; the defining plan feature survives: a LEFT OUTER
+    join so customers with no qualifying orders land in the c_count = 0
+    bucket, then a second aggregate over the first."""
+    ords = orders.filter(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    ).select("o_custkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            ords.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = f"""
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey FROM orders
+             WHERE o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}') o
+    ON c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1"""
+
+
+Q15_START = "1996-10-01"   # one-quarter window [start, end)
+Q15_END = "1997-01-01"
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 (top supplier) → DF[s_suppkey, s_name, total_revenue]:
+    the supplier(s) whose quarter revenue equals the maximum — the
+    reference's revenue view + scalar MAX subquery.
+
+    Plan: revenue aggregates per suppkey from the date-sliced lineitem
+    scan alone; the 1-row MAX re-aggregates that (tiny) frame and joins
+    back as a broadcast, so the fact table is read ONCE; the equality
+    compares exact decimals (a double max would tie-break differently
+    across engines). Supplier joins in last, for names only."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("decimal(28,6)").alias("rev_d"))
+    )
+    mx = rev.agg(F.max("rev_d").alias("max_d"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_d") == F.col("max_d"))
+        .join(
+            supplier.select("s_suppkey", "s_name").hint("merge"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_d").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS rev_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_END} 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       ROUND(CAST(rev_d AS DOUBLE), 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_d = (SELECT MAX(rev_d) FROM rev)"""
+
+
+Q17_BRAND = "Brand#5"
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) → DF[avg_weekly_revenue,
+    total_revenue, n_items]: revenue lost if orders of one brand below
+    20% of that part's average order quantity were no longer taken.
+
+    The correlated subquery (l_quantity < 0.2·AVG per part) is decided
+    WITHOUT any division: l_quantity · 5 · n(part) < Σ quantity(part) in
+    exact decimal cross-multiplication — engine-identical where a
+    0.2·avg double threshold could flip rows at the boundary. Plan: the
+    brand keyset filters lineitem FIRST (broadcast-size at any SF: one
+    brand is 1/25 of parts — but part still joins SMJ per module
+    policy), the per-part aggregate joins back to the same filtered
+    rows; /7.0 is the reference's weekly scaling, ONE double division."""
+    pa = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    li = lineitem.join(
+        pa.hint("merge"), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_d"),
+        _rev().alias("rev"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty_d").cast("decimal(28,2)").alias("sum_qty"),
+    )
+    small = li.join(
+        per_part.hint("merge"), F.col("l_partkey") == F.col("agg_partkey")
+    ).filter(
+        F.col("qty_d") * F.lit(5) * F.col("n") < F.col("sum_qty")
+    )
+    g = small.agg(
+        F.sum("rev").cast("decimal(28,6)").alias("tot_d"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    weekly = F.col("tot_d").cast("double") / F.lit(7.0)
+    return g.select(
+        round6(weekly).alias("avg_weekly_revenue"),
+        F.round(F.col("tot_d").cast("double"), 6).alias("total_revenue"),
+        "n_items",
+    )
+
+
+SMALL_QUANTITY_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty_d, {_REV_SQL} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey AS agg_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty_d) AS DECIMAL(28,2)) AS sum_qty
+  FROM li GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(rev) AS DECIMAL(28,6)) AS tot_d,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM li JOIN per_part ON l_partkey = agg_partkey
+  WHERE qty_d * 5 * n < sum_qty
+)
+SELECT CAST(ROUND(CAST(CAST(tot_d AS DOUBLE) / 7.0 AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_weekly_revenue,
+       ROUND(CAST(tot_d AS DOUBLE), 6) AS total_revenue,
+       n_items
+FROM g"""
+
+
+Q21_K = 25
+
+
+def blamed_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    k: int = Q21_K,
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape →
+    DF[s_name, n_name, numwait]: per supplier, the count of finalized
+    multi-supplier orders where that supplier was the ONLY one whose
+    line items were returned (l_returnflag = 'R' replaces the missing
+    receipt/commit-date lateness; "sole blame" preserves the reference's
+    EXISTS other-supplier / NOT EXISTS other-late-supplier structure).
+
+    Plan: the reference's two correlated lineitem self-joins are
+    rewritten as ONE aggregate per order (distinct suppliers, distinct
+    returned suppliers, the single returned suppkey via a conditional
+    max) — the scale-right form: lineitem is scanned once, the blame
+    assignment is a filter on a per-order frame that is strictly smaller
+    than lineitem, and the per-supplier count is map-combinable. Top-25
+    is TakeOrderedAndProject on (numwait DESC, s_name ASC)."""
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    per_order = (
+        li.join(fo.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("ret"), F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+            F.max(F.when(F.col("ret"), F.col("l_suppkey"))).alias("blame_key"),
+        )
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+    )
+    g = blamed.groupBy("blame_key").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    j = g.join(
+        supplier.select("s_suppkey", "s_name", "s_nationkey").hint("merge"),
+        F.col("blame_key") == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        j.orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+BLAMED_SUPPLIERS_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blame_key
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1
+),
+g AS (
+  SELECT blame_key, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM per_order WHERE n_supp >= 2 AND n_ret_supp = 1
+  GROUP BY 1
+)
+SELECT s_name, n_name, numwait
+FROM g
+JOIN supplier ON blame_key = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_K}"""

@@ -4661,6 +4661,112 @@ GROUP BY 1 ORDER BY lang ASC"""
 CATALOG.update(_round4_s9b_specs())
 
 
+# ----------------------------------------------------- round-4 s9 batch C
+# Second TPC-H wave: Q8/Q13/Q15/Q17/Q21 shapes (joins.py round-4 s9b).
+
+
+def q_tpch_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import regional_share
+
+    return regional_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import customer_distribution
+
+    return customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import top_supplier
+
+    return top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_tpch_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import blamed_suppliers
+
+    return blamed_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+    )
+
+
+def _round4_s9c_specs():
+    from .joins import (
+        BLAMED_SUPPLIERS_SQL,
+        CUSTOMER_DISTRIBUTION_SQL,
+        REGIONAL_SHARE_SQL,
+        SMALL_QUANTITY_SQL,
+        TOP_SUPPLIER_SQL,
+    )
+
+    return {
+        "tpch_regional_share": QuerySpec(
+            q_tpch_regional_share,
+            REGIONAL_SHARE_SQL,
+            "TPC-H Q8 market-share shape: intra-region revenue fraction "
+            "per (customer region, year) through the widest chain (four "
+            "SMJ fact joins, nation broadcast twice, region once); share "
+            "= exact-decimal sums + one pinned double division",
+        ),
+        "tpch_customer_distribution": QuerySpec(
+            q_tpch_customer_distribution,
+            CUSTOMER_DISTRIBUTION_SQL,
+            "TPC-H Q13 customer distribution: LEFT OUTER join keeps zero-"
+            "order customers, aggregate-of-aggregate histogram of per-"
+            "customer order counts",
+        ),
+        "tpch_top_supplier": QuerySpec(
+            q_tpch_top_supplier,
+            TOP_SUPPLIER_SQL,
+            "TPC-H Q15 top supplier: revenue view + scalar MAX subquery "
+            "as a 1-row broadcast joined back — fact scanned once, the "
+            "max-equality compares exact decimals",
+        ),
+        "tpch_small_quantity": QuerySpec(
+            q_tpch_small_quantity,
+            SMALL_QUANTITY_SQL,
+            "TPC-H Q17 small-quantity revenue: the correlated 0.2·AVG "
+            "threshold decided by exact-decimal cross-multiplication "
+            "(qty·5·n < Σqty — no division at the boundary), /7.0 as the "
+            "one pinned double op",
+        ),
+        "tpch_blamed_suppliers": QuerySpec(
+            q_tpch_blamed_suppliers,
+            BLAMED_SUPPLIERS_SQL,
+            "TPC-H Q21 sole-blame suppliers: the EXISTS/NOT-EXISTS pair "
+            "rewritten as ONE per-order aggregate (distinct suppliers, "
+            "distinct returned suppliers, conditional-max blame key) — "
+            "lineitem scanned once instead of three correlated self-joins",
+        ),
+    }
+
+
+CATALOG.update(_round4_s9c_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4776,6 +4882,8 @@ _SWEEP_NEXT = [
     "tpch_idle_customers",
     "quality_auc", "split_neardup_leakage", "esql_events_grok",
     "esql_docs_mv_expand",
+    "tpch_regional_share", "tpch_customer_distribution", "tpch_top_supplier",
+    "tpch_small_quantity", "tpch_blamed_suppliers",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -796,3 +796,62 @@ def test_session9_tpch_plans(spark):
         promo_effect(t["lineitem"], t["part"]),
     ):
         assert "BatchEvalPython" not in _plan(df)
+
+
+def test_session9_tpch_wave2_plans(spark):
+    """Q8/Q13/Q15/Q17/Q21 plan pins: widest chain keeps 4 SMJ + 3
+    broadcasts, Q13 is a real LEFT OUTER, Q15/Q21 scan lineitem once
+    with the scalar/blame reduction broadcast back, no UDFs anywhere."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from sparksearch.joins import (
+        blamed_suppliers,
+        customer_distribution,
+        regional_share,
+        small_quantity_revenue,
+        top_supplier,
+    )
+
+    t = {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "supplier", "part",
+                  "nation", "region")
+    }
+
+    plan = _plan(
+        regional_share(t["lineitem"], t["orders"], t["customer"],
+                       t["supplier"], t["nation"], t["region"])
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
+
+    plan = _plan(customer_distribution(t["customer"], t["orders"]))
+    assert re.search(r"SortMergeJoin .*LeftOuter", plan), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed), plan
+
+    plan = _plan(top_supplier(t["lineitem"], t["supplier"]))
+    # the revenue view feeds both the MAX and the equality side; without a
+    # cache Catalyst may re-derive it once, never more (each scan block
+    # prints its Location path exactly once; the tree header prints none)
+    assert 1 <= plan.count("lineitem.parquet") <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    plan = _plan(small_quantity_revenue(t["lineitem"], t["part"]))
+    assert "BatchEvalPython" not in plan
+    # the threshold compare is a decimal cross-multiplication, no division
+    assert re.search(r"\(qty_d#\d+ \* 5\)", plan) or "* 5)" in plan, plan
+
+    plan = _plan(
+        blamed_suppliers(t["lineitem"], t["orders"], t["supplier"], t["nation"])
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # the agg rewrite: ONE lineitem scan (the reference's form is three
+    # correlated self-joins = three scans)
+    assert plan.count("lineitem.parquet") == 1, plan
+    for df in (
+        customer_distribution(t["customer"], t["orders"]),
+        top_supplier(t["lineitem"], t["supplier"]),
+    ):
+        assert "BatchEvalPython" not in _plan(df)

@@ -246,3 +246,59 @@ def test_tpch_q4_q6_q18_vs_pandas(spark):
     assert len(got_rows) == min(100, len(big))
     for r in got_rows:
         assert abs(r.total_qty - big[r.o_orderkey]) < 1e-9
+
+
+def test_tpch_wave2_vs_pandas(spark):
+    """Q15/Q17/Q21 mirrors: the agg rewrites must equal the textbook
+    per-group set logic recomputed in pandas."""
+    from sparksearch.joins import (
+        blamed_suppliers,
+        small_quantity_revenue,
+        top_supplier,
+    )
+
+    li = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    od = spark.read.parquet(str(SF_SMOKE / "orders.parquet"))
+    su = spark.read.parquet(str(SF_SMOKE / "supplier.parquet"))
+    na = spark.read.parquet(str(SF_SMOKE / "nation.parquet"))
+    pt = spark.read.parquet(str(SF_SMOKE / "part.parquet"))
+    lp, op, sp = li.toPandas(), od.toPandas(), su.toPandas()
+
+    # Q15: argmax suppliers of quarter revenue
+    import pandas as pd
+
+    m = lp[
+        (lp.l_shipdate >= pd.Timestamp("1996-10-01"))
+        & (lp.l_shipdate < pd.Timestamp("1997-01-01"))
+    ].copy()
+    m["rev"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    rev = m.groupby("l_suppkey").rev.sum().round(6)
+    want = set(rev[rev == rev.max()].index)
+    got = {r.s_suppkey for r in top_supplier(li, su).collect()}
+    assert got == want
+
+    # Q17: item count below the exact 0.2*avg threshold for Brand#5
+    pp = pt.toPandas()
+    b5 = set(pp[pp.p_brand == "Brand#5"].p_partkey)
+    sub = lp[lp.l_partkey.isin(b5)]
+    g = sub.groupby("l_partkey").l_quantity.agg(["count", "sum"])
+    j = sub.merge(g, left_on="l_partkey", right_index=True)
+    n_small = int((j.l_quantity * 5 * j["count"] < j["sum"]).sum())
+    assert small_quantity_revenue(li, pt).collect()[0].n_items == n_small
+
+    # Q21: sole-blame counts from explicit per-order supplier sets
+    fkeys = set(op[op.o_orderstatus == "F"].o_orderkey)
+    fo = lp[lp.l_orderkey.isin(fkeys)]
+    blame = {}
+    for ok, grp in fo.groupby("l_orderkey"):
+        supps = set(grp.l_suppkey)
+        ret = set(grp[grp.l_returnflag == "R"].l_suppkey)
+        if len(supps) >= 2 and len(ret) == 1:
+            (s,) = ret
+            blame[s] = blame.get(s, 0) + 1
+    names = dict(zip(sp.s_suppkey, sp.s_name))
+    ranked = sorted(blame.items(), key=lambda kv: (-kv[1], names[kv[0]]))[:25]
+    got_rows = blamed_suppliers(li, od, su, na).collect()
+    assert [(names[k], v) for k, v in ranked] == [
+        (r.s_name, r.numwait) for r in got_rows
+    ]
