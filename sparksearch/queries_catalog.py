@@ -4767,6 +4767,135 @@ def _round4_s9c_specs():
 CATALOG.update(_round4_s9c_specs())
 
 
+# ---------------------------------------------------- round-4 s10 batch A
+# TPC-H family completion: the six remaining query shapes (Q2/Q9/Q11/Q12/
+# Q16/Q20) — all 22 TPC-H queries now have a fixture adaptation that keeps
+# the reference plan shape (joins.py round-4 s10 section documents every
+# predicate swap; the partsupp relation derives from lineitem's DISTINCT
+# (l_partkey, l_suppkey) pairs with MIN(l_extendedprice) as supply cost).
+
+
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import min_cost_supplier
+
+    return min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import product_profit
+
+    return product_profit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import important_stock
+
+    return important_stock(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import shipping_modes
+
+    return shipping_modes(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import parts_supplier_relation
+
+    return parts_supplier_relation(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_tpch_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .joins import promotion_suppliers
+
+    return promotion_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def _round4_s10a_specs():
+    from .joins import (
+        IMPORTANT_STOCK_SQL,
+        MIN_COST_SUPPLIER_SQL,
+        PARTS_SUPPLIER_SQL,
+        PRODUCT_PROFIT_SQL,
+        PROMOTION_SUPPLIERS_SQL,
+        SHIPPING_MODES_SQL,
+    )
+
+    return {
+        "tpch_min_cost_supplier": QuerySpec(
+            q_tpch_min_cost_supplier,
+            MIN_COST_SUPPLIER_SQL,
+            "TPC-H Q2 minimum-cost supplier: region-scoped supplier-part "
+            "pairs, correlated MIN re-aggregated and joined back on exact "
+            "decimal equality, top-100 on (acctbal DESC, n, s, part)",
+        ),
+        "tpch_product_profit": QuerySpec(
+            q_tpch_product_profit,
+            PRODUCT_PROFIT_SQL,
+            "TPC-H Q9 product-type profit: 4-SMJ chain + nation broadcast, "
+            "profit = revenue − decimal-exact 0.1·retail·qty cost (no "
+            "double rounding before the one output conversion)",
+        ),
+        "tpch_important_stock": QuerySpec(
+            q_tpch_important_stock,
+            IMPORTANT_STOCK_SQL,
+            "TPC-H Q11 important stock: region-scoped LEFT SEMI before the "
+            "per-part value aggregate, 1-row broadcast grand total, "
+            "above-mean gate by exact-decimal cross-multiplication",
+        ),
+        "tpch_shipping_modes": QuerySpec(
+            q_tpch_shipping_modes,
+            SHIPPING_MODES_SQL,
+            "TPC-H Q12 shipping modes vs priority: year window pushed to "
+            "the lineitem scan, SMJ to orders, two conditional sums per "
+            "mode class",
+        ),
+        "tpch_parts_suppliers": QuerySpec(
+            q_tpch_parts_suppliers,
+            PARTS_SUPPLIER_SQL,
+            "TPC-H Q16 parts/supplier relationship: distinct supplier-part "
+            "pairs LEFT ANTI the complaint subset, part filters pushed "
+            "(In + Not), COUNT(DISTINCT supp) per (brand, type, size)",
+        ),
+        "tpch_promo_suppliers": QuerySpec(
+            q_tpch_promo_suppliers,
+            PROMOTION_SUPPLIERS_SQL,
+            "TPC-H Q20 potential promotion: per-(supplier, part) windowed "
+            "vs all-time quantity in ONE conditional-sum pass, half "
+            "threshold by cross-multiplication, region-scoped LEFT SEMI",
+        ),
+    }
+
+
+CATALOG.update(_round4_s10a_specs())
+
+
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
 # byte-untouched since (pytest still covers all of them, and
@@ -4884,6 +5013,9 @@ _SWEEP_NEXT = [
     "esql_docs_mv_expand",
     "tpch_regional_share", "tpch_customer_distribution", "tpch_top_supplier",
     "tpch_small_quantity", "tpch_blamed_suppliers",
+    # round-4 session-10 additions (brand new — same policy)
+    "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
+    "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -855,3 +855,88 @@ def test_session9_tpch_wave2_plans(spark):
         top_supplier(t["lineitem"], t["supplier"]),
     ):
         assert "BatchEvalPython" not in _plan(df)
+
+
+def test_session10_tpch_plans(spark):
+    """Q2/Q9/Q11/Q12/Q16/Q20 plan pins — the TPC-H completion batch:
+    semi/anti joins stay SMJ, every swapped predicate still pushes into
+    its scan, Q20's windowed-vs-total aggregate reads lineitem ONCE, and
+    no per-row Python anywhere."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from sparksearch.joins import (
+        important_stock,
+        min_cost_supplier,
+        parts_supplier_relation,
+        product_profit,
+        promotion_suppliers,
+        shipping_modes,
+    )
+
+    t = {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "supplier", "part",
+                  "nation", "region")
+    }
+
+    # Q2: part filters pushed, dims broadcast, top-k is TakeOrdered
+    plan = _plan(
+        min_cost_supplier(t["lineitem"], t["part"], t["supplier"],
+                          t["nation"], t["region"])
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_type" in ln and "p_size" in ln for ln in pushed), plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" in plan
+
+    # Q9: three SMJ fact joins (part, supplier, orders) + exactly one
+    # nation broadcast; the name suffix filter reaches the part scan
+    plan = _plan(
+        product_profit(t["lineitem"], t["part"], t["supplier"],
+                       t["orders"], t["nation"])
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+    assert "StringEndsWith" in plan, plan
+
+    # Q11: the region scope applies as LEFT SEMI before the aggregate;
+    # the 1-row total joins back without shuffling the value frame
+    plan = _plan(
+        important_stock(t["lineitem"], t["supplier"], t["nation"], t["region"])
+    )
+    assert re.search(r"SortMergeJoin .*LeftSemi", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    # Q12: year window pushed, SMJ to orders
+    plan = _plan(shipping_modes(t["lineitem"], t["orders"]))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+    assert "SortMergeJoin" in plan, plan
+
+    # Q16: complaint subset excluded by LEFT ANTI; size IN-list and brand
+    # exclusion both reach the part scan
+    plan = _plan(
+        parts_supplier_relation(t["lineitem"], t["part"], t["supplier"])
+    )
+    assert re.search(r"SortMergeJoin .*LeftAnti", plan), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(p_size" in ln for ln in pushed), plan
+    assert any("Not(EqualTo(p_brand" in ln for ln in pushed), plan
+
+    # Q20: both reductions are LEFT SEMI, the prefix pushes, and the
+    # windowed/total pair comes from ONE lineitem scan (conditional sum)
+    plan = _plan(
+        promotion_suppliers(t["lineitem"], t["part"], t["supplier"],
+                            t["nation"], t["region"])
+    )
+    assert len(re.findall(r"SortMergeJoin .*LeftSemi", plan)) >= 1, plan
+    assert "StringStartsWith" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+    for maker in (
+        lambda: shipping_modes(t["lineitem"], t["orders"]),
+        lambda: product_profit(t["lineitem"], t["part"], t["supplier"],
+                               t["orders"], t["nation"]),
+    ):
+        assert "BatchEvalPython" not in _plan(maker())

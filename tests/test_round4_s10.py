@@ -1,0 +1,207 @@
+"""Round-4 session-10 operators vs independent mirrors (sf0.001).
+
+The six remaining TPC-H query shapes (Q2/Q9/Q11/Q12/Q16/Q20) — the
+family is now complete at 22 of 22 — each checked against a pandas
+recomputation, a third code path beside Spark and the DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return {
+        n: spark.read.parquet(str(SF_SMOKE / f"{n}.parquet"))
+        for n in (
+            "lineitem", "orders", "customer", "supplier", "part",
+            "nation", "region",
+        )
+    }
+
+
+@pytest.fixture(scope="module")
+def tp(t):
+    return {k: v.toPandas() for k, v in t.items()}
+
+
+def _region_suppliers(tp, region):
+    nk = set(
+        tp["nation"]
+        .merge(
+            tp["region"][tp["region"].r_name == region],
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )
+        .n_nationkey
+    )
+    return tp["supplier"][tp["supplier"].s_nationkey.isin(nk)]
+
+
+def test_q2_min_cost_supplier_vs_pandas(t, tp):
+    from sparksearch.joins import Q2_MAX_SIZE, Q2_REGION, Q2_TYPE, min_cost_supplier
+
+    lp, pp = tp["lineitem"], tp["part"]
+    sup = _region_suppliers(tp, Q2_REGION)
+    cost = (
+        lp.groupby(["l_partkey", "l_suppkey"], as_index=False)
+        .l_extendedprice.min()
+        .rename(columns={"l_extendedprice": "cost"})
+    )
+    pa = pp[(pp.p_type == Q2_TYPE) & (pp.p_size <= Q2_MAX_SIZE)]
+    scoped = cost.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        pa, left_on="l_partkey", right_on="p_partkey"
+    )
+    mins = scoped.groupby("l_partkey").cost.min()
+    want = {
+        (r.l_partkey, r.l_suppkey)
+        for r in scoped.itertuples()
+        if r.cost == mins[r.l_partkey]
+    }
+    names = dict(zip(tp["supplier"].s_suppkey, tp["supplier"].s_name))
+    got = min_cost_supplier(
+        t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+    ).collect()
+    got_pairs = {
+        (r.p_partkey, next(k for k, v in names.items() if v == r.s_name))
+        for r in got
+    }
+    assert len(want) <= 100  # fixture fits inside the limit: full equality
+    assert got_pairs == want
+    # rank key: exact balances descending
+    bals = [r.s_acctbal for r in got]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_q9_product_profit_vs_pandas(t, tp):
+    from sparksearch.joins import Q9_NOUN, product_profit
+
+    lp, pp, sp, op = tp["lineitem"], tp["part"], tp["supplier"], tp["orders"]
+    pa = pp[pp.p_name.str.endswith(Q9_NOUN)]
+    j = (
+        lp.merge(pa, left_on="l_partkey", right_on="p_partkey")
+        .merge(sp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(op, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(tp["nation"], left_on="s_nationkey", right_on="n_nationkey")
+    )
+    j["o_year"] = j.o_orderdate.dt.year
+    j["amount"] = (j.l_extendedprice * (1 - j.l_discount)).round(6) - (
+        0.1 * j.p_retailprice * j.l_quantity
+    )
+    want = j.groupby(["n_name", "o_year"]).amount.agg(["sum", "count"])
+    got = {
+        (r.nation, r.o_year): (r.sum_profit, r.n_items)
+        for r in product_profit(
+            t["lineitem"], t["part"], t["supplier"], t["orders"], t["nation"]
+        ).collect()
+    }
+    assert set(got) == set(want.index)
+    for key, (s, n) in got.items():
+        assert n == want.loc[key, "count"]
+        assert abs(s - want.loc[key, "sum"]) < 1e-4
+
+
+def test_q11_important_stock_vs_pandas(t, tp):
+    from sparksearch.joins import Q11_REGION, important_stock
+
+    lp = tp["lineitem"]
+    skeys = set(_region_suppliers(tp, Q11_REGION).s_suppkey)
+    m = lp[lp.l_suppkey.isin(skeys)].copy()
+    m["rev"] = (m.l_extendedprice * (1 - m.l_discount)).round(6)
+    value = m.groupby("l_partkey").rev.sum()
+    want = set(value[value * len(value) > value.sum()].index)
+    rows = important_stock(
+        t["lineitem"], t["supplier"], t["nation"], t["region"]
+    ).collect()
+    assert {r.p_partkey for r in rows} == want
+    assert want and len(want) < len(value)  # a real gate, not all/none
+    for r in rows:
+        assert abs(r.value - round(value[r.p_partkey], 6)) < 1e-5
+
+
+def test_q12_shipping_modes_vs_pandas(t, tp):
+    from sparksearch.joins import Q12_END, Q12_HIGH, Q12_START, shipping_modes
+
+    lp, op = tp["lineitem"], tp["orders"]
+    m = lp[
+        (lp.l_shipdate >= pd.Timestamp(Q12_START))
+        & (lp.l_shipdate < pd.Timestamp(Q12_END))
+    ].merge(op, left_on="l_orderkey", right_on="o_orderkey")
+    m["high"] = m.o_orderpriority.isin(Q12_HIGH)
+    want = {
+        ls: (int(grp.high.sum()), int((~grp.high).sum()))
+        for ls, grp in m.groupby("l_linestatus")
+    }
+    got = {
+        r.l_linestatus: (r.high_line_count, r.low_line_count)
+        for r in shipping_modes(t["lineitem"], t["orders"]).collect()
+    }
+    assert got == want
+
+
+def test_q16_parts_suppliers_vs_pandas(t, tp):
+    from sparksearch.joins import (
+        Q16_COMPLAINT_BAL,
+        Q16_EXCL_BRAND,
+        Q16_EXCL_TYPE,
+        Q16_SIZES,
+        parts_supplier_relation,
+    )
+
+    lp, pp, sp = tp["lineitem"], tp["part"], tp["supplier"]
+    pairs = lp[["l_partkey", "l_suppkey"]].drop_duplicates()
+    bad = set(sp[sp.s_acctbal < Q16_COMPLAINT_BAL].s_suppkey)
+    pa = pp[
+        (pp.p_brand != Q16_EXCL_BRAND)
+        & (pp.p_type != Q16_EXCL_TYPE)
+        & (pp.p_size.isin(Q16_SIZES))
+    ]
+    j = pairs[~pairs.l_suppkey.isin(bad)].merge(
+        pa, left_on="l_partkey", right_on="p_partkey"
+    )
+    want = {
+        key: grp.l_suppkey.nunique()
+        for key, grp in j.groupby(["p_brand", "p_type", "p_size"])
+    }
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in parts_supplier_relation(
+            t["lineitem"], t["part"], t["supplier"]
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_q20_promo_suppliers_vs_pandas(t, tp):
+    from sparksearch.joins import (
+        Q20_END,
+        Q20_PREFIX,
+        Q20_REGION,
+        Q20_START,
+        promotion_suppliers,
+    )
+
+    lp, pp = tp["lineitem"], tp["part"]
+    pkeys = set(pp[pp.p_name.str.startswith(Q20_PREFIX)].p_partkey)
+    m = lp[lp.l_partkey.isin(pkeys)].copy()
+    m["win"] = (
+        (m.l_shipdate >= pd.Timestamp(Q20_START))
+        & (m.l_shipdate < pd.Timestamp(Q20_END))
+    ) * m.l_quantity
+    g = m.groupby(["l_suppkey", "l_partkey"]).agg(
+        win=("win", "sum"), tot=("l_quantity", "sum")
+    )
+    qual = {s for (s, p), r in g.iterrows() if 2 * r.win > r.tot}
+    region = set(_region_suppliers(tp, Q20_REGION).s_suppkey)
+    want = qual & region
+    got = {
+        r.s_suppkey
+        for r in promotion_suppliers(
+            t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+        ).collect()
+    }
+    assert got == want and want
