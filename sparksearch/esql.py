@@ -19,10 +19,16 @@ aggregated frame, matching ES|QL semantics):
     WHERE <boolean expr>
     EVAL  <name> = <expr> [, <name> = <expr> …]
     STATS <name> = <agg>(…) [, …] [BY <col> [, <col> …]]
+    INLINESTATS <name> = <agg>(…) [, …] [BY <col> [, <col> …]]
     SORT  <col> [ASC|DESC] [, …]
     LIMIT <n>
     KEEP  <col> [, …]
     DROP  <col> [, …]
+
+INLINESTATS attaches the per-group aggregates to every row without
+collapsing: with BY keys it compiles to window functions (one hash
+partition, no join); without keys the 1-row global aggregate broadcasts
+back.
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 AND/OR/NOT, IN (…), LIKE "glob*" (ES|QL ``*``/``?`` wildcards), IS
@@ -37,6 +43,7 @@ checkable):
   ROUND(x, n)     — decimal(28,9)-quantize then exact-decimal round
                     (stats.round6 generalized to scale n)
   ABS, LENGTH, LOWER, UPPER, CONCAT, TO_LONG, TO_DOUBLE
+  BUCKET(x, span) — floor(x/span)·span, single-IEEE-op portable
 
 Aggregations: COUNT(*), COUNT(x), COUNT_DISTINCT(x), MIN, MAX,
 SUM (a DOUBLE argument is quantized to decimal(28,9) per row and summed
@@ -83,7 +90,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
-    "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND",
+    "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
 }
 
 
@@ -168,6 +175,12 @@ _FUNCS = {
     "SUBSTRING": lambda a: F.substring(
         a[0], int(a[1]._esql_lit), int(a[2]._esql_lit)  # type: ignore[attr-defined]
     ),
+    # BUCKET(x, span) — ES|QL's numeric bucketing function: the start of
+    # x's span-wide bucket, floor(x/span)·span. The division and the
+    # product are single IEEE double ops in the same order on both
+    # engines, and floor (TRUE floor, not DuckDB's truncating //) is
+    # exact — so compiled buckets twin without quantization.
+    "BUCKET": lambda a: F.floor(a[0] / a[1]).cast("double") * a[1],
 }
 
 
@@ -315,18 +328,26 @@ class _ExprParser:
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
 
 
-def _agg_column(p: _Parser, name: str) -> Column:
+def _parse_agg(p: _Parser) -> tuple[str, Column | None]:
+    """Parse ``AGG(expr)`` / ``COUNT(*)`` → (fn, arg) without building the
+    final Column, so STATS (grouped) and INLINESTATS (windowed) share one
+    grammar."""
     fn = p.expect("id").text.upper()
     if fn not in _AGGS:
         raise EsqlError(f"unknown aggregation {fn}")
     p.expect("op", "(")
     if fn == "COUNT" and p.accept("op", "*"):
         p.expect("op", ")")
-        return F.count(F.lit(1)).cast("long").alias(name)
+        return fn, None
     arg = _ExprParser(p).parse()
     p.expect("op", ")")
+    return fn, arg
+
+
+def _build_agg(fn: str, arg: Column | None, name: str) -> Column:
     if fn == "COUNT":
-        return F.count(arg).cast("long").alias(name)
+        src = F.lit(1) if arg is None else arg
+        return F.count(src).cast("long").alias(name)
     if fn == "COUNT_DISTINCT":
         return F.countDistinct(arg).cast("long").alias(name)
     if fn == "MIN":
@@ -340,6 +361,33 @@ def _agg_column(p: _Parser, name: str) -> Column:
     if fn == "SUM":
         return exact.alias(name)
     return (exact.cast("double") / F.count(arg)).alias(name)
+
+
+def _agg_column(p: _Parser, name: str) -> Column:
+    fn, arg = _parse_agg(p)
+    return _build_agg(fn, arg, name)
+
+
+def _window_agg(fn: str, arg: Column | None, w) -> Column:
+    """The windowed twin of _build_agg for INLINESTATS — same float
+    discipline (exact decimal SUM, one AVG division), computed over a
+    partition window so the frame keeps every input row and the only
+    shuffle is the hash partition on the BY keys (no join, no collapse)."""
+    if fn == "COUNT":
+        src = F.lit(1) if arg is None else arg
+        return F.count(src).over(w).cast("long")
+    if fn == "COUNT_DISTINCT":
+        # countDistinct is not a window function; the set-size rewrite is
+        # exact and stays JVM-side.
+        return F.size(F.collect_set(arg).over(w)).cast("long")
+    if fn == "MIN":
+        return F.min(arg).over(w)
+    if fn == "MAX":
+        return F.max(arg).over(w)
+    exact = F.sum(arg.cast("decimal(28,9)")).over(w)
+    if fn == "SUM":
+        return exact
+    return exact.cast("double") / F.count(arg).over(w)
 
 
 def compile_esql(
@@ -397,6 +445,38 @@ def compile_esql(
                 while p.accept("op", ","):
                     keys.append(p.expect("id").text)
             df = (df.groupBy(*keys) if keys else df.groupBy()).agg(*aggs)
+        elif cmd == "INLINESTATS":
+            # INLINESTATS (ES|QL 8.16): per-group aggregates attached to
+            # every row WITHOUT collapsing the frame. With BY keys the
+            # translation is pure window functions — one hash partition on
+            # the keys, no join, no group-sized intermediate (the
+            # scale-right form at any key cardinality). Without BY the
+            # global 1-row aggregate broadcasts back (a partitionBy-less
+            # window would drag every row to one partition).
+            specs: list[tuple[str, str, Column | None]] = []
+            while True:
+                name = p.expect("id").text
+                p.expect("op", "=")
+                fn, arg = _parse_agg(p)
+                specs.append((name, fn, arg))
+                if not p.accept("op", ","):
+                    break
+            keys = []
+            if p.accept("kw", "BY"):
+                keys.append(p.expect("id").text)
+                while p.accept("op", ","):
+                    keys.append(p.expect("id").text)
+            if keys:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys)
+                for name, fn, arg in specs:
+                    df = df.withColumn(name, _window_agg(fn, arg, w))
+            else:
+                g = df.groupBy().agg(
+                    *[_build_agg(fn, arg, name) for name, fn, arg in specs]
+                )
+                df = df.crossJoin(F.broadcast(g))
         elif cmd == "SORT":
             orders = []
             while True:

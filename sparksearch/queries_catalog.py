@@ -3997,6 +3997,79 @@ GROUP BY 1 ORDER BY 1 ASC""",
 })
 
 
+# ES|QL INLINESTATS (8.16) + BUCKET — round-4 session-10. INLINESTATS
+# attaches per-group aggregates to every row without collapsing; the
+# compiler translates BY-keyed forms to pure window functions (one hash
+# partition on the keys, no join — the scale-right plan at any key
+# cardinality). The pinned pipeline is the canonical INLINESTATS use:
+# per-group argmax ("each day's biggest event") plus a group-size column.
+ESQL_INLINESTATS_QUERY = """
+FROM events
+| WHERE event_type != "error"
+| EVAL day = EPOCH_DAY(ts)
+| INLINESTATS n_day = COUNT(*), day_max = MAX(value) BY day
+| WHERE value == day_max
+| KEEP event_id, day, n_day, value
+| SORT event_id ASC
+"""
+
+# BUCKET in STATS BY: fixed-span value histogram — floor(x/span)·span is
+# one IEEE division + one floor + one product, identical on both engines.
+ESQL_BUCKET_QUERY = """
+FROM events
+| EVAL b = BUCKET(value, 50.0)
+| STATS n = COUNT(*), total = SUM(value) BY b
+| SORT b ASC
+"""
+
+
+def q_esql_events_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_INLINESTATS_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def q_esql_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_BUCKET_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+CATALOG.update({
+    "esql_events_inlinestats": QuerySpec(
+        q_esql_events_inlinestats,
+        """WITH e AS (
+  SELECT event_id, CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day,
+         value
+  FROM events WHERE event_type <> 'error'
+),
+w AS (
+  SELECT event_id, day, value,
+         CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n_day,
+         MAX(value) OVER (PARTITION BY day) AS day_max
+  FROM e
+)
+SELECT event_id, day, n_day, value
+FROM w WHERE value = day_max
+ORDER BY event_id ASC""",
+        "ES|QL INLINESTATS compiled to window functions: per-day count + "
+        "max attached to every row without collapsing, then the argmax "
+        "filter (each day's biggest non-error event) — no join, one hash "
+        "partition on the BY key; the oracle is hand-derived window SQL",
+    ),
+    "esql_value_buckets": QuerySpec(
+        q_esql_value_buckets,
+        """SELECT FLOOR(value / 50.0) * 50.0 AS b,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(value AS DECIMAL(28,9))) AS total
+FROM events GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL BUCKET(value, span) fixed-span histogram: floor(x/span)·"
+        "span — one IEEE division, a true floor and one product, "
+        "engine-identical without quantization; exact-decimal totals",
+    ),
+})
+
+
 # ----------------------------------------------------- round-4 s8 batch 4
 # Late-interaction multi-vector scoring, MMR diversification, and the
 # significant_text aggregation.
@@ -5016,6 +5089,7 @@ _SWEEP_NEXT = [
     # round-4 session-10 additions (brand new — same policy)
     "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
+    "esql_events_inlinestats", "esql_value_buckets",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -205,3 +205,97 @@ def test_q20_promo_suppliers_vs_pandas(t, tp):
         ).collect()
     }
     assert got == want and want
+
+
+# --------------------------------------------------- ES|QL INLINESTATS
+def test_esql_inlinestats_by_equals_groupby_join(spark, t):
+    """INLINESTATS BY must equal the collapse-then-join-back rewrite —
+    two algorithms, one answer — while compiling to window functions
+    with NO join in the plan."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.esql import compile_esql
+
+    ev = t["orders"]
+    df = compile_esql(
+        'FROM orders | INLINESTATS n = COUNT(*), hi = MAX(o_totalprice) '
+        'BY o_orderpriority | KEEP o_orderkey, n, hi',
+        tables={"orders": ev},
+    )
+    g = ev.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    want = (
+        ev.join(g, "o_orderpriority")
+        .select("o_orderkey", "n", "hi")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_esql_inlinestats_global_broadcast(spark, t):
+    from sparksearch.esql import compile_esql
+
+    df = compile_esql(
+        'FROM orders | INLINESTATS n = COUNT(*) | KEEP o_orderkey, n',
+        tables={"orders": t["orders"]},
+    )
+    total = t["orders"].count()
+    rows = df.collect()
+    assert len(rows) == total and all(r.n == total for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_esql_inlinestats_count_distinct_and_sum(spark, t):
+    """COUNT_DISTINCT windows via collect_set size; SUM keeps the exact
+    decimal(28,9) discipline inside the window."""
+    from decimal import Decimal
+
+    from sparksearch.esql import compile_esql
+
+    df = compile_esql(
+        'FROM lineitem | INLINESTATS ns = COUNT_DISTINCT(l_suppkey), '
+        'tq = SUM(l_quantity) BY l_orderkey '
+        '| KEEP l_orderkey, l_linenumber, ns, tq',
+        tables={"lineitem": t["lineitem"]},
+    )
+    lp = t["lineitem"].toPandas()
+    got = {(r.l_orderkey, r.l_linenumber): (r.ns, r.tq) for r in df.collect()}
+    for (ok, grp) in lp.groupby("l_orderkey"):
+        ns = grp.l_suppkey.nunique()
+        tq = sum(Decimal(repr(q)) for q in grp.l_quantity)
+        for ln in grp.l_linenumber:
+            g_ns, g_tq = got[(ok, ln)]
+            assert g_ns == ns and g_tq == tq
+
+
+def test_esql_bucket_function(spark, t):
+    from sparksearch.esql import EsqlError, compile_esql
+
+    import pytest as _pytest
+
+    df = compile_esql(
+        'FROM events | EVAL b = BUCKET(value, 50.0) | KEEP event_id, value, b',
+        tables={"events": t_events(spark)},
+    )
+    for r in df.limit(200).collect():
+        import math
+
+        assert r.b == math.floor(r.value / 50.0) * 50.0
+    # true floor on negatives (not truncation): floor(-10/50)*50 = -50
+    neg = spark.createDataFrame([(-10.0,)], "value double")
+    row = compile_esql(
+        "FROM x | EVAL b = BUCKET(value, 50.0)", tables={"x": neg}
+    ).collect()[0]
+    assert row.b == -50.0
+    with _pytest.raises(EsqlError, match="unknown aggregation"):
+        compile_esql(
+            "FROM x | INLINESTATS n = MEDIAN(value)", tables={"x": neg}
+        )
+
+
+def t_events(spark):
+    return spark.read.parquet(str(SF_SMOKE / "events.parquet"))
