@@ -4070,6 +4070,31 @@ FROM events GROUP BY 1 ORDER BY 1 ASC""",
 })
 
 
+def q_events_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .relational import events_moving_fn
+
+    return events_moving_fn(_t(spark, sf_dir, "events"))
+
+
+def _round4_s10_moving_fn_spec():
+    from .relational import MOVING_FN_SQL
+
+    return {
+        "events_moving_fn": QuerySpec(
+            q_events_moving_fn,
+            MOVING_FN_SQL,
+            "ES moving_fn presets made exact: EWMA (alpha=1/2 unrolls to "
+            "dyadic-rational coefficients — 16·ewma is an integer at w=5) "
+            "and linearWeightedAvg (integer weights over m(m+1)/2) as one "
+            "integer dot product + one round6 division per bucket",
+        ),
+    }
+
+
+CATALOG.update(_round4_s10_moving_fn_spec())
+
+
 # ----------------------------------------------------- round-4 s8 batch 4
 # Late-interaction multi-vector scoring, MMR diversification, and the
 # significant_text aggregation.
@@ -5089,7 +5114,7 @@ _SWEEP_NEXT = [
     # round-4 session-10 additions (brand new — same policy)
     "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
-    "esql_events_inlinestats", "esql_value_buckets",
+    "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

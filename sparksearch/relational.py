@@ -2346,3 +2346,113 @@ SELECT ring, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM tagged GROUP BY 1"""
 
+
+
+# ----------------------------------------------------- round-4 session-10
+# ES moving_fn presets (MovingFunctions.ewma / linearWeightedAvg) made
+# exact. With alpha = 1/2 the EWMA recurrence over a w-bucket window
+# unrolls to dyadic-rational coefficients (sixteenths at w=5), and the
+# linear weights are integers over m(m+1)/2 — so BOTH presets are one
+# integer dot product + ONE double division, engine-identical with no
+# per-step float state.
+
+MOVING_FN_WINDOW = 5
+
+
+def events_moving_fn(events: DataFrame) -> DataFrame:
+    """ES ``moving_fn`` over the daily per-type series → DF[day,
+    event_type, n_events, ewma, lwma]: the two classic presets on a
+    trailing 5-bucket window of existing buckets (ES slides over the
+    histogram's buckets; this series has no empty days by construction
+    at every SF).
+
+    ewma is MovingFunctions.ewma with alpha = 1/2: the oldest value
+    seeds, each newer value averages in — unrolled, bucket t-i carries
+    coefficient 2^-(i+1) (the two oldest share the tail), so
+    16·ewma is an exact integer at w = 5. lwma is linearWeightedAvg:
+    weight m-i over m(m+1)/2. Both reduce to a CASE on the observed
+    window size m, integer numerators, and one round6 double division —
+    the discipline every order-dependent ES float fold gets here.
+
+    Scale: one partial-aggregated daily rollup shuffle, then per-type
+    windows over narrow (day, long) rows; lag/row_number reuse ONE sort
+    within the partition; no global order anywhere."""
+    from .stats import round6
+
+    daily = events.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    v = [F.coalesce(F.lag("n_events", i).over(w), F.lit(0)).cast("long")
+         for i in range(MOVING_FN_WINDOW)]
+    m = F.least(F.row_number().over(w), F.lit(MOVING_FN_WINDOW))
+    ewma_n = (
+        F.when(m == 1, v[0])
+        .when(m == 2, v[0] + v[1])
+        .when(m == 3, 2 * v[0] + v[1] + v[2])
+        .when(m == 4, 4 * v[0] + 2 * v[1] + v[2] + v[3])
+        .otherwise(8 * v[0] + 4 * v[1] + 2 * v[2] + v[3] + v[4])
+    )
+    ewma_d = (
+        F.when(m == 1, 1).when(m == 2, 2).when(m == 3, 4).when(m == 4, 8)
+        .otherwise(16)
+    )
+    lwma_n = (
+        F.when(m == 1, v[0])
+        .when(m == 2, 2 * v[0] + v[1])
+        .when(m == 3, 3 * v[0] + 2 * v[1] + v[2])
+        .when(m == 4, 4 * v[0] + 3 * v[1] + 2 * v[2] + v[3])
+        .otherwise(5 * v[0] + 4 * v[1] + 3 * v[2] + 2 * v[3] + v[4])
+    )
+    lwma_d = (
+        F.when(m == 1, 1).when(m == 2, 3).when(m == 3, 6).when(m == 4, 10)
+        .otherwise(15)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        round6(ewma_n.cast("double") / ewma_d.cast("double")).alias("ewma"),
+        round6(lwma_n.cast("double") / lwma_d.cast("double")).alias("lwma"),
+    )
+
+
+MOVING_FN_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT day, event_type, n_events,
+         LEAST(ROW_NUMBER() OVER w, 5) AS m,
+         COALESCE(LAG(n_events, 1) OVER w, 0) AS v1,
+         COALESCE(LAG(n_events, 2) OVER w, 0) AS v2,
+         COALESCE(LAG(n_events, 3) OVER w, 0) AS v3,
+         COALESCE(LAG(n_events, 4) OVER w, 0) AS v4
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT day, event_type, n_events,
+       CAST(ROUND(CAST(
+         CAST(CASE m WHEN 1 THEN n_events
+                     WHEN 2 THEN n_events + v1
+                     WHEN 3 THEN 2 * n_events + v1 + v2
+                     WHEN 4 THEN 4 * n_events + 2 * v1 + v2 + v3
+                     ELSE 8 * n_events + 4 * v1 + 2 * v2 + v3 + v4 END AS DOUBLE)
+         / CAST(CASE m WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                       WHEN 4 THEN 8 ELSE 16 END AS DOUBLE)
+       AS DECIMAL(28,9)), 6) AS DOUBLE) AS ewma,
+       CAST(ROUND(CAST(
+         CAST(CASE m WHEN 1 THEN n_events
+                     WHEN 2 THEN 2 * n_events + v1
+                     WHEN 3 THEN 3 * n_events + 2 * v1 + v2
+                     WHEN 4 THEN 4 * n_events + 3 * v1 + 2 * v2 + v3
+                     ELSE 5 * n_events + 4 * v1 + 3 * v2 + 2 * v3 + v4 END AS DOUBLE)
+         / CAST(CASE m WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 6
+                       WHEN 4 THEN 10 ELSE 15 END AS DOUBLE)
+       AS DECIMAL(28,9)), 6) AS DOUBLE) AS lwma
+FROM lagged"""

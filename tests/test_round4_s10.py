@@ -299,3 +299,38 @@ def test_esql_bucket_function(spark, t):
 
 def t_events(spark):
     return spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+
+
+# ------------------------------------------------------- events_moving_fn
+def test_events_moving_fn_vs_iterative_mirror(spark):
+    """The closed-form integer unrolls must equal the ACTUAL ES
+    MovingFunctions recurrences (ewma seeded-fold, linearWeightedAvg
+    position weights) recomputed iteratively in python — two algorithms,
+    one answer — on every (type, day) bucket."""
+    from sparksearch.relational import MOVING_FN_WINDOW, events_moving_fn
+
+    ev = t_events(spark)
+    got = {
+        (r.event_type, r.day): (r.n_events, r.ewma, r.lwma)
+        for r in events_moving_fn(ev).collect()
+    }
+    lp = ev.toPandas()
+    lp["day"] = lp.ts.astype("datetime64[s]").astype("int64") // 86400
+    daily = lp.groupby(["event_type", "day"]).size()
+    for etype in lp.event_type.unique():
+        series = daily[etype].sort_index()
+        vals = list(series.values)
+        for i, day in enumerate(series.index):
+            window = vals[max(0, i - MOVING_FN_WINDOW + 1): i + 1]
+            # ES ewma: oldest seeds, alpha = 0.5 folds newer values in
+            avg = window[0]
+            for x in window[1:]:
+                avg = 0.5 * x + 0.5 * avg
+            # ES linearWeightedAvg: weight = 1-based position in window
+            num = sum((j + 1) * x for j, x in enumerate(window))
+            den = len(window) * (len(window) + 1) / 2
+            n, ewma, lwma = got[(etype, day)]
+            assert n == vals[i]
+            assert abs(ewma - avg) < 5e-7, (etype, day)
+            assert abs(lwma - num / den) < 5e-7, (etype, day)
+    assert len(got) == sum(len(daily[e]) for e in lp.event_type.unique())
