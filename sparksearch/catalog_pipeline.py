@@ -3640,3 +3640,98 @@ def build_round4_s8b():
             "plan with (doc_id, passage_id) keys",
         ),
     }
+
+
+# ---------------------------------------------- round-4 session-10 entries
+def q_dedup_quality_survivors(spark, sf_dir):
+    from .graph import quality_survivors
+
+    df = quality_survivors(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        "quality_score",
+        F.col("is_keeper").cast("long").alias("is_keeper"),
+    )
+
+
+def _survivors_sql() -> str:
+    """DuckDB twin of graph.quality_survivors: the recursive transitive
+    closure from _CLUSTERS_SQL composed with text_quality's score CTEs —
+    LEFT join attaches labels to the whole corpus (singletons keep their
+    own id), argmax-by-(round6 quality DESC, doc_id) picks the survivor."""
+    return f"""WITH RECURSIVE {SHINGLE_SQL.strip()},
+{MINHASH_CAND_SQL.strip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.doc_id_a, i.doc_id_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_id_a
+  JOIN cnt cb ON cb.doc_id = i.doc_id_b
+  WHERE i.i / (ca.n + cb.n - i.i) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jp
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM jp
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+qb AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN ('a','the','of','to','and','in','is','it','on','for'))) AS BIGINT) AS sw
+  FROM documents
+),
+qr AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND(CAST(sum_len / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mtl,
+         CAST(ROUND(CAST(sw / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS swr
+  FROM qb
+),
+qs AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(least(n_tokens / 100.0, 1.0) * 0.4
+               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.3
+               + least(swr * 5.0, 1.0) * 0.3 AS DECIMAL(28,9)), 6) AS DOUBLE) AS quality_score
+  FROM qr
+),
+m AS (
+  SELECT q.doc_id, q.quality_score,
+         CAST(COALESCE(l.cluster_id, q.doc_id) AS BIGINT) AS cluster_id
+  FROM qs q LEFT JOIN lbl l ON l.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       quality_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id ASC) = 1 AS BIGINT) AS is_keeper
+FROM m"""
+
+
+def build_round4_s10():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "dedup_quality_survivors": QuerySpec(
+            q_dedup_quality_survivors,
+            _survivors_sql(),
+            "quality-aware dedup retention over the whole corpus: near-dup "
+            "components (MinHash+LSH verified graph), survivor = highest "
+            "round6 quality (doc_id tiebreak) instead of lowest id, "
+            "singletons keep — the keep-the-best-copy curation policy",
+        ),
+    }

@@ -256,3 +256,46 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
             (F.col("node") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def quality_survivors(docs: DataFrame) -> DataFrame:
+    """Quality-aware dedup retention → DF[doc_id, cluster_id, cluster_size,
+    quality_score, is_keeper] over the WHOLE corpus: near-dup clusters from
+    MinHash+LSH verified pairs (neardup_clusters' graph), but the survivor
+    is the HIGHEST-quality member (text_quality score), not the lowest id —
+    the curation policy real pretraining pipelines use (keep the best copy,
+    drop the rest). Docs outside every cluster are their own singleton
+    cluster and always keep.
+
+    Total order inside a cluster is (quality_score DESC, doc_id ASC) on the
+    round6-quantized score (invariant #3 — a raw-double argmax could pick
+    different members across engines at a 6-dp tie). Scale: the component
+    labels live on the pairs-sized graph; attaching them to the corpus is
+    one LEFT join on doc_id; size/keeper are two window passes over the
+    cluster key (the second reuses the first's hash partition)."""
+    from .textpipe import minhash_lsh_dedup, text_quality
+
+    pairs = minhash_lsh_dedup(docs)
+    cc = connected_components(pairs)
+    q = text_quality(docs).select("doc_id", "quality_score")
+    lab = q.join(
+        cc.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "quality_score",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(wr) == 1).alias("is_keeper"),
+    )

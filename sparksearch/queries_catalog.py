@@ -4094,6 +4094,10 @@ def _round4_s10_moving_fn_spec():
 
 CATALOG.update(_round4_s10_moving_fn_spec())
 
+from .catalog_pipeline import build_round4_s10  # noqa: E402
+
+CATALOG.update(build_round4_s10())
+
 
 # ----------------------------------------------------- round-4 s8 batch 4
 # Late-interaction multi-vector scoring, MMR diversification, and the
@@ -5115,6 +5119,7 @@ _SWEEP_NEXT = [
     "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
+    "dedup_quality_survivors",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

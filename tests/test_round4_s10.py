@@ -334,3 +334,36 @@ def test_events_moving_fn_vs_iterative_mirror(spark):
             assert abs(ewma - avg) < 5e-7, (etype, day)
             assert abs(lwma - num / den) < 5e-7, (etype, day)
     assert len(got) == sum(len(daily[e]) for e in lp.event_type.unique())
+
+
+# ------------------------------------------------ dedup_quality_survivors
+def test_quality_survivors_invariants(spark):
+    """Whole-corpus partition: same clusters as neardup_clusters (for
+    clustered docs), singletons for the rest, EXACTLY one keeper per
+    cluster and it attains the cluster's max quality (doc_id tiebreak)."""
+    from sparksearch.graph import neardup_clusters, quality_survivors
+    from sparksearch.textpipe import text_quality
+
+    docs = spark.read.parquet(str(SF_SMOKE / "documents.parquet"))
+    rows = quality_survivors(docs).collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    base = {
+        r.doc_id: r.cluster_id for r in neardup_clusters(docs).collect()
+    }
+    quality = {
+        r.doc_id: r.quality_score for r in text_quality(docs).collect()
+    }
+    by_cluster = {}
+    for r in rows:
+        want_cluster = base.get(r.doc_id, r.doc_id)
+        assert r.cluster_id == want_cluster
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(base) < n_docs  # singletons really exist in the fixture
+    assert any(len(v) > 1 for v in by_cluster.values())
+    for cid, members in by_cluster.items():
+        assert all(m.cluster_size == len(members) for m in members)
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-quality[m.doc_id], m.doc_id))
+        assert keepers[0].doc_id == best.doc_id
