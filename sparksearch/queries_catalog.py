@@ -4099,6 +4099,97 @@ from .catalog_pipeline import build_round4_s10  # noqa: E402
 CATALOG.update(build_round4_s10())
 
 
+# --------------------------------------------- source-format round-trips
+# The engine's ingest surface beyond parquet: JSON Lines and CSV readers
+# against the SAME aggregate the parquet scan yields. The artifact is
+# written once per (sf_dir, format) by Spark's own sink — 4 hash-bucketed
+# files, rows sorted within each (deterministic bytes) — and read back
+# with an explicit schema (schema inference is nondeterministic cost at
+# scale and is deliberately not exercised). The oracle aggregates the
+# parquet table directly, so the hash check certifies LOSSLESS round-trip
+# of every value: a double that fails shortest-repr serialization or a
+# dropped row breaks the exact-decimal sum.
+
+_FORMAT_COLS = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def _format_artifact(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    import hashlib
+
+    from .catalog_pipeline import _t
+
+    key = f"{sf_dir.rstrip('/')}|{fmt}|v1"
+    path = (
+        "/tmp/sparksearch_fmt_"
+        + hashlib.sha256(key.encode()).hexdigest()[:12]
+    )
+
+    def _build(tmp: str) -> None:
+        w = (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .repartition(4, "event_id")
+            .sortWithinPartitions("event_id")
+            .write
+        )
+        if fmt == "csv":
+            w.option("header", "false").csv(tmp)
+        else:
+            w.json(tmp)
+
+    build_artifact_atomic(path, "_SUCCESS", _build)
+    return path
+
+
+def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    path = _format_artifact(spark, sf_dir, fmt)
+    if fmt == "csv":
+        src = spark.read.schema(_FORMAT_COLS).csv(path)
+    else:
+        src = spark.read.schema(_FORMAT_COLS).json(path)
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+def q_events_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_scan(spark, sf_dir, "json")
+
+
+def q_events_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_scan(spark, sf_dir, "csv")
+
+
+_FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       SUM(CAST(value AS DECIMAL(28,9))) AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY 1"""
+
+CATALOG.update({
+    "events_jsonl_scan": QuerySpec(
+        q_events_jsonl_scan,
+        _FORMAT_ORACLE,
+        "JSON Lines source parity: Spark JSON sink (4 hash-bucketed "
+        "deterministic files) read back with an explicit schema; the "
+        "oracle aggregates the parquet table — the exact-decimal sum "
+        "certifies lossless double round-trip through the text format",
+    ),
+    "events_csv_scan": QuerySpec(
+        q_events_csv_scan,
+        _FORMAT_ORACLE,
+        "CSV source parity: same contract as the JSONL twin over the CSV "
+        "sink/reader (headerless, explicit schema — inference is "
+        "deliberately not exercised)",
+    ),
+})
+
+
 # ----------------------------------------------------- round-4 s8 batch 4
 # Late-interaction multi-vector scoring, MMR diversification, and the
 # significant_text aggregation.
@@ -5119,7 +5210,7 @@ _SWEEP_NEXT = [
     "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
-    "dedup_quality_survivors",
+    "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
