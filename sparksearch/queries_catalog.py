@@ -4171,6 +4171,31 @@ _FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events GROUP BY 1"""
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _emb
+    from .vectors import ivfpq_ann_topk
+
+    return ivfpq_ann_topk(_emb(spark, sf_dir))
+
+
+def _round4_s10_ivfpq_spec():
+    from .vectors import ivfpq_oracle_sql
+
+    return {
+        "ann_ivfpq_topk": QuerySpec(
+            q_ann_ivfpq_topk,
+            ivfpq_oracle_sql(),
+            "IVF-PQ ANN (the composed FAISS shape): coarse quantizer "
+            "inverted lists + product-quantized RESIDUALS + per-(query, "
+            "list) ADC lookup tables over the probed lists only — both "
+            "Lloyd chains unrolled in the exact DuckDB twin",
+        ),
+    }
+
+
+CATALOG.update(_round4_s10_ivfpq_spec())
+
+
 CATALOG.update({
     "events_jsonl_scan": QuerySpec(
         q_events_jsonl_scan,
@@ -5211,6 +5236,7 @@ _SWEEP_NEXT = [
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
+    "ann_ivfpq_topk",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

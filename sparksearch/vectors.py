@@ -731,6 +731,17 @@ def pq_codebooks(
     coordinate (the ivf_assign discipline), so codebooks are bit-identical
     across engines/retries/partitionings."""
     subs = _pq_subvecs(embeddings, m)
+    codes, cents = _pq_lloyd(subs, n_centroids, n_iters)
+    return subs, codes, cents
+
+
+def _pq_lloyd(
+    subs: DataFrame, n_centroids: int, n_iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The per-subspace deterministic-Lloyd loop over a prepared
+    DF[vec_id, sub, sv] (pq_codebooks' engine, factored out so IVFPQ can
+    train the same codebooks on coarse-quantizer RESIDUALS). Returns
+    (codes DF[sub, vec_id, cid], cents DF[sub, cid, cv])."""
     w0 = Window.partitionBy("sub").orderBy("vec_id")
     cents = (
         subs.withColumn("rn", F.row_number().over(w0))
@@ -755,7 +766,7 @@ def pq_codebooks(
             )
         )
     codes = _pq_assign(subs, cents).select("sub", "vec_id", "cid")
-    return subs, codes, cents
+    return codes, cents
 
 
 def pq_ann_topk(
@@ -1670,3 +1681,209 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(dim AS BIGINT) AS dim,
        CAST(overlap_k AS BIGINT) AS overlap_k,
        {r6.format(x=f"CAST(overlap_k AS DOUBLE) / {float(k)!r}")} AS overlap_frac
 FROM ({dims_union})"""
+
+
+# ----------------------------------------------------------- IVF-PQ ANN
+
+IVFPQ_QUERIES = 5
+IVFPQ_TOPK = 10
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = IVFPQ_QUERIES,
+    k: int = IVFPQ_TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ ANN (the composed FAISS IVFPQ shape — Jégou et al. 2011 §IV)
+    → DF[query_id, rank, vec_id, adist]: coarse quantizer partitions the
+    corpus into inverted lists, product quantization encodes each vector's
+    RESIDUAL (v − coarse centroid), and a query scans only its n_probe
+    nearest lists, ranking candidates by the ADC lookup-table distance
+
+        adist(q, x) = Σ_sub ‖(q − c_list)_sub − codebook[sub][code(x)]‖²
+
+    This is the production composition of the two scale paths the catalog
+    already checks separately (ann_ivf_topk: probe pruning; ann_pq_topk:
+    code-only scans): at 10^12 vectors the query reads m small ints per
+    candidate in ~n_probe/n_centroids of the corpus, never a full vector,
+    and the per-(query, list) lookup tables are m·n_codes floats — tiny,
+    broadcast. Residual encoding is what makes the codebooks shareable
+    across lists (the raw-vector PQ spread per-list offsets into every
+    codeword; residuals center all lists at the origin).
+
+    Exactness (every cross-engine channel closed at the source, the
+    ivf/pq discipline): coarse assignment and probe selection rank on
+    round6-quantized cosine with cid tiebreak; residuals are one IEEE
+    subtract per element; codebook means are exact decimal sums + one
+    double division; per-subspace distances quantize to decimal(28,9)
+    BEFORE the cross-subspace sum (order-independent partial agg); final
+    order is (round6 adist ASC, vec_id ASC)."""
+    assigned, centroids = ivf_assign(embeddings, n_centroids)
+    res = assigned.join(F.broadcast(centroids), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+    )
+    seg = (F.size("r") / m).cast("int")
+    subs = res.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice("r", seg * i + 1, seg),
+            )
+        ).alias("sub", "sv"),
+    )
+    codes, cents = _pq_lloyd(subs, n_codes, n_iters)
+    codes = codes.select("sub", "vec_id", F.col("cid").alias("code"))
+    cents = cents.select("sub", F.col("cid").alias("code"),
+                         F.col("cv").alias("pqcv"))
+
+    queries = _vecs(embeddings).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id", "cid",
+            round6(cosine(F.col("qv"), F.col("cv"))).alias("sim"),
+            F.zip_with("qv", "cv", lambda a, b: a - b).alias("qr"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid", "qr")
+    )
+    qseg = (F.size("qr") / m).cast("int")
+    qsubs = probes.select(
+        "query_id",
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice("qr", qseg * i + 1, qseg),
+            )
+        ).alias("sub", "qsv"),
+    )
+    qd = qsubs.join(F.broadcast(cents), "sub").select(
+        "query_id", "cid", "sub", "code",
+        F.round(_l2sq(F.col("qsv"), F.col("pqcv")), 9)
+        .cast("decimal(28,9)")
+        .alias("d2"),
+    )
+    cand = (
+        res.select("vec_id", "cid")
+        .join(F.broadcast(probes.select("query_id", "cid")), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "cid", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(round6(F.sum("d2").cast("double")).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "vec_id", "adist",
+        )
+    )
+
+
+def ivfpq_oracle_sql(
+    n_queries: int = IVFPQ_QUERIES,
+    k: int = IVFPQ_TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> str:
+    """Exact DuckDB twin of ``ivfpq_ann_topk``: the coarse Lloyd chain
+    (shared ``_lloyd_ctes``) feeds per-element residuals, the per-subspace
+    residual-Lloyd chain unrolls with pq-prefixed CTE names, and the probe
+    → lookup-table → grouped-decimal-sum tail mirrors the Spark ops one
+    for one (see the operator docstring for the closed channels)."""
+    parts, coarse = _lloyd_ctes(n_centroids, IVF_ITERS)
+    cos, r6, l2 = _sql_cos, _sql_r6, _sql_l2
+    sub_expr = (
+        "list_transform(range(len(a.v) // {m}), "
+        "j -> a.v[g.sub * (len(a.v) // {m}) + j + 1] "
+        "- c.cv[g.sub * (len(a.v) // {m}) + j + 1])"
+    ).format(m=m)
+    parts.append(f"""rs AS (
+  SELECT a.vec_id, a.cid, g.sub, {sub_expr} AS sv
+  FROM af a JOIN {coarse} c ON a.cid = c.cid,
+       (SELECT unnest(range({m})) AS sub) g)""")
+
+    def passign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT sub, vec_id, sv, code FROM (
+    SELECT s.sub, s.vec_id, s.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {r6(l2('s.sv', 'c.pqcv'))} ASC, c.code ASC) AS rn
+    FROM rs s JOIN {cents} c ON s.sub = c.sub) WHERE rn = 1)"""
+
+    parts.append(f"""pc0 AS (
+  SELECT sub, rn - 1 AS code, sv AS pqcv FROM (
+    SELECT sub, sv, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM rs) WHERE rn <= {n_codes})""")
+    prev = "pc0"
+    for i in range(1, n_iters + 1):
+        parts.append(passign(f"pa{i}", prev))
+        parts.append(f"""pm{i} AS (
+  SELECT sub, code, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT sub, code, unnest(sv) AS val, unnest(range(len(sv))) AS pos
+        FROM pa{i})
+  GROUP BY 1, 2, 3)""")
+        parts.append(
+            f"pc{i} AS (SELECT sub, code, list(m ORDER BY pos) AS pqcv "
+            f"FROM pm{i} GROUP BY 1, 2)"
+        )
+        prev = f"pc{i}"
+    parts.append(passign("paf", prev))
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries})"
+    )
+    parts.append(f"""probes AS (
+  SELECT query_id, cid, qr FROM (
+    SELECT q.query_id, c.cid,
+           list_transform(range(len(q.qv)),
+                          j -> q.qv[j + 1] - c.cv[j + 1]) AS qr,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {r6(cos('q.qv', 'c.cv'))} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {coarse} c) WHERE rn <= {n_probe})""")
+    parts.append(f"""qsubs AS (
+  SELECT query_id, cid, g.sub,
+         list_slice(qr, g.sub * (len(qr) // {m}) + 1,
+                    (g.sub + 1) * (len(qr) // {m})) AS qsv
+  FROM probes, (SELECT unnest(range({m})) AS sub) g)""")
+    parts.append(f"""qd AS (
+  SELECT s.query_id, s.cid, s.sub, c.code,
+         CAST(ROUND({l2('s.qsv', 'c.pqcv')}, 9) AS DECIMAL(28,9)) AS d2
+  FROM qsubs s JOIN {prev} c ON s.sub = c.sub)""")
+    parts.append(f"""sc AS (
+  SELECT p.query_id, a.vec_id, {r6('CAST(SUM(d.d2) AS DOUBLE)')} AS adist
+  FROM af a
+  JOIN (SELECT DISTINCT query_id, cid FROM probes) p
+    ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN paf ko ON ko.vec_id = a.vec_id
+  JOIN qd d ON d.query_id = p.query_id AND d.cid = a.cid
+           AND d.sub = ko.sub AND d.code = ko.code
+  GROUP BY 1, 2)""")
+    parts.append("""r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, vec_id ASC) AS rnk FROM sc)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, adist "
+          f"FROM r WHERE rnk <= {k}"
+    )
