@@ -57,9 +57,14 @@ compiled to ONE anchored regex, capture groups → typed columns),
 MV_EXPAND (explode a multi-valued column; SPLIT/SUBSTRING produce the
 arrays/slices it consumes), LOOKUP JOIN (broadcast left join).
 
+Fulltext: MATCH(field, "query") (8.17) — the query tokenizes at compile
+time through the engine's pinned analyzer and the predicate compiles to
+token-set overlap (ES match semantics: analyzed terms, OR operator);
+boolean form only — scored retrieval stays with the bm25 family.
+
 What is intentionally absent: ENRICH (LOOKUP JOIN covers the shape),
 full GROK pattern library (the three core syntaxes keep every compiled
-query DuckDB-twinnable), and implicit fulltext functions.
+query DuckDB-twinnable), and scored fulltext (METADATA _score).
 """
 
 from __future__ import annotations
@@ -181,7 +186,31 @@ _FUNCS = {
     # engines, and floor (TRUE floor, not DuckDB's truncating //) is
     # exact — so compiled buckets twin without quantization.
     "BUCKET": lambda a: F.floor(a[0] / a[1]).cast("double") * a[1],
+    "MATCH": lambda a: _match(a),
 }
+
+
+def _match(args: list[Column]) -> Column:
+    """MATCH(field, "query") — ES|QL's fulltext match function (8.17)
+    compiled against the engine's pinned tokenizer: the query string
+    tokenizes AT COMPILE TIME and the predicate is arrays_overlap between
+    the field's token array and the query-term set — ES match semantics
+    (analyzed terms, OR operator). Boolean only (the WHERE form); scored
+    retrieval is the bm25 catalog family's job, not the compiler's."""
+    from .tokenize import py_tokenize, tokens_col
+
+    # Column.__getattr__ resolves unknown attributes as FIELD access, so
+    # hasattr() is always true on a Column — only the instance dict set by
+    # _lit() marks a real literal.
+    lit = args[1].__dict__.get("_esql_lit") if len(args) == 2 else None
+    if lit is None:
+        raise EsqlError('MATCH needs (field, "query literal")')
+    terms = py_tokenize(str(lit))
+    if not terms:
+        raise EsqlError("MATCH query has no tokens")
+    return F.arrays_overlap(
+        tokens_col(args[0]), F.array(*[F.lit(t) for t in terms])
+    )
 
 
 def _case(args: list[Column]) -> Column:

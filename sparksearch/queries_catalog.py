@@ -4171,6 +4171,46 @@ _FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events GROUP BY 1"""
 
+# ES|QL MATCH (8.17): the fulltext function compiled against the pinned
+# tokenizer — the query string tokenizes at COMPILE time, the predicate is
+# token-set overlap (ES match semantics: analyzed terms, OR operator).
+ESQL_MATCH_QUERY = """
+FROM documents
+| WHERE MATCH(text, "hash join") AND n_chars > 100
+| STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+| SORT lang ASC
+"""
+
+
+def q_esql_docs_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_MATCH_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+CATALOG.update({
+    "esql_docs_match": QuerySpec(
+        q_esql_docs_match,
+        """WITH tokd AS (
+  SELECT lang, n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(n_chars AS DECIMAL(28,9))) AS chars
+FROM tokd
+WHERE (list_contains(ts, 'hash') OR list_contains(ts, 'join'))
+  AND n_chars > 100
+GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL MATCH(field, query) fulltext function: query tokenized at "
+        "compile time by the pinned analyzer, compiled to token-set "
+        "overlap (ES match OR semantics) composed with scalar predicates "
+        "and STATS — the fulltext bridge into the piped language",
+    ),
+})
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog_pipeline import _emb
     from .vectors import ivfpq_ann_topk
@@ -5236,7 +5276,7 @@ _SWEEP_NEXT = [
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_topk", "esql_docs_match",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -428,3 +428,35 @@ def test_ivfpq_recall_and_consistency(spark):
 
     # refactor guard: raw-vector PQ entry still produces its 50 ranked rows
     assert pq_ann_topk(emb).count() == 50
+
+
+# ---------------------------------------------------------- ES|QL MATCH
+def test_esql_match_vs_python_tokenizer(spark):
+    """MATCH must equal OR-membership over the pinned tokenizer's token
+    sets — checked doc by doc against py_tokenize — and reject non-literal
+    or token-less queries."""
+    from sparksearch.esql import EsqlError, compile_esql
+    from sparksearch.tokenize import py_tokenize
+
+    docs = spark.read.parquet(str(SF_SMOKE / "documents.parquet"))
+    got = {
+        r.doc_id
+        for r in compile_esql(
+            'FROM documents | WHERE MATCH(text, "hash join") | KEEP doc_id',
+            tables={"documents": docs},
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in docs.select("doc_id", "text").collect()
+        if {"hash", "join"} & set(py_tokenize(r.text or ""))
+    }
+    assert got == want and got
+    with pytest.raises(EsqlError, match="no tokens"):
+        compile_esql(
+            'FROM documents | WHERE MATCH(text, "...")', tables={"documents": docs}
+        )
+    with pytest.raises(EsqlError, match="query literal"):
+        compile_esql(
+            "FROM documents | WHERE MATCH(text, lang)", tables={"documents": docs}
+        )
