@@ -4211,6 +4211,51 @@ GROUP BY 1 ORDER BY 1 ASC""",
 })
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+    from .textpipe import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "events"), "event_id", "props")
+
+
+def _pii_redact_sql() -> str:
+    from .textpipe import PII_EMAIL, PII_IPV4, PII_NUMBER
+
+    return f"""WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         lower(coalesce(props, '')) AS c0
+  FROM events
+),
+steps AS (
+  SELECT event_id, c0,
+         regexp_replace(c0, '{PII_EMAIL}', '<email>', 'g') AS c1
+  FROM base
+),
+steps2 AS (
+  SELECT event_id, c0, c1,
+         regexp_replace(c1, '{PII_IPV4}', '<ip>', 'g') AS c2
+  FROM steps
+)
+SELECT event_id,
+       CAST(len(regexp_extract_all(c0, '{PII_EMAIL}'))
+            + len(regexp_extract_all(c1, '{PII_IPV4}'))
+            + len(regexp_extract_all(c2, '{PII_NUMBER}')) AS BIGINT) AS n_redactions,
+       ('0x' || substring(md5(regexp_replace(c2, '{PII_NUMBER}', '<num>', 'g')), 1, 15))::BIGINT AS redacted_h60
+FROM steps2"""
+
+
+CATALOG.update({
+    "pii_redact": QuerySpec(
+        q_pii_redact,
+        _pii_redact_sql(),
+        "PII redaction transform (the replace half of pii_scan): email → "
+        "ipv4 → digit-run replacement in fixed order, replacement counts "
+        "on the progressively-redacted text, and the redacted text itself "
+        "value-checked via h60 — one divergent byte anywhere fails",
+    ),
+})
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog_pipeline import _emb
     from .vectors import ivfpq_ann_topk
@@ -5276,7 +5321,7 @@ _SWEEP_NEXT = [
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
-    "ann_ivfpq_topk", "esql_docs_match",
+    "ann_ivfpq_topk", "esql_docs_match", "pii_redact",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

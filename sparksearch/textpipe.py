@@ -1886,3 +1886,34 @@ pred AS (
 )
 SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE r = 1 GROUP BY 1, 2"""
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction (the replace half of ``pii_scan``) → DF[<id_col>,
+    n_redactions, redacted_h60]: the three published patterns replace with
+    typed placeholder tokens in a FIXED order — email → <email> first
+    (emails contain dots and digits that would otherwise shred into the
+    later patterns), IPv4 → <ip> second, remaining ≥2-digit runs → <num>
+    last. n_redactions counts the replacements actually made (each
+    pattern's matches on the text as it stands AFTER the previous
+    replacement — counting all three on the raw text would double-count
+    the digits inside an address). The redacted text itself is
+    value-checked as its h60 hash, so a single divergent byte anywhere in
+    any row fails the oracle.
+
+    Pure codegen map-only scan (the pii_scan contract); Java regex and
+    RE2 agree on these lookaround-free patterns, and the DuckDB twin's
+    regexp_replace carries the 'g' flag (DuckDB replaces first-only by
+    default; Spark always replaces all)."""
+    c0 = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n1 = F.size(F.regexp_extract_all(c0, F.lit(PII_EMAIL), 0))
+    c1 = F.regexp_replace(c0, F.lit(PII_EMAIL), F.lit("<email>"))
+    n2 = F.size(F.regexp_extract_all(c1, F.lit(PII_IPV4), 0))
+    c2 = F.regexp_replace(c1, F.lit(PII_IPV4), F.lit("<ip>"))
+    n3 = F.size(F.regexp_extract_all(c2, F.lit(PII_NUMBER), 0))
+    c3 = F.regexp_replace(c2, F.lit(PII_NUMBER), F.lit("<num>"))
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        (n1 + n2 + n3).cast("long").alias("n_redactions"),
+        h60(c3).alias("redacted_h60"),
+    )

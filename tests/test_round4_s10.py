@@ -460,3 +460,45 @@ def test_esql_match_vs_python_tokenizer(spark):
         compile_esql(
             "FROM documents | WHERE MATCH(text, lang)", tables={"documents": docs}
         )
+
+
+# -------------------------------------------------------------- pii_redact
+def test_pii_redact_vs_python_re(spark):
+    """Synthetic PII rows recomputed with python re in the same fixed
+    order — placeholder text, replacement counts, NULL handling."""
+    import re
+
+    from sparksearch.textpipe import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_NUMBER,
+        pii_redact,
+    )
+
+    rows = [
+        (0, "contact Bob.Smith+x@Example.COM or 10.0.0.1 now"),
+        (1, "card 4111111111111111 pin 99 x 7"),      # digit runs, single digit kept
+        (2, None),                                     # NULL → empty, 0 redactions
+        (3, "a@b.co 1.2.3.4 5.6.7.8 a@b.co"),          # repeats replace globally
+        (4, "plain text without patterns"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    got = {r.event_id: (r.n_redactions, r.redacted_h60)
+           for r in pii_redact(df, "event_id", "props").collect()}
+
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for eid, props in rows:
+        c0 = (props or "").lower()
+        n1 = len(re.findall(PII_EMAIL, c0))
+        c1 = re.sub(PII_EMAIL, "<email>", c0)
+        n2 = len(re.findall(PII_IPV4, c1))
+        c2 = re.sub(PII_IPV4, "<ip>", c1)
+        n3 = len(re.findall(PII_NUMBER, c2))
+        c3 = re.sub(PII_NUMBER, "<num>", c2)
+        assert got[eid] == (n1 + n2 + n3, h60(c3)), (eid, c3)
+    assert got[2][0] == 0 and got[4][0] == 0
+    assert got[0][0] >= 2 and got[3][0] >= 4
