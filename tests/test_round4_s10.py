@@ -502,3 +502,18 @@ def test_pii_redact_vs_python_re(spark):
         assert got[eid] == (n1 + n2 + n3, h60(c3)), (eid, c3)
     assert got[2][0] == 0 and got[4][0] == 0
     assert got[0][0] >= 2 and got[3][0] >= 4
+
+
+# -------------------------------------------------------- jobs/tpch_suite
+def test_tpch_suite_job_deterministic(spark, tmp_path):
+    """The composed 22-query spark-submit app: every query produces rows,
+    and a full rerun yields byte-identical fingerprints (invariant #1)."""
+    import jobs.tpch_suite as ts
+
+    r1 = ts.run_suite(spark, str(SF_SMOKE), str(tmp_path / "a"))
+    r2 = ts.run_suite(spark, str(SF_SMOKE), str(tmp_path / "b"))
+    assert len(r1) == 22
+    for q in r1:
+        assert r1[q]["rows"] > 0, q
+        assert r1[q]["fingerprint"] == r2[q]["fingerprint"], q
+        assert r1[q]["rows"] == r2[q]["rows"], q
