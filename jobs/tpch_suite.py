@@ -8,9 +8,9 @@ Every query is the library operator the catalog oracle-checks one-by-one
 (sparksearch.joins; the six fixture-schema adaptations are documented on
 their operator docstrings). The job materializes each result to parquet
 and prints a JSON summary with per-query row counts and a value
-fingerprint (md5 over the %.6f-normalized sorted rows — the driver's own
-comparison discipline), so resubmits, cluster-size changes and engine
-upgrades can be diffed in one line.
+fingerprint (md5 over the %.6f-formatted sorted rows), so resubmits and
+cluster-size changes can be diffed in one line; oracle equivalence is
+the catalog's DuckDB comparison, not this hash.
 
 Determinism: every query ranks on the engine total order (exact-decimal
 or round6 keys, id tiebreaks) — fingerprints are byte-stable across
@@ -65,8 +65,12 @@ def _norm(v) -> str:
 
 
 def fingerprint(df) -> tuple[int, str]:
-    """(n_rows, md5 of the column-name-sorted, row-sorted %.6f rendering) —
-    the driver's comparison discipline as one hash."""
+    """(n_rows, md5 of the column-name-sorted, row-sorted %.6f rendering).
+
+    Rerun-vs-rerun determinism evidence ONLY: %.6f is binary half-even
+    formatting of the raw double, not the driver's round6 (decimal-
+    quantize, HALF_UP) discipline — the oracle-equivalence evidence for
+    these queries is the catalog's DuckDB comparison, not this hash."""
     cols = sorted(df.columns)
     rows = sorted(
         tuple(_norm(r[c]) for c in cols) for r in df.collect()

@@ -159,11 +159,22 @@ def _round_scale(col: Column, n: int) -> Column:
     return F.round(col.cast("decimal(28,9)"), n).cast("double")
 
 
+def _require_lit(args: list[Column], i: int, fn: str):
+    """The literal value a function contract requires at position ``i``.
+    Column.__getattr__ resolves unknown attributes as FIELD access, so
+    hasattr()/direct attribute reads can never detect the marker — only
+    the instance dict set by _lit() identifies a real literal."""
+    lit = args[i].__dict__.get("_esql_lit") if len(args) > i else None
+    if lit is None:
+        raise EsqlError(f"{fn} needs a literal at argument {i + 1}")
+    return lit
+
+
 _FUNCS = {
     "EPOCH_DAY": lambda a: F.floor(
         a[0].cast("timestamp").cast("long") / 86400
     ).cast("long"),
-    "ROUND": lambda a: _round_scale(a[0], int(a[1]._esql_lit)),  # type: ignore[attr-defined]
+    "ROUND": lambda a: _round_scale(a[0], int(_require_lit(a, 1, "ROUND"))),
     "ABS": lambda a: F.abs(a[0]),
     "LENGTH": lambda a: F.length(a[0]).cast("long"),
     "LOWER": lambda a: F.lower(a[0]),
@@ -176,9 +187,11 @@ _FUNCS = {
     "CASE": lambda a: _case(a),
     # SPLIT(str, delim) — delim is a LITERAL string (the ES|QL contract),
     # regex-escaped before it reaches Spark's regex-based split.
-    "SPLIT": lambda a: F.split(a[0], re.escape(a[1]._esql_lit)),  # type: ignore[attr-defined]
+    "SPLIT": lambda a: F.split(a[0], re.escape(str(_require_lit(a, 1, "SPLIT")))),
     "SUBSTRING": lambda a: F.substring(
-        a[0], int(a[1]._esql_lit), int(a[2]._esql_lit)  # type: ignore[attr-defined]
+        a[0],
+        int(_require_lit(a, 1, "SUBSTRING")),
+        int(_require_lit(a, 2, "SUBSTRING")),
     ),
     # BUCKET(x, span) — ES|QL's numeric bucketing function: the start of
     # x's span-wide bucket, floor(x/span)·span. The division and the
@@ -199,13 +212,9 @@ def _match(args: list[Column]) -> Column:
     retrieval is the bm25 catalog family's job, not the compiler's."""
     from .tokenize import py_tokenize, tokens_col
 
-    # Column.__getattr__ resolves unknown attributes as FIELD access, so
-    # hasattr() is always true on a Column — only the instance dict set by
-    # _lit() marks a real literal.
-    lit = args[1].__dict__.get("_esql_lit") if len(args) == 2 else None
-    if lit is None:
+    if len(args) != 2:
         raise EsqlError('MATCH needs (field, "query literal")')
-    terms = py_tokenize(str(lit))
+    terms = py_tokenize(str(_require_lit(args, 1, "MATCH")))
     if not terms:
         raise EsqlError("MATCH query has no tokens")
     return F.arrays_overlap(
@@ -505,7 +514,13 @@ def compile_esql(
                 g = df.groupBy().agg(
                     *[_build_agg(fn, arg, name) for name, fn, arg in specs]
                 )
-                df = df.crossJoin(F.broadcast(g))
+                # mirror the BY branch's withColumn SHADOWING: an agg name
+                # that collides with an input column replaces it (the ES|QL
+                # contract) — a bare crossJoin would duplicate the name and
+                # make later references ambiguous.
+                df = df.drop(
+                    *[name for name, _, _ in specs if name in df.columns]
+                ).crossJoin(F.broadcast(g))
         elif cmd == "SORT":
             orders = []
             while True:

@@ -1728,7 +1728,13 @@ def ivfpq_ann_topk(
         "vec_id",
         "cid",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
-    )
+    ).persist()
+    # persist: res feeds every residual-Lloyd assignment pass AND the
+    # candidate side; without the cache the whole coarse ivf_assign DAG
+    # re-executes ~2·(n_iters+2) times inside the one action (the
+    # CLAUDE.md multi-consumer sharp edge). Cache cost = one residual per
+    # vector — the same footprint as the assignment frame itself; the
+    # 10^12-scale variant trains on a sample (ivf_assign docstring).
     seg = (F.size("r") / m).cast("int")
     subs = res.select(
         "vec_id",
@@ -1758,7 +1764,7 @@ def ivfpq_ann_topk(
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "cid", "qr")
-    )
+    ).persist()  # consumed by qsubs AND cand (n_queries·n_probe rows)
     qseg = (F.size("qr") / m).cast("int")
     qsubs = probes.select(
         "query_id",

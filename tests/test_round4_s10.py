@@ -397,15 +397,11 @@ def test_ivfpq_recall_and_consistency(spark):
         dists = [r.adist for r in sorted(rs, key=lambda x: x.rank)]
         assert dists == sorted(dists)
 
-    # candidates ⊆ probed lists
+    # candidates must come from few coarse lists: every query's returned
+    # candidates span at most n_probe distinct lists (implementation-
+    # independent containment bound)
     assigned, _ = ivf_assign(emb)
     cid = {r.vec_id: r.cid for r in assigned.collect()}
-    probed = {}
-    for q in by_q:
-        probed[q] = set()
-    # recompute probe sets from the operator's own contract: every returned
-    # candidate's list must be among the query's n_probe lists — weaker but
-    # implementation-independent: count distinct lists used per query
     for q, rs in by_q.items():
         lists_used = {cid[r.vec_id] for r in rs}
         assert len(lists_used) <= IVF_PROBE
@@ -456,7 +452,7 @@ def test_esql_match_vs_python_tokenizer(spark):
         compile_esql(
             'FROM documents | WHERE MATCH(text, "...")', tables={"documents": docs}
         )
-    with pytest.raises(EsqlError, match="query literal"):
+    with pytest.raises(EsqlError, match="literal"):
         compile_esql(
             "FROM documents | WHERE MATCH(text, lang)", tables={"documents": docs}
         )
@@ -517,3 +513,30 @@ def test_tpch_suite_job_deterministic(spark, tmp_path):
         assert r1[q]["rows"] > 0, q
         assert r1[q]["fingerprint"] == r2[q]["fingerprint"], q
         assert r1[q]["rows"] == r2[q]["rows"], q
+
+
+def test_esql_inlinestats_shadowing_and_literal_contracts(spark, t):
+    """Review fixes: (a) an INLINESTATS agg name colliding with an input
+    column SHADOWS it in BOTH the BY and no-BY branches; (b) every
+    literal-consuming function raises EsqlError (not a raw TypeError) on
+    a non-literal argument."""
+    from sparksearch.esql import EsqlError, compile_esql
+
+    od = t["orders"]
+    for by in ("", " BY o_orderpriority"):
+        df = compile_esql(
+            "FROM orders | INLINESTATS o_totalprice = COUNT(*)"
+            f"{by} | KEEP o_orderkey, o_totalprice",
+            tables={"orders": od},
+        )
+        assert df.columns == ["o_orderkey", "o_totalprice"]
+        assert df.count() == od.count()
+        val = df.limit(1).collect()[0].o_totalprice
+        assert isinstance(val, int)  # the count, not the shadowed price
+    for bad in (
+        "FROM orders | EVAL r = ROUND(o_totalprice, o_orderkey)",
+        'FROM orders | EVAL s = SPLIT(o_orderpriority, o_orderstatus)',
+        "FROM orders | EVAL s = SUBSTRING(o_orderpriority, o_orderkey, 2)",
+    ):
+        with pytest.raises(EsqlError, match="literal"):
+            compile_esql(bad, tables={"orders": od})
