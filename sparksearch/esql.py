@@ -18,8 +18,8 @@ aggregated frame, matching ES|QL semantics):
     FROM <table>
     WHERE <boolean expr>
     EVAL  <name> = <expr> [, <name> = <expr> …]
-    STATS <name> = <agg>(…) [, …] [BY <col> [, <col> …]]
-    INLINESTATS <name> = <agg>(…) [, …] [BY <col> [, <col> …]]
+    STATS <name> = <agg>(…) [WHERE <cond>] [, …] [BY <col> [, <col> …]]
+    INLINESTATS <name> = <agg>(…) [WHERE <cond>] [, …] [BY <col> [, <col> …]]
     SORT  <col> [ASC|DESC] [, …]
     LIMIT <n>
     KEEP  <col> [, …]
@@ -367,18 +367,28 @@ _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
 
 
 def _parse_agg(p: _Parser) -> tuple[str, Column | None]:
-    """Parse ``AGG(expr)`` / ``COUNT(*)`` → (fn, arg) without building the
-    final Column, so STATS (grouped) and INLINESTATS (windowed) share one
-    grammar."""
+    """Parse ``AGG(expr) [WHERE cond]`` / ``COUNT(*) [WHERE cond]`` →
+    (fn, arg) without building the final Column, so STATS (grouped) and
+    INLINESTATS (windowed) share one grammar.
+
+    The per-aggregate WHERE (ES|QL 8.16) folds into the ARGUMENT as a
+    conditional — rows failing the filter contribute NULL, which every
+    aggregate here ignores (COUNT counts non-nulls, SUM/MIN/MAX/AVG skip
+    nulls) — so filtered aggregates stay one-pass and map-combinable in
+    both the grouped and the windowed translation."""
     fn = p.expect("id").text.upper()
     if fn not in _AGGS:
         raise EsqlError(f"unknown aggregation {fn}")
     p.expect("op", "(")
     if fn == "COUNT" and p.accept("op", "*"):
         p.expect("op", ")")
-        return fn, None
-    arg = _ExprParser(p).parse()
-    p.expect("op", ")")
+        arg = None
+    else:
+        arg = _ExprParser(p).parse()
+        p.expect("op", ")")
+    if p.accept("kw", "WHERE"):
+        cond = _ExprParser(p).parse()
+        arg = F.when(cond, F.lit(1) if arg is None else arg)
     return fn, arg
 
 

@@ -4171,6 +4171,42 @@ _FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events GROUP BY 1"""
 
+# ES|QL per-aggregate WHERE (8.16): the filter folds into the aggregate's
+# ARGUMENT as a conditional (failing rows contribute NULL, which every agg
+# ignores) — filtered aggregates stay one-pass and map-combinable.
+ESQL_STATS_WHERE_QUERY = """
+FROM events
+| STATS n_err = COUNT(*) WHERE event_type == "error",
+        big = COUNT(*) WHERE value >= 100.0,
+        verr = SUM(value) WHERE event_type == "error",
+        n = COUNT(*) BY user_id
+| SORT user_id ASC
+"""
+
+
+def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_STATS_WHERE_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+CATALOG.update({
+    "esql_stats_where": QuerySpec(
+        q_esql_stats_where,
+        """SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err,
+       CAST(COUNT(*) FILTER (WHERE value >= 100.0) AS BIGINT) AS big,
+       SUM(CAST(value AS DECIMAL(28,9))) FILTER (WHERE event_type = 'error') AS verr,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL per-aggregate WHERE (8.16): three filtered aggregates + one "
+        "unfiltered beside them in ONE pass — the filter folds into the "
+        "argument as a NULL-producing conditional (map-combinable; an "
+        "all-filtered group yields NULL sums on both engines)",
+    ),
+})
+
+
 # ES|QL MATCH (8.17): the fulltext function compiled against the pinned
 # tokenizer — the query string tokenizes at COMPILE time, the predicate is
 # token-set overlap (ES match semantics: analyzed terms, OR operator).
@@ -5321,7 +5357,7 @@ _SWEEP_NEXT = [
     "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
-    "ann_ivfpq_topk", "esql_docs_match", "pii_redact",
+    "ann_ivfpq_topk", "esql_docs_match", "pii_redact", "esql_stats_where",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

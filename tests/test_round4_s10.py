@@ -540,3 +540,42 @@ def test_esql_inlinestats_shadowing_and_literal_contracts(spark, t):
     ):
         with pytest.raises(EsqlError, match="literal"):
             compile_esql(bad, tables={"orders": od})
+
+
+def test_esql_stats_where_vs_pandas(spark):
+    """Per-aggregate WHERE (ES|QL 8.16) vs a pandas recomputation —
+    filtered counts/sums beside an unfiltered count in one pass, all-
+    filtered groups yield None sums; also composes with INLINESTATS."""
+    from sparksearch.esql import compile_esql
+
+    ev = t_events(spark)
+    rows = compile_esql(
+        'FROM events | STATS n_err = COUNT(*) WHERE event_type == "error", '
+        'verr = SUM(value) WHERE event_type == "error", '
+        "n = COUNT(*) BY user_id",
+        tables={"events": ev},
+    ).collect()
+    lp = ev.toPandas()
+    from decimal import Decimal
+
+    for r in rows:
+        grp = lp[lp.user_id == r.user_id]
+        err = grp[grp.event_type == "error"]
+        assert r.n == len(grp) and r.n_err == len(err)
+        if len(err) == 0:
+            assert r.verr is None
+        else:
+            assert r.verr == sum(Decimal(repr(v)) for v in err.value)
+    assert any(r.n_err > 0 for r in rows)
+
+    # windowed twin: INLINESTATS with the same filter attaches per-user
+    # error counts to every row
+    w = compile_esql(
+        "FROM events | INLINESTATS n_err = COUNT(*) "
+        'WHERE event_type == "error" BY user_id '
+        "| KEEP event_id, user_id, n_err",
+        tables={"events": ev},
+    ).collect()
+    want = lp[lp.event_type == "error"].groupby("user_id").size().to_dict()
+    for r in w:
+        assert r.n_err == want.get(r.user_id, 0)
