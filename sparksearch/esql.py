@@ -24,6 +24,7 @@ aggregated frame, matching ES|QL semantics):
     LIMIT <n>
     KEEP  <col> [, …]
     DROP  <col> [, …]
+    RENAME <old> AS <new> [, …]
 
 INLINESTATS attaches the per-group aggregates to every row without
 collapsing: with BY keys it compiles to window functions (one hash
@@ -44,6 +45,9 @@ checkable):
                     (stats.round6 generalized to scale n)
   ABS, LENGTH, LOWER, UPPER, CONCAT, TO_LONG, TO_DOUBLE
   BUCKET(x, span) — floor(x/span)·span, single-IEEE-op portable
+  STARTS_WITH, ENDS_WITH, TO_UPPER, TO_LOWER
+  DATE_EXTRACT("year"|"month"|"day", ts) — calendar fields only
+  MV_COUNT, MV_MIN, MV_MAX, MV_CONCAT, MV_SUM (exact decimal fold)
 
 Aggregations: COUNT(*), COUNT(x), COUNT_DISTINCT(x), MIN, MAX,
 SUM (a DOUBLE argument is quantized to decimal(28,9) per row and summed
@@ -96,6 +100,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
+    "RENAME", "AS",
 }
 
 
@@ -200,7 +205,43 @@ _FUNCS = {
     # exact — so compiled buckets twin without quantization.
     "BUCKET": lambda a: F.floor(a[0] / a[1]).cast("double") * a[1],
     "MATCH": lambda a: _match(a),
+    "STARTS_WITH": lambda a: a[0].startswith(a[1]),
+    "ENDS_WITH": lambda a: a[0].endswith(a[1]),
+    "TO_UPPER": lambda a: F.upper(a[0]),
+    "TO_LOWER": lambda a: F.lower(a[0]),
+    # DATE_EXTRACT(part, ts): calendar fields both engines compute
+    # identically from a UTC-pinned timestamp (only these three parts are
+    # admitted — sub-day parts route through the EPOCH_DAY discipline).
+    "DATE_EXTRACT": lambda a: _date_extract(a),
+    # MV_* multi-valued scalar functions (the SPLIT/MV_EXPAND companions).
+    # MV_COUNT/MV_MIN/MV_MAX are direct; MV_SUM keeps the language's exact
+    # discipline (per-element decimal(28,9) quantize, exact fold);
+    # MV_CONCAT renders with a literal delimiter.
+    "MV_COUNT": lambda a: F.size(a[0]).cast("long"),
+    "MV_MIN": lambda a: F.array_min(a[0]),
+    "MV_MAX": lambda a: F.array_max(a[0]),
+    # the merge result must carry the accumulator's EXACT decimal type —
+    # Spark's + widens (28,9)+(18,9) → (29,9), and at the 38 cap it DROPS
+    # scale silently — so cast back each step (lossless below 10^19).
+    "MV_SUM": lambda a: F.aggregate(
+        a[0],
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x.cast("decimal(18,9)")).cast("decimal(28,9)"),
+    ),
+    "MV_CONCAT": lambda a: F.array_join(
+        a[0], str(_require_lit(a, 1, "MV_CONCAT"))
+    ),
 }
+
+
+_DATE_PARTS = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}
+
+
+def _date_extract(args: list[Column]) -> Column:
+    part = str(_require_lit(args, 0, "DATE_EXTRACT")).upper()
+    if part not in _DATE_PARTS:
+        raise EsqlError(f"DATE_EXTRACT part must be one of {sorted(_DATE_PARTS)}")
+    return _DATE_PARTS[part](args[1]).cast("long")
 
 
 def _match(args: list[Column]) -> Column:
@@ -636,6 +677,17 @@ def compile_esql(
             if field not in lk.columns:
                 raise EsqlError(f"lookup field {field} absent from {lname}")
             df = df.join(F.broadcast(lk), field, "left")
+        elif cmd == "RENAME":
+            # RENAME <old> AS <new> [, …] — pure projection relabeling.
+            while True:
+                old = p.expect("id").text
+                p.expect("kw", "AS")
+                new = p.expect("id").text
+                if old not in df.columns:
+                    raise EsqlError(f"RENAME: unknown column {old}")
+                df = df.withColumnRenamed(old, new)
+                if not p.accept("op", ","):
+                    break
         elif cmd in ("KEEP", "DROP"):
             cols = [p.expect("id").text]
             while p.accept("op", ","):

@@ -4207,6 +4207,48 @@ FROM events GROUP BY 1 ORDER BY 1 ASC""",
 })
 
 
+# ES|QL multi-value functions + RENAME: the SPLIT companions (MV_COUNT/
+# MV_MIN/MV_MAX over per-doc word arrays; binary string collation is
+# engine-identical on the ascii fixture) composed with RENAME and the
+# exact-sum STATS discipline.
+ESQL_MV_QUERY = """
+FROM documents
+| EVAL words = SPLIT(text, " ")
+| EVAL n_words = MV_COUNT(words), w_first = MV_MIN(words), w_last = MV_MAX(words)
+| RENAME lang AS language
+| STATS docs = COUNT(*), words_total = SUM(n_words),
+        wmin = MIN(w_first), wmax = MAX(w_last) BY language
+| SORT language ASC
+"""
+
+
+def q_esql_docs_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+CATALOG.update({
+    "esql_docs_mv_stats": QuerySpec(
+        q_esql_docs_mv_stats,
+        """WITH s AS (
+  SELECT lang AS language,
+         len(string_split(text, ' ')) AS n_words,
+         list_min(string_split(text, ' ')) AS w_first,
+         list_max(string_split(text, ' ')) AS w_last
+  FROM documents
+)
+SELECT language, CAST(COUNT(*) AS BIGINT) AS docs,
+       SUM(CAST(n_words AS DECIMAL(28,9))) AS words_total,
+       MIN(w_first) AS wmin, MAX(w_last) AS wmax
+FROM s GROUP BY 1 ORDER BY 1 ASC""",
+        "ES|QL multi-value scalar functions (MV_COUNT/MV_MIN/MV_MAX over "
+        "SPLIT word arrays) + RENAME, reduced through the exact-sum STATS "
+        "— the compiler's array surface end to end",
+    ),
+})
+
+
 # ES|QL MATCH (8.17): the fulltext function compiled against the pinned
 # tokenizer — the query string tokenizes at COMPILE time, the predicate is
 # token-set overlap (ES match semantics: analyzed terms, OR operator).
@@ -5358,6 +5400,7 @@ _SWEEP_NEXT = [
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
     "ann_ivfpq_topk", "esql_docs_match", "pii_redact", "esql_stats_where",
+    "esql_docs_mv_stats",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

@@ -579,3 +579,55 @@ def test_esql_stats_where_vs_pandas(spark):
     want = lp[lp.event_type == "error"].groupby("user_id").size().to_dict()
     for r in w:
         assert r.n_err == want.get(r.user_id, 0)
+
+
+def test_esql_mv_functions_and_rename(spark):
+    """MV_SUM's exact decimal fold, MV_CONCAT, DATE_EXTRACT parts,
+    STARTS_WITH/ENDS_WITH, and RENAME error/rename semantics."""
+    from decimal import Decimal
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    df = spark.createDataFrame(
+        [(1, "a,b,c", 10.5), (2, "x", 0.25)], "id long, csv string, v double"
+    )
+    out = compile_esql(
+        'FROM t | EVAL parts = SPLIT(csv, ",") | '
+        'EVAL n = MV_COUNT(parts), joined = MV_CONCAT(parts, "|") | '
+        "RENAME v AS value | KEEP id, n, joined, value",
+        tables={"t": df},
+    ).collect()
+    got = {r.id: (r.n, r.joined, r.value) for r in out}
+    assert got == {1: (3, "a|b|c", 10.5), 2: (1, "x", 0.25)}
+
+    ev = t_events(spark)
+    r = compile_esql(
+        'FROM events | EVAL y = DATE_EXTRACT("year", ts), '
+        'm = DATE_EXTRACT("month", ts), d = DATE_EXTRACT("day", ts) | '
+        "STATS ymin = MIN(y), ymax = MAX(y), mmax = MAX(m), dmax = MAX(d)",
+        tables={"events": ev},
+    ).collect()[0]
+    assert r.ymin == 2024 and 1 <= r.mmax <= 12 and 1 <= r.dmax <= 31
+
+    rows = compile_esql(
+        'FROM events | WHERE STARTS_WITH(event_type, "s") '
+        'AND NOT ENDS_WITH(event_type, "zzz") | STATS n = COUNT(*) '
+        "BY event_type",
+        tables={"events": ev},
+    ).collect()
+    assert rows and all(r.event_type.startswith("s") for r in rows)
+
+    # MV_SUM: exact decimal over array
+    arr = spark.createDataFrame([([1.1, 2.2, 3.3],)], "xs array<double>")
+    s = compile_esql(
+        "FROM a | EVAL total = MV_SUM(xs) | KEEP total", tables={"a": arr}
+    ).collect()[0].total
+    assert s == Decimal("6.6")
+
+    with pytest.raises(EsqlError, match="unknown column"):
+        compile_esql("FROM events | RENAME nope AS x", tables={"events": ev})
+    with pytest.raises(EsqlError, match="DATE_EXTRACT part"):
+        compile_esql(
+            'FROM events | EVAL h = DATE_EXTRACT("hour", ts)',
+            tables={"events": ev},
+        )
