@@ -355,3 +355,39 @@ def sequence_join_stream(
             - F.col("a_ts").cast("timestamp").cast("long")
         ).cast("long").alias("span_s"),
     )
+
+
+def percolate_stream(
+    docs_stream: DataFrame, stored_queries: DataFrame
+) -> DataFrame:
+    """Streaming percolation (the Elasticsearch percolator as an alerting
+    stream): every incoming document is checked against the STORED
+    conjunctive queries and emits (query_id, doc_id) for each saved
+    search it triggers — search_ext.percolate transposed onto a stream.
+
+    STATELESS by construction: the stored queries collapse to per-query
+    term arrays (tiny by the feature's definition — broadcast), and a
+    document fires a query when array_intersect covers the query's terms
+    — the whole check is row-local, so the query runs in append mode with
+    ZERO state store and no watermark; at any corpus rate the work per
+    document is bounded by |queries|. Works unchanged on a batch frame
+    (where it must equal the postings-side percolate — tested)."""
+    from .tokenize import tokens_col
+
+    qarr = (
+        stored_queries.select("query_id", "term")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_set("term")).alias("q_terms"))
+    )
+    toks = docs_stream.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(qarr))
+        .filter(
+            F.size(F.array_intersect("toks", "q_terms")) == F.size("q_terms")
+        )
+        .select("query_id", "doc_id")
+    )

@@ -712,3 +712,61 @@ def test_sequence_join_stream_matches_batch_eql(spark, tmp_path):
     )
     batch_rows = sorted(tuple(r) for r in batch_pairs.collect())
     assert stream_rows == batch_rows
+
+
+def test_percolate_stream_matches_batch_percolate(spark, tmp_path):
+    """Streaming percolation: the stateless row-local check over two
+    micro-batches emits exactly the batch percolator's (query, doc) set —
+    and the batch-frame degenerate form equals search_ext.percolate on
+    the postings, two algorithms one answer."""
+    from sparksearch.search_ext import percolate
+    from sparksearch.streaming import DOCS_STREAM_SCHEMA, percolate_stream
+    from sparksearch.tokenize import explode_postings, py_tokenize, tokenize_sql
+
+    docs = spark.read.parquet(str(SF_SMOKE / "documents.parquet"))
+    stored = [(1, "hash join"), (2, "query scan filter"), (3, "customer")]
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in stored for t in py_tokenize(text)],
+        "query_id long, term string",
+    )
+    tf_df = term_freq(explode_postings(tokenize_sql(docs)))
+    want = sorted(
+        (r.query_id, r.doc_id) for r in percolate(qterms, tf_df).collect()
+    )
+    assert want and len({q for q, _ in want}) >= 2
+
+    # batch degenerate form
+    got = sorted(
+        (r.query_id, r.doc_id)
+        for r in percolate_stream(docs, qterms).collect()
+    )
+    assert got == want
+
+    # streaming form over two micro-batches, append mode, no state
+    src = tmp_path / "perc_src"
+    src.mkdir()
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_json(src / "b0.json", orient="records", lines=True)
+    pdf.iloc[half:].to_json(src / "b1.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        percolate_stream(stream, qterms)
+        .writeStream.format("memory")
+        .queryName("perc_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sgot = sorted(
+        (r.query_id, r.doc_id)
+        for r in spark.sql("SELECT * FROM perc_sink").collect()
+    )
+    assert sgot == want
