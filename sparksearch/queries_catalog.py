@@ -4134,6 +4134,8 @@ def _format_artifact(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         )
         if fmt == "csv":
             w.option("header", "false").csv(tmp)
+        elif fmt == "orc":
+            w.orc(tmp)
         else:
             w.json(tmp)
 
@@ -4145,6 +4147,8 @@ def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = _format_artifact(spark, sf_dir, fmt)
     if fmt == "csv":
         src = spark.read.schema(_FORMAT_COLS).csv(path)
+    elif fmt == "orc":
+        src = spark.read.schema(_FORMAT_COLS).orc(path)
     else:
         src = spark.read.schema(_FORMAT_COLS).json(path)
     return src.groupBy("event_type").agg(
@@ -4162,6 +4166,10 @@ def q_events_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_scan(spark, sf_dir, "csv")
+
+
+def q_events_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_scan(spark, sf_dir, "orc")
 
 
 _FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -4374,6 +4382,13 @@ CATALOG.update({
         "CSV source parity: same contract as the JSONL twin over the CSV "
         "sink/reader (headerless, explicit schema — inference is "
         "deliberately not exercised)",
+    ),
+    "events_orc_scan": QuerySpec(
+        q_events_orc_scan,
+        _FORMAT_ORACLE,
+        "ORC source parity: the columnar sibling (Spark-native ORC "
+        "sink/reader) under the same lossless round-trip contract — "
+        "binary columnar formats carry doubles exactly by construction",
     ),
 })
 
@@ -5400,7 +5415,7 @@ _SWEEP_NEXT = [
     "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
     "ann_ivfpq_topk", "esql_docs_match", "pii_redact", "esql_stats_where",
-    "esql_docs_mv_stats",
+    "esql_docs_mv_stats", "events_orc_scan",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
