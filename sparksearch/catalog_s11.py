@@ -1,0 +1,331 @@
+"""Round-4 session-11 catalog entries.
+
+Families added this session (SURVEY.md §11.11):
+
+* training-data curation: soft dedup weighting (SoftDeDup-style loss
+  reweighting instead of hard removal), BPE merge training (the tokenizer-
+  training word-count + greedy-merge loop, exact-unrolled oracle).
+* ES|QL widening: TOP/VALUES/MEDIAN/PERCENTILE aggregates, string
+  functions, CIDR/IP functions.
+* Lucene/ES query surface: combined_fields, span_containing, the
+  deterministic query-profile surface.
+
+Every entry follows the repo invariants: deterministic (no rand / no
+wall-clock), h60 for cross-engine hashing, round6 for every float output,
+BIGINT casts on both sides, column names identical between the Spark entry
+and its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_pipeline import (
+    MINHASH_CAND_SQL,
+    SHINGLE_SQL,
+    _TS,
+    _docs,
+    _r6,
+)
+
+# --------------------------------------------------------------- soft dedup
+
+
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style duplicate DOWN-WEIGHTING (arXiv:2401.00448 family;
+    the alternative to hard removal real pretraining mixes use): every doc
+    is kept, but its sampling weight is 1/|near-dup cluster| so each
+    distinct content unit contributes one document's worth of loss mass.
+
+    Output per doc: cluster id/size (MinHash+LSH verified components,
+    singletons are their own cluster), n_tokens, weight = round6(1/size),
+    eff_tokens = round6(n_tokens/size). Scale: the component labels live on
+    the pairs-sized graph (graph.connected_components — pointer-jumping,
+    O(log n) rounds); attaching them to the corpus is one LEFT join; the
+    two divisions are the only float ops and are round6-quantized
+    (invariant #3/#5)."""
+    from .graph import connected_components
+    from .stats import round6
+    from .textpipe import minhash_lsh_dedup
+    from .tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs)
+    cc = connected_components(pairs)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    lab = base.join(
+        cc.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id")
+    sized = lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        "n_tokens",
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        round6(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+        round6(F.col("n_tokens") / F.col("cluster_size")).alias("eff_tokens"),
+    )
+
+
+def _soft_weights_sql() -> str:
+    """DuckDB twin: the shared MinHash/LSH + recursive-closure cluster CTEs
+    (same fragments as dedup_clusters), LEFT-joined onto per-doc token
+    counts; both divisions mirror the Spark side's single-IEEE-divide +
+    round6 discipline."""
+    return f"""WITH RECURSIVE {SHINGLE_SQL.strip()},
+{MINHASH_CAND_SQL.strip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.doc_id_a, i.doc_id_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_id_a
+  JOIN cnt cb ON cb.doc_id = i.doc_id_b
+  WHERE i.i / (ca.n + cb.n - i.i) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jp
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM jp
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(COALESCE(l.cluster_id, t.doc_id) AS BIGINT) AS cluster_id
+  FROM tk t LEFT JOIN lbl l ON l.doc_id = t.doc_id
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         n_tokens
+  FROM m
+)
+SELECT doc_id, cluster_id, cluster_size, n_tokens,
+       {_r6("CAST(1 AS DOUBLE) / cluster_size")} AS weight,
+       {_r6("CAST(n_tokens AS DOUBLE) / cluster_size")} AS eff_tokens
+FROM sized"""
+
+
+# ------------------------------------------------------------- BPE training
+
+#: number of merge rounds learned (and unrolled in the oracle).
+BPE_MERGES = 8
+
+#: symbol-sequence rendering: every symbol wrapped in its own '|...|' so a
+#: plain (non-regex) left-to-right replace() of '|a||b|' -> '|ab|' is EXACTLY
+#: the greedy non-overlapping BPE merge step in both engines ('|' can never
+#: appear inside a token symbol — tokens are [a-z0-9_]+ runs).
+
+
+def bpe_train_merges(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Deterministic BPE tokenizer training (Sennrich et al. 2016;
+    the HF-tokenizers / SentencePiece word-count formulation) →
+    DF[merge_rank, left_sym, right_sym, merged, pair_count].
+
+    Phase 1 (distributed, corpus-sized): word frequencies = ONE
+    map-combinable groupBy over the pinned tokenizer's tokens — this is the
+    only pass that touches the corpus, exactly how real BPE trainers scale
+    (count words once, learn merges on the distinct-word table).
+
+    Phase 2 (vocab-sized): ``n_merges`` greedy rounds over the distinct-word
+    table. Each round counts adjacent symbol pairs weighted by word
+    frequency (ALL adjacent pairs, overlapping included — the reference
+    counting), picks argmax on the total order (count DESC, left ASC,
+    right ASC), and applies the merge with one literal ``replace``
+    (see the '|sym||sym|' rendering note above: plain replace IS the greedy
+    non-overlapping merge). The per-round argmax is a 1-row collect —
+    merge learning is inherently sequential and the collected row is the
+    round's scalar decision, the same driver role graph.connected_components'
+    convergence check plays. Words frame is persisted once; each round's
+    pair count is a vocab-sized job.
+
+    Determinism: counts are exact integers; ties on the pair count break on
+    the pair's symbols (binary ASCII compare in both engines)."""
+    from .tokenize import tokens_col
+
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            # NOTE: F.split uses limit=-1 (keeps trailing empties) and the
+            # zero-width lookahead matches at end-of-string, so a trailing
+            # '' element must be filtered before joining.
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.filter(
+                        F.split(F.col("term"), "(?!^)"), lambda x: x != F.lit("")
+                    ),
+                    "||",
+                ),
+                F.lit("|"),
+            ).alias("w"),
+            "freq",
+        )
+        .persist()
+    )
+    words.count()  # materialize once; every round reads this tiny table
+    cur = words
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            syms = cur.select(
+                F.split(
+                    F.expr("substring(w, 2, length(w) - 2)"), r"\|\|"
+                ).alias("s"),
+                "freq",
+            )
+            pairs = (
+                syms.select(
+                    "s",
+                    "freq",
+                    F.explode(
+                        F.when(
+                            F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)
+                        ).otherwise(F.expr("array()").cast("array<int>"))
+                    ).alias("i"),
+                )
+                .select(
+                    F.element_at("s", F.col("i")).alias("a"),
+                    F.element_at("s", F.col("i") + 1).alias("b"),
+                    "freq",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((r, a, b, a + b, cnt))
+            cur = cur.select(
+                F.replace(
+                    F.col("w"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+                ).alias("w"),
+                "freq",
+            )
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_merges(spark, _docs(spark, sf_dir))
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the merge loop unrolled as CTE rounds (the Lloyd-chain
+    pattern from the IVF/PQ oracles). Same '|sym||sym|' rendering, same
+    plain-replace merge step, same (count DESC, pair ASC) argmax."""
+    parts = [
+        f"""wf AS (
+  SELECT t AS term, COUNT(*) AS freq
+  FROM (SELECT unnest({_TS}) AS t FROM documents)
+  GROUP BY 1
+),
+w0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(generate_series(1, length(term)), i -> term[i]),
+           '||') || '|' AS w,
+         freq
+  FROM wf
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+  SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(s) - 1),
+                  i -> struct_pack(a := s[i], b := s[i+1]))) AS pr
+    FROM (SELECT string_split(substring(w, 2, length(w) - 2), '||') AS s, freq
+          FROM w{p})
+  )
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{r} AS (
+  SELECT replace(w, '|' || a || '||' || b || '|', '|' || a || b || '|') AS w,
+         freq
+  FROM w{p}, m{r}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+# ---------------------------------------------------------------- registry
+
+
+def build_round4_s11a():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "dedup_soft_weights": QuerySpec(
+            q_dedup_soft_weights,
+            _soft_weights_sql(),
+            "SoftDeDup duplicate down-weighting: keep every doc, sampling "
+            "weight = 1/|near-dup cluster| (MinHash+LSH verified components,"
+            " singletons weight 1), effective-token accounting — the "
+            "loss-reweighting alternative to hard dedup removal",
+        ),
+        "bpe_train_merges": QuerySpec(
+            q_bpe_train_merges,
+            _bpe_sql(),
+            "BPE tokenizer training: one distributed word-count pass, then "
+            f"{BPE_MERGES} greedy merge rounds on the distinct-word table "
+            "(all-adjacent pair counts, argmax on count DESC/pair ASC, "
+            "plain-replace merge over '|sym||sym|' renderings = exact "
+            "greedy non-overlapping semantics) — oracle unrolls every "
+            "round as CTEs",
+        ),
+    }

@@ -5291,6 +5291,10 @@ def _round4_s10a_specs():
 
 CATALOG.update(_round4_s10a_specs())
 
+from .catalog_s11 import build_round4_s11a  # noqa: E402
+
+CATALOG.update(build_round4_s11a())
+
 
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
@@ -5416,6 +5420,8 @@ _SWEEP_NEXT = [
     "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
     "ann_ivfpq_topk", "esql_docs_match", "pii_redact", "esql_stats_where",
     "esql_docs_mv_stats", "events_orc_scan",
+    # round-4 session-11 additions (brand new — same policy)
+    "dedup_soft_weights", "bpe_train_merges",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
