@@ -303,6 +303,143 @@ w{r} AS (
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+# ---------------------------------------------------------- ES|QL widening
+
+ESQL_TOP_QUERY = """
+FROM orders
+| STATS n = COUNT(*), med = MEDIAN(o_totalprice),
+        p90 = PERCENTILE(o_totalprice, 90),
+        tops = TOP(o_orderpriority, 3, "asc"),
+        vals = VALUES(o_orderpriority) BY o_orderstatus
+| EVAL top3 = MV_CONCAT(tops, ","), pris = MV_CONCAT(vals, ",")
+| DROP tops, vals
+| SORT o_orderstatus
+"""
+
+
+def q_esql_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_TOP_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def _pct_sql(p: int) -> str:
+    """DuckDB twin of esql._percentile_agg over CTE columns (ls, m):
+    exact interpolated percentile at p — identical op sequence (decimal
+    grid sort, integer h split, exact-decimal interpolation, round6)."""
+    tot = f"(m - 1) * {p}"
+    return (
+        f"CAST(ROUND(CAST("
+        f"ls[CAST(FLOOR(({tot}) / 100.0) AS BIGINT) + 1]"
+        f" + (CAST(({tot}) % 100 AS DECIMAL(3,0)) * CAST(0.01 AS DECIMAL(3,2)))"
+        f" * (ls[LEAST(CAST(FLOOR(({tot}) / 100.0) AS BIGINT) + 2, m)]"
+        f"    - ls[CAST(FLOOR(({tot}) / 100.0) AS BIGINT) + 1])"
+        f" AS DECIMAL(28,9)), 6) AS DOUBLE)"
+    )
+
+
+ESQL_TOP_SQL = f"""WITH g AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         list_sort(list(CAST(o_totalprice AS DECIMAL(28,9)))) AS ls,
+         array_to_string(list_sort(list(o_orderpriority))[1:3], ',') AS top3,
+         array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS pris
+  FROM orders GROUP BY 1
+),
+pc AS (SELECT o_orderstatus, n, top3, pris, len(ls) AS m, ls FROM g)
+SELECT o_orderstatus, n,
+       {_pct_sql(50)} AS med,
+       {_pct_sql(90)} AS p90,
+       top3, pris
+FROM pc ORDER BY o_orderstatus"""
+
+
+ESQL_STRINGS_QUERY = """
+FROM documents
+| WHERE doc_id < 120
+| EVAL low = TO_LOWER(text),
+       head = LEFT(text, 24),
+       tail = RIGHT(text, 9),
+       rev = REVERSE(LEFT(low, 12)),
+       pos = LOCATE(low, "the"),
+       clean = REPLACE(LEFT(low, 40), "[aeiou]", "*"),
+       bigger = GREATEST(pos, n_chars % 7),
+       smaller = LEAST(pos, 3),
+       root = FLOOR(SQRT(TO_DOUBLE(n_chars))),
+       up = CEIL(TO_DOUBLE(n_chars) / 7.0),
+       trimmed = LENGTH(TRIM(CONCAT(" ", head, "  ")))
+| KEEP doc_id, head, tail, rev, pos, clean, bigger, smaller, root, up, trimmed
+| SORT doc_id
+"""
+
+
+def q_esql_docs_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_STRINGS_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_STRINGS_SQL = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  substring(text, 1, 24) AS head,
+  substring(text, greatest(length(text) - 8, 1), 9) AS tail,
+  reverse(substring(lower(text), 1, 12)) AS rev,
+  CAST(strpos(lower(text), 'the') AS BIGINT) AS pos,
+  regexp_replace(substring(lower(text), 1, 40), '[aeiou]', '*', 'g') AS clean,
+  CAST(greatest(strpos(lower(text), 'the'), n_chars % 7) AS BIGINT) AS bigger,
+  CAST(least(strpos(lower(text), 'the'), 3) AS BIGINT) AS smaller,
+  CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) AS root,
+  CAST(ceil(CAST(n_chars AS DOUBLE) / 7.0) AS BIGINT) AS up,
+  CAST(length(trim(' ' || substring(text, 1, 24) || '  ')) AS BIGINT) AS trimmed
+FROM documents WHERE doc_id < 120 ORDER BY doc_id"""
+
+
+ESQL_CIDR_QUERY = """
+FROM events
+| EVAL ip = CONCAT("10.", TO_STRING(event_id % 200), ".",
+                   TO_STRING(user_id % 250), ".",
+                   TO_STRING((user_id * 7 + event_id) % 256))
+| EVAL net = IP_PREFIX(ip, 12),
+       hit = TO_LONG(CIDR_MATCH(ip, "10.8.0.0/13", "10.64.0.0/10"))
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) BY net, hit
+| SORT net, hit
+"""
+
+
+def q_esql_events_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_CIDR_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+#: "10.8.0.0/13" -> base >> 19 = 321; "10.64.0.0/10" -> base >> 22 = 41.
+ESQL_CIDR_SQL = """WITH e AS (
+  SELECT user_id,
+         '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
+         CAST(user_id % 250 AS VARCHAR) || '.' ||
+         CAST((user_id * 7 + event_id) % 256 AS VARCHAR) AS ip
+  FROM events
+),
+i AS (
+  SELECT user_id,
+         ((10 * 256 + CAST(string_split(ip, '.')[2] AS BIGINT)) * 256
+           + CAST(string_split(ip, '.')[3] AS BIGINT)) * 256
+           + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipi
+  FROM e
+),
+m AS (
+  SELECT user_id, ((ipi >> 20) << 20) AS mi,
+         CAST((ipi >> 19) = 321 OR (ipi >> 22) = 41 AS BIGINT) AS hit
+  FROM i
+)
+SELECT CAST(mi >> 24 AS VARCHAR) || '.' || CAST((mi >> 16) % 256 AS VARCHAR)
+         || '.' || CAST((mi >> 8) % 256 AS VARCHAR)
+         || '.' || CAST(mi % 256 AS VARCHAR) AS net,
+       hit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM m GROUP BY 1, 2 ORDER BY net, hit"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -327,5 +464,31 @@ def build_round4_s11a():
             "plain-replace merge over '|sym||sym|' renderings = exact "
             "greedy non-overlapping semantics) — oracle unrolls every "
             "round as CTEs",
+        ),
+        "esql_stats_top": QuerySpec(
+            q_esql_stats_top,
+            ESQL_TOP_SQL,
+            "ES|QL MEDIAN/PERCENTILE/TOP/VALUES aggregates: exact "
+            "interpolated percentiles (decimal grid sort + exact-decimal "
+            "interpolation replacing ES's TDigest), multivalue TOP/VALUES "
+            "rendered through MV_CONCAT — hand-derived oracle checks the "
+            "compiler's agg layer",
+        ),
+        "esql_docs_strings": QuerySpec(
+            q_esql_docs_strings,
+            ESQL_STRINGS_SQL,
+            "ES|QL string/math function surface: LEFT/RIGHT/REVERSE/TRIM/"
+            "LOCATE/REPLACE(regex, global)/GREATEST/LEAST/CEIL/FLOOR/SQRT "
+            "— RIGHT uses explicit start arithmetic (negative-start "
+            "substring is not engine-portable on short strings), REPLACE "
+            "twins need DuckDB's 'g' flag",
+        ),
+        "esql_events_cidr": QuerySpec(
+            q_esql_events_cidr,
+            ESQL_CIDR_SQL,
+            "ES|QL IP functions: CIDR_MATCH compiles each literal block to "
+            "one integer shiftright+equality, IP_PREFIX masks and "
+            "re-renders the dotted quad — deterministic ips synthesized "
+            "in-language from integer columns (fixture has no real ips)",
         ),
     }

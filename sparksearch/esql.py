@@ -48,12 +48,24 @@ checkable):
   STARTS_WITH, ENDS_WITH, TO_UPPER, TO_LOWER
   DATE_EXTRACT("year"|"month"|"day", ts) — calendar fields only
   MV_COUNT, MV_MIN, MV_MAX, MV_CONCAT, MV_SUM (exact decimal fold)
+  TRIM/LTRIM/RTRIM, REPLACE (regex, global), LEFT/RIGHT, REVERSE,
+  LOCATE, GREATEST/LEAST, CEIL/FLOOR (BIGINT), SQRT (IEEE-exact)
+  CIDR_MATCH(ip, "a.b.c.d/n", …) — compile-time block parse, one
+  integer shiftright+equality per block at runtime
+  IP_PREFIX(ip, n) — top-n-bit mask re-rendered as a dotted quad
 
 Aggregations: COUNT(*), COUNT(x), COUNT_DISTINCT(x), MIN, MAX,
 SUM (a DOUBLE argument is quantized to decimal(28,9) per row and summed
 EXACTLY — the vsm/training_data_stats order-independent-sum remedy —
 returning a scale-9 decimal; integer arguments sum as exact BIGINT),
-AVG (exact SUM + one final double division).
+AVG (exact SUM + one final double division),
+MEDIAN / PERCENTILE(x, p) — EXACT interpolated percentile (the
+deterministic replacement for ES's TDigest): decimal(28,9)-quantized
+sort, h=(n-1)p/100, pure exact-decimal interpolation, round6 output,
+TOP(x, k, "asc"|"desc") / VALUES(x) — multivalue aggregates (VALUES
+pins SORTED ascending where ES leaves order unspecified). The collect-
+based aggregates (MEDIAN/PERCENTILE/TOP/VALUES) work in STATS and the
+no-BY INLINESTATS broadcast form, not the windowed BY form.
 
 Structuring commands: DISSECT (one-literal-separator split → typed
 columns, no regex engine), GROK (%{WORD|INT|NUMBER:name} core syntaxes
@@ -231,7 +243,100 @@ _FUNCS = {
     "MV_CONCAT": lambda a: F.array_join(
         a[0], str(_require_lit(a, 1, "MV_CONCAT"))
     ),
+    # -- session-11 widening: string / math / IP functions ------------------
+    "TRIM": lambda a: F.trim(a[0]),
+    "LTRIM": lambda a: F.ltrim(a[0]),
+    "RTRIM": lambda a: F.rtrim(a[0]),
+    # REPLACE(str, regex, new) — the ES|QL contract is REGEX replacement
+    # (all occurrences). Spark regexp_replace is always global; the DuckDB
+    # twin needs the 'g' flag (first-match-only otherwise — repo sharp edge).
+    "REPLACE": lambda a: F.regexp_replace(
+        a[0],
+        str(_require_lit(a, 1, "REPLACE")),
+        str(_require_lit(a, 2, "REPLACE")),
+    ),
+    "LEFT": lambda a: F.substring(a[0], 1, int(_require_lit(a, 1, "LEFT"))),
+    # RIGHT: explicit start arithmetic — Spark's negative-start substring
+    # and DuckDB's right() disagree when the string is shorter than n.
+    "RIGHT": lambda a: F.substring(
+        a[0],
+        F.greatest(
+            F.length(a[0]) - int(_require_lit(a, 1, "RIGHT")) + 1, F.lit(1)
+        ),
+        F.lit(int(_require_lit(a, 1, "RIGHT"))),
+    ),
+    "REVERSE": lambda a: F.reverse(a[0]),
+    # LOCATE(string, substring) — 1-based, 0 when absent (both engines'
+    # native contract: Spark locate / DuckDB strpos).
+    "LOCATE": lambda a: F.locate(str(_require_lit(a, 1, "LOCATE")), a[0]).cast(
+        "long"
+    ),
+    "GREATEST": lambda a: F.greatest(*a),
+    "LEAST": lambda a: F.least(*a),
+    # CEIL/FLOOR return BIGINT in this dialect (cross-engine-pinned: DuckDB
+    # returns DOUBLE natively); SQRT is IEEE-correctly-rounded on both.
+    "CEIL": lambda a: F.ceil(a[0]).cast("long"),
+    "FLOOR": lambda a: F.floor(a[0]).cast("long"),
+    "SQRT": lambda a: F.sqrt(a[0]),
+    "CIDR_MATCH": lambda a: _cidr_match(a),
+    "IP_PREFIX": lambda a: _ip_prefix(a),
 }
+
+
+def _ip_int(ip: Column) -> Column:
+    """Dotted-quad string → 32-bit integer (exact long arithmetic)."""
+    parts = F.split(ip, r"\.")
+    c = F.lit(0).cast("long")
+    for i in range(4):
+        c = c * 256 + F.get(parts, i).cast("long")
+    return c
+
+
+def _parse_cidr(block: str) -> tuple[int, int]:
+    """'a.b.c.d/n' → (base >> (32-n), 32-n); raises on malformed blocks."""
+    m = re.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})/(\d{1,2})", block)
+    if not m:
+        raise EsqlError(f"malformed CIDR block {block!r}")
+    o = [int(m.group(i)) for i in range(1, 5)]
+    bits = int(m.group(5))
+    if any(x > 255 for x in o) or not 0 <= bits <= 32:
+        raise EsqlError(f"malformed CIDR block {block!r}")
+    base = ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3]
+    return base >> (32 - bits) if bits < 32 else base, 32 - bits
+
+
+def _cidr_match(args: list[Column]) -> Column:
+    """CIDR_MATCH(ip, "block", …) — true when the ip falls in ANY block.
+    The blocks are compile-time literals: each test is one integer
+    shiftright + equality (no string ops per block at runtime)."""
+    if len(args) < 2:
+        raise EsqlError('CIDR_MATCH needs (ip, "block" [, "block" …])')
+    ipi = _ip_int(args[0])
+    cond = None
+    for i in range(1, len(args)):
+        prefix, shift = _parse_cidr(str(_require_lit(args, i, "CIDR_MATCH")))
+        c = F.shiftright(ipi, shift) == F.lit(prefix)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _ip_prefix(args: list[Column]) -> Column:
+    """IP_PREFIX(ip, n) — keep the top n bits, zero the rest, re-render as
+    a dotted quad (integer shifts and mods only — exact on both engines)."""
+    bits = int(_require_lit(args, 1, "IP_PREFIX"))
+    if not 0 <= bits <= 32:
+        raise EsqlError("IP_PREFIX bits must be in [0, 32]")
+    shift = 32 - bits
+    m = _ip_int(args[0])
+    if shift:
+        m = F.shiftleft(F.shiftright(m, shift), shift)
+    return F.concat_ws(
+        ".",
+        F.shiftright(m, 24).cast("string"),
+        (F.shiftright(m, 16) % 256).cast("string"),
+        (F.shiftright(m, 8) % 256).cast("string"),
+        (m % 256).cast("string"),
+    )
 
 
 _DATE_PARTS = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}
@@ -404,36 +509,70 @@ class _ExprParser:
         raise EsqlError(f"unexpected token {t.text!r}")
 
 
-_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
+_AGGS = {
+    "COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG",
+    "MEDIAN", "PERCENTILE", "TOP", "VALUES",
+}
 
 
-def _parse_agg(p: _Parser) -> tuple[str, Column | None]:
-    """Parse ``AGG(expr) [WHERE cond]`` / ``COUNT(*) [WHERE cond]`` →
-    (fn, arg) without building the final Column, so STATS (grouped) and
-    INLINESTATS (windowed) share one grammar.
+def _parse_agg(p: _Parser) -> tuple[str, list[Column | None]]:
+    """Parse ``AGG(expr[, …]) [WHERE cond]`` / ``COUNT(*) [WHERE cond]`` →
+    (fn, args) without building the final Column, so STATS (grouped) and
+    INLINESTATS (windowed) share one grammar. PERCENTILE/TOP carry literal
+    extra arguments past the first.
 
     The per-aggregate WHERE (ES|QL 8.16) folds into the ARGUMENT as a
     conditional — rows failing the filter contribute NULL, which every
-    aggregate here ignores (COUNT counts non-nulls, SUM/MIN/MAX/AVG skip
-    nulls) — so filtered aggregates stay one-pass and map-combinable in
-    both the grouped and the windowed translation."""
+    aggregate here ignores (COUNT counts non-nulls; SUM/MIN/MAX/AVG skip
+    nulls; collect_list/collect_set drop nulls for TOP/VALUES/PERCENTILE)
+    — so filtered aggregates stay one-pass and map-combinable in both the
+    grouped and the windowed translation."""
     fn = p.expect("id").text.upper()
     if fn not in _AGGS:
         raise EsqlError(f"unknown aggregation {fn}")
     p.expect("op", "(")
+    args: list[Column | None]
     if fn == "COUNT" and p.accept("op", "*"):
         p.expect("op", ")")
-        arg = None
+        args = [None]
     else:
-        arg = _ExprParser(p).parse()
+        args = [_ExprParser(p).parse()]
+        while p.accept("op", ","):
+            args.append(_ExprParser(p).parse())
         p.expect("op", ")")
     if p.accept("kw", "WHERE"):
         cond = _ExprParser(p).parse()
-        arg = F.when(cond, F.lit(1) if arg is None else arg)
-    return fn, arg
+        args[0] = F.when(cond, F.lit(1) if args[0] is None else args[0])
+    return fn, args
 
 
-def _build_agg(fn: str, arg: Column | None, name: str) -> Column:
+def _percentile_agg(arg: Column, pct: int) -> Column:
+    """Exact interpolated percentile (the deterministic variant of ES's
+    TDigest PERCENTILE — same "replace the approximate builtin with an
+    exact pinned algorithm" policy as boxplot/MAD): values quantize to
+    decimal(28,9) (the language's SUM discipline), sort, and interpolate
+    at h = (n-1)·pct/100. With integer pct the fractional part of h is
+    fm/100 — EXACTLY representable as decimal(m,2)·0.01 — so the
+    interpolation lo + frac·(hi−lo) is pure exact-decimal arithmetic;
+    the single round6 output quantize is the only precision loss.
+    Positive-domain note: ROUND on the exact decimal is half-away-from-
+    zero on both engines, identical for the fixture's positive grids."""
+    if not 0 <= pct <= 100:
+        raise EsqlError("PERCENTILE pct must be in [0, 100]")
+    s = F.array_sort(F.collect_list(arg.cast("decimal(28,9)")))
+    n = F.size(s)
+    tot = (n - 1) * F.lit(pct)
+    ridx = F.floor(tot / F.lit(100.0)).cast("int")
+    fm = tot % 100
+    lo = F.get(s, ridx)
+    hi = F.get(s, F.least(ridx + 1, n - 1))
+    frac = fm.cast("decimal(3,0)") * F.expr("CAST(0.01 AS DECIMAL(3,2))")
+    val = lo + frac * (hi - lo)
+    return F.round(val.cast("decimal(28,9)"), 6).cast("double")
+
+
+def _build_agg(fn: str, args: list[Column | None], name: str) -> Column:
+    arg = args[0]
     if fn == "COUNT":
         src = F.lit(1) if arg is None else arg
         return F.count(src).cast("long").alias(name)
@@ -443,6 +582,26 @@ def _build_agg(fn: str, arg: Column | None, name: str) -> Column:
         return F.min(arg).alias(name)
     if fn == "MAX":
         return F.max(arg).alias(name)
+    if fn == "MEDIAN":
+        return _percentile_agg(arg, 50).alias(name)
+    if fn == "PERCENTILE":
+        return _percentile_agg(arg, int(_require_lit(args, 1, "PERCENTILE"))).alias(name)
+    if fn == "TOP":
+        # TOP(field, limit, "asc"|"desc") — the top `limit` VALUES
+        # (duplicates included) in the given order, as a multivalue.
+        k = int(_require_lit(args, 1, "TOP"))
+        order = str(_require_lit(args, 2, "TOP")).lower()
+        if order not in ("asc", "desc") or k < 1:
+            raise EsqlError('TOP needs (field, k >= 1, "asc"|"desc")')
+        return F.slice(
+            F.sort_array(F.collect_list(arg), asc=order == "asc"), 1, k
+        ).alias(name)
+    if fn == "VALUES":
+        # VALUES(field) — the distinct values as a multivalue. ES leaves
+        # the order unspecified; this dialect pins SORTED ascending (the
+        # deterministic-variant policy), which also makes MV_CONCAT of the
+        # result oracle-checkable.
+        return F.array_sort(F.collect_set(arg)).alias(name)
     # SUM / AVG: exact accumulation — a double argument quantizes to
     # decimal(28,9) per row and sums exactly (order-independent on any
     # partitioning, the engine-wide float-sum remedy); AVG divides once.
@@ -453,15 +612,22 @@ def _build_agg(fn: str, arg: Column | None, name: str) -> Column:
 
 
 def _agg_column(p: _Parser, name: str) -> Column:
-    fn, arg = _parse_agg(p)
-    return _build_agg(fn, arg, name)
+    fn, args = _parse_agg(p)
+    return _build_agg(fn, args, name)
 
 
-def _window_agg(fn: str, arg: Column | None, w) -> Column:
+def _window_agg(fn: str, args: list[Column | None], w) -> Column:
     """The windowed twin of _build_agg for INLINESTATS — same float
     discipline (exact decimal SUM, one AVG division), computed over a
     partition window so the frame keeps every input row and the only
-    shuffle is the hash partition on the BY keys (no join, no collapse)."""
+    shuffle is the hash partition on the BY keys (no join, no collapse).
+
+    MEDIAN/PERCENTILE/TOP/VALUES are rejected here (their collect-based
+    forms would materialize the whole group once per row); the no-BY
+    INLINESTATS path routes through _build_agg and supports them."""
+    if fn in ("MEDIAN", "PERCENTILE", "TOP", "VALUES"):
+        raise EsqlError(f"{fn} is not supported in INLINESTATS")
+    arg = args[0]
     if fn == "COUNT":
         src = F.lit(1) if arg is None else arg
         return F.count(src).over(w).cast("long")
@@ -542,12 +708,12 @@ def compile_esql(
             # scale-right form at any key cardinality). Without BY the
             # global 1-row aggregate broadcasts back (a partitionBy-less
             # window would drag every row to one partition).
-            specs: list[tuple[str, str, Column | None]] = []
+            specs: list[tuple[str, str, list[Column | None]]] = []
             while True:
                 name = p.expect("id").text
                 p.expect("op", "=")
-                fn, arg = _parse_agg(p)
-                specs.append((name, fn, arg))
+                fn, aargs = _parse_agg(p)
+                specs.append((name, fn, aargs))
                 if not p.accept("op", ","):
                     break
             keys = []
@@ -559,11 +725,11 @@ def compile_esql(
                 from pyspark.sql import Window
 
                 w = Window.partitionBy(*keys)
-                for name, fn, arg in specs:
-                    df = df.withColumn(name, _window_agg(fn, arg, w))
+                for name, fn, aargs in specs:
+                    df = df.withColumn(name, _window_agg(fn, aargs, w))
             else:
                 g = df.groupBy().agg(
-                    *[_build_agg(fn, arg, name) for name, fn, arg in specs]
+                    *[_build_agg(fn, aargs, name) for name, fn, aargs in specs]
                 )
                 # mirror the BY branch's withColumn SHADOWING: an agg name
                 # that collides with an input column replaces it (the ES|QL

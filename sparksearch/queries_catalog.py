@@ -5422,6 +5422,7 @@ _SWEEP_NEXT = [
     "esql_docs_mv_stats", "events_orc_scan",
     # round-4 session-11 additions (brand new — same policy)
     "dedup_soft_weights", "bpe_train_merges",
+    "esql_stats_top", "esql_docs_strings", "esql_events_cidr",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",

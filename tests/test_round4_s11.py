@@ -84,6 +84,71 @@ def test_bpe_replace_is_greedy_merge(spark):
     assert [r.w for r in rep.collect()] == ["|aa||a|", "|aa||aa|", "|b||aa||b|"]
 
 
+def test_esql_percentile_exact_interpolation(spark):
+    from sparksearch.esql import compile_esql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (1, 41.0), (2, 5.5)], "g int, v double"
+    )
+    out = {
+        r.g: (r.med, r.p90)
+        for r in compile_esql(
+            "FROM t | STATS med = MEDIAN(v), p90 = PERCENTILE(v, 90) BY g",
+            tables={"t": df},
+        ).collect()
+    }
+    # n=4: med at h=1.5 -> 25.0; p90 at h=2.7 -> 30 + 0.7*11 = 37.7
+    assert out[1] == (25.0, 37.7)
+    assert out[2] == (5.5, 5.5)  # singleton group: every percentile = value
+
+
+def test_esql_top_values_and_inlinestats_guard(spark):
+    import pytest as _pt
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    df = spark.createDataFrame(
+        [("a",), ("c",), ("b",), ("c",)], "s string"
+    )
+    row = compile_esql(
+        'FROM t | STATS t2 = TOP(s, 2, "desc"), vals = VALUES(s)'
+        ' | EVAL tj = MV_CONCAT(t2, ","), vj = MV_CONCAT(vals, ",")'
+        " | KEEP tj, vj",
+        tables={"t": df},
+    ).collect()[0]
+    assert row.tj == "c,c"  # duplicates included, desc order
+    assert row.vj == "a,b,c"  # distinct, pinned ascending
+    # the windowed (BY) INLINESTATS form rejects collect-based aggs; the
+    # no-BY form works (it routes through the broadcast _build_agg path)
+    with _pt.raises(EsqlError):
+        compile_esql("FROM t | INLINESTATS m = MEDIAN(s) BY s", tables={"t": df})
+
+
+def test_esql_ip_and_string_functions(spark):
+    from sparksearch.esql import compile_esql
+
+    df = spark.createDataFrame(
+        [("10.8.0.1", "abc"), ("10.15.255.254", "a"), ("10.16.0.0", "hello")],
+        "ip string, s string",
+    )
+    rows = compile_esql(
+        'FROM t | EVAL hit = TO_LONG(CIDR_MATCH(ip, "10.8.0.0/13")),'
+        ' net = IP_PREFIX(ip, 13), r = RIGHT(s, 2), l = LEFT(s, 2),'
+        ' rv = REVERSE(s), pos = LOCATE(s, "l")'
+        " | KEEP ip, hit, net, r, l, rv, pos",
+        tables={"t": df},
+    ).collect()
+    byip = {r.ip: r for r in rows}
+    assert byip["10.8.0.1"].hit == 1 and byip["10.8.0.1"].net == "10.8.0.0"
+    assert byip["10.15.255.254"].hit == 1
+    assert byip["10.16.0.0"].hit == 0 and byip["10.16.0.0"].net == "10.16.0.0"
+    # RIGHT on a string shorter than n returns the whole string (the
+    # DuckDB right() contract the compiler pins explicitly)
+    assert byip["10.15.255.254"].r == "a"
+    assert byip["10.8.0.1"].r == "bc" and byip["10.8.0.1"].l == "ab"
+    assert byip["10.16.0.0"].rv == "olleh" and byip["10.16.0.0"].pos == 3
+
+
 def test_soft_weights_rows_and_divisions(spark):
     from sparksearch.catalog_s11 import q_dedup_soft_weights
 

@@ -471,7 +471,7 @@ def test_esql_errors(spark, events):
         "FROM nope",                        # unknown table
         "FROM events | FROB x",             # unknown command
         "FROM events | WHERE value >",      # truncated expr
-        "FROM events | STATS n = MEDIAN(value)",  # unknown agg
+        "FROM events | STATS n = MODE(value)",    # unknown agg
         'FROM events | WHERE value ~ "x"',  # untokenizable operator
     ]:
         with _pt.raises(EsqlError):
