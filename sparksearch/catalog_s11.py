@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import BM25_B, BM25_K1
 from .catalog_pipeline import (
     MINHASH_CAND_SQL,
     SHINGLE_SQL,
@@ -440,6 +441,153 @@ SELECT CAST(mi >> 24 AS VARCHAR) || '.' || CAST((mi >> 16) % 256 AS VARCHAR)
 FROM m GROUP BY 1, 2 ORDER BY net, hit"""
 
 
+# ------------------------------------------- combined_fields + span family
+
+
+def q_combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries
+    from .rankers import combined_fields_topk
+
+    _, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    df = combined_fields_topk(qterms, _docs(spark, sf_dir), dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _combined_fields_sql() -> str:
+    """DuckDB twin of rankers.combined_fields_topk: same positional field
+    split, integer tf_c/len_c (w_title=2, w_body=1 → len_c = dl +
+    min(dl,5)), identical one-expression BM25 op sequence (constants
+    repr()-shared: k1+1 = 2.2 exactly)."""
+    from .queries_catalog import K, query_values_sql
+
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+{query_values_sql()},
+occ AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+ctf AS (
+  SELECT doc_id, dl, term,
+         SUM(CASE WHEN pos <= 5 THEN 2 ELSE 1 END) AS tf_c
+  FROM occ GROUP BY 1, 2, 3
+),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tokd WHERE len(ts) > 0),
+termstats AS (
+  SELECT term,
+         LN(1.0 + ((SELECT n_docs FROM gstats) - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+  FROM occ GROUP BY 1
+),
+cavg AS (
+  SELECT CAST(SUM(dl * 1 + LEAST(dl, 5) * 1) AS DOUBLE) / COUNT(*) AS avg_c
+  FROM tokd, LATERAL (SELECT len(ts) AS dl) WHERE dl > 0
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         q.qtf * t.idf * (f.tf_c * {BM25_K1 + 1.0!r})
+           / (f.tf_c + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                + {BM25_B!r} * (f.dl * 1 + LEAST(f.dl, 5) * 1) / cavg.avg_c)) AS s
+  FROM ctf f
+  JOIN q USING (term)
+  JOIN termstats t USING (term)
+  CROSS JOIN cavg
+),
+scored AS (SELECT query_id, doc_id, SUM(s) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+#: (query_id, "big: ordered pair", slop, "little term") — the big span is
+#: the minimal ordered (a, b) window with interior gap <= slop; a span
+#: survives when the little term occurs INSIDE [pa, pb].
+SPANC_QUERIES = [
+    (1, "hash join", 6, "merge"),
+    (2, "scan filter", 8, "column"),
+    (3, "sort merge", 7, "join"),
+    (4, "group window", 9, "agg"),
+    (5, "order line", 8, "part"),
+]
+
+
+def q_span_containing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .phrase import span_containing_topk
+    from .queries_catalog import K
+
+    return span_containing_topk(_docs(spark, sf_dir), SPANC_QUERIES, k=K)
+
+
+def _span_containing_sql() -> str:
+    """Generated brute-force twin: per query, big spans = (pa, MIN
+    qualifying pb) via a group-by over the position self-join (the
+    independent formulation of the Spark side's array_min probe), then an
+    EXISTS for the little term inside the span."""
+    from .queries_catalog import K
+    from .tokenize import py_tokenize
+
+    parts = []
+    for qid, big, slop, little in SPANC_QUERIES:
+        a, b = py_tokenize(big)
+        (c,) = py_tokenize(little)
+        parts.append(
+            f"""SELECT {qid} AS query_id, s.doc_id, COUNT(*) AS n_spans
+FROM (
+  SELECT av.doc_id, av.pos AS pa, MIN(bv.pos) AS pb
+  FROM (SELECT doc_id, pos FROM occ WHERE term = '{a}') av
+  JOIN (SELECT doc_id, pos FROM occ WHERE term = '{b}') bv
+    ON bv.doc_id = av.doc_id AND bv.pos > av.pos AND bv.pos <= av.pos + {slop + 1}
+  GROUP BY 1, 2
+) s
+WHERE EXISTS (
+  SELECT 1 FROM occ c
+  WHERE c.term = '{c}' AND c.doc_id = s.doc_id
+    AND c.pos >= s.pa AND c.pos <= s.pb
+)
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY n_spans DESC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_spans
+FROM rnkd WHERE rnk <= {K}"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -490,5 +638,22 @@ def build_round4_s11a():
             "one integer shiftright+equality, IP_PREFIX masks and "
             "re-renders the dotted quad — deterministic ips synthesized "
             "in-language from integer columns (fixture has no real ips)",
+        ),
+        "combined_fields_topk": QuerySpec(
+            q_combined_fields_topk,
+            _combined_fields_sql(),
+            "ES combined_fields retrieval: term-centric multi-field BM25 — "
+            "integer-weighted tfs and lengths merge into ONE synthetic "
+            "field before a single BM25 saturation (the documented "
+            "contrast to BM25F's per-field normalization); tf_c/len_c "
+            "stay exact integers",
+        ),
+        "span_containing_topk": QuerySpec(
+            q_span_containing_topk,
+            _span_containing_sql(),
+            "Lucene SpanContainingQuery: minimal ordered (a,b) big spans "
+            "that CONTAIN a little-term occurrence (the dual of span_not/"
+            "not_containing) — transform-to-struct span materialization, "
+            "exact integer counts vs the brute self-join oracle",
         ),
     }

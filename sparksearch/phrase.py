@@ -1073,6 +1073,106 @@ def span_not_topk(docs: DataFrame, queries: list[tuple[int, str, str]],
     )
 
 
+def span_containing_topk(docs: DataFrame,
+                         queries: list[tuple[int, str, int, str]],
+                         k: int = 10, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Lucene SpanContainingQuery(big, little) → DF[query_id, rank, doc_id,
+    n_spans]: big spans that CONTAIN an occurrence of the little query —
+    the dual of span_not/not_containing (keep-when-inside instead of
+    drop-when-inside), closing the span family. Queries are
+    (query_id, "a b", slop, "little_term") tuples: big = the ordered pair
+    (a, b) with interior gap ≤ slop, enumerated MINIMALLY (for each a
+    position, the FIRST b after it within reach — the same
+    IntervalIterator anchoring intervals_topk pins, so nested candidates
+    never double-count); a big span [pa, pb] survives when some little
+    position q satisfies pa ≤ q ≤ pb. Docs rank by surviving-span count
+    (exact integers, the phrase family's total order).
+
+    Same one-pass batch shape as span_not: ONE per-doc term→positions
+    map, every query an expression over it. Per a-position work is two
+    O(positions) array probes (first-b, little-inside); the (pa, pb)
+    pair materializes ONCE per element through transform-to-struct — the
+    documented remedy for the lambda re-evaluation edge."""
+    spark = docs.sparkSession
+    qdefs: dict[int, tuple[str, str, int, str]] = {}
+    for qid, big, slop, little in queries:
+        terms = py_tokenize(big)
+        lt = py_tokenize(little)
+        if len(terms) == 2 and len(lt) == 1:
+            qdefs[int(qid)] = (terms[0], terms[1], int(slop), lt[0])
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_spans long"
+        )
+    all_terms = sorted(
+        {t for a, b, _, c in qdefs.values() for t in (a, b, c)}
+    )
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def probe(t: str) -> Column:
+        return F.coalesce(
+            F.element_at(F.col("m"), t), F.array().cast("array<int>")
+        )
+
+    def count_expr(a: str, b: str, slop: int, c: str) -> Column:
+        ps_b, ps_c = probe(b), probe(c)
+        spans = F.transform(
+            probe(a),
+            lambda pa: F.struct(
+                pa.alias("pa"),
+                F.array_min(
+                    F.filter(
+                        ps_b,
+                        lambda q: (q > pa) & (q <= pa + F.lit(slop + 1)),
+                    )
+                ).alias("pb"),
+            ),
+        )
+        return F.size(
+            F.filter(
+                spans,
+                lambda s: s["pb"].isNotNull()
+                & (
+                    F.size(
+                        F.filter(
+                            ps_c,
+                            lambda q: (q >= s["pa"]) & (q <= s["pb"]),
+                        )
+                    )
+                    > 0
+                ),
+            )
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                count_expr(a, b, slop, c).cast("long").alias("n"),
+            )
+            for qid, (a, b, slop, c) in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.query_id").alias("query_id"),
+                F.col("e.n").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_spans"), F.asc("doc_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_spans")
+    )
+
+
 # ------------------------------------------------- round-4 session-7
 
 

@@ -250,6 +250,93 @@ def bm25f_topk(
     return topk_per_query(scored, k)
 
 
+CF_TITLE_LEN = BM25F_TITLE_LEN
+CF_W_TITLE = 2  # combined_fields weights are INTEGERS -> exact tf/len
+CF_W_BODY = 1
+
+
+def combined_fields_topk(
+    qterms: DataFrame,
+    docs: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    k: int = 10,
+    title_len: int = CF_TITLE_LEN,
+    w_title: int = CF_W_TITLE,
+    w_body: int = CF_W_BODY,
+) -> DataFrame:
+    """ES ``combined_fields`` retrieval (7.13+) → DF[query_id, rank,
+    doc_id, score]: the TERM-CENTRIC multi-field model — per-field term
+    frequencies merge into one synthetic combined field BEFORE scoring
+    (weighted tf sum, weighted length sum), then plain BM25 runs once on
+    that field:
+
+        tf_c(t,d) = Σ_f w_f · tf_f(t,d)      (exact integer, w_f ∈ ℕ)
+        len_c(d)  = Σ_f w_f · len_f(d)       (exact integer)
+        score     = Σ_t qtf · idf_t · tf_c·(k1+1)
+                        / (tf_c + k1·(1 − b + b·len_c/avg_c))
+
+    This is the semantic contrast with BM25F (bm25f_topk above): BM25F
+    normalizes each field's tf by its OWN field length before blending;
+    combined_fields blends raw tfs and normalizes once by the combined
+    length — ES documents it as the principled term-centric alternative
+    to per-field scoring. Because ES restricts the weights to >= 1 and
+    this dialect pins them to integers, tf_c and len_c stay exact
+    integers and the whole float surface is the one BM25 expression.
+
+    Fields are the same deterministic positional split as bm25f_topk
+    (title = first ``title_len`` tokens, body = rest), so document df —
+    and the engine's shared idf — is unchanged. Plan: one tokenize + one
+    posexplode, tf_c in a single conditional-sum groupBy, avg_c a 1-row
+    broadcast off the doc-length table, broadcast query join, one score
+    shuffle, TakeOrderedAndProject top-k."""
+    from .querying import topk_per_query
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col("text").alias("toks"),
+    )
+    occ = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    ctf = occ.groupBy("doc_id", "term").agg(
+        F.sum(
+            F.when(F.col("pos") < title_len, w_title).otherwise(w_body)
+        ).alias("tf_c"),
+        F.max("dl").alias("dl"),
+    )
+    len_c = F.col("dl") * w_body + F.least(F.col("dl"), F.lit(title_len)) * (
+        w_title - w_body
+    )
+    cavg = dl_df.agg(
+        (F.sum(len_c).cast("double") / F.count(F.lit(1))).alias("avg_c")
+    )
+    q = qterms.join(term_stats.select("term", "idf"), "term", "inner")
+    k1, k1p1, b = F.lit(BM25_K1), F.lit(BM25_K1 + 1.0), F.lit(BM25_B)
+    contrib = (
+        ctf.join(F.broadcast(q), "term", "inner")
+        .crossJoin(F.broadcast(cavg))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("qtf")
+                * F.col("idf")
+                * (F.col("tf_c") * k1p1)
+                / (
+                    F.col("tf_c")
+                    + k1
+                    * (F.lit(1.0) - b + b * len_c / F.col("avg_c"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    return topk_per_query(scored, k)
+
+
 JM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity default
 #: (1-λ)/λ computed ONCE in doubles and shared with the SQL twin via repr()
 #: — writing "9.0" in SQL while Spark computes (1.0-0.1)/0.1 (= 9.000…002)

@@ -149,6 +149,114 @@ def test_esql_ip_and_string_functions(spark):
     assert byip["10.16.0.0"].rv == "olleh" and byip["10.16.0.0"].pos == 3
 
 
+def test_span_containing_vs_python_mirror(spark, docs):
+    from sparksearch.catalog_s11 import SPANC_QUERIES
+    from sparksearch.phrase import span_containing_topk
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_spans)
+        for r in span_containing_topk(docs, SPANC_QUERIES, k=10).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want: dict[tuple[int, int], int] = {}
+    for qid, big, slop, little in SPANC_QUERIES:
+        a, b = big.split()
+        for doc_id, text in texts.items():
+            toks = re.findall(r"[a-z0-9_]+", text.lower())
+            n = 0
+            for pa, t in enumerate(toks, start=1):
+                if t != a:
+                    continue
+                pb = next(
+                    (
+                        q
+                        for q in range(pa + 1, min(pa + slop + 1, len(toks)) + 1)
+                        if toks[q - 1] == b
+                    ),
+                    None,
+                )
+                if pb is None:
+                    continue
+                if any(toks[q - 1] == little for q in range(pa, pb + 1)):
+                    n += 1
+            if n:
+                want[(qid, doc_id)] = n
+    # got is the top-10 cut of want, per query, ordered (n DESC, doc ASC)
+    for qid, _, _, _ in SPANC_QUERIES:
+        full = sorted(
+            ((d, n) for (q, d), n in want.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        mine = sorted(
+            ((d, rn) for (q, d), rn in got.items() if q == qid),
+            key=lambda x: x[1][0],
+        )
+        assert [(d, n) for d, (rk, n) in mine] == full
+    assert any(n > 0 for n in want.values()), "queries must be non-degenerate"
+
+
+def test_combined_fields_vs_python_mirror(spark, docs):
+    from sparksearch.catalog_s11 import q_combined_fields_topk
+    from tests.conftest import SF_SMOKE
+
+    rows = q_combined_fields_topk(spark, str(SF_SMOKE)).collect()
+    import json as _json
+    import math
+
+    from sparksearch import BM25_B, BM25_K1
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    toks = {d: re.findall(r"[a-z0-9_]+", t.lower()) for d, t in texts.items()}
+    nz = {d: ts for d, ts in toks.items() if ts}
+    n_docs = len(nz)
+    df = Counter()
+    for ts in nz.values():
+        for t in set(ts):
+            df[t] += 1
+    avg_c = sum(len(ts) + min(len(ts), 5) for ts in nz.values()) / n_docs
+    qs = _json.loads(open("tests/queries.json").read())["queries"]
+    want = {}
+    for q in qs:
+        qt = Counter(re.findall(r"[a-z0-9_]+", q["text"].lower()))
+        if not qt:
+            continue
+        scores = {}
+        for d, ts in nz.items():
+            s = 0.0
+            for t, qtf in qt.items():
+                tf_c = sum(2 if i < 5 else 1 for i, x in enumerate(ts) if x == t)
+                if not tf_c:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                len_c = len(ts) + min(len(ts), 5)
+                s += (
+                    qtf
+                    * idf
+                    * (tf_c * (BM25_K1 + 1.0))
+                    / (tf_c + BM25_K1 * (1.0 - BM25_B + BM25_B * len_c / avg_c))
+                )
+            if s > 0:
+                scores[d] = s
+        want[q["id"]] = scores
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9")).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+
+    for r in rows:
+        assert float(r6(want[r.query_id][r.doc_id])) == r.score
+    # rank identity per query on the quantized total order
+    for qid in {r.query_id for r in rows}:
+        exp = sorted(want[qid].items(), key=lambda kv: (-r6(kv[1]), kv[0]))[:10]
+        mine = sorted(
+            [(r.doc_id, r.rank) for r in rows if r.query_id == qid],
+            key=lambda x: x[1],
+        )
+        assert [d for d, _ in mine] == [d for d, _ in exp]
+
+
 def test_soft_weights_rows_and_divisions(spark):
     from sparksearch.catalog_s11 import q_dedup_soft_weights
 
