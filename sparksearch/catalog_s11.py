@@ -588,6 +588,158 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
 FROM rnkd WHERE rnk <= {K}"""
 
 
+# ----------------------------------------- profile + calibration surfaces
+
+
+def q_query_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query-execution profile (the ES ``_profile`` /
+    ``_validate`` surface made value-checkable): per query — resolved and
+    unknown term counts, total postings a term-at-a-time scorer touches
+    (Σ df over resolved terms), and the candidate-set size (distinct docs
+    matching ≥ 1 term). These are exactly the numbers the DAAT/WAND
+    entries' pruning is judged against, surfaced as data. All exact
+    integers; the token-less reference query drops on both sides
+    (parse_queries emits no rows for it — the documented queries.json
+    id-9 edge)."""
+    from .queries_catalog import _stats_for, reference_queries
+    from .querying import parse_queries
+
+    tf_df, _, ts, _ = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    res = q.join(F.broadcast(ts.select("term", "df")), "term", "left")
+    prof = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("df").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unknown"),
+        F.sum(F.coalesce(F.col("df"), F.lit(0))).cast("long").alias("postings"),
+    )
+    cand = (
+        tf_df.join(F.broadcast(q.select("query_id", "term")), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("candidates"))
+    )
+    return (
+        prof.join(cand, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "n_terms",
+            "n_unknown",
+            "postings",
+            F.coalesce(F.col("candidates"), F.lit(0)).cast("long").alias("candidates"),
+        )
+    )
+
+
+def _query_profile_sql() -> str:
+    from .queries_catalog import TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+res AS (SELECT q.query_id, q.term, t.df FROM q LEFT JOIN termstats t USING (term)),
+p1 AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CASE WHEN df IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+         CAST(SUM(COALESCE(df, 0)) AS BIGINT) AS postings
+  FROM res GROUP BY 1
+),
+cand AS (
+  SELECT q.query_id, COUNT(DISTINCT p.doc_id) AS c
+  FROM q JOIN postings p USING (term) GROUP BY 1
+)
+SELECT CAST(p1.query_id AS BIGINT) AS query_id, n_terms, n_unknown, postings,
+       CAST(COALESCE(cand.c, 0) AS BIGINT) AS candidates
+FROM p1 LEFT JOIN cand USING (query_id)"""
+
+
+def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the heuristic quality score against the Gopher
+    gate (the reliability-diagram table behind Expected Calibration
+    Error): decile bins of the round6 score → per-bin count, positives,
+    observed pass rate, mean score, |mean − rate| gap. Score sums are
+    exact (a round6-grid double casts to decimal(18,6) losslessly — the
+    bm25_sampler_agg discipline); rate/mean are ONE division each; the
+    bin key floor(score·10) is a single shared IEEE op. Companion to
+    quality_auc: AUC grades ranking, this grades the score's use as a
+    probability threshold."""
+    from .stats import round6
+    from .textpipe import gopher_rules, text_quality
+
+    docs = _docs(spark, sf_dir)
+    j = (
+        text_quality(docs)
+        .select("doc_id", "quality_score")
+        .join(
+            gopher_rules(docs).select(
+                "doc_id", F.col("passes").cast("long").alias("y")
+            ),
+            "doc_id",
+        )
+    )
+    b = j.select(
+        F.least(F.floor(F.col("quality_score") * 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "quality_score",
+        "y",
+    )
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("quality_score").cast("decimal(18,6)")).alias("ssum"),
+    )
+    rate = round6(F.col("n_pos") / F.col("n"))
+    mean = round6(F.col("ssum").cast("double") / F.col("n"))
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        rate.alias("rate"),
+        mean.alias("mean_score"),
+        round6(F.abs(mean - rate)).alias("gap"),
+    )
+
+
+def _quality_ece_sql() -> str:
+    from .catalog_pipeline import _gopher_sql
+
+    _sw = "('a','the','of','to','and','in','is','it','on','for')"
+    return f"""WITH gp AS ({_gopher_sql()}),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN {_sw})) AS BIGINT) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         {_r6("sum_len / nullif(n_tokens, 0)")} AS mean_token_len,
+         {_r6("sw / nullif(n_tokens, 0)")} AS stopword_ratio
+  FROM base
+),
+s AS (
+  SELECT CAST(gp.passes AS BIGINT) AS y,
+         {_r6("least(r.n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(abs(r.mean_token_len - 5.0) / 5.0, 1.0)) * 0.3 + least(r.stopword_ratio * 5.0, 1.0) * 0.3")} AS score
+  FROM r JOIN gp USING (doc_id)
+),
+b AS (
+  SELECT CAST(LEAST(FLOOR(score * 10.0), 9) AS BIGINT) AS bin, score, y FROM s
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(score AS DECIMAL(18,6))) AS ssum
+  FROM b GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       {_r6("CAST(n_pos AS DOUBLE) / n")} AS rate,
+       {_r6("CAST(ssum AS DOUBLE) / n")} AS mean_score,
+       {_r6(f"abs({_r6('CAST(ssum AS DOUBLE) / n')} - {_r6('CAST(n_pos AS DOUBLE) / n')})")} AS gap
+FROM agg"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -655,5 +807,22 @@ def build_round4_s11a():
             "that CONTAIN a little-term occurrence (the dual of span_not/"
             "not_containing) — transform-to-struct span materialization, "
             "exact integer counts vs the brute self-join oracle",
+        ),
+        "query_profile": QuerySpec(
+            q_query_profile,
+            _query_profile_sql(),
+            "deterministic query-execution profile (the ES _profile/"
+            "_validate surface as data): per query — term counts, unknown "
+            "terms, postings a TAAT scorer touches, candidate-set size; "
+            "exact integers, the numbers WAND pruning is judged against",
+        ),
+        "quality_ece": QuerySpec(
+            q_quality_ece,
+            _quality_ece_sql(),
+            "calibration audit (reliability-diagram bins behind ECE): "
+            "decile bins of the round6 quality score vs the Gopher gate — "
+            "exact decimal(18,6) score sums, one division per rate/mean, "
+            "shared-IEEE floor(score*10) bin key; companion to "
+            "quality_auc's ranking grade",
         ),
     }
