@@ -740,6 +740,163 @@ SELECT bin, n, n_pos,
 FROM agg"""
 
 
+# ------------------------------------------------------ classic similarity
+
+
+def q_classic_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ClassicSimilarity (the pre-BM25 TFIDFSimilarity default) →
+    top-k — the deterministic variant: score = coord ·
+    Σ_t qtf · idf_c² · √tf / √dl with idf_c = 1 + ln(N/(df+1)) and
+    coord = matched/|q| (Lucene's coordination factor). Omitted vs
+    Lucene: queryNorm (a per-query constant — rank-neutral) and the
+    lossy byte-encoded norm (the deterministic-variant policy: exact
+    1/√dl instead of the 8-bit table). √ is IEEE-correctly-rounded and
+    ln matches across engines (the bm25/qlm precedent); ranking is on
+    the round6-quantized score (invariant #3). Completes the similarity
+    family: BM25(+F), Dirichlet, Jelinek-Mercer, VSM, boolean, classic."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    nq = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    qj = q.join(F.broadcast(ts.select("term", "df")), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(gs.select(F.col("n_docs").cast("double").alias("nd")))
+    )
+    idf_c = F.lit(1.0) + F.log(F.col("nd") / (F.col("df") + F.lit(1.0)))
+    s = (
+        F.col("qtf")
+        * (idf_c * idf_c)
+        * F.sqrt(F.col("tf"))
+        / F.sqrt(F.col("dl"))
+    )
+    scored = (
+        contrib.select("query_id", "doc_id", s.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("ssum") * F.col("m") / F.col("nq")).alias("score"),
+        )
+    )
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _classic_tfidf_sql() -> str:
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+nq AS (SELECT query_id, COUNT(*) AS nq FROM q GROUP BY 1),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ((1.0 + LN((SELECT n_docs FROM gstats) / (t.df + 1.0)))
+                  * (1.0 + LN((SELECT n_docs FROM gstats) / (t.df + 1.0))))
+              * SQRT(p.tf) / SQRT(d.dl) AS s
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (
+  SELECT c.query_id, c.doc_id, SUM(c.s) * COUNT(*) / nq.nq AS score
+  FROM contrib c JOIN nq ON nq.query_id = c.query_id
+  GROUP BY c.query_id, c.doc_id, nq.nq
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+# ----------------------------------------------------------- L2 similarity
+
+
+def q_ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dense_vector ``similarity: l2_norm`` retrieval → top-k: score =
+    1/(1 + ‖q−v‖²) (the ES scoring form), exact brute-force baseline over
+    the embeddings table (queries = vec_id < 5, the ann family's pinned
+    query set). The squared distance is the dot product of the DIFFERENCE
+    vector with itself — reusing the engine↔DuckDB dot-product pairing
+    every cosine entry already proves bit-stable, instead of introducing
+    a new Σ(x−y)² reduction with its own fold-order channel. round6
+    output, (score DESC, vec_id ASC) total order. Completes the ES
+    vector-similarity trio: cosine, dot-product (maxsim family), l2."""
+    from .stats import round6
+    from .vectors import _dot, _vecs
+
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    vecs = _vecs(emb)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dv = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dv.alias("dv"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            round6(F.lit(1.0) / (F.lit(1.0) + _dot(F.col("dv"), F.col("dv")))).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "score"
+        )
+    )
+
+
+def _ann_l2_sql() -> str:
+    from .catalog_pipeline import EMB_SQL
+
+    return f"""WITH {EMB_SQL.strip()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         list_transform(generate_series(1, len(e.v)),
+                        i -> e.v[i] - q.qv[i]) AS dv
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         {_r6("1.0 / (1.0 + list_dot_product(dv, dv))")} AS score
+  FROM d
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score
+FROM r WHERE rnk <= 10"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -824,5 +981,21 @@ def build_round4_s11a():
             "exact decimal(18,6) score sums, one division per rate/mean, "
             "shared-IEEE floor(score*10) bin key; companion to "
             "quality_auc's ranking grade",
+        ),
+        "classic_tfidf_topk": QuerySpec(
+            q_classic_tfidf_topk,
+            _classic_tfidf_sql(),
+            "Lucene ClassicSimilarity (pre-BM25 TF-IDF): coord * sum of "
+            "qtf * idf_c^2 * sqrt(tf)/sqrt(dl), idf_c = 1+ln(N/(df+1)) — "
+            "deterministic variant (exact norm instead of the lossy byte "
+            "table); completes the similarity family",
+        ),
+        "ann_l2_topk": QuerySpec(
+            q_ann_l2_topk,
+            _ann_l2_sql(),
+            "ES dense_vector l2_norm similarity: score = 1/(1+||q-v||^2), "
+            "squared distance as the difference-vector dot product "
+            "(reuses the proven cross-engine dot pairing) — completes the "
+            "vector-similarity trio beside cosine and dot-product",
         ),
     }

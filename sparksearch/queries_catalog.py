@@ -5424,7 +5424,7 @@ _SWEEP_NEXT = [
     "dedup_soft_weights", "bpe_train_merges",
     "esql_stats_top", "esql_docs_strings", "esql_events_cidr",
     "combined_fields_topk", "span_containing_topk",
-    "query_profile", "quality_ece",
+    "query_profile", "quality_ece", "classic_tfidf_topk", "ann_l2_topk",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
     "span_near_topk_indexed", "index_dictionary", "index_block_coverage",
     "span_near_ordered_topk_indexed", "tpch_revenue_by_nation",
