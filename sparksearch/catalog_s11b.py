@@ -1,0 +1,447 @@
+"""Round-4 session-11 catalog entries, batch B.
+
+Families (SURVEY.md §11.11):
+
+* Lucene similarity completion: AxiomaticF2LOG (the axiomatic retrieval
+  family — pure ln + rational saturation, no cross-engine pow) and DFR
+  I(n)L2 (divergence-from-randomness: BasicModelIn · AfterEffectL ·
+  NormalizationH2) beside BM25(+F), Dirichlet, Jelinek-Mercer, VSM,
+  Classic, boolean.
+* ES _rank_eval expected_reciprocal_rank (ERR) with graded relevance —
+  the cascade metric, computed EXACTLY: with g ∈ {0..3} every stop
+  probability R = (2^g−1)/8 is a dyadic rational, so
+  err · 2520 · 8^10 is an exact BIGINT (2520 = lcm(1..10) clears every
+  1/rank). One final division + round6 produces the float.
+* ES kNN radial search (the `similarity` threshold parameter): every
+  vector whose round6 cosine clears the threshold, set semantics (no k).
+
+Invariants: deterministic, h60 hashing, round6 on every float output,
+BIGINT casts both sides, identical column names in Spark and the twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_pipeline import _docs, _r6
+
+# ------------------------------------------------------- axiomatic F2LOG
+
+#: F2EXP/F2LOG's length-normalization parameter (Fang & Zhai 2005).
+AXIOM_S = 0.5
+
+
+def q_axiomatic_f2log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``AxiomaticF2LOG`` similarity → top-k: score =
+    Σ_t qtf · ln((N+1)/df) · tf/(tf + s + s·dl/avgdl), s = 0.5.
+
+    The axiomatic family's log-idf variant is chosen over F2EXP because
+    its float surface is ONLY ln + rational arithmetic — the exact ops
+    the BM25/QLM entries already prove engine-identical — where F2EXP's
+    (N/df)^0.35 would introduce a cross-engine pow channel. Op sequence
+    pinned identically in the twin; rank on round6 (invariant #3)."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    qj = q.join(F.broadcast(ts.select("term", "df")), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(
+            gs.select(
+                F.col("n_docs").cast("double").alias("nd"),
+                F.col("avgdl").alias("avgdl"),
+            )
+        )
+    )
+    s = F.lit(AXIOM_S)
+    sat = F.col("tf") / (F.col("tf") + s + s * F.col("dl") / F.col("avgdl"))
+    score = F.col("qtf") * F.log((F.col("nd") + F.lit(1.0)) / F.col("df")) * sat
+    scored = (
+        contrib.select("query_id", "doc_id", score.alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sc").alias("score"))
+    )
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _axiomatic_sql() -> str:
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * LN(((SELECT n_docs FROM gstats) + 1.0) / t.df)
+               * (p.tf / (p.tf + {AXIOM_S!r} + {AXIOM_S!r} * d.dl
+                          / (SELECT avgdl FROM gstats))) AS sc
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+# ------------------------------------------------------------ DFR I(n)L2
+
+#: 1/ln(2) — log2 is rendered as LN(x) * INV_LN2 on BOTH engines (one
+#: shared double literal; the string_stats ln(2) discipline).
+INV_LN2 = 1.0 / math.log(2.0)
+
+
+def q_dfr_inl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``DFRSimilarity(BasicModelIn, AfterEffectL,
+    NormalizationH2)`` — DFR I(n)L2 with c=1 → top-k:
+
+        tfn  = tf · log2(1 + c·avgdl/dl)          (H2 normalization)
+        score = Σ_t qtf · (tfn/(tfn+1)) · log2((N+1)/(df+0.5))
+
+    (AfterEffectL's 1/(tfn+1) folded against BasicModelIn's tfn·log2
+    idf.) log2 never executes natively: both engines compute
+    LN(x) * 1.4426950408889634 (INV_LN2, repr-shared) so the doubles are
+    bit-identical; the remaining ops are one shared multiply/divide
+    sequence. Rank on round6 (invariant #3)."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    qj = q.join(F.broadcast(ts.select("term", "df")), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(
+            gs.select(
+                F.col("n_docs").cast("double").alias("nd"),
+                F.col("avgdl").alias("avgdl"),
+            )
+        )
+    )
+    inv_ln2 = F.lit(INV_LN2)
+    tfn = F.col("tf") * (
+        F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
+    )
+    idf2 = (
+        F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(0.5))) * inv_ln2
+    )
+    score = F.col("qtf") * (tfn / (tfn + F.lit(1.0))) * idf2
+    scored = (
+        contrib.select("query_id", "doc_id", score.alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sc").alias("score"))
+    )
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _dfr_sql() -> str:
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf
+           * ((p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r}))
+              / ((p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r})) + 1.0))
+           * (LN(((SELECT n_docs FROM gstats) + 1.0) / (t.df + 0.5)) * {INV_LN2!r}) AS sc
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+# -------------------------------------------------------- ERR rank eval
+
+#: max grade (ES default for ERR examples); R = (2^g - 1) / 2^GMAX.
+ERR_GMAX = 3
+#: err · ERR_SCALE is an exact integer: 2520 = lcm(1..10) clears the
+#: 1/rank factors, 8^10 clears every dyadic stop probability.
+ERR_SCALE = 2520 * 8**10  # = 2705829396480
+
+
+def q_err_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval ``expected_reciprocal_rank`` (Chapelle et al. 2009
+    cascade metric) over the BM25@10 run → DF[query_id, n_rel, err_num,
+    err_at_10]:
+
+        R_r  = (2^g_r − 1) / 2^gmax          (gmax = 3)
+        ERR  = Σ_r (1/r) · R_r · Π_{i<r} (1 − R_i)
+
+    Graded judgments derive from the conjunctive qrels: relevant docs
+    get grade 1 + h60(query_id:doc_id) % 3 ∈ {1,2,3}, others 0 — the
+    deterministic-variant policy for a feature whose real inputs are
+    human labels. EXACTNESS: every R is a dyadic rational, so
+    err · 2520·8^10 is an integer; the Spark side computes it with ONE
+    sequential F.aggregate fold per query (integer struct accumulator:
+    running survival product × running scaled sum, ≤10 steps), the twin
+    with a windowed product() over doubles (every partial product is an
+    integer < 8^9 < 2^53 — exact) — two algorithms, one BIGINT. The only
+    float is the final division by 2705829396480.0, then round6.
+
+    Scale: the run and qrels are (query_id, doc_id)-keyed joins; the
+    fold is per-query over ≤k elements — evaluation cost is the joins,
+    which broadcast the tiny query side."""
+    from .evaluate import EVAL_K, conjunctive_qrels
+    from .queries_catalog import _stats_for, reference_queries
+    from .querying import parse_queries, score_logical
+    from .stats import round6
+    from .textpipe import h60
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    topk = score_logical(qterms, tf_df, dl_df, ts, k=EVAL_K).select(
+        "query_id", "rank", "doc_id"
+    )
+    qrels = conjunctive_qrels(qterms, tf_df)
+    graded = qrels.select(
+        "query_id",
+        "doc_id",
+        (
+            F.lit(1)
+            + h60(
+                F.concat_ws(
+                    ":",
+                    F.col("query_id").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % 3
+        )
+        .cast("int")
+        .alias("grade"),
+    )
+    n_rel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    judged = topk.join(graded, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("grade"), F.lit(0)).alias("g"),
+    )
+    grp = judged.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "g"))).alias("pairs")
+    )
+    arr = grp.select(
+        "query_id", F.transform("pairs", lambda x: x["g"]).alias("gs")
+    )
+    # integer lookup tables as literal arrays (F.shiftleft needs a literal
+    # shift; these keep the whole fold in exact int64)
+    pow8 = F.array(*[F.lit(8 ** (10 - r)).cast("long") for r in range(1, 11)])
+    cerr = F.array(*[F.lit(2520 // r).cast("long") for r in range(1, 11)])
+    pow2 = F.array(*[F.lit(1 << g).cast("long") for g in range(0, ERR_GMAX + 1)])
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("prod"), F.lit(0).cast("long").alias("s")
+    )
+
+    def step(acc, r):
+        g = F.element_at(F.col("gs"), r)
+        two_g = F.element_at(pow2, (g + F.lit(1)).cast("int"))
+        term = (
+            F.element_at(cerr, r.cast("int"))
+            * (two_g - F.lit(1).cast("long"))
+            * acc["prod"]
+            * F.element_at(pow8, r.cast("int"))
+        )
+        return F.struct(
+            (acc["prod"] * (F.lit(9).cast("long") - two_g)).alias("prod"),
+            (acc["s"] + term).alias("s"),
+        )
+
+    folded = arr.select(
+        "query_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("gs")), acc0, step
+        )["s"].alias("err_num"),
+    )
+    return (
+        folded.join(n_rel, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.col("err_num").cast("long").alias("err_num"),
+            round6(
+                F.col("err_num").cast("double") / F.lit(float(ERR_SCALE))
+            ).alias("err_at_10"),
+        )
+    )
+
+
+def _err_sql() -> str:
+    from .evaluate import EVAL_K
+    from .queries_catalog import BM25_SCORE_SQL, TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+qn AS (SELECT query_id, COUNT(*) AS nt FROM q GROUP BY 1),
+qrels AS (
+  SELECT h.query_id, h.doc_id FROM (
+    SELECT q.query_id, p.doc_id, COUNT(*) AS hit
+    FROM q JOIN postings p USING (term) GROUP BY 1, 2
+  ) h JOIN qn USING (query_id) WHERE h.hit = qn.nt
+),
+graded AS (
+  SELECT query_id, doc_id,
+         1 + (('0x' || substring(md5(CAST(query_id AS VARCHAR) || ':' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 3
+           AS grade
+  FROM qrels
+),
+nr AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+j AS (
+  SELECT t.query_id, t.rnk, COALESCE(g.grade, 0) AS g
+  FROM (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {EVAL_K}) t
+  LEFT JOIN graded g ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+),
+p AS (
+  SELECT query_id, rnk, g,
+         CAST(COALESCE(product(CAST(9 - (1 << g) AS DOUBLE)) OVER (
+                PARTITION BY query_id ORDER BY rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
+              AS BIGINT) AS pp
+  FROM j
+),
+e AS (
+  SELECT query_id,
+         CAST(SUM((2520 // rnk) * ((1 << g) - 1) * pp
+                  * (1 << (3 * (10 - rnk)))) AS BIGINT) AS err_num
+  FROM p GROUP BY 1
+)
+SELECT CAST(e.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+       e.err_num,
+       {_r6(f"CAST(e.err_num AS DOUBLE) / {float(ERR_SCALE)!r}")} AS err_at_10
+FROM e LEFT JOIN nr ON nr.query_id = e.query_id"""
+
+
+# ------------------------------------------------------ kNN radial search
+
+#: ES kNN `similarity` parameter: minimum cosine for a hit (set, not top-k).
+RADIUS_MIN_COSINE = 0.3
+
+
+def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN radial search (the ``similarity`` threshold parameter,
+    8.8+): return EVERY vector whose cosine to the query clears the
+    threshold — set semantics, no k cut. The filter compares the
+    round6-QUANTIZED score against the threshold (invariant #3's
+    boundary discipline: a raw-double compare at the threshold can admit
+    different rows per engine). Queries = vec_id < 5, the ann family's
+    pinned set; exact brute-force scan (broadcast queries × linear
+    scan — the 100 TB shape for a handful of query vectors)."""
+    from .stats import round6
+    from .vectors import _vecs, cosine
+
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    vecs = _vecs(emb)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round6(cosine(F.col("v"), F.col("qv"))).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") >= F.lit(RADIUS_MIN_COSINE)).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "score",
+    )
+
+
+def _radius_sql() -> str:
+    from .catalog_pipeline import COSINE_EXPR, EMB_SQL
+
+    expr = COSINE_EXPR.replace("a_v", "e.v").replace("b_v", "q.qv")
+    return f"""WITH {EMB_SQL.strip()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_r6(expr)} AS score
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       score
+FROM scored WHERE score >= {RADIUS_MIN_COSINE!r}"""
+
+
+# ---------------------------------------------------------------- registry
+
+
+def build_round4_s11b():
+    from .queries_catalog import QuerySpec
+
+    return {
+        "axiomatic_f2log_topk": QuerySpec(
+            q_axiomatic_f2log_topk,
+            _axiomatic_sql(),
+            "Lucene AxiomaticF2LOG similarity: qtf * ln((N+1)/df) * "
+            "tf/(tf+s+s*dl/avgdl), s=0.5 — the axiomatic retrieval family "
+            "via its log-idf variant (pure ln + rational ops, no "
+            "cross-engine pow channel)",
+        ),
+        "dfr_inl2_topk": QuerySpec(
+            q_dfr_inl2_topk,
+            _dfr_sql(),
+            "Lucene DFR I(n)L2 (BasicModelIn + AfterEffectL + H2, c=1): "
+            "tfn = tf*log2(1+avgdl/dl), score = qtf*(tfn/(tfn+1))*"
+            "log2((N+1)/(df+0.5)) — log2 as LN * shared 1/ln2 literal on "
+            "both engines",
+        ),
+        "err_rank_eval": QuerySpec(
+            q_err_rank_eval,
+            _err_sql(),
+            "ES _rank_eval expected_reciprocal_rank: cascade ERR@10 over "
+            "the BM25 run with h60-graded qrels — exact BIGINT numerator "
+            "(err * 2520*8^10; dyadic stop probabilities, lcm rank "
+            "clearing), Spark integer fold vs DuckDB windowed product, "
+            "one division + round6 at the end",
+        ),
+        "ann_radius_search": QuerySpec(
+            q_ann_radius_search,
+            _radius_sql(),
+            "ES kNN radial search (similarity threshold, no k): every "
+            "vector with round6(cosine) >= 0.3 per query — threshold "
+            "compared on the QUANTIZED score so the boundary admits "
+            "identical rows on both engines",
+        ),
+    }

@@ -5295,6 +5295,10 @@ from .catalog_s11 import build_round4_s11a  # noqa: E402
 
 CATALOG.update(build_round4_s11a())
 
+from .catalog_s11b import build_round4_s11b  # noqa: E402
+
+CATALOG.update(build_round4_s11b())
+
 
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND

@@ -1,0 +1,180 @@
+"""Round-4 session-11 batch-B operators vs independent mirrors (sf0.001).
+
+ERR is checked against a pure-python exact-integer replay (third code path
+beside the Spark fold and the DuckDB windowed product); the DFR/axiomatic
+rankers against float mirrors sharing the repo's op sequences; radial
+search against a brute-force numpy sweep.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _r6(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-9")).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(str(SF_SMOKE / "documents.parquet"))
+
+
+def test_err_exact_integer_mirror(spark):
+    from sparksearch.catalog_s11b import ERR_SCALE, q_err_rank_eval
+    from sparksearch.evaluate import EVAL_K, conjunctive_qrels
+    from sparksearch.queries_catalog import _stats_for, reference_queries
+    from sparksearch.querying import parse_queries, score_logical
+
+    got = {r.query_id: r for r in q_err_rank_eval(spark, str(SF_SMOKE)).collect()}
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, str(SF_SMOKE))
+    qterms = parse_queries(spark, reference_queries())
+    topk = score_logical(qterms, tf_df, dl_df, ts, k=EVAL_K).collect()
+    qrels = {(r.query_id, r.doc_id) for r in conjunctive_qrels(qterms, tf_df).collect()}
+
+    runs: dict[int, list[tuple[int, int]]] = {}
+    for r in topk:
+        runs.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert runs, "run must be non-empty"
+    saw_grade = False
+    for qid, rd in runs.items():
+        prod, s = 1, 0
+        for rank, doc in sorted(rd):
+            g = 0
+            if (qid, doc) in qrels:
+                g = 1 + _h60(f"{qid}:{doc}") % 3
+                saw_grade = True
+            s += (2520 // rank) * ((1 << g) - 1) * prod * 8 ** (10 - rank)
+            prod *= 9 - (1 << g)
+        row = got[qid]
+        assert row.err_num == s
+        assert row.err_at_10 == _r6(s / float(ERR_SCALE))
+        assert row.n_rel == sum(1 for (q, _) in qrels if q == qid)
+    assert saw_grade, "at least one retrieved doc must be graded relevant"
+    assert set(got) == set(runs)
+
+
+def test_dfr_and_axiomatic_float_mirrors(spark, docs):
+    from sparksearch.catalog_s11b import (
+        AXIOM_S,
+        INV_LN2,
+        q_axiomatic_f2log_topk,
+        q_dfr_inl2_topk,
+    )
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    toks = {d: re.findall(r"[a-z0-9_]+", t.lower()) for d, t in texts.items()}
+    nz = {d: ts for d, ts in toks.items() if ts}
+    n_docs = float(len(nz))
+    avgdl = sum(len(ts) for ts in nz.values()) / len(nz)
+    dfc = Counter()
+    for ts in nz.values():
+        for t in set(ts):
+            dfc[t] += 1
+    qs = json.loads(open("tests/queries.json").read())["queries"]
+
+    def score_all(per_term):
+        want = {}
+        for q in qs:
+            qt = Counter(re.findall(r"[a-z0-9_]+", q["text"].lower()))
+            if not qt:
+                continue
+            scores: dict[int, float] = {}
+            for d, ts in nz.items():
+                tfs = Counter(ts)
+                s = 0.0
+                matched = False
+                for t, qtf in qt.items():
+                    if t not in dfc or t not in tfs:
+                        continue
+                    matched = True
+                    s += per_term(qtf, tfs[t], len(ts), dfc[t])
+                if matched:
+                    scores[d] = s
+            want[q["id"]] = scores
+        return want
+
+    def ax(qtf, tf, dl, df):
+        return (
+            qtf
+            * math.log((n_docs + 1.0) / df)
+            * (tf / (tf + AXIOM_S + AXIOM_S * dl / avgdl))
+        )
+
+    def dfr(qtf, tf, dl, df):
+        tfn = tf * (math.log(1.0 + avgdl / dl) * INV_LN2)
+        return qtf * (tfn / (tfn + 1.0)) * (
+            math.log((n_docs + 1.0) / (df + 0.5)) * INV_LN2
+        )
+
+    for fn, per_term in [
+        (q_axiomatic_f2log_topk, ax),
+        (q_dfr_inl2_topk, dfr),
+    ]:
+        rows = fn(spark, str(SF_SMOKE)).collect()
+        assert rows
+        want = score_all(per_term)
+        for r in rows:
+            assert r.score == pytest.approx(
+                _r6(want[r.query_id][r.doc_id]), abs=1e-9
+            ), (fn, r)
+        for qid in {r.query_id for r in rows}:
+            exp = sorted(
+                want[qid].items(),
+                key=lambda kv: (-Decimal(repr(_r6(kv[1]))), kv[0]),
+            )[:10]
+            mine = sorted(
+                [(r.doc_id, r.rank) for r in rows if r.query_id == qid],
+                key=lambda x: x[1],
+            )
+            assert [d for d, _ in mine] == [d for d, _ in exp], (fn, qid)
+
+
+def test_radius_search_set_semantics(spark):
+    import numpy as np
+
+    from sparksearch.catalog_s11b import RADIUS_MIN_COSINE, q_ann_radius_search
+
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in q_ann_radius_search(spark, str(SF_SMOKE)).collect()
+    }
+    emb = spark.read.parquet(str(SF_SMOKE / "embeddings.parquet")).collect()
+    vs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    # numpy's pairwise dot differs from the Spark fold by ULPs — compare
+    # with the vector-family tolerance and a threshold band (the entry's
+    # own DuckDB twin does the bit-exact check; this mirrors semantics).
+    cos = {}
+    for qid in range(5):
+        qv = vs[qid]
+        for vid, v in vs.items():
+            if vid == qid:
+                continue
+            cos[(qid, vid)] = float(np.dot(v, qv)) / (
+                math.sqrt(float(np.dot(v, v))) * math.sqrt(float(np.dot(qv, qv)))
+            )
+    must = {k for k, c in cos.items() if _r6(c) >= RADIUS_MIN_COSINE + 2e-6}
+    may = {k for k, c in cos.items() if _r6(c) >= RADIUS_MIN_COSINE - 2e-6}
+    assert must <= set(got) <= may
+    for k, v in got.items():
+        assert v == pytest.approx(_r6(cos[k]), abs=2e-6)
+        assert v >= RADIUS_MIN_COSINE
+    assert got, "threshold must admit at least one pair at sf0.001"
