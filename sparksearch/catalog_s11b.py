@@ -404,6 +404,95 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
 FROM scored WHERE score >= {RADIUS_MIN_COSINE!r}"""
 
 
+# ------------------------------------------- ES|QL SAMPLE / FORK / W_AVG
+
+ESQL_WEIGHTED_QUERY = """
+FROM lineitem
+| STATS n = COUNT(*),
+        wavg = WEIGHTED_AVG(l_extendedprice, l_quantity),
+        wavg_disc = WEIGHTED_AVG(l_extendedprice, l_quantity) WHERE l_discount >= 0.05,
+        qty = SUM(l_quantity)
+  BY l_returnflag
+| SORT l_returnflag
+"""
+
+
+def q_esql_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_WEIGHTED_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+_WNUM = "CAST(l_extendedprice AS DECIMAL(28,9)) * CAST(l_quantity AS DECIMAL(9,0))"
+
+ESQL_WEIGHTED_SQL = f"""SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({_WNUM}) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS wavg,
+  CAST(SUM(CASE WHEN l_discount >= 0.05 THEN {_WNUM} END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN l_discount >= 0.05
+                    THEN CAST(l_quantity AS DECIMAL(18,0)) END) AS DOUBLE)
+    AS wavg_disc,
+  SUM(CAST(l_quantity AS DECIMAL(28,9))) AS qty
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
+
+ESQL_SAMPLE_QUERY = """
+FROM events
+| SAMPLE 0.2 event_id
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id), sv = SUM(value)
+  BY event_type
+| SORT event_type
+"""
+
+
+def q_esql_events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_SAMPLE_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_SAMPLE_SQL = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+  SUM(CAST(value AS DECIMAL(28,9))) AS sv
+FROM events
+WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < 200000
+GROUP BY 1 ORDER BY event_type"""
+
+
+ESQL_FORK_QUERY = """
+FROM orders
+| FORK (WHERE o_totalprice > 150000.0
+        | STATS big_n = COUNT(*), big_rev = SUM(o_totalprice) BY o_orderstatus)
+       (STATS n = COUNT(*) BY o_orderpriority | SORT o_orderpriority | LIMIT 3)
+"""
+
+
+def q_esql_orders_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_FORK_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_FORK_SQL = """WITH b1 AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS big_n,
+         SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS big_rev
+  FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1
+),
+b2 AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1 ORDER BY o_orderpriority LIMIT 3
+)
+SELECT o_orderstatus, big_n, big_rev, 'fork1' AS _fork,
+       CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS BIGINT) AS n
+FROM b1
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS DECIMAL(38,9)), 'fork2', o_orderpriority, n
+FROM b2"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -443,5 +532,28 @@ def build_round4_s11b():
             "vector with round6(cosine) >= 0.3 per query — threshold "
             "compared on the QUANTIZED score so the boundary admits "
             "identical rows on both engines",
+        ),
+        "esql_lineitem_weighted": QuerySpec(
+            q_esql_lineitem_weighted,
+            ESQL_WEIGHTED_SQL,
+            "ES|QL WEIGHTED_AVG aggregate (+ per-agg WHERE composition): "
+            "exact decimal(28,9)x(9,0) numerator (38-cap safe, no scale "
+            "drop), integer-weight denominator, one division — the "
+            "language-level twin of the ES weighted_avg agg",
+        ),
+        "esql_events_sample": QuerySpec(
+            q_esql_events_sample,
+            ESQL_SAMPLE_SQL,
+            "ES|QL SAMPLE command, deterministic dialect variant (seeded-"
+            "hash policy): keep rows where h60(key) % 1e6 < p*1e6 — "
+            "map-side, shuffle-free, stable under retries/repartitioning",
+        ),
+        "esql_orders_fork": QuerySpec(
+            q_esql_orders_fork,
+            ESQL_FORK_SQL,
+            "ES|QL FORK command (8.19): two sub-pipelines from one scan, "
+            "unioned with the _fork discriminator and null-filled missing "
+            "columns (unionByName allowMissing) — depth-aware stage "
+            "splitting keeps branch pipes inside their parens",
         ),
     }

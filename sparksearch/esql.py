@@ -112,7 +112,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
-    "RENAME", "AS",
+    "RENAME", "AS", "SAMPLE", "FORK",
 }
 
 
@@ -511,7 +511,7 @@ class _ExprParser:
 
 _AGGS = {
     "COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG",
-    "MEDIAN", "PERCENTILE", "TOP", "VALUES",
+    "MEDIAN", "PERCENTILE", "TOP", "VALUES", "WEIGHTED_AVG",
 }
 
 
@@ -602,6 +602,21 @@ def _build_agg(fn: str, args: list[Column | None], name: str) -> Column:
         # deterministic-variant policy), which also makes MV_CONCAT of the
         # result oracle-checkable.
         return F.array_sort(F.collect_set(arg)).alias(name)
+    if fn == "WEIGHTED_AVG":
+        if len(args) < 2:
+            raise EsqlError("WEIGHTED_AVG needs (value, weight)")
+        # WEIGHTED_AVG(value, weight): Σ(v·w)/Σ(w) with INTEGER-VALUED
+        # weights (the dialect's exactness constraint — ES's typical
+        # weights are counts). v quantizes to the language's decimal(28,9)
+        # grid, w to decimal(9,0); the (28,9)×(9,0) product is
+        # decimal(38,9) — exact at the 38 cap with NO scale drop (the
+        # session-3 sharp edge's remedy: smallest sufficient decimal on
+        # the integer side). A NULL value drops the row from BOTH sums
+        # (the per-agg WHERE folds into v, so filters compose).
+        v, wt = args[0], args[1]
+        num = F.sum(v.cast("decimal(28,9)") * wt.cast("decimal(9,0)"))
+        den = F.sum(F.when(v.isNotNull(), wt).cast("decimal(18,0)"))
+        return (num.cast("double") / den.cast("double")).alias(name)
     # SUM / AVG: exact accumulation — a double argument quantizes to
     # decimal(28,9) per row and sums exactly (order-independent on any
     # partitioning, the engine-wide float-sum remedy); AVG divides once.
@@ -639,6 +654,13 @@ def _window_agg(fn: str, args: list[Column | None], w) -> Column:
         return F.min(arg).over(w)
     if fn == "MAX":
         return F.max(arg).over(w)
+    if fn == "WEIGHTED_AVG":
+        if len(args) < 2:
+            raise EsqlError("WEIGHTED_AVG needs (value, weight)")
+        v, wt = args[0], args[1]
+        num = F.sum(v.cast("decimal(28,9)") * wt.cast("decimal(9,0)")).over(w)
+        den = F.sum(F.when(v.isNotNull(), wt).cast("decimal(18,0)")).over(w)
+        return num.cast("double") / den.cast("double")
     exact = F.sum(arg.cast("decimal(28,9)")).over(w)
     if fn == "SUM":
         return exact
@@ -654,14 +676,34 @@ def compile_esql(
     """Compile an ES|QL pipeline to a DataFrame. Tables resolve from the
     ``tables`` dict, or (spark, sf_dir) parquet lookup when given."""
     toks = _tokenize(esql)
-    # split the token stream into stages on top-level '|'
+    return _run_stages(_split_stages(toks), None, tables, spark, sf_dir)
+
+
+def _split_stages(toks: list[_Tok]) -> list[list[_Tok]]:
+    """Split a token stream into pipeline stages on TOP-LEVEL ``|`` only —
+    a ``|`` inside parentheses (a FORK branch's own pipeline, grouped
+    expressions) stays with its stage."""
     stages: list[list[_Tok]] = [[]]
+    depth = 0
     for t in toks:
-        if t.kind == "op" and t.text == "|":
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "|" and depth == 0:
             stages.append([])
         else:
             stages[-1].append(t)
-    df: DataFrame | None = None
+    return stages
+
+
+def _run_stages(
+    stages: list[list[_Tok]],
+    df: DataFrame | None,
+    tables: dict[str, DataFrame] | None,
+    spark: SparkSession | None,
+    sf_dir: str | None,
+) -> DataFrame:
     for stage in stages:
         if not stage:
             raise EsqlError("empty pipeline stage")
@@ -859,6 +901,58 @@ def compile_esql(
             while p.accept("op", ","):
                 cols.append(p.expect("id").text)
             df = df.select(*cols) if cmd == "KEEP" else df.drop(*cols)
+        elif cmd == "SAMPLE":
+            # SAMPLE <prob> <key_col> — the DETERMINISTIC dialect variant
+            # of ES|QL's random SAMPLE (same policy as random_score =
+            # seeded hash): keep rows where h60(key) % 10^6 < prob·10^6.
+            # The explicit key column is the dialect's addition — ES
+            # samples per-row at random; a reproducible engine needs the
+            # decision to be a pure function of the data. Map-side filter,
+            # no shuffle, the sampled fraction is stable under
+            # repartitioning/retries at any scale.
+            prob = float(p.expect("num").text)
+            if not 0.0 < prob <= 1.0:
+                raise EsqlError("SAMPLE probability must be in (0, 1]")
+            key = p.expect("id").text
+            from .textpipe import h60
+
+            df = df.filter(
+                h60(F.col(key).cast("string")) % F.lit(1_000_000)
+                < F.lit(int(round(prob * 1_000_000)))
+            )
+        elif cmd == "FORK":
+            # FORK (branch) (branch) … (ES|QL 8.19): run ≥2 sub-pipelines
+            # from the current frame and union their outputs, tagged by a
+            # ``_fork`` discriminator ("fork1", "fork2", … in branch
+            # order). Missing columns null-fill (unionByName allowMissing
+            # — the ES contract). Each branch compiles against the SAME
+            # parent frame; Spark shares the scan across branches, so the
+            # plan is one read fanned into N aggregates, not N reads.
+            branches: list[list[_Tok]] = []
+            while p.accept("op", "("):
+                depth, body = 1, []
+                while True:
+                    t = p.next()
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    body.append(t)
+                branches.append(body)
+            if len(branches) < 2:
+                raise EsqlError("FORK needs at least two (branch) pipelines")
+            outs = []
+            for i, body in enumerate(branches, 1):
+                sub = _run_stages(
+                    _split_stages(body), df, tables, spark, sf_dir
+                )
+                outs.append(sub.withColumn("_fork", F.lit(f"fork{i}")))
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o, allowMissingColumns=True)
+            df = out
         else:
             raise EsqlError(f"unknown command {cmd}")
         if not p.done():

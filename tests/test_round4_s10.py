@@ -291,9 +291,17 @@ def test_esql_bucket_function(spark, t):
         "FROM x | EVAL b = BUCKET(value, 50.0)", tables={"x": neg}
     ).collect()[0]
     assert row.b == -50.0
-    with _pytest.raises(EsqlError, match="unknown aggregation"):
+    # MEDIAN became a known aggregate in session 10's agg widening: the
+    # no-BY INLINESTATS form routes through _build_agg and works; only
+    # the windowed (BY) form rejects collect-based aggs (covered in
+    # test_round4_s11's INLINESTATS guard).
+    row2 = compile_esql(
+        "FROM x | INLINESTATS n = MEDIAN(value)", tables={"x": neg}
+    ).collect()[0]
+    assert row2.n == -10.0
+    with _pytest.raises(EsqlError, match="not supported in INLINESTATS"):
         compile_esql(
-            "FROM x | INLINESTATS n = MEDIAN(value)", tables={"x": neg}
+            "FROM x | INLINESTATS n = MEDIAN(value) BY value", tables={"x": neg}
         )
 
 

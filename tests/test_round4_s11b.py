@@ -148,6 +148,61 @@ def test_dfr_and_axiomatic_float_mirrors(spark, docs):
             assert [d for d, _ in mine] == [d for d, _ in exp], (fn, qid)
 
 
+def test_esql_weighted_avg_sample_fork(spark):
+    from sparksearch.esql import EsqlError, compile_esql
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 2.0), (2, "a", 20.0, 1.0), (3, "b", 30.0, 3.0),
+         (4, "b", 4.0, 1.0)],
+        "id long, g string, v double, w double",
+    )
+    out = {
+        r.g: (r.wa, r.wf)
+        for r in compile_esql(
+            "FROM t | STATS wa = WEIGHTED_AVG(v, w),"
+            " wf = WEIGHTED_AVG(v, w) WHERE v > 5.0 BY g",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out["a"] == (40.0 / 3.0, 40.0 / 3.0)
+    assert out["b"] == (94.0 / 4.0, 30.0)  # filtered drops BOTH sums' row
+    with pytest.raises(EsqlError, match="WEIGHTED_AVG"):
+        compile_esql("FROM t | STATS x = WEIGHTED_AVG(v)", tables={"t": df})
+
+    # SAMPLE: deterministic (same subset every run), h60-predicate exact
+    kept = compile_esql(
+        "FROM t | SAMPLE 0.5 id | KEEP id", tables={"t": df}
+    ).collect()
+    ids = sorted(r.id for r in kept)
+    assert ids == sorted(
+        i for i in (1, 2, 3, 4) if _h60(str(i)) % 1_000_000 < 500_000
+    )
+    assert ids == sorted(
+        r.id
+        for r in compile_esql(
+            "FROM t | SAMPLE 0.5 id | KEEP id", tables={"t": df}
+        ).collect()
+    )
+    with pytest.raises(EsqlError, match="probability"):
+        compile_esql("FROM t | SAMPLE 1.5 id", tables={"t": df})
+
+    # FORK: branch pipelines with '|' inside parens, _fork tag, null fill
+    rows = compile_esql(
+        'FROM t | FORK (WHERE v > 15.0 | STATS hi = COUNT(*) BY g)'
+        ' (STATS n = COUNT(*) | EVAL note = "all")',
+        tables={"t": df},
+    ).collect()
+    by_fork = {}
+    for r in rows:
+        by_fork.setdefault(r._fork, []).append(r)
+    assert {g.g: g.hi for g in by_fork["fork1"]} == {"a": 1, "b": 1}
+    assert all(g.n is None and g.note is None for g in by_fork["fork1"])
+    (f2,) = by_fork["fork2"]
+    assert (f2.n, f2.note, f2.g, f2.hi) == (4, "all", None, None)
+    with pytest.raises(EsqlError, match="at least two"):
+        compile_esql("FROM t | FORK (STATS n = COUNT(*))", tables={"t": df})
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
