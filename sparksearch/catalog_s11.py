@@ -257,10 +257,9 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(spark, _docs(spark, sf_dir))
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB twin: the merge loop unrolled as CTE rounds (the Lloyd-chain
-    pattern from the IVF/PQ oracles). Same '|sym||sym|' rendering, same
-    plain-replace merge step, same (count DESC, pair ASC) argmax."""
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> list[str]:
+    """The unrolled BPE training CTE chain (w0 … w{n}, m1 … m{n}) shared
+    by the training oracle and the encode oracle (catalog_s11b)."""
     parts = [
         f"""wf AS (
   SELECT t AS term, COUNT(*) AS freq
@@ -296,6 +295,14 @@ w{r} AS (
   FROM w{p}, m{r}
 )"""
         )
+    return parts
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the merge loop unrolled as CTE rounds (the Lloyd-chain
+    pattern from the IVF/PQ oracles). Same '|sym||sym|' rendering, same
+    plain-replace merge step, same (count DESC, pair ASC) argmax."""
+    parts = _bpe_ctes(n_merges)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, cnt AS pair_count FROM m{r}"

@@ -493,6 +493,164 @@ SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM b2"""
 
 
+# --------------------------------------------------- span_within + encode
+
+#: (query_id, "big: ordered pair", slop, "little term") — same shape as
+#: span_containing's set; the within counts are over LITTLE positions.
+SPANW_QUERIES = [
+    (1, "hash join", 6, "merge"),
+    (2, "scan filter", 8, "column"),
+    (3, "sort merge", 7, "join"),
+    (4, "group window", 9, "agg"),
+    (5, "order line", 8, "part"),
+]
+
+
+def q_span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .phrase import span_within_topk
+    from .queries_catalog import K
+
+    return span_within_topk(_docs(spark, sf_dir), SPANW_QUERIES, k=K)
+
+
+def _span_within_sql() -> str:
+    """Generated brute-force twin of phrase.span_within_topk: little
+    positions with an EXISTS over the minimal-big-span subquery — the
+    role-swapped mirror of _span_containing_sql."""
+    from .queries_catalog import K
+    from .tokenize import py_tokenize
+
+    parts = []
+    for qid, big, slop, little in SPANW_QUERIES:
+        a, b = py_tokenize(big)
+        (c,) = py_tokenize(little)
+        parts.append(
+            f"""SELECT {qid} AS query_id, cv.doc_id, COUNT(*) AS n_within
+FROM (SELECT doc_id, pos FROM occ WHERE term = '{c}') cv
+WHERE EXISTS (
+  SELECT 1 FROM (
+    SELECT av.doc_id AS d, av.pos AS pa, MIN(bv.pos) AS pb
+    FROM (SELECT doc_id, pos FROM occ WHERE term = '{a}') av
+    JOIN (SELECT doc_id, pos FROM occ WHERE term = '{b}') bv
+      ON bv.doc_id = av.doc_id AND bv.pos > av.pos AND bv.pos <= av.pos + {slop + 1}
+    GROUP BY 1, 2
+  ) s
+  WHERE s.d = cv.doc_id AND cv.pos >= s.pa AND cv.pos <= s.pb
+)
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, CAST(n_within AS BIGINT) AS n_within,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY n_within DESC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_within
+FROM rnkd WHERE rnk <= {K}"""
+
+
+#: how many top symbols the encode entry reports.
+BPE_TOPK = 20
+
+
+def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING (the companion to bpe_train_merges): apply the
+    trained merge table to the corpus and report the top symbols by
+    corpus token count → DF[rank, sym, n] — the vocab-utilization table
+    a tokenizer-training pipeline reads after training.
+
+    Plan: re-derive the merges (the deterministic ≤8-row table), then
+    ONE distributed pass: word frequencies (the same map-combinable
+    groupBy the trainer uses), the '|sym||sym|' rendering, the merge
+    chain applied as 8 literal replaces in ONE projection (plain replace
+    IS the greedy non-overlapping merge under the rendering — the
+    trainer's invariant), explode symbols, weighted count, top-k on
+    (n DESC, sym ASC). Encoding cost at scale is the word-frequency
+    pass; the replace chain is per-DISTINCT-word work."""
+    from .catalog_s11 import bpe_train_merges
+    from .tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    merges = sorted(
+        (
+            (r.merge_rank, r.left_sym, r.right_sym)
+            for r in bpe_train_merges(spark, docs).collect()
+        )
+    )
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.filter(
+                        F.split(F.col("term"), "(?!^)"), lambda x: x != F.lit("")
+                    ),
+                    "||",
+                ),
+                F.lit("|"),
+            ).alias("w"),
+            "freq",
+        )
+    )
+    w = F.col("w")
+    for _, a, b in merges:
+        w = F.replace(w, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    syms = words.select(w.alias("w"), "freq").select(
+        F.explode(
+            F.split(F.expr("substring(w, 2, length(w) - 2)"), r"\|\|")
+        ).alias("sym"),
+        "freq",
+    )
+    counts = syms.groupBy("sym").agg(F.sum("freq").cast("long").alias("n"))
+    # page cut via TakeOrderedAndProject (distributed), THEN a k-row rank
+    # window — the orders_has_child_topk discipline, so no global window
+    # ever sees more than k rows.
+    page = counts.orderBy(F.desc("n"), F.asc("sym")).limit(BPE_TOPK)
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy(F.desc("n"), F.asc("sym"))
+    return (
+        page.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "sym", "n")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from .catalog_s11 import BPE_MERGES, _bpe_ctes
+
+    parts = _bpe_ctes(BPE_MERGES)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sy AS (
+  SELECT unnest(string_split(substring(w, 2, length(w) - 2), '||')) AS sym,
+         freq
+  FROM w{BPE_MERGES}
+),
+c AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS n FROM sy GROUP BY 1),
+r AS (SELECT sym, n, ROW_NUMBER() OVER (ORDER BY n DESC, sym ASC) AS rnk FROM c)
+SELECT CAST(rnk AS BIGINT) AS rank, sym, n FROM r WHERE rnk <= {BPE_TOPK}"""
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -555,5 +713,22 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "span_within_topk": QuerySpec(
+            q_span_within_topk,
+            _span_within_sql(),
+            "Lucene SpanWithinQuery: little-term occurrences INSIDE some "
+            "minimal ordered (a,b) big span — the exact dual of "
+            "span_containing (counts little positions, each once); "
+            "exploded-struct span materialization, brute EXISTS oracle",
+        ),
+        "bpe_encode_counts": QuerySpec(
+            q_bpe_encode_counts,
+            _bpe_encode_sql(),
+            "BPE encoding with the trained merge table: word-frequency "
+            "pass + 8-literal-replace merge chain in one projection "
+            "(plain replace = greedy non-overlapping merge under the "
+            "'|sym||sym|' rendering), weighted symbol counts, top-20 — "
+            "oracle extends the unrolled training CTE chain",
         ),
     }

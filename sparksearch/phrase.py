@@ -1173,6 +1173,104 @@ def span_containing_topk(docs: DataFrame,
     )
 
 
+def span_within_topk(docs: DataFrame,
+                     queries: list[tuple[int, str, int, str]],
+                     k: int = 10, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Lucene SpanWithinQuery(big, little) → DF[query_id, rank, doc_id,
+    n_within]: the exact DUAL of span_containing_topk — the matching
+    spans are the LITTLE query's occurrences that sit inside some big
+    span, so the count is over little POSITIONS (each counted once, even
+    when covered by several big spans — Lucene returns each little span
+    once), not over big spans. Queries share span_containing's
+    (query_id, "a b", slop, "little_term") shape; big spans are the same
+    minimal ordered (a, first-b-within-reach) windows.
+
+    Plan: same one-pass batch shape — ONE per-doc term→positions map,
+    every query an expression over it. The big-span structs materialize
+    once per query through the exploded entry struct (the
+    transform-to-struct remedy), so the per-little-position containment
+    probe filters a BOUND array, not a re-evaluated expression."""
+    spark = docs.sparkSession
+    qdefs: dict[int, tuple[str, str, int, str]] = {}
+    for qid, big, slop, little in queries:
+        terms = py_tokenize(big)
+        lt = py_tokenize(little)
+        if len(terms) == 2 and len(lt) == 1:
+            qdefs[int(qid)] = (terms[0], terms[1], int(slop), lt[0])
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, n_within long"
+        )
+    all_terms = sorted(
+        {t for a, b, _, c in qdefs.values() for t in (a, b, c)}
+    )
+    pp = positional_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def probe(t: str) -> Column:
+        return F.coalesce(
+            F.element_at(F.col("m"), t), F.array().cast("array<int>")
+        )
+
+    def spans_expr(a: str, b: str, slop: int) -> Column:
+        ps_b = probe(b)
+        return F.filter(
+            F.transform(
+                probe(a),
+                lambda pa: F.struct(
+                    pa.alias("pa"),
+                    F.array_min(
+                        F.filter(
+                            ps_b,
+                            lambda q: (q > pa) & (q <= pa + F.lit(slop + 1)),
+                        )
+                    ).alias("pb"),
+                ),
+            ),
+            lambda s: s["pb"].isNotNull(),
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                spans_expr(a, b, slop).alias("spans"),
+                probe(c).alias("lc"),
+            )
+            for qid, (a, b, slop, c) in sorted(qdefs.items())
+        ]
+    )
+    # the explode materializes each query's spans array ONCE; the nested
+    # containment filter then reads the bound struct fields.
+    exploded = per_doc.select("doc_id", F.explode(entries).alias("e"))
+    counts = exploded.select(
+        "doc_id",
+        F.col("e.query_id").alias("query_id"),
+        F.size(
+            F.filter(
+                F.col("e.lc"),
+                lambda q: F.exists(
+                    F.col("e.spans"),
+                    lambda s: (q >= s["pa"]) & (q <= s["pb"]),
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_within"),
+    ).filter(F.col("n_within") > 0)
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_within"), F.asc("doc_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_within")
+    )
+
+
 # ------------------------------------------------- round-4 session-7
 
 

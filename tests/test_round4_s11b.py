@@ -203,6 +203,86 @@ def test_esql_weighted_avg_sample_fork(spark):
         compile_esql("FROM t | FORK (STATS n = COUNT(*))", tables={"t": df})
 
 
+def test_span_within_vs_python_mirror(spark, docs):
+    from sparksearch.catalog_s11b import SPANW_QUERIES
+    from sparksearch.phrase import span_within_topk
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_within)
+        for r in span_within_topk(docs, SPANW_QUERIES, k=10).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want: dict[tuple[int, int], int] = {}
+    for qid, big, slop, little in SPANW_QUERIES:
+        a, b = big.split()
+        for doc_id, text in texts.items():
+            toks = re.findall(r"[a-z0-9_]+", text.lower())
+            spans = []
+            for pa, t in enumerate(toks, start=1):
+                if t != a:
+                    continue
+                pb = next(
+                    (
+                        q
+                        for q in range(pa + 1, min(pa + slop + 1, len(toks)) + 1)
+                        if toks[q - 1] == b
+                    ),
+                    None,
+                )
+                if pb is not None:
+                    spans.append((pa, pb))
+            n = sum(
+                1
+                for q, t in enumerate(toks, start=1)
+                if t == little and any(pa <= q <= pb for pa, pb in spans)
+            )
+            if n:
+                want[(qid, doc_id)] = n
+    for qid, _, _, _ in SPANW_QUERIES:
+        full = sorted(
+            ((d, n) for (q, d), n in want.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        mine = sorted(
+            ((d, rn) for (q, d), rn in got.items() if q == qid),
+            key=lambda x: x[1][0],
+        )
+        assert [(d, n) for d, (rk, n) in mine] == full
+    assert any(n > 0 for n in want.values()), "queries must be non-degenerate"
+
+
+def test_bpe_encode_counts_vs_python_mirror(spark, docs):
+    from sparksearch.catalog_s11b import BPE_TOPK, q_bpe_encode_counts
+    from tests.test_round4_s11 import _py_bpe
+
+    rows = q_bpe_encode_counts(spark, str(SF_SMOKE)).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == BPE_TOPK
+
+    texts = [r.text for r in docs.select("text").collect()]
+    from sparksearch.catalog_s11 import BPE_MERGES
+
+    merges = [(a, b) for _, a, b, _, _ in _py_bpe(texts, BPE_MERGES)]
+    counts: Counter = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
+            syms = list(w)
+            for a, b in merges:  # rank order, greedy non-overlapping
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            counts.update(syms)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    assert [(r.sym, r.n) for r in rows] == top
+    assert any(len(s) > 1 for s, _ in top), "merged symbols must reach the top"
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
