@@ -283,6 +283,29 @@ def test_bpe_encode_counts_vs_python_mirror(spark, docs):
     assert any(len(s) > 1 for s, _ in top), "merged symbols must reach the top"
 
 
+def test_search_quality_report_job_deterministic(spark, tmp_path):
+    import sys as _sys
+
+    if "/root/repo/jobs" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/jobs")
+    from jobs.search_quality_report import report
+
+    s1 = report(spark, str(SF_SMOKE), str(tmp_path / "a"))
+    s2 = report(spark, str(SF_SMOKE), str(tmp_path / "b"))
+    for k in (
+        "n_queries", "mean_precision_at_10", "mean_recall_at_10", "mean_mrr",
+        "mean_ndcg_at_10", "mean_err_at_10", "quality_auc", "quality_ece",
+        "calibration_bins",
+    ):
+        assert s1[k] == s2[k], k
+    assert 0.0 <= s1["quality_auc"] <= 1.0
+    assert 0.0 <= s1["mean_err_at_10"] <= 1.0
+    assert s1["quality_ece"] is not None and s1["quality_ece"] >= 0.0
+    a = sorted(map(tuple, spark.read.parquet(s1["audits"]["err"]).collect()))
+    b = sorted(map(tuple, spark.read.parquet(s2["audits"]["err"]).collect()))
+    assert a == b
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
