@@ -186,6 +186,163 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
 FROM ranked WHERE rnk <= {K}"""
 
 
+# --------------------------------------------------------- DFI + IB sims
+
+
+def q_dfi_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``DFISimilarity(IndependenceChiSquared)`` → top-k
+    (divergence-from-independence, Kocabaş et al.):
+
+        e     = cf_t · dl_d / C          (expected tf under independence)
+        χ²    = (tf − e)² / e
+        score = Σ_t qtf · log2(χ² + 1)   only where tf > e, else 0
+
+    C = total collection tokens. Every input is an exact integer, so e
+    and the gate compare identically across engines (one pinned op
+    sequence); log2 is LN · the shared 1/ln2 literal (the DFR
+    discipline). Docs whose every matched term is at-or-below expectation
+    score 0 and drop (Lucene returns 0 for them — rank-bottom either
+    way; the entry keeps only positive scores, pinned in the twin)."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    coll = dl_df.agg(F.sum("dl").cast("double").alias("cl"))
+    qj = q.join(F.broadcast(ts.select("term", "cf")), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(coll)
+    )
+    inv_ln2 = F.lit(INV_LN2)
+    e = F.col("cf") * F.col("dl") / F.col("cl")
+    chi = (F.col("tf") - e) * (F.col("tf") - e) / e
+    s = F.when(
+        F.col("tf") > e,
+        F.col("qtf") * (F.log(chi + F.lit(1.0)) * inv_ln2),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        contrib.select("query_id", "doc_id", s.alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sc").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _dfi_sql() -> str:
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    e = "(t.cf * d.dl / (SELECT cl FROM coll))"
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS cl FROM doclen),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         CASE WHEN p.tf > {e}
+              THEN q.qtf * (LN((p.tf - {e}) * (p.tf - {e}) / {e} + 1.0)
+                           * {INV_LN2!r})
+              ELSE 0.0 END AS sc
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2
+  HAVING SUM(sc) > 0
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``IBSimilarity(DistributionLL, LambdaTTF, NormalizationH2)``
+    → top-k (information-based retrieval, Clinchant & Gaussier 2010):
+
+        λ     = (cf_t + 1) / (N + 1)      (LambdaTTF)
+        tfn   = tf · log2(1 + avgdl/dl)   (H2, c = 1 — shared with DFR)
+        score = Σ_t qtf · log2((tfn + λ) / λ)   (−log of the LL survival)
+
+    log2 never executes natively (LN · shared 1/ln2 literal); λ and tfn
+    are pinned op sequences over exact integers + avgdl. Completes the
+    Lucene similarity roster: BM25(+F), Classic, DFR, DFI, IB,
+    LMDirichlet, LMJelinekMercer, Axiomatic, VSM, boolean."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    qj = q.join(F.broadcast(ts.select("term", "cf")), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(
+            gs.select(
+                F.col("n_docs").cast("double").alias("nd"),
+                F.col("avgdl").alias("avgdl"),
+            )
+        )
+    )
+    inv_ln2 = F.lit(INV_LN2)
+    lam = (F.col("cf") + F.lit(1.0)) / (F.col("nd") + F.lit(1.0))
+    tfn = F.col("tf") * (
+        F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
+    )
+    s = F.col("qtf") * (F.log((tfn + lam) / lam) * inv_ln2)
+    scored = (
+        contrib.select("query_id", "doc_id", s.alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sc").alias("score"))
+    )
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _ib_sql() -> str:
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    lam = "((t.cf + 1.0) / ((SELECT n_docs FROM gstats) + 1.0))"
+    tfn = f"(p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r}))"
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * (LN(({tfn} + {lam}) / {lam}) * {INV_LN2!r}) AS sc
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
 # -------------------------------------------------------- ERR rank eval
 
 #: max grade (ES default for ERR examples); R = (2^g - 1) / 2^GMAX.
@@ -673,6 +830,22 @@ def build_round4_s11b():
             "tfn = tf*log2(1+avgdl/dl), score = qtf*(tfn/(tfn+1))*"
             "log2((N+1)/(df+0.5)) — log2 as LN * shared 1/ln2 literal on "
             "both engines",
+        ),
+        "dfi_chi2_topk": QuerySpec(
+            q_dfi_chi2_topk,
+            _dfi_sql(),
+            "Lucene DFI (divergence from independence, chi-squared): "
+            "e = cf*dl/C, score = qtf*log2((tf-e)^2/e + 1) gated on "
+            "tf > e — exact-integer inputs make the gate and expectation "
+            "engine-identical; zero-score docs drop on both sides",
+        ),
+        "ib_ll_topk": QuerySpec(
+            q_ib_ll_topk,
+            _ib_sql(),
+            "Lucene IB (information-based, DistributionLL + LambdaTTF + "
+            "H2): lambda = (cf+1)/(N+1), tfn = tf*log2(1+avgdl/dl), "
+            "score = qtf*log2((tfn+lambda)/lambda) — completes the "
+            "Lucene similarity roster",
         ),
         "err_rank_eval": QuerySpec(
             q_err_rank_eval,

@@ -72,12 +72,14 @@ def test_err_exact_integer_mirror(spark):
     assert set(got) == set(runs)
 
 
-def test_dfr_and_axiomatic_float_mirrors(spark, docs):
+def test_dfr_axiomatic_dfi_ib_float_mirrors(spark, docs):
     from sparksearch.catalog_s11b import (
         AXIOM_S,
         INV_LN2,
         q_axiomatic_f2log_topk,
+        q_dfi_chi2_topk,
         q_dfr_inl2_topk,
+        q_ib_ll_topk,
     )
 
     texts = {r.doc_id: r.text for r in docs.collect()}
@@ -106,7 +108,7 @@ def test_dfr_and_axiomatic_float_mirrors(spark, docs):
                     if t not in dfc or t not in tfs:
                         continue
                     matched = True
-                    s += per_term(qtf, tfs[t], len(ts), dfc[t])
+                    s += per_term(qtf, tfs[t], len(ts), dfc[t], t)
                 if matched:
                     scores[d] = s
             want[q["id"]] = scores
@@ -125,9 +127,27 @@ def test_dfr_and_axiomatic_float_mirrors(spark, docs):
             math.log((n_docs + 1.0) / (df + 0.5)) * INV_LN2
         )
 
+    cfc = Counter()
+    for ts in nz.values():
+        cfc.update(ts)
+    coll_len = float(sum(len(ts) for ts in nz.values()))
+
+    def dfi(qtf, tf, dl, df, t):
+        e = cfc[t] * dl / coll_len
+        if not tf > e:
+            return 0.0
+        return qtf * (math.log((tf - e) * (tf - e) / e + 1.0) * INV_LN2)
+
+    def ib(qtf, tf, dl, df, t):
+        lam = (cfc[t] + 1.0) / (n_docs + 1.0)
+        tfn = tf * (math.log(1.0 + avgdl / dl) * INV_LN2)
+        return qtf * (math.log((tfn + lam) / lam) * INV_LN2)
+
     for fn, per_term in [
-        (q_axiomatic_f2log_topk, ax),
-        (q_dfr_inl2_topk, dfr),
+        (q_axiomatic_f2log_topk, lambda q, tf, dl, df, t: ax(q, tf, dl, df)),
+        (q_dfr_inl2_topk, lambda q, tf, dl, df, t: dfr(q, tf, dl, df)),
+        (q_dfi_chi2_topk, dfi),
+        (q_ib_ll_topk, ib),
     ]:
         rows = fn(spark, str(SF_SMOKE)).collect()
         assert rows
@@ -137,8 +157,11 @@ def test_dfr_and_axiomatic_float_mirrors(spark, docs):
                 _r6(want[r.query_id][r.doc_id]), abs=1e-9
             ), (fn, r)
         for qid in {r.query_id for r in rows}:
+            # every similarity here yields strictly positive per-term
+            # contributions except DFI, whose zero-total docs the entry
+            # drops — filter uniformly (harmless for the others).
             exp = sorted(
-                want[qid].items(),
+                ((d, s) for d, s in want[qid].items() if s > 0),
                 key=lambda kv: (-Decimal(repr(_r6(kv[1]))), kv[0]),
             )[:10]
             mine = sorted(
