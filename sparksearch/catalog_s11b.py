@@ -808,6 +808,58 @@ SELECT CAST(rnk AS BIGINT) AS rank, sym, n FROM r WHERE rnk <= {BPE_TOPK}"""
     )
 
 
+# ---------------------------------------------------- ES|QL MV completion
+
+ESQL_MV_QUERY = """
+FROM lineitem
+| STATS lns = VALUES(l_linenumber), flags = VALUES(l_returnflag) BY l_orderkey
+| EVAL n = MV_COUNT(lns),
+       avg_ln = MV_AVG(lns),
+       f2 = MV_CONCAT(MV_SLICE(MV_SORT(flags, "desc"), 0, 1), ","),
+       fl = MV_FIRST(lns),
+       ll = MV_LAST(lns),
+       z = MV_CONCAT(MV_ZIP(MV_DEDUPE(flags), MV_REVERSE(flags), "-"), ","),
+       ap = MV_COUNT(MV_APPEND(flags, flags))
+| STATS g = COUNT(*), s = SUM(avg_ln), zs = COUNT_DISTINCT(z),
+        fs = SUM(fl) WHERE ll > 3, mxap = MAX(ap)
+  BY n, f2
+| SORT n, f2
+"""
+
+
+def q_esql_lineitem_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_MV_SQL = """WITH g0 AS (
+  SELECT l_orderkey,
+         list_sort(list_distinct(list(l_linenumber))) AS lns,
+         list_sort(list_distinct(list(l_returnflag))) AS flags
+  FROM lineitem GROUP BY 1
+),
+e AS (
+  SELECT CAST(len(lns) AS BIGINT) AS n,
+         CAST(CAST(list_sum(list_transform(lns, x -> CAST(x AS DECIMAL(18,9))))
+              AS DECIMAL(28,9)) AS DOUBLE) / len(lns) AS avg_ln,
+         array_to_string(list_sort(flags, 'DESC')[1:2], ',') AS f2,
+         lns[1] AS fl,
+         lns[len(lns)] AS ll,
+         array_to_string(
+           list_transform(generate_series(1, len(flags)),
+             i -> flags[i] || '-' || list_reverse(flags)[i]), ',') AS z,
+         CAST(2 * len(flags) AS BIGINT) AS ap
+  FROM g0
+)
+SELECT n, f2, CAST(COUNT(*) AS BIGINT) AS g,
+       SUM(CAST(avg_ln AS DECIMAL(28,9))) AS s,
+       CAST(COUNT(DISTINCT z) AS BIGINT) AS zs,
+       SUM(CASE WHEN ll > 3 THEN CAST(fl AS DECIMAL(28,9)) END) AS fs,
+       CAST(MAX(ap) AS BIGINT) AS mxap
+FROM e GROUP BY 1, 2 ORDER BY n, f2"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -886,6 +938,15 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "esql_lineitem_mv": QuerySpec(
+            q_esql_lineitem_mv,
+            ESQL_MV_SQL,
+            "ES|QL MV_* family completion: SORT/SLICE/DEDUPE/FIRST/LAST/"
+            "REVERSE/APPEND/ZIP/AVG over VALUES multivalues — MV_AVG "
+            "keeps the exact-decimal-fold discipline, MV_DEDUPE pins "
+            "sorted output, MV_ZIP concat_ws null-pad matches ES's "
+            "longer-array contract",
         ),
         "span_within_topk": QuerySpec(
             q_span_within_topk,

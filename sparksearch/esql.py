@@ -280,6 +280,40 @@ _FUNCS = {
     "SQRT": lambda a: F.sqrt(a[0]),
     "CIDR_MATCH": lambda a: _cidr_match(a),
     "IP_PREFIX": lambda a: _ip_prefix(a),
+    # -- session-11b: MV_* family completion --------------------------------
+    # MV_SORT(mv, "asc"|"desc"); MV_SLICE uses ES's 0-based inclusive
+    # [start, end] contract (non-negative literals in this dialect);
+    # MV_DEDUPE pins SORTED ascending output (ES leaves order unspecified
+    # — the deterministic-variant policy, same as VALUES); MV_AVG keeps
+    # the exact-decimal-sum + one-division discipline; MV_APPEND
+    # concatenates; MV_ZIP joins element pairs with a literal delimiter
+    # (shorter array null-pads, the ES contract via zip_with).
+    "MV_SORT": lambda a: F.sort_array(
+        a[0], asc=str(_require_lit(a, 1, "MV_SORT")).lower() != "desc"
+    ),
+    "MV_SLICE": lambda a: F.slice(
+        a[0],
+        int(_require_lit(a, 1, "MV_SLICE")) + 1,
+        int(_require_lit(a, 2, "MV_SLICE"))
+        - int(_require_lit(a, 1, "MV_SLICE"))
+        + 1,
+    ),
+    "MV_DEDUPE": lambda a: F.array_sort(F.array_distinct(a[0])),
+    "MV_FIRST": lambda a: F.element_at(a[0], 1),
+    "MV_LAST": lambda a: F.element_at(a[0], -1),
+    "MV_REVERSE": lambda a: F.reverse(a[0]),
+    "MV_APPEND": lambda a: F.concat(a[0], a[1]),
+    "MV_AVG": lambda a: F.aggregate(
+        a[0],
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x.cast("decimal(18,9)")).cast("decimal(28,9)"),
+    ).cast("double")
+    / F.size(a[0]),
+    "MV_ZIP": lambda a: F.zip_with(
+        a[0],
+        a[1],
+        lambda x, y: F.concat_ws(str(_require_lit(a, 2, "MV_ZIP")), x, y),
+    ),
 }
 
 

@@ -329,6 +329,40 @@ def test_search_quality_report_job_deterministic(spark, tmp_path):
     assert a == b
 
 
+def test_esql_mv_family(spark):
+    from sparksearch.esql import compile_esql
+
+    df = spark.createDataFrame([("b,a,c,a",), ("x",)], "s string")
+    rows = {
+        r.s: r
+        for r in compile_esql(
+            'FROM t | EVAL mv = SPLIT(s, ",")'
+            ' | EVAL srt = MV_CONCAT(MV_SORT(mv, "desc"), "/"),'
+            ' ded = MV_CONCAT(MV_DEDUPE(mv), "/"),'
+            ' sl = MV_CONCAT(MV_SLICE(mv, 1, 2), "/"),'
+            ' f = MV_FIRST(mv), l = MV_LAST(mv),'
+            ' rv = MV_CONCAT(MV_REVERSE(mv), "/"),'
+            ' ap = MV_COUNT(MV_APPEND(mv, mv)),'
+            ' z = MV_CONCAT(MV_ZIP(mv, MV_DEDUPE(mv), "-"), "/")',
+            tables={"t": df},
+        ).collect()
+    }
+    r = rows["b,a,c,a"]
+    assert r.srt == "c/b/a/a" and r.ded == "a/b/c" and r.sl == "a/c"
+    assert r.f == "b" and r.l == "a" and r.rv == "a/c/a/b" and r.ap == 8
+    # MV_ZIP: shorter side exhausts -> lone value (concat_ws skips nulls)
+    assert r.z == "b-a/a-b/c-c/a"
+    r1 = rows["x"]
+    assert r1.f == "x" and r1.l == "x" and r1.ap == 2 and r1.z == "x-x"
+    # MV_AVG: exact decimal fold over a numeric mv (via VALUES)
+    nums = spark.createDataFrame([(1, 2), (1, 4), (1, 9)], "g int, v int")
+    row = compile_esql(
+        "FROM t | STATS vs = VALUES(v) BY g | EVAL m = MV_AVG(vs) | KEEP m",
+        tables={"t": nums},
+    ).collect()[0]
+    assert row.m == 5.0
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
