@@ -808,6 +808,145 @@ SELECT CAST(rnk AS BIGINT) AS rank, sym, n FROM r WHERE rnk <= {BPE_TOPK}"""
     )
 
 
+# ------------------------------------------------------------ span-or near
+
+#: (query_id, "either term", "or term", slop, "then term") — ordered near
+#: from ANY occurrence of {a, b} (the SpanOr leg) to the first c within
+#: reach.
+SPANOR_QUERIES = [
+    (1, "hash", "merge", 6, "join"),
+    (2, "scan", "seek", 8, "filter"),
+    (3, "sort", "shuffle", 7, "merge"),
+    (4, "group", "window", 9, "agg"),
+    (5, "order", "line", 8, "part"),
+]
+
+
+def q_span_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNearQuery(SpanOrQuery(a, b), c, slop, inOrder=true) →
+    top-k by span count: the OR leg's positions are the sorted union of
+    both terms' position lists; each union position with a reachable c
+    (interior gap ≤ slop, the span family's minimal first-match
+    anchoring) contributes one span. Exact integer counts, the phrase
+    family's (n DESC, doc ASC) total order.
+
+    Plan: the span_containing batch shape — ONE per-doc term→positions
+    map, every query an expression over it; the union leg is one
+    array_sort(concat(...)) per doc per query (positions are distinct
+    across the two terms: a token occupies one position)."""
+    from .phrase import positional_postings
+    from .queries_catalog import K
+    from .tokenize import py_tokenize
+
+    qdefs: dict[int, tuple[str, str, int, str]] = {}
+    for qid, ta, tb, slop, tc in SPANOR_QUERIES:
+        (a,) = py_tokenize(ta)
+        (b,) = py_tokenize(tb)
+        (c,) = py_tokenize(tc)
+        qdefs[int(qid)] = (a, b, int(slop), c)
+    docs = _docs(spark, sf_dir)
+    all_terms = sorted({t for a, b, _, c in qdefs.values() for t in (a, b, c)})
+    pp = positional_postings(docs).filter(F.col("term").isin(all_terms))
+    per_doc = pp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+
+    def probe(t: str):
+        return F.coalesce(
+            F.element_at(F.col("m"), t), F.array().cast("array<int>")
+        )
+
+    def count_expr(a: str, b: str, slop: int, c: str):
+        leg = F.array_sort(F.concat(probe(a), probe(b)))
+        ps_c = probe(c)
+        return F.size(
+            F.filter(
+                F.transform(
+                    leg,
+                    lambda p: F.array_min(
+                        F.filter(
+                            ps_c,
+                            lambda q: (q > p) & (q <= p + F.lit(slop + 1)),
+                        )
+                    ),
+                ),
+                lambda pb: pb.isNotNull(),
+            )
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                count_expr(a, b, slop, c).cast("long").alias("n"),
+            )
+            for qid, (a, b, slop, c) in sorted(qdefs.items())
+        ]
+    )
+    counts = (
+        per_doc.select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.query_id").alias("query_id"),
+            F.col("e.n").alias("n_spans"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_spans"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "rank", "doc_id", "n_spans")
+    )
+
+
+def _span_or_sql() -> str:
+    from .queries_catalog import K
+    from .tokenize import py_tokenize
+
+    parts = []
+    for qid, ta, tb, slop, tc in SPANOR_QUERIES:
+        (a,) = py_tokenize(ta)
+        (b,) = py_tokenize(tb)
+        (c,) = py_tokenize(tc)
+        parts.append(
+            f"""SELECT {qid} AS query_id, lv.doc_id, COUNT(*) AS n_spans
+FROM (SELECT doc_id, pos FROM occ WHERE term IN ('{a}', '{b}')) lv
+WHERE EXISTS (
+  SELECT 1 FROM occ cv
+  WHERE cv.term = '{c}' AND cv.doc_id = lv.doc_id
+    AND cv.pos > lv.pos AND cv.pos <= lv.pos + {slop + 1}
+)
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+  FROM tokd
+),
+allq AS (
+{union}
+),
+rnkd AS (
+  SELECT query_id, doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY n_spans DESC, doc_id ASC) AS rnk
+  FROM allq
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, n_spans
+FROM rnkd WHERE rnk <= {K}"""
+
+
 # ---------------------------------------------------- ES|QL MV completion
 
 ESQL_MV_QUERY = """
@@ -938,6 +1077,15 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "span_or_topk": QuerySpec(
+            q_span_or_topk,
+            _span_or_sql(),
+            "Lucene SpanNear(SpanOr(a,b), c): the OR leg's positions are "
+            "the sorted union of both terms' lists; each with a "
+            "reachable c within slop counts one span — completes the "
+            "span composition family (near/first/not/containing/within/"
+            "or); exact integer counts, brute EXISTS oracle",
         ),
         "esql_lineitem_mv": QuerySpec(
             q_esql_lineitem_mv,

@@ -329,6 +329,42 @@ def test_search_quality_report_job_deterministic(spark, tmp_path):
     assert a == b
 
 
+def test_span_or_vs_python_mirror(spark, docs):
+    from sparksearch.catalog_s11b import SPANOR_QUERIES, q_span_or_topk
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_spans)
+        for r in q_span_or_topk(spark, str(SF_SMOKE)).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want: dict[tuple[int, int], int] = {}
+    for qid, ta, tb, slop, tc in SPANOR_QUERIES:
+        for doc_id, text in texts.items():
+            toks = re.findall(r"[a-z0-9_]+", text.lower())
+            n = sum(
+                1
+                for p, t in enumerate(toks, start=1)
+                if t in (ta, tb)
+                and any(
+                    toks[q - 1] == tc
+                    for q in range(p + 1, min(p + slop + 1, len(toks)) + 1)
+                )
+            )
+            if n:
+                want[(qid, doc_id)] = n
+    for qid, *_ in SPANOR_QUERIES:
+        full = sorted(
+            ((d, n) for (q, d), n in want.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        mine = sorted(
+            ((d, rn) for (q, d), rn in got.items() if q == qid),
+            key=lambda x: x[1][0],
+        )
+        assert [(d, n) for d, (rk, n) in mine] == full
+    assert any(n > 0 for n in want.values())
+
+
 def test_esql_mv_family(spark):
     from sparksearch.esql import compile_esql
 
