@@ -28,10 +28,96 @@ from pyspark.sql import functions as F
 
 from .catalog_pipeline import _docs, _r6
 
-# ------------------------------------------------------- axiomatic F2LOG
+# ----------------------------------------------- similarity scaffold
 
 #: F2EXP/F2LOG's length-normalization parameter (Fang & Zhai 2005).
 AXIOM_S = 0.5
+
+
+def _sim_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    stat_cols: list[str],
+    score_fn,
+    need_coll_len: bool = False,
+    positive_only: bool = False,
+) -> DataFrame:
+    """Shared per-term-similarity scaffold (axiomatic / DFR / DFI / IB all
+    reduce to it): query terms broadcast-join term stats (``stat_cols``
+    from termstats ride along), postings join, 1-row global stats
+    (n_docs/avgdl, optionally collection length ``cl``) broadcast on,
+    ``score_fn()`` evaluated per matched posting, one (query, doc)
+    sum-agg, round6-quantized top-k (invariant #3). ``positive_only``
+    drops zero-total docs (the DFI gate)."""
+    from .queries_catalog import K, _round6, _stats_for, reference_queries
+    from .querying import parse_queries, topk_per_query
+
+    tf_df, dl_df, ts, gs = _stats_for(spark, sf_dir)
+    q = parse_queries(spark, reference_queries())
+    qj = q.join(F.broadcast(ts.select("term", *stat_cols)), "term", "inner")
+    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
+        F.broadcast(
+            gs.select(
+                F.col("n_docs").cast("double").alias("nd"),
+                F.col("avgdl").alias("avgdl"),
+            )
+        )
+    )
+    if need_coll_len:
+        contrib = contrib.crossJoin(
+            F.broadcast(dl_df.agg(F.sum("dl").cast("double").alias("cl")))
+        )
+    scored = (
+        contrib.select("query_id", "doc_id", score_fn().alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sc").alias("score"))
+    )
+    if positive_only:
+        scored = scored.filter(F.col("score") > 0)
+    df = topk_per_query(scored, K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _sim_sql(sc_expr: str, extra_ctes: str = "", positive_only: bool = False) -> str:
+    """The scaffold's DuckDB twin: same contrib/scored/ranked tail for
+    every similarity, parameterized by the per-posting score expression
+    (and the optional DFI coll-length CTE / positive gate)."""
+    from .queries_catalog import K, TOK_SQL, query_values_sql
+
+    having = "\n  HAVING SUM(sc) > 0" if positive_only else ""
+    extra = f"{extra_ctes}," if extra_ctes else ""
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{extra}
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         {sc_expr} AS sc
+  FROM q
+  JOIN termstats t USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2{having}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
+                    doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+# ------------------------------------------------------- axiomatic F2LOG
 
 
 def q_axiomatic_f2log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,63 +129,23 @@ def q_axiomatic_f2log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BM25/QLM entries already prove engine-identical — where F2EXP's
     (N/df)^0.35 would introduce a cross-engine pow channel. Op sequence
     pinned identically in the twin; rank on round6 (invariant #3)."""
-    from .queries_catalog import K, _round6, _stats_for, reference_queries
-    from .querying import parse_queries, topk_per_query
 
-    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
-    q = parse_queries(spark, reference_queries())
-    qj = q.join(F.broadcast(ts.select("term", "df")), "term", "inner")
-    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
-        F.broadcast(
-            gs.select(
-                F.col("n_docs").cast("double").alias("nd"),
-                F.col("avgdl").alias("avgdl"),
-            )
+    def score():
+        s = F.lit(AXIOM_S)
+        sat = F.col("tf") / (F.col("tf") + s + s * F.col("dl") / F.col("avgdl"))
+        return (
+            F.col("qtf") * F.log((F.col("nd") + F.lit(1.0)) / F.col("df")) * sat
         )
-    )
-    s = F.lit(AXIOM_S)
-    sat = F.col("tf") / (F.col("tf") + s + s * F.col("dl") / F.col("avgdl"))
-    score = F.col("qtf") * F.log((F.col("nd") + F.lit(1.0)) / F.col("df")) * sat
-    scored = (
-        contrib.select("query_id", "doc_id", score.alias("sc"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("sc").alias("score"))
-    )
-    df = topk_per_query(scored, K)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _round6("score").alias("score"),
-    )
+
+    return _sim_topk(spark, sf_dir, ["df"], score)
 
 
 def _axiomatic_sql() -> str:
-    from .queries_catalog import K, TOK_SQL, query_values_sql
-
-    return f"""WITH {TOK_SQL.strip()},
-{query_values_sql()},
-contrib AS (
-  SELECT q.query_id, p.doc_id,
-         q.qtf * LN(((SELECT n_docs FROM gstats) + 1.0) / t.df)
+    return _sim_sql(
+        f"""q.qtf * LN(((SELECT n_docs FROM gstats) + 1.0) / t.df)
                * (p.tf / (p.tf + {AXIOM_S!r} + {AXIOM_S!r} * d.dl
-                          / (SELECT avgdl FROM gstats))) AS sc
-  FROM q
-  JOIN termstats t USING (term)
-  JOIN postings p USING (term)
-  JOIN doclen d ON d.doc_id = p.doc_id
-),
-scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
-                    doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
-FROM ranked WHERE rnk <= {K}"""
+                          / (SELECT avgdl FROM gstats)))"""
+    )
 
 
 # ------------------------------------------------------------ DFR I(n)L2
@@ -121,69 +167,28 @@ def q_dfr_inl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LN(x) * 1.4426950408889634 (INV_LN2, repr-shared) so the doubles are
     bit-identical; the remaining ops are one shared multiply/divide
     sequence. Rank on round6 (invariant #3)."""
-    from .queries_catalog import K, _round6, _stats_for, reference_queries
-    from .querying import parse_queries, topk_per_query
 
-    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
-    q = parse_queries(spark, reference_queries())
-    qj = q.join(F.broadcast(ts.select("term", "df")), "term", "inner")
-    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
-        F.broadcast(
-            gs.select(
-                F.col("n_docs").cast("double").alias("nd"),
-                F.col("avgdl").alias("avgdl"),
-            )
+    def score():
+        inv_ln2 = F.lit(INV_LN2)
+        tfn = F.col("tf") * (
+            F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
         )
-    )
-    inv_ln2 = F.lit(INV_LN2)
-    tfn = F.col("tf") * (
-        F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
-    )
-    idf2 = (
-        F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(0.5))) * inv_ln2
-    )
-    score = F.col("qtf") * (tfn / (tfn + F.lit(1.0))) * idf2
-    scored = (
-        contrib.select("query_id", "doc_id", score.alias("sc"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("sc").alias("score"))
-    )
-    df = topk_per_query(scored, K)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _round6("score").alias("score"),
-    )
+        idf2 = (
+            F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(0.5)))
+            * inv_ln2
+        )
+        return F.col("qtf") * (tfn / (tfn + F.lit(1.0))) * idf2
+
+    return _sim_topk(spark, sf_dir, ["df"], score)
 
 
 def _dfr_sql() -> str:
-    from .queries_catalog import K, TOK_SQL, query_values_sql
-
-    return f"""WITH {TOK_SQL.strip()},
-{query_values_sql()},
-contrib AS (
-  SELECT q.query_id, p.doc_id,
-         q.qtf
+    return _sim_sql(
+        f"""q.qtf
            * ((p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r}))
               / ((p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r})) + 1.0))
-           * (LN(((SELECT n_docs FROM gstats) + 1.0) / (t.df + 0.5)) * {INV_LN2!r}) AS sc
-  FROM q
-  JOIN termstats t USING (term)
-  JOIN postings p USING (term)
-  JOIN doclen d ON d.doc_id = p.doc_id
-),
-scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
-                    doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
-FROM ranked WHERE rnk <= {K}"""
+           * (LN(((SELECT n_docs FROM gstats) + 1.0) / (t.df + 0.5)) * {INV_LN2!r})"""
+    )
 
 
 # --------------------------------------------------------- DFI + IB sims
@@ -203,70 +208,30 @@ def q_dfi_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). Docs whose every matched term is at-or-below expectation
     score 0 and drop (Lucene returns 0 for them — rank-bottom either
     way; the entry keeps only positive scores, pinned in the twin)."""
-    from .queries_catalog import K, _round6, _stats_for, reference_queries
-    from .querying import parse_queries, topk_per_query
 
-    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
-    q = parse_queries(spark, reference_queries())
-    coll = dl_df.agg(F.sum("dl").cast("double").alias("cl"))
-    qj = q.join(F.broadcast(ts.select("term", "cf")), "term", "inner")
-    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
-        F.broadcast(coll)
-    )
-    inv_ln2 = F.lit(INV_LN2)
-    e = F.col("cf") * F.col("dl") / F.col("cl")
-    chi = (F.col("tf") - e) * (F.col("tf") - e) / e
-    s = F.when(
-        F.col("tf") > e,
-        F.col("qtf") * (F.log(chi + F.lit(1.0)) * inv_ln2),
-    ).otherwise(F.lit(0.0))
-    scored = (
-        contrib.select("query_id", "doc_id", s.alias("sc"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("sc").alias("score"))
-        .filter(F.col("score") > 0)
-    )
-    df = topk_per_query(scored, K)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _round6("score").alias("score"),
+    def score():
+        e = F.col("cf") * F.col("dl") / F.col("cl")
+        chi = (F.col("tf") - e) * (F.col("tf") - e) / e
+        return F.when(
+            F.col("tf") > e,
+            F.col("qtf") * (F.log(chi + F.lit(1.0)) * F.lit(INV_LN2)),
+        ).otherwise(F.lit(0.0))
+
+    return _sim_topk(
+        spark, sf_dir, ["cf"], score, need_coll_len=True, positive_only=True
     )
 
 
 def _dfi_sql() -> str:
-    from .queries_catalog import K, TOK_SQL, query_values_sql
-
     e = "(t.cf * d.dl / (SELECT cl FROM coll))"
-    return f"""WITH {TOK_SQL.strip()},
-{query_values_sql()},
-coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS cl FROM doclen),
-contrib AS (
-  SELECT q.query_id, p.doc_id,
-         CASE WHEN p.tf > {e}
+    return _sim_sql(
+        f"""CASE WHEN p.tf > {e}
               THEN q.qtf * (LN((p.tf - {e}) * (p.tf - {e}) / {e} + 1.0)
                            * {INV_LN2!r})
-              ELSE 0.0 END AS sc
-  FROM q
-  JOIN termstats t USING (term)
-  JOIN postings p USING (term)
-  JOIN doclen d ON d.doc_id = p.doc_id
-),
-scored AS (
-  SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2
-  HAVING SUM(sc) > 0
-),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
-                    doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
-FROM ranked WHERE rnk <= {K}"""
+              ELSE 0.0 END""",
+        extra_ctes="coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS cl FROM doclen)",
+        positive_only=True,
+    )
 
 
 def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,66 +246,22 @@ def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned op sequences over exact integers + avgdl. Completes the
     Lucene similarity roster: BM25(+F), Classic, DFR, DFI, IB,
     LMDirichlet, LMJelinekMercer, Axiomatic, VSM, boolean."""
-    from .queries_catalog import K, _round6, _stats_for, reference_queries
-    from .querying import parse_queries, topk_per_query
 
-    tf_df, _, ts, gs = _stats_for(spark, sf_dir)
-    q = parse_queries(spark, reference_queries())
-    qj = q.join(F.broadcast(ts.select("term", "cf")), "term", "inner")
-    contrib = tf_df.join(F.broadcast(qj), "term", "inner").crossJoin(
-        F.broadcast(
-            gs.select(
-                F.col("n_docs").cast("double").alias("nd"),
-                F.col("avgdl").alias("avgdl"),
-            )
+    def score():
+        inv_ln2 = F.lit(INV_LN2)
+        lam = (F.col("cf") + F.lit(1.0)) / (F.col("nd") + F.lit(1.0))
+        tfn = F.col("tf") * (
+            F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
         )
-    )
-    inv_ln2 = F.lit(INV_LN2)
-    lam = (F.col("cf") + F.lit(1.0)) / (F.col("nd") + F.lit(1.0))
-    tfn = F.col("tf") * (
-        F.log(F.lit(1.0) + F.col("avgdl") / F.col("dl")) * inv_ln2
-    )
-    s = F.col("qtf") * (F.log((tfn + lam) / lam) * inv_ln2)
-    scored = (
-        contrib.select("query_id", "doc_id", s.alias("sc"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("sc").alias("score"))
-    )
-    df = topk_per_query(scored, K)
-    return df.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _round6("score").alias("score"),
-    )
+        return F.col("qtf") * (F.log((tfn + lam) / lam) * inv_ln2)
+
+    return _sim_topk(spark, sf_dir, ["cf"], score)
 
 
 def _ib_sql() -> str:
-    from .queries_catalog import K, TOK_SQL, query_values_sql
-
     lam = "((t.cf + 1.0) / ((SELECT n_docs FROM gstats) + 1.0))"
     tfn = f"(p.tf * (LN(1.0 + (SELECT avgdl FROM gstats) / d.dl) * {INV_LN2!r}))"
-    return f"""WITH {TOK_SQL.strip()},
-{query_values_sql()},
-contrib AS (
-  SELECT q.query_id, p.doc_id,
-         q.qtf * (LN(({tfn} + {lam}) / {lam}) * {INV_LN2!r}) AS sc
-  FROM q
-  JOIN termstats t USING (term)
-  JOIN postings p USING (term)
-  JOIN doclen d ON d.doc_id = p.doc_id
-),
-scored AS (SELECT query_id, doc_id, SUM(sc) AS score FROM contrib GROUP BY 1, 2),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-           ORDER BY CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) DESC,
-                    doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
-       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
-FROM ranked WHERE rnk <= {K}"""
+    return _sim_sql(f"q.qtf * (LN(({tfn} + {lam}) / {lam}) * {INV_LN2!r})")
 
 
 # -------------------------------------------------------- ERR rank eval

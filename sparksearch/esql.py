@@ -291,13 +291,7 @@ _FUNCS = {
     "MV_SORT": lambda a: F.sort_array(
         a[0], asc=str(_require_lit(a, 1, "MV_SORT")).lower() != "desc"
     ),
-    "MV_SLICE": lambda a: F.slice(
-        a[0],
-        int(_require_lit(a, 1, "MV_SLICE")) + 1,
-        int(_require_lit(a, 2, "MV_SLICE"))
-        - int(_require_lit(a, 1, "MV_SLICE"))
-        + 1,
-    ),
+    "MV_SLICE": lambda a: _mv_slice(a),
     "MV_DEDUPE": lambda a: F.array_sort(F.array_distinct(a[0])),
     "MV_FIRST": lambda a: F.element_at(a[0], 1),
     "MV_LAST": lambda a: F.element_at(a[0], -1),
@@ -315,6 +309,22 @@ _FUNCS = {
         lambda x, y: F.concat_ws(str(_require_lit(a, 2, "MV_ZIP")), x, y),
     ),
 }
+
+
+def _mv_slice(a: list[Column]) -> Column:
+    """MV_SLICE(mv, start, end) — ES's 0-based INCLUSIVE [start, end].
+    This dialect admits only non-negative literals (ES also accepts
+    negative from-the-end indices; translating those through Spark's
+    sign-sensitive F.slice would silently return wrong elements, so the
+    restriction is enforced at compile time rather than mis-translated)."""
+    start = int(_require_lit(a, 1, "MV_SLICE"))
+    end = int(_require_lit(a, 2, "MV_SLICE"))
+    if start < 0 or end < start:
+        raise EsqlError(
+            "MV_SLICE needs 0 <= start <= end (negative indices are not "
+            "supported in this dialect)"
+        )
+    return F.slice(a[0], start + 1, end - start + 1)
 
 
 def _ip_int(ip: Column) -> Column:
@@ -580,6 +590,25 @@ def _parse_agg(p: _Parser) -> tuple[str, list[Column | None]]:
     return fn, args
 
 
+def _weighted_args(args: list[Column | None]) -> tuple[Column, Column]:
+    """Validate WEIGHTED_AVG's (value, weight) pair: the weight must be
+    integer-valued (assert_true throws per-row on a fractional weight —
+    silently rounding 2.5 to 3 would be a wrong answer, not a contract)
+    and casts to decimal(9,0) for the exact-at-38-cap product; NULL
+    weights pass through (the row drops from both sums)."""
+    if len(args) < 2 or args[1] is None:
+        raise EsqlError("WEIGHTED_AVG needs (value, weight)")
+    v, w = args[0], args[1]
+    ok = w.isNull() | (w == F.floor(w))
+    wt = F.when(
+        F.assert_true(
+            ok, F.lit("WEIGHTED_AVG weights must be integer-valued")
+        ).isNull(),
+        w,
+    ).cast("decimal(9,0)")
+    return v, wt
+
+
 def _percentile_agg(arg: Column, pct: int) -> Column:
     """Exact interpolated percentile (the deterministic variant of ES's
     TDigest PERCENTILE — same "replace the approximate builtin with an
@@ -637,19 +666,19 @@ def _build_agg(fn: str, args: list[Column | None], name: str) -> Column:
         # result oracle-checkable.
         return F.array_sort(F.collect_set(arg)).alias(name)
     if fn == "WEIGHTED_AVG":
-        if len(args) < 2:
-            raise EsqlError("WEIGHTED_AVG needs (value, weight)")
         # WEIGHTED_AVG(value, weight): Σ(v·w)/Σ(w) with INTEGER-VALUED
-        # weights (the dialect's exactness constraint — ES's typical
-        # weights are counts). v quantizes to the language's decimal(28,9)
-        # grid, w to decimal(9,0); the (28,9)×(9,0) product is
+        # weights < 10^9 (the dialect's exactness contract — ES's typical
+        # weights are counts; both bounds ENFORCED: a fractional weight
+        # throws via assert_true, a too-wide one throws the same ANSI
+        # decimal(9,0) overflow on BOTH sums). v quantizes to the
+        # language's decimal(28,9) grid; the (28,9)×(9,0) product is
         # decimal(38,9) — exact at the 38 cap with NO scale drop (the
         # session-3 sharp edge's remedy: smallest sufficient decimal on
         # the integer side). A NULL value drops the row from BOTH sums
         # (the per-agg WHERE folds into v, so filters compose).
-        v, wt = args[0], args[1]
-        num = F.sum(v.cast("decimal(28,9)") * wt.cast("decimal(9,0)"))
-        den = F.sum(F.when(v.isNotNull(), wt).cast("decimal(18,0)"))
+        v, wt = _weighted_args(args)
+        num = F.sum(v.cast("decimal(28,9)") * wt)
+        den = F.sum(F.when(v.isNotNull(), wt))
         return (num.cast("double") / den.cast("double")).alias(name)
     # SUM / AVG: exact accumulation — a double argument quantizes to
     # decimal(28,9) per row and sums exactly (order-independent on any
@@ -689,11 +718,9 @@ def _window_agg(fn: str, args: list[Column | None], w) -> Column:
     if fn == "MAX":
         return F.max(arg).over(w)
     if fn == "WEIGHTED_AVG":
-        if len(args) < 2:
-            raise EsqlError("WEIGHTED_AVG needs (value, weight)")
-        v, wt = args[0], args[1]
-        num = F.sum(v.cast("decimal(28,9)") * wt.cast("decimal(9,0)")).over(w)
-        den = F.sum(F.when(v.isNotNull(), wt).cast("decimal(18,0)")).over(w)
+        v, wt = _weighted_args(args)
+        num = F.sum(v.cast("decimal(28,9)") * wt).over(w)
+        den = F.sum(F.when(v.isNotNull(), wt)).over(w)
         return num.cast("double") / den.cast("double")
     exact = F.sum(arg.cast("decimal(28,9)")).over(w)
     if fn == "SUM":
@@ -944,24 +971,37 @@ def _run_stages(
             # decision to be a pure function of the data. Map-side filter,
             # no shuffle, the sampled fraction is stable under
             # repartitioning/retries at any scale.
-            prob = float(p.expect("num").text)
+            from decimal import Decimal as _Dec
+
+            prob_text = p.expect("num").text
+            prob = float(prob_text)
             if not 0.0 < prob <= 1.0:
                 raise EsqlError("SAMPLE probability must be in (0, 1]")
+            # threshold from the LITERAL text via Decimal — float round()
+            # is half-even and would silently zero out probabilities on
+            # the 5e-7 boundary (the repo's documented round() hazard).
+            thr = int(_Dec(prob_text) * 1_000_000)
+            if thr < 1 or _Dec(prob_text) * 1_000_000 != thr:
+                raise EsqlError(
+                    "SAMPLE probability granularity is 1e-6 in this dialect"
+                )
             key = p.expect("id").text
             from .textpipe import h60
 
             df = df.filter(
-                h60(F.col(key).cast("string")) % F.lit(1_000_000)
-                < F.lit(int(round(prob * 1_000_000)))
+                h60(F.col(key).cast("string")) % F.lit(1_000_000) < F.lit(thr)
             )
         elif cmd == "FORK":
             # FORK (branch) (branch) … (ES|QL 8.19): run ≥2 sub-pipelines
             # from the current frame and union their outputs, tagged by a
             # ``_fork`` discriminator ("fork1", "fork2", … in branch
             # order). Missing columns null-fill (unionByName allowMissing
-            # — the ES contract). Each branch compiles against the SAME
-            # parent frame; Spark shares the scan across branches, so the
-            # plan is one read fanned into N aggregates, not N reads.
+            # — the ES contract). Spark has no cross-subtree CSE, so the
+            # parent frame is persist()ed before the branches compile —
+            # without it every branch would re-execute the WHOLE upstream
+            # DAG (the repo's documented multi-consumer edge). Nested
+            # FORK is rejected (the ES contract; the outer tag would
+            # silently overwrite the inner discriminator otherwise).
             branches: list[list[_Tok]] = []
             while p.accept("op", "("):
                 depth, body = 1, []
@@ -977,11 +1017,14 @@ def _run_stages(
                 branches.append(body)
             if len(branches) < 2:
                 raise EsqlError("FORK needs at least two (branch) pipelines")
+            df = df.persist()
             outs = []
             for i, body in enumerate(branches, 1):
                 sub = _run_stages(
                     _split_stages(body), df, tables, spark, sf_dir
                 )
+                if "_fork" in sub.columns:
+                    raise EsqlError("nested FORK is not supported")
                 outs.append(sub.withColumn("_fork", F.lit(f"fork{i}")))
             out = outs[0]
             for o in outs[1:]:

@@ -208,6 +208,15 @@ def test_esql_weighted_avg_sample_fork(spark):
     )
     with pytest.raises(EsqlError, match="probability"):
         compile_esql("FROM t | SAMPLE 1.5 id", tables={"t": df})
+    # sub-1e-6 probabilities must error, not silently sample zero rows
+    # (float round() is half-even: round(0.5) == 0)
+    with pytest.raises(EsqlError, match="granularity"):
+        compile_esql("FROM t | SAMPLE 0.0000005 id", tables={"t": df})
+    # fractional weights throw per-row (assert_true), never round silently
+    with pytest.raises(Exception, match="integer-valued"):
+        compile_esql(
+            "FROM t | STATS x = WEIGHTED_AVG(v, 2.5)", tables={"t": df}
+        ).collect()
 
     # FORK: branch pipelines with '|' inside parens, _fork tag, null fill
     rows = compile_esql(
@@ -224,6 +233,12 @@ def test_esql_weighted_avg_sample_fork(spark):
     assert (f2.n, f2.note, f2.g, f2.hi) == (4, "all", None, None)
     with pytest.raises(EsqlError, match="at least two"):
         compile_esql("FROM t | FORK (STATS n = COUNT(*))", tables={"t": df})
+    with pytest.raises(EsqlError, match="nested FORK"):
+        compile_esql(
+            "FROM t | FORK (FORK (STATS a = COUNT(*)) (STATS b = COUNT(*)))"
+            " (STATS c = COUNT(*))",
+            tables={"t": df},
+        )
 
 
 def test_span_within_vs_python_mirror(spark, docs):
@@ -390,6 +405,17 @@ def test_esql_mv_family(spark):
     assert r.z == "b-a/a-b/c-c/a"
     r1 = rows["x"]
     assert r1.f == "x" and r1.l == "x" and r1.ap == 2 and r1.z == "x-x"
+    # malformed MV_SLICE bounds are a compile-time error (negative starts
+    # are unreachable — the grammar yields no negative literal, and a
+    # computed index fails the literal requirement; end < start hits the
+    # explicit bound guard)
+    from sparksearch.esql import EsqlError
+
+    with pytest.raises(EsqlError, match="MV_SLICE"):
+        compile_esql(
+            'FROM t | EVAL mv = SPLIT(s, ",") | EVAL x = MV_SLICE(mv, 2, 1)',
+            tables={"t": df},
+        )
     # MV_AVG: exact decimal fold over a numeric mv (via VALUES)
     nums = spark.createDataFrame([(1, 2), (1, 4), (1, 9)], "g int, v int")
     row = compile_esql(
