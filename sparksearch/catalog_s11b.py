@@ -920,6 +920,95 @@ SELECT n, f2, CAST(COUNT(*) AS BIGINT) AS g,
 FROM e GROUP BY 1, 2 ORDER BY n, f2"""
 
 
+# --------------------------------------- ES|QL STD_DEV + CHANGE_POINT
+
+ESQL_STDDEV_QUERY = """
+FROM events
+| STATS n = COUNT(*), m = AVG(value), sd = STD_DEV(value),
+        sd_big = STD_DEV(value) WHERE value >= 100.0
+  BY event_type
+| SORT event_type
+"""
+
+
+def q_esql_events_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_STDDEV_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+def _stddev_twin(cond: str | None) -> str:
+    """The STD_DEV moment mirror: exact decimal(18,6) sums, decimal-side
+    squares, pinned S2/n − m·m op order."""
+    v = "CAST(value AS DECIMAL(18,6))"
+    if cond:
+        v = f"CASE WHEN {cond} THEN {v} END"
+        n = f"COUNT(CASE WHEN {cond} THEN 1 END)"
+    else:
+        n = "COUNT(value)"
+    return (
+        f"sqrt(greatest(CAST(SUM({v} * {v}) AS DOUBLE) / {n}"
+        f" - (CAST(SUM({v}) AS DOUBLE) / {n})"
+        f" * (CAST(SUM({v}) AS DOUBLE) / {n}), 0.0))"
+    )
+
+
+ESQL_STDDEV_SQL = f"""SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / COUNT(value) AS m,
+  {_stddev_twin(None)} AS sd,
+  {_stddev_twin("value >= 100.0")} AS sd_big
+FROM events GROUP BY 1 ORDER BY event_type"""
+
+
+ESQL_CHANGE_POINT_QUERY = """
+FROM events
+| EVAL day = EPOCH_DAY(ts)
+| STATS n = COUNT(*) BY day
+| CHANGE_POINT n ON day
+"""
+
+
+def q_esql_events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT over the daily-count series. NOTE the
+    deliberate contrast with the `events_change_point` entry: the
+    language command runs on the PIPED rows (sparse days, ES's
+    contract), while the aggregation entry fills the dense daily grid
+    first — same statistic, different frame."""
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_CHANGE_POINT_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_CHANGE_POINT_SQL = """WITH d AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS st FROM d),
+pre AS (
+  SELECT day,
+         CAST(COALESCE(COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nl,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sl
+  FROM d
+),
+s AS (SELECT day, nl, sl, nd - nl AS nr, st - sl AS sr FROM pre, tot WHERE nl > 0),
+scored AS (
+  SELECT day, nl, nr, sl, sr,
+         CAST(ROUND(CAST(
+           CAST(abs(CAST(sl AS DECIMAL(38,0)) * nr - CAST(sr AS DECIMAL(38,0)) * nl) AS DOUBLE)
+           / CAST(CAST(nl AS DECIMAL(38,0)) * nr AS DOUBLE)
+         AS DECIMAL(28,9)), 6) AS DOUBLE) AS stat
+  FROM s
+),
+best AS (SELECT * FROM scored ORDER BY stat DESC, day ASC LIMIT 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(ROUND(CAST(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_left,
+       CAST(ROUND(CAST(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_right,
+       stat
+FROM best"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -998,6 +1087,22 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "esql_events_stddev": QuerySpec(
+            q_esql_events_stddev,
+            ESQL_STDDEV_SQL,
+            "ES|QL STD_DEV aggregate (+ per-agg WHERE): exact "
+            "decimal(18,6) moments with DECIMAL-side squaring (the "
+            "extended_stats wide-cast sharp edge sidestepped), pinned "
+            "S2/n - m*m op order, population sigma",
+        ),
+        "esql_events_change_point": QuerySpec(
+            q_esql_events_change_point,
+            ESQL_CHANGE_POINT_SQL,
+            "ES|QL CHANGE_POINT command: deterministic mean-shift argmax "
+            "over the piped daily counts (sparse frame - ES's contract; "
+            "the agg entry's dense-grid variant stands beside it), exact "
+            "BIGINT cross-products, round6 ratio rank",
         ),
         "span_or_topk": QuerySpec(
             q_span_or_topk,

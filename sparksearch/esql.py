@@ -112,7 +112,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
-    "RENAME", "AS", "SAMPLE", "FORK",
+    "RENAME", "AS", "SAMPLE", "FORK", "CHANGE_POINT",
 }
 
 
@@ -555,7 +555,7 @@ class _ExprParser:
 
 _AGGS = {
     "COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG",
-    "MEDIAN", "PERCENTILE", "TOP", "VALUES", "WEIGHTED_AVG",
+    "MEDIAN", "PERCENTILE", "TOP", "VALUES", "WEIGHTED_AVG", "STD_DEV",
 }
 
 
@@ -588,6 +588,27 @@ def _parse_agg(p: _Parser) -> tuple[str, list[Column | None]]:
         cond = _ExprParser(p).parse()
         args[0] = F.when(cond, F.lit(1) if args[0] is None else args[0])
     return fn, args
+
+
+def _moment_sums(arg: Column) -> tuple[Column, Column, Column]:
+    """Exact first/second moments for STD_DEV: values quantize to
+    decimal(18,6) and the SQUARE is computed IN DECIMAL — (18,6)×(18,6)
+    = (37,12), exact under the 38 cap on both engines. Squaring the
+    double first and casting the product would hit the wide-decimal cast
+    divergence (the lineitem_extended_stats sharp edge: above ~4e9 the
+    9-dp grid is finer than the double's ulp and the engines' casts
+    disagree); decimal-side squaring sidesteps it entirely."""
+    d = arg.cast("decimal(18,6)")
+    return F.sum(d), F.sum(d * d), F.count(arg)
+
+
+def _std_from_moments(s1: Column, s2: Column, n: Column) -> Column:
+    """Population σ = sqrt(S2/n − (S1/n)²), the ES extended_stats
+    definition — pinned op order over exact decimal sums so both engines
+    compute identical doubles; greatest(·, 0) absorbs the one negative
+    ulp a perfectly-constant series can produce."""
+    m = s1.cast("double") / n
+    return F.sqrt(F.greatest(s2.cast("double") / n - m * m, F.lit(0.0)))
 
 
 def _weighted_args(args: list[Column | None]) -> tuple[Column, Column]:
@@ -680,6 +701,9 @@ def _build_agg(fn: str, args: list[Column | None], name: str) -> Column:
         num = F.sum(v.cast("decimal(28,9)") * wt)
         den = F.sum(F.when(v.isNotNull(), wt))
         return (num.cast("double") / den.cast("double")).alias(name)
+    if fn == "STD_DEV":
+        s1, s2, n = _moment_sums(arg)
+        return _std_from_moments(s1, s2, n).alias(name)
     # SUM / AVG: exact accumulation — a double argument quantizes to
     # decimal(28,9) per row and sums exactly (order-independent on any
     # partitioning, the engine-wide float-sum remedy); AVG divides once.
@@ -722,6 +746,9 @@ def _window_agg(fn: str, args: list[Column | None], w) -> Column:
         num = F.sum(v.cast("decimal(28,9)") * wt).over(w)
         den = F.sum(F.when(v.isNotNull(), wt)).over(w)
         return num.cast("double") / den.cast("double")
+    if fn == "STD_DEV":
+        s1, s2, n = _moment_sums(args[0])
+        return _std_from_moments(s1.over(w), s2.over(w), n.over(w))
     exact = F.sum(arg.cast("decimal(28,9)")).over(w)
     if fn == "SUM":
         return exact
@@ -962,6 +989,66 @@ def _run_stages(
             while p.accept("op", ","):
                 cols.append(p.expect("id").text)
             df = df.select(*cols) if cmd == "KEEP" else df.drop(*cols)
+        elif cmd == "CHANGE_POINT":
+            # CHANGE_POINT <value> ON <key> (ES|QL 8.18 tech preview):
+            # the deterministic mean-shift variant (the events_change_point
+            # discipline generalized to the piped frame): collapse to the
+            # ONE row whose key-ordered split maximizes the between-
+            # segment mean difference. The statistic's numerator
+            # |sl·nr − sr·nl| and denominator nl·nr are exact BIGINTs
+            # from one prefix-sum window (value must be integer-typed —
+            # counts; ES's own CHANGE_POINT runs on ≤1000 piped rows, so
+            # the single-partition window is the contract, not a scale
+            # hazard); rank on the round6 ratio, key ASC tiebreak.
+            from pyspark.sql import Window as _W
+
+            from .stats import round6 as _r6c
+
+            val = p.expect("id").text
+            p.expect("kw", "ON")
+            key = p.expect("id").text
+            w = _W.orderBy(key).rowsBetween(_W.unboundedPreceding, -1)
+            tot = df.agg(
+                F.count(F.lit(1)).cast("long").alias("nd"),
+                F.sum(val).cast("long").alias("st"),
+            )
+            pre = df.select(
+                F.col(key),
+                F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+                .cast("long")
+                .alias("nl"),
+                F.coalesce(F.sum(val).over(w), F.lit(0))
+                .cast("long")
+                .alias("sl"),
+            ).filter(F.col("nl") > 0)
+            c = pre.crossJoin(F.broadcast(tot)).select(
+                key, "nl", "sl",
+                (F.col("nd") - F.col("nl")).alias("nr"),
+                (F.col("st") - F.col("sl")).alias("sr"),
+            )
+            num = F.abs(
+                F.col("sl").cast("decimal(38,0)") * F.col("nr")
+                - F.col("sr").cast("decimal(38,0)") * F.col("nl")
+            ).cast("double")
+            den = (F.col("nl").cast("decimal(38,0)") * F.col("nr")).cast(
+                "double"
+            )
+            scored = c.select(
+                key, "nl", "nr", "sl", "sr", _r6c(num / den).alias("stat")
+            )
+            best = scored.orderBy(F.desc("stat"), F.asc(key)).limit(1)
+            df = best.select(
+                key,
+                F.col("nl").alias("n_left"),
+                F.col("nr").alias("n_right"),
+                _r6c(
+                    F.col("sl").cast("double") / F.col("nl").cast("double")
+                ).alias("mean_left"),
+                _r6c(
+                    F.col("sr").cast("double") / F.col("nr").cast("double")
+                ).alias("mean_right"),
+                "stat",
+            )
         elif cmd == "SAMPLE":
             # SAMPLE <prob> <key_col> — the DETERMINISTIC dialect variant
             # of ES|QL's random SAMPLE (same policy as random_score =

@@ -425,6 +425,41 @@ def test_esql_mv_family(spark):
     assert row.m == 5.0
 
 
+def test_esql_stddev_and_change_point(spark):
+    from sparksearch.esql import compile_esql
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("a", 4.0), ("a", 6.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    out = {
+        r.g: (r.sd, r.sw)
+        for r in compile_esql(
+            "FROM t | STATS sd = STD_DEV(v),"
+            " sw = STD_DEV(v) WHERE v > 2.0 BY g",
+            tables={"t": df},
+        ).collect()
+    }
+    # population sigma of [2,4,4,6] = sqrt(2); filtered [4,4,6]: mean 14/3
+    import math
+
+    assert out["a"][0] == pytest.approx(math.sqrt(2.0), abs=1e-12)
+    assert out["a"][1] == pytest.approx(
+        math.sqrt((16 + 16 + 36) / 3 - (14 / 3) ** 2), abs=1e-12
+    )
+    assert out["b"] == (0.0, 0.0)  # singleton: greatest(.,0) absorbs -ulp
+
+    # CHANGE_POINT: a clean level shift at key 6 (10,10,10,10,10 -> 30,...)
+    series = [(k, 10) for k in range(1, 6)] + [(k, 30) for k in range(6, 11)]
+    sdf = spark.createDataFrame(series, "k long, n long")
+    row = compile_esql(
+        "FROM t | CHANGE_POINT n ON k", tables={"t": sdf}
+    ).collect()[0]
+    assert (row.k, row.n_left, row.n_right) == (6, 5, 5)
+    assert (row.mean_left, row.mean_right) == (10.0, 30.0)
+    assert row.stat == 20.0
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
