@@ -1009,6 +1009,103 @@ SELECT CAST(day AS BIGINT) AS day,
 FROM best"""
 
 
+# ------------------------------------------------------- anomaly scoring
+
+#: how many top-|z| days the anomaly entry reports.
+ANOMALY_TOPK = 10
+
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES anomaly detection's bucketed surface made deterministic (the
+    x-pack ML job fits a seasonal model and flags buckets whose actual
+    diverges from typical; this is the same report computed exactly):
+    daily event counts, a day-of-week seasonal baseline (per-dow mean
+    and population σ over the days present), and the top-|z| days
+
+        z = (count − mean_dow) / σ_dow
+
+    ranked on (round6(|z|) DESC, day ASC). Exactness: counts are
+    integers, so Σc and Σc² are exact BIGINTs (c ≤ ~10^6/day keeps c²·90
+    well inside int64); mean/var/σ/z are pinned double sequences over
+    those integers — identical on both engines; constant dows (σ = 0)
+    drop on both sides. Scale: one day-grain count, one dow-grain agg
+    broadcast back onto the days frame, TakeOrdered page."""
+    from .stats import round6
+
+    events = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    days = (
+        events.select(
+            F.floor(
+                F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("dow", (F.col("day") % 7).cast("long"))
+    )
+    base = days.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = days.join(F.broadcast(base), "dow")
+    mean = F.col("s1").cast("double") / F.col("nd")
+    var = F.col("s2").cast("double") / F.col("nd") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("n").cast("double") - mean) / std
+    scored = j.filter(std > F.lit(0.0)).select(
+        "day",
+        "dow",
+        "n",
+        round6(mean).alias("mean_dow"),
+        round6(z).alias("z"),
+        round6(F.abs(z)).alias("abs_z"),
+    )
+    page = scored.orderBy(F.desc("abs_z"), F.asc("day")).limit(ANOMALY_TOPK)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("abs_z"), F.asc("day"))
+    return page.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "day", "dow", "n", "mean_dow", "z"
+    )
+
+
+def _anomaly_sql() -> str:
+    return f"""WITH days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+d2 AS (SELECT day, n, CAST(day % 7 AS BIGINT) AS dow FROM days),
+base AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM d2 GROUP BY 1
+),
+j AS (
+  SELECT d2.day, d2.dow, d2.n,
+         CAST(s1 AS DOUBLE) / nd AS mean,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / nd
+              - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd), 0.0)) AS std
+  FROM d2 JOIN base USING (dow)
+),
+scored AS (
+  SELECT day, dow, n,
+         {_r6("mean")} AS mean_dow,
+         {_r6("(CAST(n AS DOUBLE) - mean) / std")} AS z,
+         {_r6("abs((CAST(n AS DOUBLE) - mean) / std)")} AS abs_z
+  FROM j WHERE std > 0.0
+),
+page AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY abs_z DESC, day ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rank, day, dow, n, mean_dow, z
+FROM page WHERE rnk <= {ANOMALY_TOPK}"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1087,6 +1184,14 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "events_anomaly_days": QuerySpec(
+            q_events_anomaly_days,
+            _anomaly_sql(),
+            "deterministic anomaly report (the ES ML bucket surface, "
+            "exactly): day-of-week seasonal baseline from exact BIGINT "
+            "moments, z = (count - mean_dow)/sigma_dow, top-|z| days on "
+            "the round6 key; constant dows drop on both sides",
         ),
         "esql_events_stddev": QuerySpec(
             q_esql_events_stddev,

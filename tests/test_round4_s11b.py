@@ -460,6 +460,39 @@ def test_esql_stddev_and_change_point(spark):
     assert row.stat == 20.0
 
 
+def test_events_anomaly_days_vs_python_mirror(spark):
+    from sparksearch.catalog_s11b import ANOMALY_TOPK, q_events_anomaly_days
+
+    got = [
+        (r.rank, r.day, r.dow, r.n, r.mean_dow, r.z)
+        for r in q_events_anomaly_days(spark, str(SF_SMOKE)).collect()
+    ]
+    ev = spark.read.parquet(str(SF_SMOKE / "events.parquet")).collect()
+    days: Counter = Counter()
+    for r in ev:
+        days[int(r.ts.timestamp() // 86400)] += 1
+    base: dict[int, list[int]] = {}
+    for d, n in days.items():
+        base.setdefault(d % 7, []).append(n)
+    rows = []
+    for d, n in days.items():
+        ns = base[d % 7]
+        nd = len(ns)
+        mean = sum(ns) / nd
+        var = sum(x * x for x in ns) / nd - mean * mean
+        std = (max(var, 0.0)) ** 0.5
+        if std > 0.0:
+            z = (n - mean) / std
+            rows.append((_r6(abs(z)), d, d % 7, n, _r6(mean), _r6(z)))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    want = [
+        (i + 1, d, dow, n, m, z)
+        for i, (_, d, dow, n, m, z) in enumerate(rows[:ANOMALY_TOPK])
+    ]
+    assert got == want
+    assert len(got) == ANOMALY_TOPK
+
+
 def test_radius_search_set_semantics(spark):
     import numpy as np
 
