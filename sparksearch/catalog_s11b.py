@@ -1009,6 +1009,66 @@ SELECT CAST(day AS BIGINT) AS day,
 FROM best"""
 
 
+# -------------------------------------------- ES|QL QSTR + date functions
+
+ESQL_QSTR_QUERY = """
+FROM documents
+| WHERE QSTR(text, "(hash AND join) OR (merge AND NOT sort)")
+| STATS n = COUNT(*), id_sum = SUM(doc_id) BY lang
+| SORT lang
+"""
+
+
+def q_esql_docs_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_QSTR_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_QSTR_SQL = """WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(doc_id AS DECIMAL(28,9))) AS id_sum
+FROM tokd
+WHERE (list_contains(ts, 'hash') AND list_contains(ts, 'join'))
+   OR (list_contains(ts, 'merge') AND NOT list_contains(ts, 'sort'))
+GROUP BY 1 ORDER BY lang"""
+
+
+ESQL_DATES_QUERY = """
+FROM orders
+| INLINESTATS mx = MAX(o_orderdate)
+| EVAL m = DATE_TRUNC("month", o_orderdate),
+       age_d = DATE_DIFF("day", o_orderdate, mx),
+       age_s = DATE_DIFF("second", o_orderdate, mx)
+| STATS n = COUNT(*), min_age = MIN(age_d), max_ages = MAX(age_s) BY m
+| SORT m
+"""
+
+
+def q_esql_orders_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_DATES_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_DATES_SQL = """WITH mx AS (SELECT MAX(o_orderdate) AS mxv FROM orders),
+e AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         CAST(floor(floor(epoch(mx.mxv)) / 86400.0)
+              - floor(floor(epoch(o_orderdate)) / 86400.0) AS BIGINT) AS age_d,
+         CAST(floor(epoch(mx.mxv)) - floor(epoch(o_orderdate)) AS BIGINT) AS age_s
+  FROM orders, mx
+)
+SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(age_d) AS BIGINT) AS min_age,
+       CAST(MAX(age_s) AS BIGINT) AS max_ages
+FROM e GROUP BY 1 ORDER BY m"""
+
+
 # ------------------------------------------------------- anomaly scoring
 
 #: how many top-|z| days the anomaly entry reports.
@@ -1184,6 +1244,24 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "esql_docs_qstr": QuerySpec(
+            q_esql_docs_qstr,
+            ESQL_QSTR_SQL,
+            "ES|QL QSTR (query_string) function: compile-time boolean "
+            "mini-grammar (OR/AND/NOT/parens, OR default operator) over "
+            "pinned-tokenizer term containment — completes the fulltext "
+            "function pair beside MATCH; exact id_sum certifies the row "
+            "set",
+        ),
+        "esql_orders_dates": QuerySpec(
+            q_esql_orders_dates,
+            ESQL_DATES_SQL,
+            "ES|QL DATE_TRUNC (ISO-string rendering - native date_trunc "
+            "reopens the week-boundary engine divergence) + DATE_DIFF "
+            "(floor-both-sides epoch discipline) composed with a no-BY "
+            "INLINESTATS MAX broadcast - per-month recency ages, exact "
+            "integers",
         ),
         "events_anomaly_days": QuerySpec(
             q_events_anomaly_days,

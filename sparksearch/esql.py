@@ -217,6 +217,9 @@ _FUNCS = {
     # exact — so compiled buckets twin without quantization.
     "BUCKET": lambda a: F.floor(a[0] / a[1]).cast("double") * a[1],
     "MATCH": lambda a: _match(a),
+    "QSTR": lambda a: _qstr(a),
+    "DATE_TRUNC": lambda a: _date_trunc(a),
+    "DATE_DIFF": lambda a: _date_diff(a),
     "STARTS_WITH": lambda a: a[0].startswith(a[1]),
     "ENDS_WITH": lambda a: a[0].endswith(a[1]),
     "TO_UPPER": lambda a: F.upper(a[0]),
@@ -410,6 +413,116 @@ def _match(args: list[Column]) -> Column:
     return F.arrays_overlap(
         tokens_col(args[0]), F.array(*[F.lit(t) for t in terms])
     )
+
+
+def _qstr(args: list[Column]) -> Column:
+    """QSTR(field, "query") — ES|QL's query_string function compiled as a
+    BOOLEAN predicate over the pinned tokenizer (the MATCH discipline,
+    plus operators): the query literal parses AT COMPILE TIME with a
+    mini-grammar — OR (lowest), AND, NOT, parentheses, bare terms
+    defaulting to OR (the ES query_string default_operator) — and each
+    leaf compiles to array_contains(tokens(field), term). Subset: no
+    field overrides, phrases, boosts or wildcards inside the string
+    (those live in the engine's query catalog, not the compiler)."""
+    from .tokenize import py_tokenize, tokens_col
+
+    if len(args) != 2:
+        raise EsqlError('QSTR needs (field, "query literal")')
+    q = str(_require_lit(args, 1, "QSTR"))
+    toks: list[str] = []
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if ch in "()":
+            toks.append(ch)
+            i += 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(q) and not q[j].isspace() and q[j] not in "()":
+                j += 1
+            toks.append(q[i:j])
+            i = j
+    fld = tokens_col(args[0])
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def p_or() -> Column:
+        left = p_and()
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                pos[0] += 1
+            left = left | p_and()
+        return left
+
+    def p_and() -> Column:
+        left = p_not()
+        while peek() == "AND":
+            pos[0] += 1
+            left = left & p_not()
+        return left
+
+    def p_not() -> Column:
+        if peek() == "NOT":
+            pos[0] += 1
+            return ~p_not()
+        return p_atom()
+
+    def p_atom() -> Column:
+        t = peek()
+        if t is None:
+            raise EsqlError(f"QSTR: unexpected end of query {q!r}")
+        pos[0] += 1
+        if t == "(":
+            e = p_or()
+            if peek() != ")":
+                raise EsqlError(f"QSTR: unbalanced parens in {q!r}")
+            pos[0] += 1
+            return e
+        terms = py_tokenize(t)
+        if not terms:
+            raise EsqlError(f"QSTR: token-less term {t!r} in {q!r}")
+        e = F.array_contains(fld, terms[0])
+        for x in terms[1:]:
+            e = e & F.array_contains(fld, x)
+        return e
+
+    out = p_or()
+    if peek() is not None:
+        raise EsqlError(f"QSTR: trailing tokens in {q!r}")
+    return out
+
+
+#: DATE_TRUNC renders truncation as ISO strings (engine-identical via
+#: date_format/strftime under the pinned UTC session; a native
+#: date_trunc would reopen the cohort_retention week-boundary edge).
+_TRUNC_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+
+
+def _date_trunc(args: list[Column]) -> Column:
+    unit = str(_require_lit(args, 0, "DATE_TRUNC")).lower()
+    if unit not in _TRUNC_FMT:
+        raise EsqlError(f"DATE_TRUNC unit must be one of {sorted(_TRUNC_FMT)}")
+    return F.date_format(args[1].cast("timestamp"), _TRUNC_FMT[unit])
+
+
+def _date_diff(args: list[Column]) -> Column:
+    """DATE_DIFF(unit, start, end) — integer difference, day/second units
+    (both via the EPOCH_DAY floor discipline: truncate each side, then
+    subtract — engine-identical, unlike interval arithmetic)."""
+    unit = str(_require_lit(args, 0, "DATE_DIFF")).lower()
+    a = args[1].cast("timestamp").cast("long")
+    b = args[2].cast("timestamp").cast("long")
+    if unit == "second":
+        return (b - a).cast("long")
+    if unit == "day":
+        return (
+            F.floor(b / F.lit(86400)) - F.floor(a / F.lit(86400))
+        ).cast("long")
+    raise EsqlError("DATE_DIFF unit must be 'day' or 'second'")
 
 
 def _case(args: list[Column]) -> Column:

@@ -425,6 +425,49 @@ def test_esql_mv_family(spark):
     assert row.m == 5.0
 
 
+def test_esql_qstr_and_date_functions(spark):
+    import datetime as _dt
+
+    from sparksearch.esql import EsqlError, compile_esql
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta"),
+         (4, "delta sort")],
+        "id long, text string",
+    )
+
+    def ids(q):
+        return sorted(
+            r.id
+            for r in compile_esql(
+                f'FROM t | WHERE QSTR(text, "{q}") | KEEP id', tables={"t": df}
+            ).collect()
+        )
+
+    assert ids("alpha beta") == [1, 2, 3]          # bare terms OR
+    assert ids("alpha AND beta") == [1]            # AND binds tighter
+    assert ids("beta OR delta AND NOT sort") == [1, 2, 3]
+    assert ids("(alpha OR beta) AND NOT gamma") == [2, 3]
+    with pytest.raises(EsqlError, match="unbalanced"):
+        ids("(alpha AND beta")
+
+    ts = spark.createDataFrame(
+        [(_dt.datetime(2024, 3, 5, 7, 0, 1), _dt.datetime(2024, 4, 2, 6, 59, 59))],
+        "a timestamp, b timestamp",
+    )
+    row = compile_esql(
+        'FROM t | EVAL m = DATE_TRUNC("month", a), y = DATE_TRUNC("year", b),'
+        ' dd = DATE_DIFF("day", a, b), ss = DATE_DIFF("second", a, b)'
+        " | KEEP m, y, dd, ss",
+        tables={"t": ts},
+    ).collect()[0]
+    assert (row.m, row.y) == ("2024-03", "2024")
+    assert row.dd == 28  # floor-both-days, not elapsed-86400s rounding
+    assert row.ss == 28 * 86400 - 2
+    with pytest.raises(EsqlError, match="unit"):
+        compile_esql('FROM t | EVAL w = DATE_TRUNC("week", a)', tables={"t": ts})
+
+
 def test_esql_stddev_and_change_point(spark):
     from sparksearch.esql import compile_esql
 
