@@ -25,6 +25,16 @@ aggregated frame, matching ES|QL semantics):
     KEEP  <col> [, …]
     DROP  <col> [, …]
     RENAME <old> AS <new> [, …]
+    SAMPLE <prob> <key_col>        — deterministic h60-hash sampling (the
+                                     seeded-hash dialect variant of ES's
+                                     random SAMPLE; 1e-6 granularity)
+    FORK (branch) (branch) […]     — ≥2 sub-pipelines from one persisted
+                                     parent frame, unioned with a _fork
+                                     discriminator + null-filled columns;
+                                     stage splitting is paren-depth-aware
+    CHANGE_POINT <value> ON <key>  — deterministic mean-shift argmax over
+                                     the piped frame (exact BIGINT
+                                     cross-products, round6 ratio rank)
 
 INLINESTATS attaches the per-group aggregates to every row without
 collapsing: with BY keys it compiles to window functions (one hash
@@ -47,9 +57,16 @@ checkable):
   BUCKET(x, span) — floor(x/span)·span, single-IEEE-op portable
   STARTS_WITH, ENDS_WITH, TO_UPPER, TO_LOWER
   DATE_EXTRACT("year"|"month"|"day", ts) — calendar fields only
-  MV_COUNT, MV_MIN, MV_MAX, MV_CONCAT, MV_SUM (exact decimal fold)
+  MV_COUNT, MV_MIN, MV_MAX, MV_CONCAT, MV_SUM (exact decimal fold),
+  MV_SORT, MV_SLICE (0-based inclusive; bounds validated at compile
+  time), MV_DEDUPE (pinned sorted), MV_FIRST/MV_LAST, MV_REVERSE,
+  MV_APPEND, MV_AVG (exact fold + one division), MV_ZIP (null-skip
+  concat matches ES's longer-array contract)
   TRIM/LTRIM/RTRIM, REPLACE (regex, global), LEFT/RIGHT, REVERSE,
   LOCATE, GREATEST/LEAST, CEIL/FLOOR (BIGINT), SQRT (IEEE-exact)
+  DATE_TRUNC("day"|"month"|"year", ts) — ISO-string rendering (native
+  date_trunc is not engine-portable at week boundaries)
+  DATE_DIFF("day"|"second", a, b) — floor-both-sides epoch integers
   CIDR_MATCH(ip, "a.b.c.d/n", …) — compile-time block parse, one
   integer shiftright+equality per block at runtime
   IP_PREFIX(ip, n) — top-n-bit mask re-rendered as a dotted quad
@@ -63,9 +80,13 @@ MEDIAN / PERCENTILE(x, p) — EXACT interpolated percentile (the
 deterministic replacement for ES's TDigest): decimal(28,9)-quantized
 sort, h=(n-1)p/100, pure exact-decimal interpolation, round6 output,
 TOP(x, k, "asc"|"desc") / VALUES(x) — multivalue aggregates (VALUES
-pins SORTED ascending where ES leaves order unspecified). The collect-
-based aggregates (MEDIAN/PERCENTILE/TOP/VALUES) work in STATS and the
-no-BY INLINESTATS broadcast form, not the windowed BY form.
+pins SORTED ascending where ES leaves order unspecified),
+WEIGHTED_AVG(v, w) — exact decimal(28,9)×(9,0) numerator with ENFORCED
+integer weights < 10^9 (fractional weights throw; both sums share the
+cap), STD_DEV — exact decimal(18,6) moments with decimal-side squaring
+(sidesteps the wide-cast divergence), pinned S2/n − m² order. The
+collect-based aggregates (MEDIAN/PERCENTILE/TOP/VALUES) work in STATS
+and the no-BY INLINESTATS broadcast form, not the windowed BY form.
 
 Structuring commands: DISSECT (one-literal-separator split → typed
 columns, no regex engine), GROK (%{WORD|INT|NUMBER:name} core syntaxes
@@ -76,7 +97,10 @@ arrays/slices it consumes), LOOKUP JOIN (broadcast left join).
 Fulltext: MATCH(field, "query") (8.17) — the query tokenizes at compile
 time through the engine's pinned analyzer and the predicate compiles to
 token-set overlap (ES match semantics: analyzed terms, OR operator);
-boolean form only — scored retrieval stays with the bm25 family.
+QSTR(field, "query") — query_string with a compile-time boolean
+mini-grammar (OR lowest / AND / NOT / parens, bare terms OR by
+default). Boolean forms only — scored retrieval stays with the bm25
+family.
 
 What is intentionally absent: ENRICH (LOOKUP JOIN covers the shape),
 full GROK pattern library (the three core syntaxes keep every compiled
