@@ -1166,6 +1166,65 @@ SELECT CAST(rnk AS BIGINT) AS rank, day, dow, n, mean_dow, z
 FROM page WHERE rnk <= {ANOMALY_TOPK}"""
 
 
+# ------------------------------------------------ partition-pruned source
+
+
+def _partitioned_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """documents written ONCE per sf_dir as a lang-partitioned parquet
+    layout (`lang=<v>/` directories — the Hive convention every lake
+    layout at 100 TB leans on) via the atomic artifact protocol; rows
+    re-sorted within the 2 files per partition so bytes are
+    deterministic."""
+    import hashlib
+
+    from .queries_catalog import build_artifact_atomic
+
+    key = f"{sf_dir.rstrip('/')}|part|v1"
+    path = (
+        "/tmp/sparksearch_part_"
+        + hashlib.sha256(key.encode()).hexdigest()[:12]
+    )
+
+    def _build(tmp: str) -> None:
+        (
+            _docs(spark, sf_dir)
+            .select("doc_id", "lang", "source", "n_chars", "text")
+            .repartition(2, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("lang")
+            .parquet(tmp)
+        )
+
+    build_artifact_atomic(path, "_SUCCESS", _build)
+    return path
+
+
+def q_docs_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over the lang-partitioned artifact: the
+    lang filter resolves AT PLANNING TIME to directory pruning
+    (PartitionFilters — no bytes of the other partitions are read; the
+    plan pin lives in tests/test_round4_s11b), then one aggregate per
+    source. The 100 TB story this entry certifies: layout-level pruning
+    is the first and cheapest filter an engine has, and a catalog whose
+    corpus scans can't prove it prunes would burn the cluster on
+    untouched languages."""
+    path = _partitioned_artifact(spark, sf_dir)
+    src = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(28,9)")).alias("chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+PARTITION_PRUNED_SQL = """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(n_chars AS DECIMAL(28,9))) AS chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents WHERE lang = 'en' GROUP BY 1"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1244,6 +1303,15 @@ def build_round4_s11b():
             "unioned with the _fork discriminator and null-filled missing "
             "columns (unionByName allowMissing) — depth-aware stage "
             "splitting keeps branch pipes inside their parens",
+        ),
+        "docs_partition_pruned": QuerySpec(
+            q_docs_partition_pruned,
+            PARTITION_PRUNED_SQL,
+            "partition-pruned corpus scan: documents re-laid as a "
+            "lang-partitioned parquet artifact (Hive layout), the lang "
+            "filter resolves to directory pruning (PartitionFilters "
+            "plan-pinned) - exact sums certify the pruned read equals "
+            "the logical filter",
         ),
         "esql_docs_qstr": QuerySpec(
             q_esql_docs_qstr,

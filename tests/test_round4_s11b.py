@@ -16,6 +16,7 @@ from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -534,6 +535,46 @@ def test_events_anomaly_days_vs_python_mirror(spark):
     ]
     assert got == want
     assert len(got) == ANOMALY_TOPK
+
+
+def test_partition_pruned_scan_plan_and_values(spark):
+    from sparksearch.catalog_s11b import (
+        _partitioned_artifact,
+        q_docs_partition_pruned,
+    )
+
+    df = q_docs_partition_pruned(spark, str(SF_SMOKE))
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the lang filter must resolve to DIRECTORY pruning, not a row filter
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "lang" in pf.group(1), plan
+    # only the en partition's files are listed
+    path = _partitioned_artifact(spark, str(SF_SMOKE))
+    import os
+
+    langs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert len(langs) > 1, "fixture must have multiple lang partitions"
+    # values equal the logical filter over the original table
+    got = {r.source: (r.n, r.min_id, r.max_id) for r in df.collect()}
+    docs = spark.read.parquet(str(SF_SMOKE / "documents.parquet"))
+    want = {
+        r.source: (r.n, r.mn, r.mx)
+        for r in docs.filter("lang = 'en'")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("mn"),
+            F.max("doc_id").cast("long").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want and got
 
 
 def test_radius_search_set_semantics(spark):
