@@ -282,6 +282,41 @@ def session_event_counts(
     )
 
 
+def trending_terms_stream(
+    docs_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed term counts over a TIMESTAMPED document stream — the
+    trending-terms feed: each arriving document explodes through the
+    pinned tokenizer INSIDE the watermarked tumbling aggregation, so the
+    stream emits (window_start, term, n) rows once a window closes
+    (append mode; late documents past the watermark drop from state).
+
+    Top-k per window is deliberately NOT in the stream: a streaming
+    aggregation cannot sort (no window functions over unbounded input),
+    and production trending pipelines rank over the materialized sink —
+    the rank is one TakeOrdered per window downstream. State is bounded
+    by (windows in the watermark horizon) × (vocabulary), the same
+    envelope the batch term-stats pass holds per window of data.
+
+    Works unchanged on a batch frame (same plan — groupBy over the
+    window expression), which is what the stream≡batch test pins."""
+    from .tokenize import tokens_col
+
+    src = docs_stream
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.select(F.col(ts_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(F.window(ts_col, window).alias("w"), "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+
+
 def dedup_events_stream(
     events_stream: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -109,6 +109,55 @@ def test_stream_index_units_equal_batch_build(spark, docs_sf0001, tmp_path):
         assert st_b[key] == st_s[key], key
 
 
+def test_trending_terms_stream_equals_batch(spark, docs_sf0001, tmp_path):
+    """The trending-terms feed run as a REAL file-source stream
+    (availableNow → memory sink) must emit exactly the batch plan's
+    windowed term counts over the same timestamped corpus. Timestamps
+    derive from doc_id (deterministic; 5 distinct hours so several
+    windows close)."""
+    from sparksearch.streaming import trending_terms_stream
+
+    stamped = docs_sf0001.select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 5) * 3600
+        ).alias("ts"),
+        "text",
+    )
+    feed = str(tmp_path / "feed")
+    stamped.coalesce(2).write.parquet(feed)
+
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(feed)
+    q = (
+        trending_terms_stream(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("trending_terms_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.term): r.n
+        for r in spark.sql("select * from trending_terms_sink").collect()
+    }
+    want = {
+        (r.window_start, r.term): r.n
+        for r in trending_terms_stream(stamped).collect()
+    }
+    # append mode emits exactly the CLOSED windows: end <= max event time
+    # minus the watermark (here 0s → the four windows before the last);
+    # the final window stays open in state — the streaming contract, not
+    # a loss.
+    last_start = max(w for w, _ in want)
+    closed = {k: v for k, v in want.items() if k[0] < last_start}
+    assert got == closed
+    assert len({w for w, _ in want}) == 5
+    assert len({w for w, _ in got}) == 4, "four windows must have closed"
+    # downstream rank (one TakeOrdered per window) is deterministic
+    top = sorted(got.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1]))
+    assert top, "feed must produce counts"
+
+
 @pytest.fixture(scope="module")
 def events(spark):
     return spark.read.parquet(str(SF_SMOKE / "events.parquet")).withColumn(
