@@ -55,11 +55,12 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("decimal(30,2)")
             .alias("sum_value"),
         )
         .select(
-            "month", "event_type", "n_events", "sum_value",
+            "month", "event_type", "n_events",
+            (F.col("sum_value") * 100).cast("long").alias("sum_value_e2"),
             round6(
                 F.col("sum_value").cast("double") / F.col("n_events").cast("double")
             ).alias("avg_value"),

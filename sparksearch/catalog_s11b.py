@@ -497,8 +497,11 @@ FROM lineitem
 
 def q_esql_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
+    from .queries_catalog import _descale_long
 
-    return compile_esql(ESQL_WEIGHTED_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_WEIGHTED_QUERY, spark=spark, sf_dir=sf_dir)
+    # qty is an integer-valued exact sum -> plain BIGINT (driver discipline)
+    return _descale_long(df, "qty", "qty", 0)
 
 
 _WNUM = "CAST(l_extendedprice AS DECIMAL(28,9)) * CAST(l_quantity AS DECIMAL(9,0))"
@@ -511,7 +514,7 @@ ESQL_WEIGHTED_SQL = f"""SELECT l_returnflag,
     / CAST(SUM(CASE WHEN l_discount >= 0.05
                     THEN CAST(l_quantity AS DECIMAL(18,0)) END) AS DOUBLE)
     AS wavg_disc,
-  SUM(CAST(l_quantity AS DECIMAL(28,9))) AS qty
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,9))) AS BIGINT) AS qty
 FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
 
@@ -526,13 +529,15 @@ FROM events
 
 def q_esql_events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
+    from .queries_catalog import _descale_long
 
-    return compile_esql(ESQL_SAMPLE_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_SAMPLE_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "sv", "sv_e2", 2)
 
 
 ESQL_SAMPLE_SQL = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
-  SUM(CAST(value AS DECIMAL(28,9))) AS sv
+  CAST(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS sv_e2
 FROM events
 WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
         % 1000000 < 200000
@@ -549,25 +554,27 @@ FROM orders
 
 def q_esql_orders_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
+    from .queries_catalog import _descale_long
 
-    return compile_esql(ESQL_FORK_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_FORK_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "big_rev", "big_rev_e2", 2)
 
 
 ESQL_FORK_SQL = """WITH b1 AS (
   SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS big_n,
-         SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS big_rev
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS big_rev_e2
   FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1
 ),
 b2 AS (
   SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
   FROM orders GROUP BY 1 ORDER BY o_orderpriority LIMIT 3
 )
-SELECT o_orderstatus, big_n, big_rev, 'fork1' AS _fork,
+SELECT o_orderstatus, big_n, big_rev_e2, 'fork1' AS _fork,
        CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS BIGINT) AS n
 FROM b1
 UNION ALL
 SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-       CAST(NULL AS DECIMAL(38,9)), 'fork2', o_orderpriority, n
+       CAST(NULL AS BIGINT), 'fork2', o_orderpriority, n
 FROM b2"""
 
 
@@ -889,8 +896,15 @@ FROM lineitem
 
 def q_esql_lineitem_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
+    from .queries_catalog import _descale_long
 
-    return compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+    # s carries genuine scale-9 content (MV_AVG sums) -> ×1e9 nanos;
+    # fs is an integer-valued conditional sum -> plain BIGINT.
+    # width (25,9): ≤18 would run DuckDB's multiply in int64 and overflow
+    # (the matrix_stats sharp edge) — ≥19 digits forces int128.
+    df = _descale_long(df, "s", "s_e9", 9, width="decimal(25,9)")
+    return _descale_long(df, "fs", "fs", 0)
 
 
 ESQL_MV_SQL = """WITH g0 AS (
@@ -913,9 +927,9 @@ e AS (
   FROM g0
 )
 SELECT n, f2, CAST(COUNT(*) AS BIGINT) AS g,
-       SUM(CAST(avg_ln AS DECIMAL(28,9))) AS s,
+       CAST(CAST(SUM(CAST(avg_ln AS DECIMAL(28,9))) AS DECIMAL(25,9)) * 1000000000 AS BIGINT) AS s_e9,
        CAST(COUNT(DISTINCT z) AS BIGINT) AS zs,
-       SUM(CASE WHEN ll > 3 THEN CAST(fl AS DECIMAL(28,9)) END) AS fs,
+       CAST(SUM(CASE WHEN ll > 3 THEN CAST(fl AS DECIMAL(28,9)) END) AS BIGINT) AS fs,
        CAST(MAX(ap) AS BIGINT) AS mxap
 FROM e GROUP BY 1, 2 ORDER BY n, f2"""
 
@@ -1021,8 +1035,10 @@ FROM documents
 
 def q_esql_docs_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
+    from .queries_catalog import _descale_long
 
-    return compile_esql(ESQL_QSTR_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_QSTR_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "id_sum", "id_sum", 0)
 
 
 ESQL_QSTR_SQL = """WITH tokd AS (
@@ -1031,7 +1047,7 @@ ESQL_QSTR_SQL = """WITH tokd AS (
   FROM documents
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(doc_id AS DECIMAL(28,9))) AS id_sum
+       CAST(SUM(CAST(doc_id AS DECIMAL(28,9))) AS BIGINT) AS id_sum
 FROM tokd
 WHERE (list_contains(ts, 'hash') AND list_contains(ts, 'join'))
    OR (list_contains(ts, 'merge') AND NOT list_contains(ts, 'sort'))
@@ -1212,14 +1228,16 @@ def q_docs_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = spark.read.parquet(path).filter(F.col("lang") == "en")
     return src.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("n_chars").cast("decimal(28,9)")).alias("chars"),
+        # integer-valued exact sum -> plain BIGINT (driver discipline)
+        F.sum(F.col("n_chars").cast("decimal(28,9)")).cast("long")
+        .alias("chars"),
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
     )
 
 
 PARTITION_PRUNED_SQL = """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(n_chars AS DECIMAL(28,9))) AS chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,9))) AS BIGINT) AS chars,
        CAST(MIN(doc_id) AS BIGINT) AS min_id,
        CAST(MAX(doc_id) AS BIGINT) AS max_id
 FROM documents WHERE lang = 'en' GROUP BY 1"""

@@ -497,14 +497,26 @@ MATRIX_STATS_SQL = _matrix_stats_sql()
 
 def lineitem_extended_stats(lineitem: DataFrame) -> DataFrame:
     """ES extended_stats aggregation per l_returnflag → DF[l_returnflag,
-    n, min_v, max_v, sum_v, avg_v, sum_of_squares, variance, std_dev]
-    over l_extendedprice (population variance, the ES default).
+    n, min_v, max_v, sum_v_e2, avg_v, sum_of_squares_str, variance,
+    std_dev] over l_extendedprice (population variance, the ES default).
 
     Same float discipline as lineitem_matrix_stats: DECIMAL(9,2)-exact
     inputs, one aggregate pass (map-side combinable), decimal numerator
     n·Σx² − (Σx)² for the variance, doubles only at the final division —
     std_dev = sqrt of the identical unrounded double on both engines
-    (IEEE sqrt is correctly rounded), round6 output."""
+    (IEEE sqrt is correctly rounded), round6 output.
+
+    Output discipline (round-4 verdict #1 — the one driver-red row): no
+    DECIMAL output columns, ever.  The driver's value normalization is
+    proven only for {round6 double, BIGINT, string, bool}; its fetch
+    coerces wide decimals to float64 (74364878754370.0359 is not
+    representable) even though both engines' collected values are
+    byte-identical.  So: sum_v_e2 = the exact sum in CENTS as BIGINT
+    (×100 of a scale-2 decimal is exact; ≤1.1e12 at sf0.1 — int64-safe at
+    any SF), and sum_of_squares_str = the exact scale-4 decimal rendered
+    as a STRING (×1e4 would reach 7.4e18 at sf0.1 — too close to the
+    int64 cap; decimal→string rendering is verified engine-identical
+    including trailing scale zeros)."""
     x = F.col("l_extendedprice").cast("decimal(9,2)")
     g = lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -524,15 +536,13 @@ def lineitem_extended_stats(lineitem: DataFrame) -> DataFrame:
         round6(F.col("mn").cast("double")).alias("min_v"),
         round6(F.col("mx").cast("double")).alias("max_v"),
         # sum_v ~1e10 at sf0.1 already exceeds double's 6-dp resolution
-        # (ulp 2e-6): exact scale-2 decimal, like sum_of_squares.
-        F.col("s").cast("decimal(28,2)").alias("sum_v"),
+        # (ulp 2e-6) -> exact BIGINT cents (×100 of a scale-2 decimal).
+        (F.col("s").cast("decimal(28,2)") * 100).cast("long").alias("sum_v_e2"),
         round6(F.col("s").cast("double") / nd).alias("avg_v"),
         # sum_of_squares ~ 1e13+: beyond double's 6-dp resolution, and
-        # the engines' wide-decimal->double conversions differ by ULPs
-        # (measured 2 ulp at sf0.001) -> ship it as the EXACT decimal; the
-        # driver compares non-floats by string, and both engines print
-        # scale-4 decimals identically.
-        F.col("ss").cast("decimal(28,4)").alias("sum_of_squares"),
+        # ×1e4 flirts with the int64 cap -> exact decimal rendered as a
+        # STRING (engine-identical incl. trailing scale zeros).
+        F.col("ss").cast("decimal(28,4)").cast("string").alias("sum_of_squares_str"),
         round6(var).alias("variance"),
         round6(F.sqrt(var)).alias("std_dev"),
     )
@@ -549,9 +559,9 @@ g AS (
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(ROUND(CAST(CAST(mn AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS min_v,
        CAST(ROUND(CAST(CAST(mx AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS max_v,
-       CAST(s AS DECIMAL(28,2)) AS sum_v,
+       CAST(CAST(s AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_v_e2,
        CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_v,
-       CAST(ss AS DECIMAL(28,4)) AS sum_of_squares,
+       CAST(CAST(ss AS DECIMAL(28,4)) AS VARCHAR) AS sum_of_squares_str,
        CAST(ROUND(CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS variance,
        CAST(ROUND(CAST(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * CAST(ss AS DECIMAL(24,4)) - CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS DECIMAL(28,9)), 6) AS DOUBLE) AS std_dev
 FROM g"""
@@ -638,7 +648,7 @@ HISTOGRAM_INTERVAL = 10000.0
 
 def price_histogram(lineitem: DataFrame) -> DataFrame:
     """ES histogram aggregation (fixed interval) → DF[bucket_start,
-    n_items, sum_qty]: l_extendedprice bucketed by floor(x / interval) —
+    n_items, sum_qty_e2]: l_extendedprice bucketed by floor(x / interval) —
     the numeric sibling of the date_histogram entries. One map-side
     combinable aggregate; bucket math is exact (floor of a positive
     double ratio; both engines compute the identical double before the
@@ -652,16 +662,19 @@ def price_histogram(lineitem: DataFrame) -> DataFrame:
         lineitem.groupBy(b)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(9,2)"))
-            .cast("decimal(28,2)")
-            .alias("sum_qty"),
+            # exact sum in centi-units as BIGINT (×100 of a scale-2
+            # decimal is exact; no DECIMAL output — driver discipline)
+            (F.sum(F.col("l_quantity").cast("decimal(9,2)"))
+             .cast("decimal(28,2)") * 100)
+            .cast("long")
+            .alias("sum_qty_e2"),
         )
         .select(
             (F.col("bucket").cast("double") * F.lit(HISTOGRAM_INTERVAL)).alias(
                 "bucket_start"
             ),
             "n_items",
-            "sum_qty",
+            "sum_qty_e2",
         )
     )
 
@@ -669,11 +682,11 @@ def price_histogram(lineitem: DataFrame) -> DataFrame:
 PRICE_HISTOGRAM_SQL = f"""WITH g AS (
   SELECT CAST(floor(l_extendedprice / {HISTOGRAM_INTERVAL}) AS BIGINT) AS bucket,
          COUNT(*) AS n_items,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(28,2)) AS sum_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_qty_e2
   FROM lineitem GROUP BY 1
 )
 SELECT CAST(bucket AS DOUBLE) * {HISTOGRAM_INTERVAL} AS bucket_start,
-       CAST(n_items AS BIGINT) AS n_items, sum_qty
+       CAST(n_items AS BIGINT) AS n_items, sum_qty_e2
 FROM g"""
 
 
@@ -716,7 +729,7 @@ MULTI_TERMS_K = 10
 
 def orders_multi_terms(orders: DataFrame, k: int = MULTI_TERMS_K) -> DataFrame:
     """ES multi_terms aggregation → DF[rank, o_orderpriority, o_orderstatus,
-    n_orders, sum_total]: top-k composite (priority, status) buckets by doc
+    n_orders, sum_total_e2]: top-k composite (priority, status) buckets by doc
     count — the multi-field sibling of the terms agg (one bucket per value
     COMBINATION, unlike a nested terms tree). One map-side-combinable
     group-by; the rank window runs over the bucket-count-sized frame
@@ -724,9 +737,10 @@ def orders_multi_terms(orders: DataFrame, k: int = MULTI_TERMS_K) -> DataFrame:
     (n_orders DESC, priority ASC, status ASC); sums exact decimal."""
     g = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(28,2)")
-        .alias("sum_total"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+         .cast("decimal(28,2)") * 100)
+        .cast("long")
+        .alias("sum_total_e2"),
     )
     w = Window.orderBy(
         F.desc("n_orders"), F.asc("o_orderpriority"), F.asc("o_orderstatus")
@@ -734,13 +748,14 @@ def orders_multi_terms(orders: DataFrame, k: int = MULTI_TERMS_K) -> DataFrame:
     return (
         g.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("rank", "o_orderpriority", "o_orderstatus", "n_orders", "sum_total")
+        .select("rank", "o_orderpriority", "o_orderstatus", "n_orders",
+                "sum_total_e2")
     )
 
 
 MULTI_TERMS_SQL = f"""WITH g AS (
   SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_total
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_total_e2
   FROM orders GROUP BY 1, 2
 ),
 r AS (
@@ -749,13 +764,13 @@ r AS (
   FROM g
 )
 SELECT CAST(rank AS BIGINT) AS rank, o_orderpriority, o_orderstatus,
-       CAST(n_orders AS BIGINT) AS n_orders, sum_total
+       CAST(n_orders AS BIGINT) AS n_orders, sum_total_e2
 FROM r WHERE rank <= {MULTI_TERMS_K}"""
 
 
 def lineitem_top_metrics(lineitem: DataFrame) -> DataFrame:
     """ES top_metrics aggregation per l_returnflag → DF[l_returnflag,
-    latest_shipdate, l_orderkey, top_price, top_discount]: the metric
+    latest_shipdate, l_orderkey, top_price_e2, top_discount_e2]: the metric
     columns taken from the row with the LATEST l_shipdate (ties broken
     lowest (l_orderkey, l_linenumber) — a total order since that pair is
     the table key). Implemented as ONE map-side-combinable max(struct)
@@ -775,21 +790,21 @@ def lineitem_top_metrics(lineitem: DataFrame) -> DataFrame:
         "l_returnflag",
         F.date_format("t.sd", "yyyy-MM-dd").alias("latest_shipdate"),
         (-F.col("t.nok")).cast("long").alias("l_orderkey"),
-        F.col("t.price").alias("top_price"),
-        F.col("t.disc").alias("top_discount"),
+        (F.col("t.price") * 100).cast("long").alias("top_price_e2"),
+        (F.col("t.disc") * 100).cast("long").alias("top_discount_e2"),
     )
 
 
 TOP_METRICS_SQL = """WITH r AS (
   SELECT l_returnflag, l_shipdate, l_orderkey,
-         CAST(l_extendedprice AS DECIMAL(12,2)) AS top_price,
-         CAST(l_discount AS DECIMAL(9,2)) AS top_discount,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS top_price_e2,
+         CAST(CAST(l_discount AS DECIMAL(9,2)) * 100 AS BIGINT) AS top_discount_e2,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
            ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC) AS rn
   FROM lineitem
 )
 SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS latest_shipdate,
-       CAST(l_orderkey AS BIGINT) AS l_orderkey, top_price, top_discount
+       CAST(l_orderkey AS BIGINT) AS l_orderkey, top_price_e2, top_discount_e2
 FROM r WHERE rn = 1"""
 
 
@@ -798,7 +813,7 @@ BUCKET_SORT_K = 6
 
 def orders_bucket_selector(orders: DataFrame, k: int = BUCKET_SORT_K) -> DataFrame:
     """ES bucket_selector + bucket_sort pipeline aggs → DF[rank, month,
-    n_orders, revenue]: monthly revenue buckets, selector keeps buckets
+    n_orders, revenue_e2]: monthly revenue buckets, selector keeps buckets
     ABOVE the mean monthly revenue, bucket_sort takes the top-k by revenue.
     The above-mean gate is exact-decimal CROSS-MULTIPLICATION
     (revenue·n_months > total) — no division anywhere, so the selector is
@@ -824,7 +839,10 @@ def orders_bucket_selector(orders: DataFrame, k: int = BUCKET_SORT_K) -> DataFra
     return (
         kept.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("rank", "month", "n_orders", "revenue")
+        .select("rank", "month", "n_orders",
+                # ordering ran on the exact decimal; output ships as
+                # BIGINT cents (driver discipline: no DECIMAL columns)
+                (F.col("revenue") * 100).cast("long").alias("revenue_e2"))
     )
 
 
@@ -845,7 +863,7 @@ r AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, month ASC) AS rank FROM kept
 )
 SELECT CAST(rank AS BIGINT) AS rank, month, CAST(n_orders AS BIGINT) AS n_orders,
-       revenue
+       CAST(revenue * 100 AS BIGINT) AS revenue_e2
 FROM r WHERE rank <= {BUCKET_SORT_K}"""
 
 
@@ -854,7 +872,7 @@ DATE_RANGE_BOUNDS = ("1997-01-01", "1999-01-01")
 
 def orders_date_range(orders: DataFrame) -> DataFrame:
     """ES date_range aggregation → DF[range_key, from_date, to_date,
-    n_orders, sum_total]: keyed half-open [from, to) date buckets (the ES
+    n_orders, sum_total_e2]: keyed half-open [from, to) date buckets (the ES
     contract: from inclusive, to exclusive, unbounded edges allowed) over
     o_orderdate. One map-side-combinable when-chain group-by — the bucket
     expression is pure codegen, zero extra shuffle beyond the 3-key agg;
@@ -868,9 +886,10 @@ def orders_date_range(orders: DataFrame) -> DataFrame:
     )
     g = orders.groupBy(key.alias("range_key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(28,2)")
-        .alias("sum_total"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+         .cast("decimal(28,2)") * 100)
+        .cast("long")
+        .alias("sum_total_e2"),
     )
     return g.select(
         "range_key",
@@ -883,7 +902,7 @@ def orders_date_range(orders: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("to_date"),
         "n_orders",
-        "sum_total",
+        "sum_total_e2",
     )
 
 
@@ -904,13 +923,14 @@ SELECT range_key,
                       WHEN '{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}' THEN '{DATE_RANGE_BOUNDS[1]}'
                       ELSE NULL END AS to_date,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_total_e2
 FROM b GROUP BY 1"""
 
 
 def lineitem_boxplot(lineitem: DataFrame) -> DataFrame:
-    """ES boxplot aggregation per l_returnflag → DF[l_returnflag, n, vmin,
-    vmax, q1, q2, q3, lower_whisker, upper_whisker]: exact linear-interpolated
+    """ES boxplot aggregation per l_returnflag → DF[l_returnflag, n, vmin_e2,
+    vmax_e2, q1_e4, q2_e4, q3_e4, lower_whisker_e2, upper_whisker_e2]
+    (exact scaled BIGINTs — ×100 / ×1e4): exact linear-interpolated
     quartiles (the R-7/NumPy 'linear' rule ES documents) plus the 1.5·IQR
     whiskers (nearest actual values inside the fences).
 
@@ -980,9 +1000,17 @@ def lineitem_boxplot(lineitem: DataFrame) -> DataFrame:
             ),
         )
     )
+    # output discipline: no DECIMAL columns — exact scaled BIGINTs
+    # (scale-2 values ×100, scale-4 quartiles ×1e4; max ~8e8, int64-safe)
     return q.join(wk, "l_returnflag").select(
-        "l_returnflag", "n", "vmin", "vmax", "q1", "q2", "q3",
-        "lower_whisker", "upper_whisker",
+        "l_returnflag", "n",
+        (F.col("vmin") * 100).cast("long").alias("vmin_e2"),
+        (F.col("vmax") * 100).cast("long").alias("vmax_e2"),
+        (F.col("q1") * 10000).cast("long").alias("q1_e4"),
+        (F.col("q2") * 10000).cast("long").alias("q2_e4"),
+        (F.col("q3") * 10000).cast("long").alias("q3_e4"),
+        (F.col("lower_whisker") * 100).cast("long").alias("lower_whisker_e2"),
+        (F.col("upper_whisker") * 100).cast("long").alias("upper_whisker_e2"),
     )
 
 
@@ -1027,7 +1055,14 @@ wk AS (
          MAX(CASE WHEN v.v <= qf.fence_hi THEN v.v END) AS upper_whisker
   FROM v JOIN qf USING (l_returnflag) GROUP BY 1
 )
-SELECT qf.l_returnflag, n, vmin, vmax, q1, q2, q3, lower_whisker, upper_whisker
+SELECT qf.l_returnflag, n,
+       CAST(vmin * 100 AS BIGINT) AS vmin_e2,
+       CAST(vmax * 100 AS BIGINT) AS vmax_e2,
+       CAST(q1 * 10000 AS BIGINT) AS q1_e4,
+       CAST(q2 * 10000 AS BIGINT) AS q2_e4,
+       CAST(q3 * 10000 AS BIGINT) AS q3_e4,
+       CAST(lower_whisker * 100 AS BIGINT) AS lower_whisker_e2,
+       CAST(upper_whisker * 100 AS BIGINT) AS upper_whisker_e2
 FROM qf JOIN wk ON qf.l_returnflag = wk.l_returnflag"""
 
 
@@ -1181,8 +1216,9 @@ FROM r WHERE rnk <= {HAS_PARENT_K}"""
 
 def lineitem_mad(lineitem: DataFrame) -> DataFrame:
     """ES median_absolute_deviation aggregation per l_returnflag →
-    DF[l_returnflag, n, median, mad]: median(|v − median(v)|), the robust
-    dispersion ES pairs with the boxplot agg.
+    DF[l_returnflag, n, median_e4, mad_e5] (exact scaled BIGINTs — ×1e4 /
+    ×1e5): median(|v − median(v)|), the robust dispersion ES pairs with
+    the boxplot agg.
 
     Same engine-exact percentile discipline as lineitem_boxplot (integer
     floor/frac from h = (n−1)/2, bracketing order statistics by conditional
@@ -1229,7 +1265,11 @@ def lineitem_mad(lineitem: DataFrame) -> DataFrame:
     m2 = _median(dev, "d", "decimal(26,5)")
     return (
         m1.join(m2.select("l_returnflag", F.col("med").alias("mad")), "l_returnflag")
-        .select("l_returnflag", "n", F.col("med").alias("median"), "mad")
+        .select(
+            "l_returnflag", "n",
+            (F.col("med") * 10000).cast("long").alias("median_e4"),
+            (F.col("mad") * 100000).cast("long").alias("mad_e5"),
+        )
     )
 
 
@@ -1263,13 +1303,15 @@ dev AS (
   FROM v JOIN m1 USING (l_returnflag)
 ),
 {_mad_median_cte('dev', 'd', 'm2', 'DECIMAL(26,5)')}
-SELECT m1.l_returnflag, m1.n, m1.med AS median, m2.med AS mad
+SELECT m1.l_returnflag, m1.n,
+       CAST(m1.med * 10000 AS BIGINT) AS median_e4,
+       CAST(m2.med * 100000 AS BIGINT) AS mad_e5
 FROM m1 JOIN m2 ON m1.l_returnflag = m2.l_returnflag"""
 
 
 def orders_children_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """ES `children` aggregation → DF[o_orderpriority, n_parents,
-    n_children, sum_child_revenue]: bucket PARENTS (orders) by priority,
+    n_children, sum_child_revenue_e6]: bucket PARENTS (orders) by priority,
     then aggregate over each bucket's CHILDREN (lineitem) — the agg-side
     sibling of the has_child query.
 
@@ -1277,7 +1319,8 @@ def orders_children_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     (priority, parent key) — so the heavy agg runs on the co-partitioned
     join key and the distinct-parent count is a plain COUNT(*) on the
     already-unique second level, never a countDistinct shuffle of raw child
-    rows. Revenue exact decimal end-to-end."""
+    rows. Revenue exact decimal end-to-end; ships as BIGINT micro-units
+    (×1e6 of the scale-6 sum — ≤6.1e15 at sf0.1, int64-safe)."""
     per_parent = (
         lineitem.join(
             orders.select("o_orderkey", "o_orderpriority"),
@@ -1292,7 +1335,9 @@ def orders_children_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return per_parent.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_parents"),
         F.sum("nc").cast("long").alias("n_children"),
-        F.sum("rev").cast("decimal(38,6)").alias("sum_child_revenue"),
+        (F.sum("rev").cast("decimal(26,6)") * 1000000)
+        .cast("long")
+        .alias("sum_child_revenue_e6"),
     )
 
 
@@ -1304,7 +1349,7 @@ CHILDREN_AGG_SQL = f"""WITH per_parent AS (
 )
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_parents,
        CAST(SUM(nc) AS BIGINT) AS n_children,
-       CAST(SUM(rev) AS DECIMAL(38,6)) AS sum_child_revenue
+       CAST(CAST(SUM(rev) AS DECIMAL(26,6)) * 1000000 AS BIGINT) AS sum_child_revenue_e6
 FROM per_parent GROUP BY 1"""
 
 
@@ -1314,8 +1359,9 @@ FROM per_parent GROUP BY 1"""
 def orders_stats_bucket(orders: DataFrame) -> DataFrame:
     """ES sibling pipeline aggregations over a monthly date_histogram —
     ``stats_bucket`` (which subsumes min_bucket / max_bucket / avg_bucket /
-    sum_bucket) → one-row DF[n_buckets, min_rev, max_rev, sum_rev,
-    avg_rev]: monthly revenue buckets reduced to bucket-level statistics.
+    sum_bucket) → one-row DF[n_buckets, min_rev_e2, max_rev_e2, sum_rev_e2,
+    avg_rev] (revenues as exact BIGINT cents): monthly revenue buckets
+    reduced to bucket-level statistics.
 
     Two-level aggregation: the month group-by is the only events-sized
     exchange; the sibling agg runs on the months-sized frame. min/max/sum
@@ -1335,9 +1381,12 @@ def orders_stats_bucket(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.min("revenue").alias("min_rev"),
         F.max("revenue").alias("max_rev"),
-        F.sum("revenue").cast("decimal(38,2)").alias("sum_rev"),
+        F.sum("revenue").cast("decimal(30,2)").alias("sum_rev"),
     ).select(
-        "n_buckets", "min_rev", "max_rev", "sum_rev",
+        "n_buckets",
+        (F.col("min_rev") * 100).cast("long").alias("min_rev_e2"),
+        (F.col("max_rev") * 100).cast("long").alias("max_rev_e2"),
+        (F.col("sum_rev") * 100).cast("long").alias("sum_rev_e2"),
         round6(
             F.col("sum_rev").cast("double") / F.col("n_buckets").cast("double")
         ).alias("avg_rev"),
@@ -1352,10 +1401,13 @@ STATS_BUCKET_SQL = """WITH m AS (
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MIN(revenue) AS min_rev,
          MAX(revenue) AS max_rev,
-         CAST(SUM(revenue) AS DECIMAL(38,2)) AS sum_rev
+         CAST(SUM(revenue) AS DECIMAL(30,2)) AS sum_rev
   FROM m
 )
-SELECT n_buckets, min_rev, max_rev, sum_rev,
+SELECT n_buckets,
+       CAST(min_rev * 100 AS BIGINT) AS min_rev_e2,
+       CAST(max_rev * 100 AS BIGINT) AS max_rev_e2,
+       CAST(sum_rev * 100 AS BIGINT) AS sum_rev_e2,
        CAST(ROUND(CAST(CAST(sum_rev AS DOUBLE) / CAST(n_buckets AS DOUBLE)
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_rev
 FROM s"""
@@ -1363,7 +1415,8 @@ FROM s"""
 
 def orders_bucket_script(orders: DataFrame) -> DataFrame:
     """ES ``bucket_script`` pipeline aggregation → DF[month, n_orders,
-    urgent_rev, total_rev, urgent_share, avg_order_value]: per-month
+    urgent_rev_e2, total_rev_e2, urgent_share, avg_order_value]
+    (revenues as exact BIGINT cents): per-month
     derived metrics computed FROM other aggregations' outputs (the
     bucket_script contract) — urgent-priority revenue share and average
     order value.
@@ -1390,7 +1443,9 @@ def orders_bucket_script(orders: DataFrame) -> DataFrame:
     from .stats import round6
 
     return m.select(
-        "month", "n_orders", "urgent_rev", "total_rev",
+        "month", "n_orders",
+        (F.col("urgent_rev") * 100).cast("long").alias("urgent_rev_e2"),
+        (F.col("total_rev") * 100).cast("long").alias("total_rev_e2"),
         round6(
             F.col("urgent_rev").cast("double") / F.col("total_rev").cast("double")
         ).alias("urgent_share"),
@@ -1409,7 +1464,9 @@ BUCKET_SCRIPT_SQL = """WITH m AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_rev
   FROM orders GROUP BY 1
 )
-SELECT month, n_orders, urgent_rev, total_rev,
+SELECT month, n_orders,
+       CAST(urgent_rev * 100 AS BIGINT) AS urgent_rev_e2,
+       CAST(total_rev * 100 AS BIGINT) AS total_rev_e2,
        CAST(ROUND(CAST(CAST(urgent_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS urgent_share,
        CAST(ROUND(CAST(CAST(total_rev AS DOUBLE) / CAST(n_orders AS DOUBLE)
@@ -1419,8 +1476,9 @@ FROM m"""
 
 def lineitem_percentiles_bucket(lineitem: DataFrame) -> DataFrame:
     """ES ``percentiles_bucket`` pipeline aggregation → one-row
-    DF[n_buckets, p25, p50, p75]: exact linear-interpolated percentiles of
-    the monthly sum(l_quantity) bucket values.
+    DF[n_buckets, p25_e4, p50_e4, p75_e4] (exact ×1e4 BIGINTs): exact
+    linear-interpolated percentiles of the monthly sum(l_quantity) bucket
+    values.
 
     The bucket frame is months-sized BY CONSTRUCTION (pipeline aggs run
     over a histogram's buckets, never the raw rows), so the exact
@@ -1455,13 +1513,15 @@ def lineitem_percentiles_bucket(lineitem: DataFrame) -> DataFrame:
     g = r.groupBy().agg(*aggs)
     out = ["n_buckets"]
     cols = []
-    for p, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+    for p, name in ((1, "p25_e4"), (2, "p50_e4"), (3, "p75_e4")):
         frac = (F.col(f"rem{p}") * F.lit(_d.Decimal("0.25"))).cast("decimal(3,2)")
         cols.append(
             (
-                F.col(f"lo{p}")
-                + (F.coalesce(f"hi{p}", f"lo{p}") - F.col(f"lo{p}")) * frac
-            ).cast("decimal(19,4)").alias(name)
+                (
+                    F.col(f"lo{p}")
+                    + (F.coalesce(f"hi{p}", f"lo{p}") - F.col(f"lo{p}")) * frac
+                ).cast("decimal(19,4)") * 10000
+            ).cast("long").alias(name)
         )
     return g.select(*out, *cols)
 
@@ -1488,9 +1548,9 @@ g AS (
   FROM r
 )
 SELECT n_buckets,
-       CAST(lo1 + (COALESCE(hi1, lo1) - lo1) * CAST(rem1 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p25,
-       CAST(lo2 + (COALESCE(hi2, lo2) - lo2) * CAST(rem2 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p50,
-       CAST(lo3 + (COALESCE(hi3, lo3) - lo3) * CAST(rem3 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) AS p75
+       CAST(CAST(lo1 + (COALESCE(hi1, lo1) - lo1) * CAST(rem1 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) * 10000 AS BIGINT) AS p25_e4,
+       CAST(CAST(lo2 + (COALESCE(hi2, lo2) - lo2) * CAST(rem2 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) * 10000 AS BIGINT) AS p50_e4,
+       CAST(CAST(lo3 + (COALESCE(hi3, lo3) - lo3) * CAST(rem3 * 0.25 AS DECIMAL(3,2)) AS DECIMAL(19,4)) * 10000 AS BIGINT) AS p75_e4
 FROM g"""
 
 
@@ -1501,7 +1561,8 @@ VWH_BUCKETS = 8
 
 def price_variable_width_histogram(orders: DataFrame, b: int = VWH_BUCKETS) -> DataFrame:
     """ES ``variable_width_histogram`` agg (deterministic variant) →
-    DF[bucket, min_price, max_price, n_orders, avg_price]: o_totalprice
+    DF[bucket, min_price_e2, max_price_e2, n_orders, avg_price]
+    (prices as exact BIGINT cents): o_totalprice
     split into ``b`` natural clusters. ES's implementation is an online
     shard-local clusterer whose buckets depend on document arrival order —
     unacceptable under invariant #1 — so this entry pins the
@@ -1549,8 +1610,8 @@ def price_variable_width_histogram(orders: DataFrame, b: int = VWH_BUCKETS) -> D
         )
         .select(
             "bucket",
-            "min_price",
-            "max_price",
+            (F.col("min_price") * 100).cast("long").alias("min_price_e2"),
+            (F.col("max_price") * 100).cast("long").alias("max_price_e2"),
             "n_orders",
             round6(
                 F.col("_sum").cast("double") / F.col("n_orders").cast("double")
@@ -1577,7 +1638,8 @@ assigned AS (
   FROM orders, bounds
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
-       MIN(v) AS min_price, MAX(v) AS max_price,
+       CAST(MIN(v) * 100 AS BIGINT) AS min_price_e2,
+       CAST(MAX(v) * 100 AS BIGINT) AS max_price_e2,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(ROUND(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_price

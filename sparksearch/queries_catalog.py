@@ -3902,6 +3902,30 @@ CATALOG.update(build_round4_s8b())
 # query surface. The Spark side is COMPILED from the ES|QL text; the oracle
 # is the hand-written SQL a reviewer derives from the same text, so the
 # entries check the compiler end-to-end (tokenizer -> parser -> Catalyst).
+#
+# Output discipline (round-4 verdict #1): the language's exact-sum columns
+# (SUM(double) = decimal(28,9)) must NOT ship as DECIMAL — the driver's
+# normalization is proven only for {round6 double, BIGINT, string, bool}.
+# Each catalog entry descales its exact-decimal outputs to BIGINT at the
+# value's true grid (×100 for 2-dp money sums, ×1e9 for genuine scale-9
+# content, ×1 for integer-valued sums). The multiply runs INSIDE decimal
+# arithmetic on a first-narrowed width so Spark's 38-digit cap can never
+# drop scale (the dsir_weights sharp edge), and the final cast to long is
+# exact because the fraction is exactly zero on the value's grid — any
+# off-grid value would diverge between Spark's truncating and DuckDB's
+# rounding decimal→BIGINT casts and fail the tri-scale sweeps.
+
+
+def _descale_long(df: DataFrame, col: str, out: str, k: int,
+                  width: str = "decimal(20,9)") -> DataFrame:
+    """Replace exact-decimal column `col` with the exact ×10^k BIGINT `out`."""
+    if k:
+        scaled = (F.col(col).cast(width) * (10 ** k)).cast("long")
+    else:
+        scaled = F.col(col).cast("long")
+    return df.select(
+        *[scaled.alias(out) if c == col else F.col(c) for c in df.columns]
+    )
 
 ESQL_EVENTS_QUERY = """
 FROM events
@@ -3934,7 +3958,8 @@ FROM customer
 def q_esql_nation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_LOOKUP_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_LOOKUP_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "total_bal", "total_bal_e2", 2)
 
 
 def q_esql_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3946,7 +3971,8 @@ def q_esql_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_esql_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_ORDERS_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_ORDERS_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "revenue", "revenue_e2", 2)
 
 
 CATALOG.update({
@@ -3970,7 +3996,7 @@ ORDER BY day ASC, event_type ASC LIMIT 100""",
     "esql_orders_revenue": QuerySpec(
         q_esql_orders_revenue,
         """SELECT o_orderpriority,
-       SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS revenue_e2,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
             / COUNT(*) AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_price
@@ -3986,7 +4012,7 @@ GROUP BY 1 ORDER BY 1 ASC""",
         q_esql_nation_lookup,
         """SELECT n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(CAST(c_acctbal AS DECIMAL(28,9))) AS total_bal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS total_bal_e2
 FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1 ASC""",
         "ES|QL LOOKUP JOIN (8.18): EVAL aligns the key name, the lookup "
@@ -4032,7 +4058,8 @@ def q_esql_events_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_esql_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_BUCKET_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_BUCKET_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "total", "total_e2", 2)
 
 
 CATALOG.update({
@@ -4061,7 +4088,7 @@ ORDER BY event_id ASC""",
         q_esql_value_buckets,
         """SELECT FLOOR(value / 50.0) * 50.0 AS b,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(value AS DECIMAL(28,9))) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS total_e2
 FROM events GROUP BY 1 ORDER BY 1 ASC""",
         "ES|QL BUCKET(value, span) fixed-span histogram: floor(x/span)·"
         "span — one IEEE division, a true floor and one product, "
@@ -4152,9 +4179,12 @@ def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     else:
         src = spark.read.schema(_FORMAT_COLS).json(path)
     return src.groupBy("event_type").agg(
+        # exact decimal sum, shipped as BIGINT centi-units (the 2-dp
+        # money grid survives the round-trip or the hash fails)
+        (F.sum(F.col("value").cast("decimal(28,9)")).cast("decimal(20,9)")
+         * 100).cast("long").alias("total_value_e2"),
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
         F.min("event_id").cast("long").alias("min_id"),
         F.max("event_id").cast("long").alias("max_id"),
     )
@@ -4174,7 +4204,7 @@ def q_events_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FORMAT_ORACLE = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       SUM(CAST(value AS DECIMAL(28,9))) AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS total_value_e2,
        CAST(MIN(event_id) AS BIGINT) AS min_id,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events GROUP BY 1"""
@@ -4195,7 +4225,8 @@ FROM events
 def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_STATS_WHERE_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_STATS_WHERE_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "verr", "verr_e2", 2)
 
 
 CATALOG.update({
@@ -4204,7 +4235,7 @@ CATALOG.update({
         """SELECT user_id,
        CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err,
        CAST(COUNT(*) FILTER (WHERE value >= 100.0) AS BIGINT) AS big,
-       SUM(CAST(value AS DECIMAL(28,9))) FILTER (WHERE event_type = 'error') AS verr,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,9))) FILTER (WHERE event_type = 'error') AS DECIMAL(20,9)) * 100 AS BIGINT) AS verr_e2,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1 ASC""",
         "ES|QL per-aggregate WHERE (8.16): three filtered aggregates + one "
@@ -4233,7 +4264,9 @@ FROM documents
 def q_esql_docs_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_MV_QUERY, spark=spark, sf_dir=sf_dir)
+    # integer-valued sum (word counts): ×1 — a plain exact cast to long
+    return _descale_long(df, "words_total", "words_total", 0)
 
 
 CATALOG.update({
@@ -4247,7 +4280,7 @@ CATALOG.update({
   FROM documents
 )
 SELECT language, CAST(COUNT(*) AS BIGINT) AS docs,
-       SUM(CAST(n_words AS DECIMAL(28,9))) AS words_total,
+       CAST(SUM(CAST(n_words AS DECIMAL(28,9))) AS BIGINT) AS words_total,
        MIN(w_first) AS wmin, MAX(w_last) AS wmax
 FROM s GROUP BY 1 ORDER BY 1 ASC""",
         "ES|QL multi-value scalar functions (MV_COUNT/MV_MIN/MV_MAX over "
@@ -4271,7 +4304,8 @@ FROM documents
 def q_esql_docs_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .esql import compile_esql
 
-    return compile_esql(ESQL_MATCH_QUERY, spark=spark, sf_dir=sf_dir)
+    df = compile_esql(ESQL_MATCH_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "chars", "chars", 0)
 
 
 CATALOG.update({
@@ -4284,7 +4318,7 @@ CATALOG.update({
   FROM documents
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(n_chars AS DECIMAL(28,9))) AS chars
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,9))) AS BIGINT) AS chars
 FROM tokd
 WHERE (list_contains(ts, 'hash') OR list_contains(ts, 'join'))
   AND n_chars > 100

@@ -847,9 +847,10 @@ MOVING_PCT_WINDOW = 7
 def events_moving_percentiles(
     events: DataFrame, window: int = MOVING_PCT_WINDOW
 ) -> DataFrame:
-    """ES moving_percentiles pipeline aggregation → DF[day, n_events, p50,
-    p90]: exact interpolated percentiles of the trailing `window` daily
-    counts (dense min_doc_count=0 day grid, the serial_diff discipline).
+    """ES moving_percentiles pipeline aggregation → DF[day, n_events,
+    p50_e1, p90_e1] (exact ×10 BIGINTs): exact interpolated percentiles of
+    the trailing `window` daily counts (dense min_doc_count=0 day grid,
+    the serial_diff discipline).
 
     The trailing frame is collected per bucket (collect_list over a rows
     window — ≤ `window` longs), sort_array'd, and interpolated with the
@@ -882,8 +883,8 @@ def events_moving_percentiles(
             "yyyy-MM-dd",
         ).alias("day"),
         "n_events",
-        pct(F.col("a"), "0.5").alias("p50"),
-        pct(F.col("a"), "0.9").alias("p90"),
+        (pct(F.col("a"), "0.5") * 10).cast("long").alias("p50_e1"),
+        (pct(F.col("a"), "0.9") * 10).cast("long").alias("p90_e1"),
     )
     return withp
 
@@ -914,8 +915,8 @@ p AS (
 )
 SELECT strftime(DATE '1970-01-01' + CAST(day_i AS INTEGER), '%Y-%m-%d') AS day,
        CAST(n_events AS BIGINT) AS n_events,
-       CAST(a[lo5 + 1] + (a[least(lo5 + 2, len(a))] - a[lo5 + 1]) * f5 AS DECIMAL(14,1)) AS p50,
-       CAST(a[lo9 + 1] + (a[least(lo9 + 2, len(a))] - a[lo9 + 1]) * f9 AS DECIMAL(14,1)) AS p90
+       CAST(CAST(a[lo5 + 1] + (a[least(lo5 + 2, len(a))] - a[lo5 + 1]) * f5 AS DECIMAL(14,1)) * 10 AS BIGINT) AS p50_e1,
+       CAST(CAST(a[lo9 + 1] + (a[least(lo9 + 2, len(a))] - a[lo9 + 1]) * f9 AS DECIMAL(14,1)) * 10 AS BIGINT) AS p90_e1
 FROM p"""
 
 
@@ -1565,7 +1566,8 @@ def build_events_rollup(events: DataFrame, path: str) -> None:
 def events_rollup_monthly(spark, rollup_path: str) -> DataFrame:
     """Monthly revenue/count per event type answered FROM the hourly
     rollup artifact (never the raw events) → DF[month, event_type,
-    n_events, sum_value, avg_value]: the ES rollup-search path. The month
+    n_events, sum_value_e2, avg_value] (sum as exact BIGINT cents): the
+    ES rollup-search path. The month
     key derives from the epoch-hour by integer-exact timestamp math; sums
     re-aggregate the hourly decimals (exact); avg is ONE double division
     round6. The oracle computes the same answer from RAW events — two
@@ -1576,12 +1578,13 @@ def events_rollup_monthly(spark, rollup_path: str) -> DataFrame:
     ).alias("month")
     g = r.groupBy(month, "event_type").agg(
         F.sum("n_events").cast("long").alias("n_events"),
-        F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        F.sum("sum_value").cast("decimal(30,2)").alias("sum_value"),
     )
     from .stats import round6
 
     return g.select(
-        "month", "event_type", "n_events", "sum_value",
+        "month", "event_type", "n_events",
+        (F.col("sum_value") * 100).cast("long").alias("sum_value_e2"),
         round6(
             F.col("sum_value").cast("double") / F.col("n_events").cast("double")
         ).alias("avg_value"),
@@ -1591,10 +1594,11 @@ def events_rollup_monthly(spark, rollup_path: str) -> DataFrame:
 ROLLUP_MONTHLY_SQL = """WITH m AS (
   SELECT strftime(ts, '%Y-%m') AS month, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS sum_value
   FROM events GROUP BY 1, 2
 )
-SELECT month, event_type, n_events, sum_value,
+SELECT month, event_type, n_events,
+       CAST(sum_value * 100 AS BIGINT) AS sum_value_e2,
        CAST(ROUND(CAST(CAST(sum_value AS DOUBLE) / CAST(n_events AS DOUBLE)
             AS DECIMAL(28,9)), 6) AS DOUBLE) AS avg_value
 FROM m"""

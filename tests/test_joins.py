@@ -177,9 +177,11 @@ def test_extended_stats_matches_numpy(spark, tpch):
         assert r.n == len(x)
         assert r.min_v == round(float(x.min()), 6)
         assert r.max_v == round(float(x.max()), 6)
-        assert math.isclose(float(r.sum_v), float(x.sum()), rel_tol=1e-12, abs_tol=1e-6)
+        assert math.isclose(r.sum_v_e2 / 100.0, float(x.sum()), rel_tol=1e-12, abs_tol=1e-6)
         assert math.isclose(r.avg_v, float(x.mean()), abs_tol=5e-7)
-        assert math.isclose(float(r.sum_of_squares), float((x * x).sum()), rel_tol=1e-9)
+        assert math.isclose(
+            float(r.sum_of_squares_str), float((x * x).sum()), rel_tol=1e-9
+        )
         assert math.isclose(r.variance, float(x.var()), rel_tol=1e-9, abs_tol=1e-4)
         assert math.isclose(r.std_dev, float(x.std()), rel_tol=1e-9, abs_tol=1e-6)
 
@@ -231,7 +233,7 @@ def test_histogram_and_weighted_avg_match_pandas(spark, tpch):
         sel = pdf[buckets == b]
         r = got_h[b * HISTOGRAM_INTERVAL]
         assert r.n_items == len(sel)
-        assert float(r.sum_qty) == round(float(np.round(sel.l_quantity, 2).sum()), 2)
+        assert r.sum_qty_e2 == round(float(np.round(sel.l_quantity, 2).sum()) * 100)
     # buckets partition the table
     assert sum(r.n_items for r in got_h.values()) == len(pdf)
 
@@ -261,7 +263,7 @@ def test_multi_terms_matches_pandas(spark, tpch):
         (t.o_orderpriority, t.o_orderstatus, t.n) for t in exp
     ]
     for r, t in zip(rows, exp):
-        assert abs(float(r.sum_total) - round(t.s, 2)) < 0.02
+        assert abs(r.sum_total_e2 / 100.0 - round(t.s, 2)) < 0.02
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
 
 
@@ -278,8 +280,8 @@ def test_top_metrics_matches_pandas(spark, tpch):
         r = rows[flag]
         assert r.latest_shipdate == top.l_shipdate.strftime("%Y-%m-%d")
         assert r.l_orderkey == top.l_orderkey
-        assert abs(float(r.top_price) - round(top.l_extendedprice, 2)) < 0.005
-        assert abs(float(r.top_discount) - round(top.l_discount, 2)) < 0.005
+        assert abs(r.top_price_e2 / 100.0 - round(top.l_extendedprice, 2)) < 0.005
+        assert abs(r.top_discount_e2 / 100.0 - round(top.l_discount, 2)) < 0.005
 
 
 def test_bucket_selector_above_mean_gate(spark, tpch):
@@ -296,7 +298,7 @@ def test_bucket_selector_above_mean_gate(spark, tpch):
     assert [r.n_orders for r in rows] == [t.n for t in exp]
     # every returned bucket is strictly above the mean; ranks are dense
     for r in rows:
-        assert float(r.revenue) > mean_rev - 0.01
+        assert r.revenue_e2 / 100.0 > mean_rev - 0.01
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
 
 
@@ -332,15 +334,15 @@ def test_boxplot_matches_numpy_linear(spark, tpch):
         v = np.round(grp.l_extendedprice.to_numpy(), 2)
         r = rows[flag]
         assert r.n == len(v)
-        assert float(r.vmin) == v.min() and float(r.vmax) == v.max()
+        assert r.vmin_e2 / 100.0 == v.min() and r.vmax_e2 / 100.0 == v.max()
         q1, q2, q3 = np.percentile(v, [25, 50, 75], method="linear")
-        assert abs(float(r.q1) - q1) < 1e-6
-        assert abs(float(r.q2) - q2) < 1e-6
-        assert abs(float(r.q3) - q3) < 1e-6
+        assert abs(r.q1_e4 / 10000.0 - q1) < 1e-6
+        assert abs(r.q2_e4 / 10000.0 - q2) < 1e-6
+        assert abs(r.q3_e4 / 10000.0 - q3) < 1e-6
         iqr = q3 - q1
         inside = v[(v >= q1 - 1.5 * iqr) & (v <= q3 + 1.5 * iqr)]
-        assert float(r.lower_whisker) == inside.min()
-        assert float(r.upper_whisker) == inside.max()
+        assert r.lower_whisker_e2 / 100.0 == inside.min()
+        assert r.upper_whisker_e2 / 100.0 == inside.max()
 
 
 def test_t_test_matches_numpy_welch(spark, tpch):
@@ -402,8 +404,8 @@ def test_mad_matches_numpy(spark, tpch):
         mad = np.median(np.abs(v - med))
         r = rows[flag]
         assert r.n == len(v)
-        assert abs(float(r.median) - med) < 1e-9
-        assert abs(float(r.mad) - mad) < 1e-9
+        assert abs(r.median_e4 / 10000.0 - med) < 1e-9
+        assert abs(r.mad_e5 / 100000.0 - mad) < 1e-9
 
 
 def test_children_agg_matches_pandas(spark, tpch):
@@ -421,4 +423,4 @@ def test_children_agg_matches_pandas(spark, tpch):
         r = rows[prio]
         assert r.n_parents == grp.o_orderkey.nunique()
         assert r.n_children == len(grp)
-        assert abs(float(r.sum_child_revenue) - grp.rev.sum()) < 1e-3
+        assert abs(r.sum_child_revenue_e6 / 1e6 - grp.rev.sum()) < 1e-3

@@ -144,9 +144,9 @@ def test_stats_bucket_matches_pandas(spark, tpch):
         .groupby("month").v.sum()
     )
     assert r.n_buckets == len(m)
-    assert math.isclose(float(r.min_rev), m.min(), abs_tol=1e-6)
-    assert math.isclose(float(r.max_rev), m.max(), abs_tol=1e-6)
-    assert math.isclose(float(r.sum_rev), m.sum(), abs_tol=1e-4)
+    assert math.isclose(r.min_rev_e2 / 100.0, m.min(), abs_tol=1e-6)
+    assert math.isclose(r.max_rev_e2 / 100.0, m.max(), abs_tol=1e-6)
+    assert math.isclose(r.sum_rev_e2 / 100.0, m.sum(), abs_tol=1e-4)
     assert math.isclose(r.avg_rev, m.sum() / len(m), abs_tol=5e-6)
 
 
@@ -162,8 +162,8 @@ def test_bucket_script_matches_pandas(spark, tpch):
         urgent = grp.v[grp.o_orderpriority.str.startswith("1-")].sum()
         total = grp.v.sum()
         assert r.n_orders == len(grp)
-        assert math.isclose(float(r.urgent_rev), urgent, abs_tol=1e-6)
-        assert math.isclose(float(r.total_rev), total, abs_tol=1e-6)
+        assert math.isclose(r.urgent_rev_e2 / 100.0, urgent, abs_tol=1e-6)
+        assert math.isclose(r.total_rev_e2 / 100.0, total, abs_tol=1e-6)
         assert math.isclose(r.urgent_share, urgent / total, abs_tol=5e-7)
         assert math.isclose(r.avg_order_value, total / len(grp), abs_tol=5e-6)
 
@@ -180,9 +180,9 @@ def test_percentiles_bucket_matches_numpy(spark, tpch):
     )
     assert r.n_buckets == len(m)
     p25, p50, p75 = np.percentile(m, [25, 50, 75], method="linear")
-    assert math.isclose(float(r.p25), p25, abs_tol=1e-6)
-    assert math.isclose(float(r.p50), p50, abs_tol=1e-6)
-    assert math.isclose(float(r.p75), p75, abs_tol=1e-6)
+    assert math.isclose(r.p25_e4 / 10000.0, p25, abs_tol=1e-6)
+    assert math.isclose(r.p50_e4 / 10000.0, p50, abs_tol=1e-6)
+    assert math.isclose(r.p75_e4 / 10000.0, p75, abs_tol=1e-6)
 
 
 # ------------------------------------------------------------- search trio
@@ -476,22 +476,23 @@ def test_rollup_monthly_equals_raw_aggregation(spark, events, tmp_path):
     path = str(tmp_path / "rollup")
     build_events_rollup(events, path)
     got = {
-        (r.month, r.event_type): (r.n_events, float(r.sum_value), r.avg_value)
+        (r.month, r.event_type): (r.n_events, r.sum_value_e2, r.avg_value)
         for r in events_rollup_monthly(spark, path).collect()
     }
     raw = {
-        (r.month, r.event_type): (r.n, float(r.sv), r.av)
+        (r.month, r.event_type): (r.n, r.sv_e2, r.av)
         for r in events.groupBy(
             F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("decimal(30,2)")
             .alias("sv"),
         )
         .select(
-            "month", "event_type", "n", "sv",
+            "month", "event_type", "n",
+            (F.col("sv") * 100).cast("long").alias("sv_e2"),
             round6(F.col("sv").cast("double") / F.col("n").cast("double")).alias("av"),
         )
         .collect()

@@ -256,7 +256,8 @@ def test_vwh_matches_pandas_mirror(spark):
     for bk, grp in v.groupby(bucket):
         r = got[bk]
         assert r.n_orders == len(grp)
-        assert Decimal(r.min_price) == min(grp) and Decimal(r.max_price) == max(grp)
+        assert Decimal(r.min_price_e2).scaleb(-2) == min(grp)
+        assert Decimal(r.max_price_e2).scaleb(-2) == max(grp)
         assert round(float(r.avg_price), 6) == r6(float(sum(grp)) / len(grp))
     # buckets partition the rows
     assert sum(r.n_orders for r in got.values()) == len(pdf)

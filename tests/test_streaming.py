@@ -643,8 +643,8 @@ def test_moving_percentiles_hand_case(spark):
     assert [r.n_events for r in got] == series
     for i, r in enumerate(got):
         wnd = series[max(0, i - (MOVING_PCT_WINDOW - 1)) : i + 1]
-        assert float(r.p50) == np.percentile(wnd, 50, method="linear")
-        assert float(r.p90) == np.percentile(wnd, 90, method="linear")
+        assert r.p50_e1 / 10.0 == np.percentile(wnd, 50, method="linear")
+        assert r.p90_e1 / 10.0 == np.percentile(wnd, 90, method="linear")
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
