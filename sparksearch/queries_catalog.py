@@ -5339,128 +5339,103 @@ CATALOG.update(build_round4_s11b())
 # byte-untouched since (pytest still covers all of them, and
 # jobs/driver_sim.py records a committed full-sweep result either way).
 _SWEEP_HEAD = [
-    # tier 1 — NEVER driver-recorded (round-3 verdict item #2: the _SWEEP_NEXT
-    # nine; every other entry has a green row in some CORRECTNESS_r0*.json)
-    "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
-    "sequence_packing", "importance_resample", "completion_suggest",
-    "percolate_queries", "sort_by_field_topk", "bm25_topk_boosted",
-    # round-4 additions (brand new — no recorded row can exist yet)
-    "dedup_exact_substring", "ngram_decontamination", "semdedup",
-    "gopher_rules", "bigram_xent", "kmv_distinct_terms",
-    "stratified_sample", "ann_pq_topk",
-    "bm25_top_hits_by_lang", "rare_terms", "line_boilerplate",
-    # round-4 session-3 additions (brand new)
-    "term_pagerank", "cdc_chunks", "xent_buckets", "zipf_fit", "heaps_fit",
-    "events_trend", "ann_sq8_topk", "lineitem_percentile_ranks",
-    "events_asof_join", "cdc_chunk_dedup",
-    # round-4 session-4 additions (brand new)
-    "events_funnel", "cohort_retention", "lineitem_matrix_stats",
-    "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
-    "pii_scan", "term_adjacency_matrix", "lineitem_extended_stats",
-    "orders_has_child_topk", "term_triangles", "lang_token_fertility",
-    "user_rfm", "bm25_topk_demoted", "ann_cosine_filtered",
-    # (tier-2 sentinels bm25_topk + term_postings rotated out in session 4:
-    # r03-green, code untouched, and bm25_rank_eval embeds the full
-    # score_logical path anyway)
-    # tier 3 — entries whose CODE changed in round 4 (term-id salted exchange
-    # rebuilds every physical-index artifact; positions folded into segment
-    # blocks; range-pruned dictionary expansion; round6 LSH scores; decimal
-    # graph convergence; IVF oracle flip) — prior green rows no longer
-    # certify today's code
-    # (resume_manifest rotated to _SWEEP_NEXT in session 4: rows-only by
-    # design, so its driver row certifies little — test_resume.py is the
-    # real gate; this makes the recorded 50 all hash-exact entries)
-    # (index_dictionary + index_block_coverage rotated to _SWEEP_NEXT:
-    # index_decoded_postings' full decode roundtrip with vocab-join
-    # string restore certifies dictionary content and block layout)
-    "index_decoded_postings",
-    # (daat_topk_conjunctive + span_near_topk_indexed rotated to
-    # _SWEEP_NEXT: wand covers the DAAT bounds path and phrase/ordered
-    # cover the positional fetch)
-    "daat_topk_wand",
-    # (span_near_ordered_topk_indexed rotated to _SWEEP_NEXT: phrase
-    # covers the in-block positional fetch + ordered-window kernel)
-    "phrase_topk_indexed",
-    # (the whole expansion family — prefix/fuzzy/suffix/wildcard/regexp —
-    # rotated to _SWEEP_NEXT in session 4: r03-green, range-prune change
-    # covered by plan audits + the committed tri-scale local sweeps)
-    # (ann_lsh_topk rotated to _SWEEP_NEXT: r03-recorded hash-exact; the
-    # round6 score fix is covered by the local sweeps. ann_ivf_topk stays
-    # — its oracle flip means a driver hash row would be a FIRST.)
-    "ann_ivf_topk", "dedup_clusters",
-    # (tier-4 tpch_revenue_by_nation rotated to _SWEEP_NEXT in session 4:
-    # the bench-regression watch closed as noise — 1.79s on the refreshed
-    # interleaved-reps bench — and its code is untouched since round 2)
-    # (round-2-recorded global_stats / doc_lengths / unknown_terms /
-    # dataset_splits / split_contamination / lang_id / token_counts /
-    # simhash_signatures — and, for the session-3 additions, text_quality /
-    # doc_fingerprints / sha256_integrity / term_stats — rotated to
-    # _SWEEP_NEXT: untouched code with existing driver records, lowest-loss
-    # drop)
+    # ROUND-5 ROTATION (round-4 verdict items #1 + #3). Every r04 head
+    # entry earned its driver row (CORRECTNESS_r04: 49 green + 1 red) and
+    # moves to _SWEEP_NEXT; the new head = the highest-stakes entries that
+    # have NEVER had a driver row, plus the one red row to re-certify.
+    #
+    # Slot 1 — the r04 red row, now de-decimalized (BIGINT cents + string
+    # rendering): a green driver row here closes What's-wrong #1.
+    "lineitem_extended_stats",
+    # Slots 2-30 — the 29 other formerly-decimal-output entries (verdict:
+    # "every one a recorded failure waiting to happen when rotated in").
+    # All now ship {BIGINT, round6 double, string} only; recording them
+    # certifies the whole de-decimalization class against the real driver.
+    "price_histogram", "orders_multi_terms", "lineitem_top_metrics",
+    "orders_bucket_selector", "orders_date_range", "lineitem_boxplot",
+    "lineitem_mad", "orders_children_agg", "events_moving_percentiles",
+    "orders_stats_bucket", "orders_bucket_script",
+    "lineitem_percentiles_bucket", "events_rollup_monthly",
+    "price_variable_width_histogram",
+    "esql_orders_revenue", "esql_nation_lookup", "esql_value_buckets",
+    "events_jsonl_scan", "events_csv_scan", "events_orc_scan",
+    "esql_docs_match", "esql_stats_where", "esql_docs_mv_stats",
+    "esql_lineitem_weighted", "esql_events_sample", "esql_orders_fork",
+    "docs_partition_pruned", "esql_docs_qstr", "esql_lineitem_mv",
+    # Slots 31-48 — the TPC-H family (Q2-Q22 shapes; tpch_suite.py feeds
+    # on them), never driver-recorded (verdict #3's first priority).
+    "tpch_order_priority", "tpch_revenue_forecast", "tpch_volume_shipping",
+    "tpch_promo_effect", "tpch_large_orders", "tpch_discount_revenue",
+    "tpch_idle_customers", "tpch_regional_share",
+    "tpch_customer_distribution", "tpch_top_supplier",
+    "tpch_small_quantity", "tpch_blamed_suppliers",
+    "tpch_min_cost_supplier", "tpch_product_profit",
+    "tpch_important_stock", "tpch_shipping_modes", "tpch_parts_suppliers",
+    "tpch_promo_suppliers",
+    # Slots 49-50 — one each from the other judge-named families:
+    # the composed FAISS ANN shape and the BPE tokenizer trainer.
+    "ann_ivfpq_topk", "bpe_train_merges",
 ]
 assert len(_SWEEP_HEAD) == 50, len(_SWEEP_HEAD)
 #: Second tier: entries added AFTER the head was frozen at 50 — recorded
 #: right after the head if the driver's cap is above 50 (or time-based),
 #: ahead of the untouched round-2-green tail either way.
 _SWEEP_NEXT = [
-    # (price_histogram / discount_weighted_avg: brand-new but lowest-stakes
-    # trivial aggs — _SWEEP_NEXT front rather than displacing head entries;
-    # the committed tri-scale local sweeps carry their record)
-    "price_histogram", "discount_weighted_avg",
-    "events_cumulative_cardinality",
-    # round-4 session-5 additions (brand new — local tri-scale sweeps carry
-    # their record; head stays frozen at the 50 highest-stakes entries)
-    "orders_multi_terms", "lineitem_top_metrics", "orders_bucket_selector",
-    "events_serial_diff", "events_latest_by_user",
-    "orders_date_range", "lineitem_boxplot", "lineitem_t_test",
+    # Round-5: the 49 former head entries — every one earned a GREEN r04
+    # driver row (CORRECTNESS_r04) — recorded again only if the driver's
+    # cap rises above 50; never-recorded entries below them.
+    "vsm_cosine_topk", "bm25_topk_stemmed", "dsir_weights",
+    "sequence_packing", "importance_resample", "completion_suggest",
+    "percolate_queries", "sort_by_field_topk", "bm25_topk_boosted",
+    "dedup_exact_substring", "ngram_decontamination", "semdedup",
+    "gopher_rules", "bigram_xent", "kmv_distinct_terms",
+    "stratified_sample", "ann_pq_topk",
+    "bm25_top_hits_by_lang", "rare_terms", "line_boilerplate",
+    "term_pagerank", "cdc_chunks", "xent_buckets", "zipf_fit", "heaps_fit",
+    "events_trend", "ann_sq8_topk", "lineitem_percentile_ranks",
+    "events_asof_join", "cdc_chunk_dedup",
+    "events_funnel", "cohort_retention", "lineitem_matrix_stats",
+    "lang_mixture_weights", "composite_agg_page", "bm25_rank_eval",
+    "pii_scan", "term_adjacency_matrix",
+    "orders_has_child_topk", "term_triangles", "lang_token_fertility",
+    "user_rfm", "bm25_topk_demoted", "ann_cosine_filtered",
+    "index_decoded_postings", "daat_topk_wand", "phrase_topk_indexed",
+    "ann_ivf_topk", "dedup_clusters",
+    # never-driver-recorded entries, highest-value families first
+    # (ES|QL remainder, then sessions 5-11 aggregates/search/geo/etc.)
+    "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
+    "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
+    "esql_docs_strings", "esql_events_cidr", "events_moving_fn",
+    "discount_weighted_avg", "events_cumulative_cardinality",
+    "events_serial_diff", "events_latest_by_user", "lineitem_t_test",
     "lineitem_has_parent", "events_rate", "events_geotile",
-    "events_auto_date_histogram", "doc_string_stats", "lineitem_mad",
-    "orders_children_agg", "terms_shard_error", "bm25_topk_diversified",
-    "events_geo_distance", "events_geo_bounds", "events_moving_percentiles",
-    # round-4 session-6 additions (brand new — same policy as session 5)
+    "events_auto_date_histogram", "doc_string_stats",
+    "terms_shard_error", "bm25_topk_diversified",
+    "events_geo_distance", "events_geo_bounds",
     "events_normalize", "events_bucket_correlation", "events_ip_range",
-    "events_global_missing", "orders_stats_bucket", "orders_bucket_script",
-    "lineitem_percentiles_bucket", "bm25_search_after", "terms_set_topk",
+    "events_global_missing", "bm25_search_after", "terms_set_topk",
     "bm25_topk_decay",
     "match_phrase_prefix", "multi_match_most_fields", "events_geohash",
     "events_geo_line",
     "events_change_point", "span_not_topk",
-    "events_rollup_monthly", "events_frequent_item_sets", "bm25_random_score",
+    "events_frequent_item_sets", "bm25_random_score",
     "events_geo_polygon", "bm25_pinned",
-    # round-4 session-7 additions (brand new — same policy)
     "bm25_rank_feature", "bm25_distance_feature", "bm25_sampler_agg",
-    "events_hll_cardinality", "events_kmv_overlap",
-    "price_variable_width_histogram", "hybrid_linear_topk",
+    "events_hll_cardinality", "events_kmv_overlap", "hybrid_linear_topk",
     "categorize_text", "nb_lang_confusion", "embedding_outliers",
     "phrase_suggest", "intervals_topk", "match_bool_prefix",
     "tpch_shipping_priority",
-    # round-4 session-8 additions (brand new — same policy)
     "lm_jelinek_mercer_topk", "sparse_vector_topk", "events_filters_agg",
     "eql_sequence",
     "bloom_decontamination", "events_count_min", "ann_bbq_topk",
-    "passage_topk", "esql_events_stats", "esql_orders_revenue",
+    "passage_topk",
     "rank_vectors_maxsim", "mmr_rerank", "significant_text",
     "tpch_returned_items", "span_first_topk", "ann_matryoshka_overlap",
-    "split_kl_divergence", "esql_nation_lookup",
-    "hard_negatives", "events_geo_rings", "esql_events_dissect",
-    # round-4 session-9 additions (brand new — same policy)
-    "tpch_order_priority", "tpch_revenue_forecast", "tpch_volume_shipping",
-    "tpch_promo_effect", "tpch_large_orders", "tpch_discount_revenue",
-    "tpch_idle_customers",
-    "quality_auc", "split_neardup_leakage", "esql_events_grok",
-    "esql_docs_mv_expand",
-    "tpch_regional_share", "tpch_customer_distribution", "tpch_top_supplier",
-    "tpch_small_quantity", "tpch_blamed_suppliers",
-    # round-4 session-10 additions (brand new — same policy)
-    "tpch_min_cost_supplier", "tpch_product_profit", "tpch_important_stock",
-    "tpch_shipping_modes", "tpch_parts_suppliers", "tpch_promo_suppliers",
-    "esql_events_inlinestats", "esql_value_buckets", "events_moving_fn",
-    "dedup_quality_survivors", "events_jsonl_scan", "events_csv_scan",
-    "ann_ivfpq_topk", "esql_docs_match", "pii_redact", "esql_stats_where",
-    "esql_docs_mv_stats", "events_orc_scan",
-    # round-4 session-11 additions (brand new — same policy)
-    "dedup_soft_weights", "bpe_train_merges",
-    "esql_stats_top", "esql_docs_strings", "esql_events_cidr",
+    "split_kl_divergence",
+    "hard_negatives", "events_geo_rings",
+    "quality_auc", "split_neardup_leakage",
+    "dedup_quality_survivors", "pii_redact",
+    "dedup_soft_weights",
     "combined_fields_topk", "span_containing_topk",
     "query_profile", "quality_ece", "classic_tfidf_topk", "ann_l2_topk",
     "resume_manifest", "bm25_topk", "daat_topk_conjunctive",
