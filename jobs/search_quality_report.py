@@ -59,13 +59,22 @@ def report(spark, sf_dir: str, out_dir: str) -> dict:
     ece_rows = spark.read.parquet(paths["quality_ece"]).collect()
     auc_row = spark.read.parquet(paths["quality_auc"]).collect()[0]
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # the repo's quantize discipline (decimal HALF_UP), NOT python
+        # round() which is HALF-EVEN — the documented 6-dp-grid hazard
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
     def mean6(vals):
         vals = [v for v in vals if v is not None]
-        return round(sum(vals) / len(vals), 6) if vals else None
+        return r6(sum(vals) / len(vals)) if vals else None
 
     n_docs = sum(r.n for r in ece_rows)
     # ECE = Σ (n_bin / N) · |rate − mean_score| over the reliability bins.
-    ece = round(sum(r.n * r.gap for r in ece_rows) / n_docs, 6) if n_docs else None
+    ece = r6(sum(r.n * r.gap for r in ece_rows) / n_docs) if n_docs else None
     return {
         "n_queries": len(re_rows),
         "mean_precision_at_10": mean6([r.precision_at_k for r in re_rows]),

@@ -155,8 +155,18 @@ BPE_MERGES = 8
 #: appear inside a token symbol — tokens are [a-z0-9_]+ runs).
 
 
+#: lineage guard: localCheckpoint the words frame every this many merge
+#: rounds. Each round chains one F.replace onto `cur`; at n_merges in the
+#: thousands (production BPE vocabularies) the un-truncated plan nests once
+#: per round — the graph.connected_components OOM edge (CLAUDE.md). 16
+#: keeps the per-round analyzed plan O(1) while amortizing the checkpoint.
+BPE_CHECKPOINT_EVERY = 16
+
+
 def bpe_train_merges(
-    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Deterministic BPE tokenizer training (Sennrich et al. 2016;
     the HF-tokenizers / SentencePiece word-count formulation) →
@@ -245,6 +255,15 @@ def bpe_train_merges(
                 ).alias("w"),
                 "freq",
             )
+            # lineage guard: without truncation the replace chain nests
+            # once per round (the connected_components discipline —
+            # persist() does NOT truncate lineage, localCheckpoint does)
+            if checkpoint_every and r % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
+            if stats_out is not None:
+                stats_out.setdefault("plan_chars", []).append(
+                    len(cur._jdf.queryExecution().analyzed().toString())
+                )
     finally:
         words.unpersist()
     return spark.createDataFrame(

@@ -102,9 +102,20 @@ mini-grammar (OR lowest / AND / NOT / parens, bare terms OR by
 default). Boolean forms only — scored retrieval stays with the bm25
 family.
 
-What is intentionally absent: ENRICH (LOOKUP JOIN covers the shape),
-full GROK pattern library (the three core syntaxes keep every compiled
-query DuckDB-twinnable), and scored fulltext (METADATA _score).
+ENRICH with the RANGE match type (round-4 verdict item #6): ``ENRICH
+policy ON field WITH col, …`` — the policy table carries ``range_lo`` /
+``range_hi`` columns (standing in for ES's policy metadata; lo
+inclusive, hi exclusive — the range field's gte/lt convention) and the
+translation is a broadcast LEFT interval join, the physical shape
+LOOKUP JOIN's equi-key cannot express. Policies with the exact match
+type need no ENRICH — LOOKUP JOIN covers that shape, which is why plain
+ENRICH stayed intentionally absent through round 4. Overlapping policy
+ranges duplicate rows (the join semantic; ES would multi-value them) —
+define disjoint ranges for scalar enrichment.
+
+What is intentionally absent: full GROK pattern library (the three core
+syntaxes keep every compiled query DuckDB-twinnable), and scored
+fulltext (METADATA _score).
 """
 
 from __future__ import annotations
@@ -136,7 +147,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
-    "RENAME", "AS", "SAMPLE", "FORK", "CHANGE_POINT",
+    "RENAME", "AS", "SAMPLE", "FORK", "CHANGE_POINT", "ENRICH", "WITH",
 }
 
 
@@ -499,6 +510,11 @@ def _qstr(args: list[Column]) -> Column:
         t = peek()
         if t is None:
             raise EsqlError(f"QSTR: unexpected end of query {q!r}")
+        if t in ("AND", "OR", "NOT"):
+            # ES query_string raises a parse failure here; silently
+            # treating the keyword as the term 'and'/'or'/'not' would
+            # diverge from that contract (round-4 ADVICE item).
+            raise EsqlError(f"QSTR: operator {t} in term position in {q!r}")
         pos[0] += 1
         if t == "(":
             e = p_or()
@@ -892,6 +908,33 @@ def _window_agg(fn: str, args: list[Column | None], w) -> Column:
     return exact.cast("double") / F.count(arg).over(w)
 
 
+#: Frames persist()ed by compiled FORK stages (the parent frame feeding
+#: every branch — without the persist each branch re-executes the whole
+#: upstream DAG).  Bounded LRU: compiling a new FORK past the cap
+#: unpersists the OLDEST tracked frame (whose consuming action has almost
+#: certainly completed — correctness is unaffected either way, only the
+#: cache).  ``release_cached_frames()`` drops them all eagerly; long-lived
+#: sessions (driver sweeps) may call it between entries.
+_FORK_PERSISTED: list[DataFrame] = []
+_FORK_PERSIST_CAP = 8
+
+
+def _track_fork_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _FORK_PERSISTED.append(df)
+    while len(_FORK_PERSISTED) > _FORK_PERSIST_CAP:
+        _FORK_PERSISTED.pop(0).unpersist()
+    return df
+
+
+def release_cached_frames() -> int:
+    """Unpersist every FORK-cached frame; returns how many were released."""
+    n = len(_FORK_PERSISTED)
+    while _FORK_PERSISTED:
+        _FORK_PERSISTED.pop().unpersist()
+    return n
+
+
 def compile_esql(
     esql: str,
     tables: dict[str, DataFrame] | None = None,
@@ -899,7 +942,11 @@ def compile_esql(
     sf_dir: str | None = None,
 ) -> DataFrame:
     """Compile an ES|QL pipeline to a DataFrame. Tables resolve from the
-    ``tables`` dict, or (spark, sf_dir) parquet lookup when given."""
+    ``tables`` dict, or (spark, sf_dir) parquet lookup when given.
+
+    FORK queries persist() their parent frame (required for branch CSE);
+    the cache is tracked in a bounded module registry — see
+    :func:`release_cached_frames`."""
     toks = _tokenize(esql)
     return _run_stages(_split_stages(toks), None, tables, spark, sf_dir)
 
@@ -907,7 +954,12 @@ def compile_esql(
 def _split_stages(toks: list[_Tok]) -> list[list[_Tok]]:
     """Split a token stream into pipeline stages on TOP-LEVEL ``|`` only —
     a ``|`` inside parentheses (a FORK branch's own pipeline, grouped
-    expressions) stays with its stage."""
+    expressions) stays with its stage.
+
+    Unbalanced parentheses are a parse error HERE: a stray ``)`` would
+    drive depth negative so a following top-level ``|`` silently stops
+    splitting, surfacing later as a baffling 'unknown command' (round-4
+    ADVICE item)."""
     stages: list[list[_Tok]] = [[]]
     depth = 0
     for t in toks:
@@ -915,10 +967,14 @@ def _split_stages(toks: list[_Tok]) -> list[list[_Tok]]:
             depth += 1
         elif t.kind == "op" and t.text == ")":
             depth -= 1
+            if depth < 0:
+                raise EsqlError("unbalanced ')' in query")
         if t.kind == "op" and t.text == "|" and depth == 0:
             stages.append([])
         else:
             stages[-1].append(t)
+    if depth != 0:
+        raise EsqlError(f"{depth} unclosed '(' at end of query")
     return stages
 
 
@@ -1110,6 +1166,50 @@ def _run_stages(
             if field not in lk.columns:
                 raise EsqlError(f"lookup field {field} absent from {lname}")
             df = df.join(F.broadcast(lk), field, "left")
+        elif cmd == "ENRICH":
+            # ENRICH <policy> ON <field> WITH <col> [, <col> …] — RANGE
+            # match type: the policy table's (range_lo, range_hi) pair IS
+            # the policy metadata (lo inclusive, hi exclusive), and the
+            # translation is a broadcast LEFT interval join: policy
+            # indexes are tiny by ES's enrich contract, so at any corpus
+            # scale this is a map-side theta join against a broadcast
+            # table — never a shuffle, never a cartesian of big frames.
+            pname = p.expect("id").text
+            p.expect("kw", "ON")
+            field = p.expect("id").text
+            p.expect("kw", "WITH")
+            wcols = [p.expect("id").text]
+            while p.accept("op", ","):
+                wcols.append(p.expect("id").text)
+            if tables and pname in tables:
+                pol = tables[pname]
+            elif spark is not None and sf_dir is not None:
+                pol = spark.read.parquet(f"{sf_dir.rstrip('/')}/{pname}.parquet")
+            else:
+                raise EsqlError(f"unknown enrich policy {pname}")
+            for rc in ("range_lo", "range_hi"):
+                if rc not in pol.columns:
+                    raise EsqlError(
+                        f"enrich policy {pname} lacks {rc} — range match "
+                        "type needs (range_lo, range_hi); use LOOKUP JOIN "
+                        "for the exact match type"
+                    )
+            missing = [c for c in wcols if c not in pol.columns]
+            if missing:
+                raise EsqlError(f"WITH columns absent from {pname}: {missing}")
+            if field not in df.columns:
+                raise EsqlError(f"enrich field {field} absent from frame")
+            clash = [c for c in wcols if c in df.columns]
+            if clash:
+                raise EsqlError(f"WITH columns already in frame: {clash}")
+            pol = pol.select("range_lo", "range_hi", *wcols)
+            cond = (F.col(field) >= F.col("range_lo")) & (
+                F.col(field) < F.col("range_hi")
+            )
+            df = (
+                df.join(F.broadcast(pol), cond, "left")
+                .drop("range_lo", "range_hi")
+            )
         elif cmd == "RENAME":
             # RENAME <old> AS <new> [, …] — pure projection relabeling.
             while True:
@@ -1241,7 +1341,7 @@ def _run_stages(
                 branches.append(body)
             if len(branches) < 2:
                 raise EsqlError("FORK needs at least two (branch) pipelines")
-            df = df.persist()
+            df = _track_fork_persist(df)
             outs = []
             for i, body in enumerate(branches, 1):
                 sub = _run_stages(

@@ -5333,6 +5333,10 @@ from .catalog_s11b import build_round4_s11b  # noqa: E402
 
 CATALOG.update(build_round4_s11b())
 
+from .catalog_s12 import build_round5  # noqa: E402
+
+CATALOG.update(build_round5())
+
 
 # Entries left past slot 50 are exactly the ones whose loss costs least:
 # driver-recorded green in round 3 (or round 2 for the _SWEEP_NEXT tier) AND
@@ -5402,7 +5406,8 @@ _SWEEP_NEXT = [
     "index_decoded_postings", "daat_topk_wand", "phrase_topk_indexed",
     "ann_ivf_topk", "dedup_clusters",
     # never-driver-recorded entries, highest-value families first
-    # (ES|QL remainder, then sessions 5-11 aggregates/search/geo/etc.)
+    # (round-5 additions, ES|QL remainder, then sessions 5-11 families)
+    "esql_events_enrich_range",
     "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
     "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
     "esql_docs_strings", "esql_events_cidr", "events_moving_fn",
