@@ -6,13 +6,18 @@ LOOKUP JOIN's equi-key cannot express. The engine already had the interval
 primitives (events_asof_join, eql_sequence); this entry pins the language
 surface over them.
 
+Session-1 additions beyond the verdict list: Lucene TermRangeQuery over the
+sorted-dictionary sidecar, ES field collapsing, ES|QL ROW + wildcard KEEP,
+and curriculum ordering for the training-data pipeline.
+
 Output discipline: no DECIMAL columns (round-5 invariant) — the language's
 exact sums descale to BIGINT cents via queries_catalog._descale_long.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 #: the pinned value-tier enrich policy: disjoint [lo, hi) ranges (the range
 #: field's gte/lt convention). Values below 0.05 match nothing — the
@@ -76,6 +81,296 @@ SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
 FROM e GROUP BY 1 ORDER BY tier"""
 
 
+# --------------------------------------------- Lucene TermRangeQuery
+
+#: pinned term-range query set: (query_id, lo, hi, includeLower,
+#: includeUpper) — the TermRangeQuery constructor's knobs. Query 4 is the
+#: degenerate single-term range; query 5 is empty (no vocabulary term in
+#: [x, zzz]) and must yield zero rows on both engines.
+TERM_RANGE_QUERIES: list[tuple[int, str, str, bool, bool]] = [
+    (1, "h", "k", True, False),
+    (2, "s", "t", True, True),
+    (3, "batch", "data", True, True),
+    (4, "merge", "merge", True, True),
+    (5, "x", "zzz", True, True),
+]
+
+
+def q_bm25_topk_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .build import load_sorted_dictionary
+    from .queries_catalog import K, _index_for, _round6, _stats_for
+    from .querying import expand_term_range_indexed, score_logical
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = expand_term_range_indexed(
+        spark, TERM_RANGE_QUERIES,
+        load_sorted_dictionary(spark, _index_for(spark, sf_dir)),
+    )
+    df = score_logical(qterms, tf_df, dl_df, ts, k=K)
+    return df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _round6("score").alias("score"),
+    )
+
+
+def _term_range_sql() -> str:
+    from .queries_catalog import BM25_SCORE_SQL, K, TOK_SQL
+
+    rows = ", ".join(
+        f"({i}, '{lo}', '{hi}', {str(li).lower()}, {str(ui).lower()})"
+        for i, lo, hi, li, ui in TERM_RANGE_QUERIES
+    )
+    return f"""WITH {TOK_SQL.strip()},
+rq(query_id, lo, hi, li, ui) AS (VALUES {rows}),
+q AS (
+  SELECT rq.query_id, t.term, 1 AS qtf
+  FROM rq JOIN termstats t
+    ON ((t.term > rq.lo) OR (rq.li AND t.term = rq.lo))
+   AND ((t.term < rq.hi) OR (rq.ui AND t.term = rq.hi))
+),
+{BM25_SCORE_SQL.strip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, CAST(ROUND(CAST(score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+FROM ranked WHERE rnk <= {K}"""
+
+
+# --------------------------------------------------- ES field collapsing
+
+#: how many collapsed groups each query's page returns (< |langs| so the
+#: page cut is exercised).
+COLLAPSE_K = 3
+
+
+def bm25_collapse_topk(
+    qterms: DataFrame,
+    tf_df: DataFrame,
+    dl_df: DataFrame,
+    term_stats: DataFrame,
+    docs: DataFrame,
+    k: int = COLLAPSE_K,
+) -> DataFrame:
+    """ES search ``collapse`` (field collapsing) → DF[query_id, rank, lang,
+    doc_id, score, n_group]: the result list keeps ONE representative per
+    collapse-field value (here ``lang``) — the group's best-scoring doc
+    under the engine total order — and groups rank by their
+    representative's score; n_group is the collapsed hit count (the
+    inner_hits cardinality).
+
+    Plan: reuses score_all's broadcast-against-postings frame, one join to
+    the forward index for the collapse field, then two windows — best-per-
+    (query, field-value) and the page rank — both over frames bounded by
+    |matching docs| and |field values|. Both rankings run on the QUANTIZED
+    score (invariant #3)."""
+    from .querying import score_all
+    from .stats import round6
+
+    scored = score_all(qterms, tf_df, dl_df, term_stats).join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"),
+        "doc_id",
+    )
+    scored = scored.select(
+        "query_id", "lang", "doc_id", round6(F.col("score")).alias("score")
+    )
+    wg = Window.partitionBy("query_id", "lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("query_id", "lang")
+    reps = (
+        scored.withColumn("rn", F.row_number().over(wg))
+        .withColumn("n_group", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.col("rn") == 1)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        reps.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank", "lang", "doc_id", "score", "n_group",
+        )
+    )
+
+
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _docs
+    from .queries_catalog import _stats_for, parse_queries, reference_queries
+
+    tf_df, dl_df, ts, _ = _stats_for(spark, sf_dir)
+    qterms = parse_queries(spark, reference_queries())
+    return bm25_collapse_topk(qterms, tf_df, dl_df, ts, _docs(spark, sf_dir))
+
+
+def _collapse_sql() -> str:
+    from .queries_catalog import BM25_SCORE_SQL, TOK_SQL, query_values_sql
+
+    return f"""WITH {TOK_SQL.strip()},
+{query_values_sql()},
+{BM25_SCORE_SQL.strip()},
+withlang AS (
+  SELECT s.query_id, d.lang, s.doc_id,
+         CAST(ROUND(CAST(s.score AS DECIMAL(28,9)), 6) AS DOUBLE) AS score
+  FROM scored s JOIN documents d ON s.doc_id = CAST(d.doc_id AS BIGINT)
+),
+grp AS (
+  SELECT query_id, lang, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id, lang
+           ORDER BY score DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY query_id, lang) AS n_group
+  FROM withlang
+),
+rk AS (
+  SELECT query_id, lang, doc_id, score, n_group,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM grp WHERE rn = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       lang, doc_id, score, CAST(n_group AS BIGINT) AS n_group
+FROM rk WHERE rnk <= {COLLAPSE_K}"""
+
+
+# ------------------------------------------------ ES|QL ROW + wildcards
+
+ESQL_ROW_QUERY = """
+ROW x = 1.5, y = 3, s = "spark sql engine"
+| EVAL ratio = ROUND(x / y, 6),
+       head5 = SUBSTRING(s, 1, 5),
+       n_chars = LENGTH(s),
+       shout = TO_UPPER(CONCAT(head5, "!"))
+| KEEP ratio, hea*, n_chars, shout
+"""
+
+ESQL_KEEP_WILDCARD_QUERY = """
+FROM events
+| KEEP event_*, value
+| STATS n = COUNT(*), ids = COUNT_DISTINCT(event_id), sv = SUM(value)
+  BY event_type
+| SORT event_type
+"""
+
+
+def q_esql_row_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_ROW_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_ROW_SQL = """SELECT
+  CAST(ROUND(CAST(1.5 / 3 AS DECIMAL(28,9)), 6) AS DOUBLE) AS ratio,
+  substring('spark sql engine', 1, 5) AS head5,
+  CAST(length('spark sql engine') AS BIGINT) AS n_chars,
+  upper(substring('spark sql engine', 1, 5) || '!') AS shout"""
+
+
+def q_esql_keep_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+    from .queries_catalog import _descale_long
+
+    df = compile_esql(ESQL_KEEP_WILDCARD_QUERY, spark=spark, sf_dir=sf_dir)
+    return _descale_long(df, "sv", "sv_e2", 2)
+
+
+ESQL_KEEP_WILDCARD_SQL = """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ids,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DECIMAL(20,9)) * 100 AS BIGINT) AS sv_e2
+FROM events GROUP BY 1 ORDER BY event_type"""
+
+
+# ------------------------------------------------- curriculum ordering
+
+#: number of curriculum phases (quality quartiles, highest first).
+CURRICULUM_PHASES = 4
+
+
+def curriculum_order(docs: DataFrame) -> DataFrame:
+    """Curriculum ordering for LLM pretraining → DF[doc_id, phase,
+    curriculum_rank, qscore]: documents bucketed into quality quartiles
+    (phase 1 = cleanest, the anneal-on-quality recipe) and deterministically
+    shuffled WITHIN each phase by a data-derived hash — the standard
+    curriculum = sort-by-quality-then-shuffle-within-band construction,
+    made reproducible (invariant #1: no rand()).
+
+    Quality = the engine's text_quality heuristic (round6-quantized);
+    token-less documents score NULL and are coalesced to −1 so they land
+    in the last phase deterministically. NTILE over the (qscore DESC,
+    doc_id ASC) total order is engine-identical given the identical order.
+
+    Scale: the global NTILE window is fixture-exact; at 100 TB the phase
+    boundaries come from stats.quantile_thresholds (the GK-sketch path
+    user_rfm documents) and the rank from a per-phase shuffle key sort —
+    the same contract, sketch-bucketed."""
+    from .stats import round6
+    from .textpipe import h60, text_quality
+
+    q = text_quality(docs).select(
+        "doc_id",
+        F.coalesce(round6(F.col("quality_score")), F.lit(-1.0)).alias("qscore"),
+    )
+    wq = Window.orderBy(F.desc("qscore"), F.asc("doc_id"))
+    phased = q.withColumn(
+        "phase", F.ntile(CURRICULUM_PHASES).over(wq).cast("long")
+    ).withColumn(
+        "skey",
+        h60(F.concat(F.lit("curriculum|"), F.col("doc_id").cast("string"))),
+    )
+    wr = Window.orderBy(F.asc("phase"), F.asc("skey"), F.asc("doc_id"))
+    return phased.select(
+        "doc_id",
+        "phase",
+        F.row_number().over(wr).cast("long").alias("curriculum_rank"),
+        "qscore",
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _docs
+
+    return curriculum_order(_docs(spark, sf_dir))
+
+
+def _curriculum_sql() -> str:
+    # the quality CTEs are the text_quality oracle's, verbatim shape —
+    # including the ROUND of the intermediate ratios BEFORE the score
+    # formula (the engine rounds mean_token_len / stopword_ratio at 6dp
+    # and scores on the rounded values).
+    from .catalog_pipeline import _TS
+    from .textpipe import EN_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    return f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({_TS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({_TS}, x -> length(x))), 0) AS DOUBLE) AS sum_len,
+         CAST(len(list_filter({_TS}, x -> x IN ({sw}))) AS BIGINT) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND(CAST(sum_len / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean_token_len,
+         CAST(ROUND(CAST(sw / nullif(n_tokens, 0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS stopword_ratio
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         COALESCE(CAST(ROUND(CAST(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3
+             + least(stopword_ratio * 5.0, 1.0) * 0.3 AS DECIMAL(28,9)), 6) AS DOUBLE), -1.0) AS qscore
+  FROM r
+),
+phased AS (
+  SELECT doc_id, qscore,
+         NTILE({CURRICULUM_PHASES}) OVER (ORDER BY qscore DESC, doc_id ASC) AS phase,
+         ('0x' || substring(md5('curriculum|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM scored
+)
+SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+       CAST(ROW_NUMBER() OVER (ORDER BY phase ASC, skey ASC, doc_id ASC) AS BIGINT) AS curriculum_rank,
+       qscore
+FROM phased"""
+
+
 def build_round5():
     from .queries_catalog import QuerySpec
 
@@ -89,5 +384,47 @@ def build_round5():
             "composed with EVAL on the enriched columns and the exact-sum "
             "STATS discipline; values below every range pin the NULL-tier "
             "group",
+        ),
+        "bm25_topk_term_range": QuerySpec(
+            q_bm25_topk_term_range,
+            _term_range_sql(),
+            "Lucene TermRangeQuery: lexicographic [lo, hi] vocabulary "
+            "ranges (per-query includeLower/includeUpper) expanded over "
+            "the term-sorted dictionary sidecar — the literal range OR is "
+            "a pushed filter on the sorted scan (Lucene's terms-dict "
+            "seek); includes a degenerate single-term range and an empty "
+            "range that must yield zero rows",
+        ),
+        "bm25_collapse_topk": QuerySpec(
+            q_bm25_collapse,
+            _collapse_sql(),
+            "ES field collapsing: one representative (best-scoring doc) "
+            "per lang per query, groups ranked by their representative "
+            "under the engine total order, n_group = the inner_hits "
+            "cardinality — reuses score_all's broadcast-against-postings "
+            "frame plus one forward-index join",
+        ),
+        "esql_row_eval": QuerySpec(
+            q_esql_row_eval,
+            ESQL_ROW_SQL,
+            "ES|QL ROW: the literal one-row pipeline seed, composed with "
+            "EVAL scalar functions and a wildcard KEEP (hea*) — the "
+            "language's constant-expression surface certified end-to-end",
+        ),
+        "esql_keep_wildcard": QuerySpec(
+            q_esql_keep_wildcard,
+            ESQL_KEEP_WILDCARD_SQL,
+            "ES|QL wildcard projections: KEEP event_*, value expands "
+            "against the frame's columns at compile time (first-match "
+            "order, duplicates dropped) before the exact-sum STATS",
+        ),
+        "curriculum_order": QuerySpec(
+            q_curriculum_order,
+            _curriculum_sql(),
+            "curriculum ordering for pretraining: quality quartiles "
+            "(phase 1 = cleanest) with a deterministic h60 shuffle within "
+            "each phase — sort-by-quality-then-shuffle-within-band, "
+            "reproducible (no rand()); token-less docs coalesce to the "
+            "last phase",
         ),
     }

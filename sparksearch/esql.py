@@ -16,14 +16,15 @@ the previous one, so ``EVAL``/``WHERE`` after ``STATS`` operate on the
 aggregated frame, matching ES|QL semantics):
 
     FROM <table>
+    ROW   <name> = <expr> [, …]    — literal one-row source (pipeline seed)
     WHERE <boolean expr>
     EVAL  <name> = <expr> [, <name> = <expr> …]
     STATS <name> = <agg>(…) [WHERE <cond>] [, …] [BY <col> [, <col> …]]
     INLINESTATS <name> = <agg>(…) [WHERE <cond>] [, …] [BY <col> [, <col> …]]
     SORT  <col> [ASC|DESC] [, …]
     LIMIT <n>
-    KEEP  <col> [, …]
-    DROP  <col> [, …]
+    KEEP  <col-or-pattern> [, …]   — wildcards expand (KEEP event_*, *_id)
+    DROP  <col-or-pattern> [, …]
     RENAME <old> AS <new> [, …]
     SAMPLE <prob> <key_col>        — deterministic h60-hash sampling (the
                                      seeded-hash dialect variant of ES's
@@ -148,6 +149,7 @@ _KEYWORDS = {
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
     "RENAME", "AS", "SAMPLE", "FORK", "CHANGE_POINT", "ENRICH", "WITH",
+    "ROW",
 }
 
 
@@ -998,6 +1000,28 @@ def _run_stages(
                 df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
             else:
                 raise EsqlError(f"unknown table {name}")
+        elif cmd == "ROW":
+            # ROW a = <expr> [, b = <expr> …] — the literal one-row source
+            # (ES|QL's constant pipeline seed). Compiles to a projection
+            # over a literal one-row frame; expressions share the full
+            # EVAL grammar (so ROW x = ROUND(1.0/3.0, 6) works).
+            if df is not None:
+                raise EsqlError("ROW must start the pipeline")
+            if spark is None:
+                sess = SparkSession.getActiveSession()
+                if sess is None and tables:
+                    sess = next(iter(tables.values())).sparkSession
+                if sess is None:
+                    raise EsqlError("ROW needs a SparkSession")
+            else:
+                sess = spark
+            df = sess.range(1).select()
+            while True:
+                name = p.expect("id").text
+                p.expect("op", "=")
+                df = df.withColumn(name, _ExprParser(p).parse())
+                if not p.accept("op", ","):
+                    break
         elif df is None:
             raise EsqlError("pipeline must start with FROM")
         elif cmd == "WHERE":
@@ -1222,9 +1246,38 @@ def _run_stages(
                 if not p.accept("op", ","):
                     break
         elif cmd in ("KEEP", "DROP"):
-            cols = [p.expect("id").text]
+            # column names or wildcard patterns (ES|QL: KEEP event_*, *_id)
+            # — patterns expand against the frame's columns at compile
+            # time, first-match-position order, duplicates dropped.
+            def _pattern() -> str:
+                parts: list[str] = []
+                while True:
+                    if p.accept("op", "*"):
+                        parts.append("*")
+                    elif not p.done() and p.peek().kind == "id":
+                        parts.append(p.next().text)
+                    else:
+                        break
+                if not parts:
+                    raise EsqlError(f"{cmd}: expected column name or pattern")
+                return "".join(parts)
+
+            pats = [_pattern()]
             while p.accept("op", ","):
-                cols.append(p.expect("id").text)
+                pats.append(_pattern())
+            import fnmatch as _fn
+
+            cols: list[str] = []
+            for pat in pats:
+                if "*" in pat:
+                    hits = [c for c in df.columns if _fn.fnmatchcase(c, pat)]
+                    if not hits:
+                        raise EsqlError(f"{cmd}: pattern {pat!r} matches no columns")
+                elif pat in df.columns:
+                    hits = [pat]
+                else:
+                    raise EsqlError(f"{cmd}: unknown column {pat}")
+                cols.extend(c for c in hits if c not in cols)
             df = df.select(*cols) if cmd == "KEEP" else df.drop(*cols)
         elif cmd == "CHANGE_POINT":
             # CHANGE_POINT <value> ON <key> (ES|QL 8.18 tech preview):

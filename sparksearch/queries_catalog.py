@@ -5407,7 +5407,8 @@ _SWEEP_NEXT = [
     "ann_ivf_topk", "dedup_clusters",
     # never-driver-recorded entries, highest-value families first
     # (round-5 additions, ES|QL remainder, then sessions 5-11 families)
-    "esql_events_enrich_range",
+    "esql_events_enrich_range", "bm25_topk_term_range", "bm25_collapse_topk",
+    "esql_row_eval", "esql_keep_wildcard", "curriculum_order",
     "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
     "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
     "esql_docs_strings", "esql_events_cidr", "events_moving_fn",

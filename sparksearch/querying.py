@@ -492,6 +492,54 @@ def prefix_range_pred(col, prefixes: list[str]):
     )
 
 
+def expand_term_range_indexed(
+    spark: SparkSession,
+    ranges: list[tuple[int, str, str, bool, bool]],
+    dict_sorted: DataFrame,
+) -> DataFrame:
+    """Lucene TermRangeQuery expansion over the TERM-SORTED dictionary
+    sidecar → qterms DF[query_id, term, qtf=1]: every vocabulary term
+    inside the query's lexicographic ``[lo, hi]`` range (per-query
+    includeLower / includeUpper flags, the TermRangeQuery constructor's
+    knobs) becomes a disjunctive query term — each expansion contributes
+    its own BM25 weight, exactly the PrefixQuery rewrite discipline.
+
+    Plan: the global OR of the literal ranges is a PUSHED filter on the
+    sorted-dictionary scan (GreaterThan/LessThan conjuncts → row-group
+    pruning on the term-sorted sidecar — Lucene's seek into its sorted
+    terms dict); the tiny range set then broadcast-joins to assign query
+    ids over the already-pruned candidates. A degenerate range (lo == hi,
+    both inclusive) reduces to a single TermQuery; an empty range yields
+    no qterms and therefore no result rows for that query on both
+    engines."""
+    import functools
+
+    rows = [(int(i), lo, hi, bool(li), bool(ui)) for i, lo, hi, li, ui in ranges]
+    r = spark.createDataFrame(
+        rows, "query_id int, lo string, hi string, lo_inc boolean, hi_inc boolean"
+    )
+    # literal (pushable) pre-prune: OR of the per-query ranges
+    pred = functools.reduce(
+        lambda a, b: a | b,
+        [
+            ((F.col("term") >= lo) if li else (F.col("term") > lo))
+            & ((F.col("term") <= hi) if ui else (F.col("term") < hi))
+            for _, lo, hi, li, ui in rows
+        ],
+    )
+    cand = dict_sorted.select("term").filter(pred)
+    cond = (
+        (F.col("term") > F.col("lo"))
+        | (F.col("lo_inc") & (F.col("term") == F.col("lo")))
+    ) & (
+        (F.col("term") < F.col("hi"))
+        | (F.col("hi_inc") & (F.col("term") == F.col("hi")))
+    )
+    return cand.join(F.broadcast(r), cond, "inner").select(
+        "query_id", "term", F.lit(1).alias("qtf")
+    )
+
+
 def expand_prefix_indexed(
     spark: SparkSession,
     prefixes: list[tuple[int, str]],

@@ -175,3 +175,126 @@ def test_enrich_range_contract_errors(spark):
             "FROM t | ENRICH p ON nope WITH tier",
             tables={"t": df, "p": tiers},
         )
+
+
+# --------------------------------- term range / collapse / ROW / curriculum
+
+
+def test_term_range_expansion_matches_python(spark, docs_sf0001):
+    """Expansion set == a from-scratch python range scan over the vocab."""
+    from sparksearch.build import load_sorted_dictionary
+    from sparksearch.catalog_s12 import TERM_RANGE_QUERIES
+    from sparksearch.queries_catalog import _index_for
+    from sparksearch.querying import expand_term_range_indexed
+    from sparksearch.tokenize import py_tokenize
+    from conftest import SF_SMOKE
+
+    import pyarrow.parquet as pq
+
+    vocab = set()
+    for t in pq.read_table(str(SF_SMOKE / "documents.parquet")).to_pandas().text:
+        vocab.update(py_tokenize(t))
+
+    d = load_sorted_dictionary(spark, _index_for(spark, str(SF_SMOKE)))
+    got = {
+        (r.query_id, r.term)
+        for r in expand_term_range_indexed(
+            spark, TERM_RANGE_QUERIES, d
+        ).collect()
+    }
+    want = {
+        (i, t)
+        for i, lo, hi, li, ui in TERM_RANGE_QUERIES
+        for t in vocab
+        if ((t > lo) or (li and t == lo)) and ((t < hi) or (ui and t == hi))
+    }
+    assert got == want
+    # the degenerate single-term range hits exactly its term; the empty
+    # range hits nothing
+    assert {t for i, t in got if i == 4} == {"merge"}
+    assert not {t for i, t in got if i == 5}
+
+
+def test_term_range_scan_is_pushed(spark):
+    """The literal range OR must reach the sorted-dictionary scan as
+    PushedFilters — the Lucene terms-dict seek, not a full vocab pass."""
+    from sparksearch.build import load_sorted_dictionary
+    from sparksearch.catalog_s12 import TERM_RANGE_QUERIES
+    from sparksearch.queries_catalog import _index_for
+    from sparksearch.querying import expand_term_range_indexed
+    from conftest import SF_SMOKE
+
+    d = load_sorted_dictionary(spark, _index_for(spark, str(SF_SMOKE)))
+    q = expand_term_range_indexed(spark, TERM_RANGE_QUERIES, d)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any(
+        "GreaterThan" in l or "GreaterThanOrEqual" in l for l in pushed
+    ), plan[:2000]
+
+
+def test_collapse_invariants(spark, docs_sf0001):
+    """One representative per (query, lang); rank order follows the
+    representative scores; n_group counts the collapsed hits."""
+    from sparksearch.catalog_s12 import COLLAPSE_K, q_bm25_collapse
+    from conftest import SF_SMOKE
+
+    rows = q_bm25_collapse(spark, str(SF_SMOKE)).collect()
+    seen = set()
+    per_q: dict = {}
+    for r in rows:
+        assert (r.query_id, r.lang) not in seen
+        seen.add((r.query_id, r.lang))
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= COLLAPSE_K
+        scores = [(round(r.score, 6), -r.doc_id) for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.n_group >= 1 for r in rs)
+
+
+def test_esql_row_and_wildcards(spark):
+    from sparksearch.esql import EsqlError, compile_esql
+
+    r = compile_esql('ROW a = 1, b = ROUND(2.0 / 3.0, 6)').collect()
+    assert len(r) == 1 and r[0].a == 1 and abs(r[0].b - 0.666667) < 1e-12
+
+    df = spark.createDataFrame([(1, 2, 3)], "x_id long, y_id long, other long")
+    out = compile_esql('FROM t | KEEP *_id', tables={"t": df})
+    assert out.columns == ["x_id", "y_id"]
+    out2 = compile_esql('FROM t | DROP *_id', tables={"t": df})
+    assert out2.columns == ["other"]
+
+    import pytest as _pt
+
+    with _pt.raises(EsqlError, match="matches no columns"):
+        compile_esql('FROM t | KEEP z*', tables={"t": df})
+    with _pt.raises(EsqlError, match="must start the pipeline"):
+        compile_esql('FROM t | ROW a = 1', tables={"t": df})
+
+
+def test_curriculum_order_invariants(spark, docs_sf0001):
+    """Phases are quality-monotone (every phase-p doc scores >= every
+    phase-(p+1) doc up to the quartile boundary ties) and curriculum_rank
+    is a permutation ordered phase-major."""
+    from sparksearch.catalog_s12 import CURRICULUM_PHASES, curriculum_order
+
+    rows = curriculum_order(docs_sf0001).collect()
+    assert sorted(r.curriculum_rank for r in rows) == list(range(1, len(rows) + 1))
+    assert {r.phase for r in rows} == set(range(1, CURRICULUM_PHASES + 1))
+    # rank is phase-major
+    by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
+    assert [r.phase for r in by_rank] == sorted(r.phase for r in rows)
+    # quality-monotone across phase boundaries (modulo exact-score ties)
+    lo_of = {p: min(r.qscore for r in rows if r.phase == p)
+             for p in range(1, CURRICULUM_PHASES + 1)}
+    hi_of = {p: max(r.qscore for r in rows if r.phase == p)
+             for p in range(1, CURRICULUM_PHASES + 1)}
+    for p in range(1, CURRICULUM_PHASES):
+        assert lo_of[p] >= hi_of[p + 1] - 1e-12
