@@ -371,6 +371,180 @@ SELECT doc_id, CAST(phase AS BIGINT) AS phase,
 FROM phased"""
 
 
+# --------------------------------------------- TSDB counter rate (resets)
+
+
+def events_counter_rate(events: DataFrame) -> DataFrame:
+    """ES TSDB ``rate`` aggregation on a counter field, reset-aware →
+    DF[user_id, n_samples, n_resets, increase_e2, rate_per_hour]: the
+    time-series-database contract where a counter only ever grows and a
+    drop means the process restarted — the rate must sum POSITIVE deltas
+    only (each reset forfeits the in-flight increment, Prometheus/ES
+    semantics) over the series' observed time span.
+
+    The fixture has no counter column, so one is synthesized from the data
+    itself: per user, ordered by (ts, event_id) — a total order, event_id
+    is unique — the counter is the running sum of 2-dp value CENTS that
+    RESETS to zero at every 'error' event. The synthesis is itself a
+    window cumsum; the rate recovers the increase via lag deltas. All
+    counter math is exact BIGINT cents; the only double is the final
+    rate division (one IEEE op, round6). Cost: two windows over the same
+    (user_id × time) partition order — one hash partition by user, no
+    joins; at any scale the state per key is one running sum."""
+    from .stats import round6
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+        cents.alias("cents"),
+        # reset epoch groups: count of errors so far (inclusive) — the
+        # counter restarts after each error event
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w).alias("era"),
+    )
+    we = Window.partitionBy("user_id", "era").orderBy("ts", "event_id")
+    counter = c.select(
+        "user_id", "ts", "event_id", "epoch", "era",
+        F.sum(F.when(F.col("event_type") == "error", 0).otherwise(F.col("cents")))
+        .over(we).alias("counter"),
+    )
+    d = counter.select(
+        "user_id", "epoch", "counter",
+        (F.col("counter") - F.lag("counter").over(w)).alias("delta"),
+    )
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long").alias("n_resets"),
+        F.coalesce(
+            F.sum(F.when(F.col("delta") > 0, F.col("delta"))), F.lit(0)
+        ).cast("long").alias("increase_e2"),
+        F.min("epoch").cast("long").alias("t0"),
+        F.max("epoch").cast("long").alias("t1"),
+    )
+    return g.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_samples", "n_resets", "increase_e2",
+        round6(
+            F.when(
+                F.col("t1") > F.col("t0"),
+                F.col("increase_e2") / ((F.col("t1") - F.col("t0")) / F.lit(3600.0)) / F.lit(100.0),
+            )
+        ).alias("rate_per_hour"),
+    )
+
+
+def q_events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+
+    return events_counter_rate(_t(spark, sf_dir, "events"))
+
+
+COUNTER_RATE_SQL = """WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_type,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS era
+  FROM events
+),
+ctr AS (
+  SELECT user_id, ts, event_id, epoch, era,
+         SUM(CASE WHEN event_type = 'error' THEN 0 ELSE cents END)
+           OVER (PARTITION BY user_id, era ORDER BY ts, event_id) AS counter
+  FROM c
+),
+d AS (
+  SELECT user_id, epoch, counter,
+         counter - lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM ctr
+),
+g AS (
+  SELECT user_id, COUNT(*) AS n_samples,
+         SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_resets,
+         COALESCE(SUM(CASE WHEN delta > 0 THEN delta END), 0) AS increase_e2,
+         MIN(epoch) AS t0, MAX(epoch) AS t1
+  FROM d GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_resets AS BIGINT) AS n_resets,
+       CAST(increase_e2 AS BIGINT) AS increase_e2,
+       CAST(ROUND(CAST(CASE WHEN t1 > t0
+            THEN CAST(increase_e2 AS DOUBLE) / ((t1 - t0) / 3600.0) / 100.0
+            END AS DECIMAL(28,9)), 6) AS DOUBLE) AS rate_per_hour
+FROM g"""
+
+
+# ----------------------------------------------- training shard assignment
+
+#: number of training shards documents are dealt into.
+N_TRAINING_SHARDS = 8
+
+
+def training_shards(docs: DataFrame, n_shards: int = N_TRAINING_SHARDS) -> DataFrame:
+    """Deterministic training-shard assignment + balance report →
+    DF[shard, n_docs, n_tokens, n_chars, min_doc, max_doc]: every document
+    deals into one of ``n_shards`` shards by a data-derived hash (h60 —
+    invariant #1: rebuildable, no rand()), the layout a distributed
+    pretraining job reads (one shard per data-parallel worker group).
+
+    The report certifies what shard layouts must certify: coverage
+    (Σ n_docs = |corpus|), balance (hash dealing → near-uniform), and the
+    per-shard token budget (the number that actually schedules training).
+    One map-side projection + one n_shards-sized group-by; token counts
+    ride the pinned tokenizer."""
+    from .textpipe import h60
+    from .tokenize import tokens_col
+
+    shard = F.pmod(
+        h60(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+        F.lit(n_shards),
+    ).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _docs
+
+    return training_shards(_docs(spark, sf_dir))
+
+
+def _training_shards_sql() -> str:
+    from .catalog_pipeline import _TS
+
+    return f"""WITH a AS (
+  SELECT ('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {N_TRAINING_SHARDS} AS shard,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         len({_TS}) AS nt,
+         length(text) AS nc
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens, CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM a GROUP BY 1"""
+
+
 def build_round5():
     from .queries_catalog import QuerySpec
 
@@ -426,5 +600,22 @@ def build_round5():
             "each phase — sort-by-quality-then-shuffle-within-band, "
             "reproducible (no rand()); token-less docs coalesce to the "
             "last phase",
+        ),
+        "events_counter_rate": QuerySpec(
+            q_events_counter_rate,
+            COUNTER_RATE_SQL,
+            "ES TSDB rate on a counter field, reset-aware: positive-delta "
+            "sums over a per-user synthesized counter (cumulative cents "
+            "that reset at error events) — exact BIGINT counter math, "
+            "resets forfeit in-flight increments (Prometheus semantics), "
+            "one round6 division for the per-hour rate",
+        ),
+        "training_shards": QuerySpec(
+            q_training_shards,
+            _training_shards_sql(),
+            "deterministic training-shard assignment + balance report: "
+            "h60 dealing into 8 shards with per-shard doc/token/char "
+            "budgets — the layout a distributed pretraining job reads; "
+            "coverage and balance are the certified invariants",
         ),
     }

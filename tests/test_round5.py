@@ -298,3 +298,52 @@ def test_curriculum_order_invariants(spark, docs_sf0001):
              for p in range(1, CURRICULUM_PHASES + 1)}
     for p in range(1, CURRICULUM_PHASES):
         assert lo_of[p] >= hi_of[p + 1] - 1e-12
+
+
+# ------------------------------------ counter rate / training shards
+
+
+def test_counter_rate_hand_case(spark):
+    """Hand-built series: u1 counter 100,250 | reset | 300 -> increase
+    100+150(+300 after reset)... positive deltas only, reset forfeited."""
+    import datetime as dt
+
+    from sparksearch.catalog_s12 import events_counter_rate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (event_id, user_id, event_type, value, ts) — u1: two increments,
+        # an error (reset), one increment; u2: single sample (no deltas)
+        (1, 1, "view", 1.00, t0),
+        (2, 1, "view", 1.50, t0 + dt.timedelta(hours=1)),
+        (3, 1, "error", 9.99, t0 + dt.timedelta(hours=2)),
+        (4, 1, "view", 3.00, t0 + dt.timedelta(hours=4)),
+        (5, 2, "view", 2.00, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+    got = {r.user_id: r for r in events_counter_rate(df).collect()}
+    u1 = got[1]
+    # counters: 100, 250, 0(reset), 300 -> deltas +150, -250, +300
+    assert (u1.n_samples, u1.n_resets, u1.increase_e2) == (4, 1, 450)
+    # increase 4.50 over 4h -> 1.125/h
+    assert abs(u1.rate_per_hour - 1.125) < 1e-9
+    u2 = got[2]
+    assert (u2.n_samples, u2.n_resets, u2.increase_e2) == (1, 0, 0)
+    assert u2.rate_per_hour is None  # zero time span
+
+
+def test_training_shards_cover_and_balance(spark, docs_sf0001):
+    from sparksearch.catalog_s12 import N_TRAINING_SHARDS, training_shards
+
+    rows = training_shards(docs_sf0001).collect()
+    total = docs_sf0001.count()
+    assert sum(r.n_docs for r in rows) == total          # coverage
+    assert {r.shard for r in rows} <= set(range(N_TRAINING_SHARDS))
+    # hash dealing: no shard more than 2.5x the uniform share (500 docs/8)
+    assert max(r.n_docs for r in rows) <= 2.5 * total / N_TRAINING_SHARDS
+    assert all(r.n_tokens > 0 and r.n_chars > 0 for r in rows)
+    # deterministic: a second run is byte-identical
+    again = training_shards(docs_sf0001).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
