@@ -479,6 +479,55 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM g"""
 
 
+# ---------------------------------------------------- ES|QL FORK | FUSE
+
+ESQL_FUSE_QUERY = """
+FROM events
+| FORK (STATS sv = SUM(value) BY user_id | SORT sv DESC, user_id ASC | LIMIT 20)
+       (STATS n = COUNT(*) BY user_id | SORT n DESC, user_id ASC | LIMIT 20)
+| FUSE user_id
+| SORT fuse_score DESC, user_id ASC
+| LIMIT 15
+"""
+
+
+def q_esql_fork_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_FUSE_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_FUSE_SQL = """WITH s1 AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(28,9))) AS sv FROM events GROUP BY 1
+),
+b1 AS (
+  SELECT user_id, ROW_NUMBER() OVER (ORDER BY sv DESC, user_id ASC) AS r1 FROM s1
+),
+t1 AS (SELECT user_id, r1 FROM b1 WHERE r1 <= 20),
+s2 AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+b2 AS (
+  SELECT user_id, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS r2 FROM s2
+),
+t2 AS (SELECT user_id, r2 FROM b2 WHERE r2 <= 20),
+m AS (
+  SELECT COALESCE(t1.user_id, t2.user_id) AS user_id, r1, r2
+  FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+),
+f AS (
+  SELECT user_id,
+         CAST(ROUND(CAST(COALESCE(1.0 / (60 + r1), 0.0)
+              + COALESCE(1.0 / (60 + r2), 0.0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS fuse_score,
+         CAST((CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sets
+  FROM m
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY fuse_score DESC, user_id ASC) AS rnk FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, fuse_score, n_sets
+FROM r WHERE rnk <= 15"""
+
+
 # ----------------------------------------------- training shard assignment
 
 #: number of training shards documents are dealt into.
@@ -609,6 +658,15 @@ def build_round5():
             "that reset at error events) — exact BIGINT counter math, "
             "resets forfeit in-flight increments (Prometheus semantics), "
             "one round6 division for the per-hour rate",
+        ),
+        "esql_fork_fuse": QuerySpec(
+            q_esql_fork_fuse,
+            ESQL_FUSE_SQL,
+            "ES|QL FUSE (9.x): RRF over FORK branches — two retrievers "
+            "(top spenders, most active) each ranked by its own final "
+            "SORT, fused as a fixed 1/(60+rank) addition chain (never a "
+            "float agg) merged on the explicit key, round6 total order, "
+            "page cut after fusion",
         ),
         "training_shards": QuerySpec(
             q_training_shards,

@@ -33,6 +33,12 @@ aggregated frame, matching ES|QL semantics):
                                      parent frame, unioned with a _fork
                                      discriminator + null-filled columns;
                                      stage splitting is paren-depth-aware
+    FUSE <key> [, <key> …]         — RRF over the preceding FORK's
+                                     branches (9.x): each branch ranks by
+                                     its own final SORT, fuse_score =
+                                     Σ 1/(60 + rank) as a fixed addition
+                                     chain, merged on the key columns
+                                     (the explicit _id analog)
     CHANGE_POINT <value> ON <key>  — deterministic mean-shift argmax over
                                      the piped frame (exact BIGINT
                                      cross-products, round6 ratio rank)
@@ -124,7 +130,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["compile_esql", "EsqlError"]
@@ -149,7 +155,7 @@ _KEYWORDS = {
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL",
     "LOOKUP", "JOIN", "ON", "DISSECT", "GROK", "MV_EXPAND", "INLINESTATS",
     "RENAME", "AS", "SAMPLE", "FORK", "CHANGE_POINT", "ENRICH", "WITH",
-    "ROW",
+    "ROW", "FUSE",
 }
 
 
@@ -910,6 +916,43 @@ def _window_agg(fn: str, args: list[Column | None], w) -> Column:
     return exact.cast("double") / F.count(arg).over(w)
 
 
+#: RRF rank constant (the ES default k=60): fuse_score = Σ 1/(60 + rank).
+FUSE_RANK_CONSTANT = 60
+
+
+def _final_sort_order(body: list[_Tok]) -> list:
+    """The final SORT stage's order of a FORK branch, as Column sort
+    expressions — FUSE re-applies it as a row_number to derive the
+    branch's result-set row positions (ES ranks by result order; the
+    dialect pins that order to the branch's own SORT, which must be a
+    total order — add a unique tiebreaker column). The SORT may be
+    followed only by LIMIT stages."""
+    sort_stage = None
+    for st in reversed(_split_stages(body)):
+        if st and st[0].kind == "kw" and st[0].text == "LIMIT":
+            continue
+        if st and st[0].kind == "kw" and st[0].text == "SORT":
+            sort_stage = st
+        break
+    if sort_stage is None:
+        raise EsqlError(
+            "FUSE needs every FORK branch to end with SORT (+ optional "
+            "LIMIT) — the sort order IS the branch's result-set ranking"
+        )
+    p = _Parser(sort_stage)
+    p.expect("kw", "SORT")
+    order = []
+    while True:
+        col = p.expect("id").text
+        desc = bool(p.accept("kw", "DESC"))
+        if not desc:
+            p.accept("kw", "ASC")
+        order.append(F.desc(col) if desc else F.asc(col))
+        if not p.accept("op", ","):
+            break
+    return order
+
+
 #: Frames persist()ed by compiled FORK stages (the parent frame feeding
 #: every branch — without the persist each branch re-executes the whole
 #: upstream DAG).  Bounded LRU: compiling a new FORK past the cap
@@ -987,9 +1030,12 @@ def _run_stages(
     spark: SparkSession | None,
     sf_dir: str | None,
 ) -> DataFrame:
-    for stage in stages:
+    fork_n_branches: int | None = None
+    for si, stage in enumerate(stages):
         if not stage:
             raise EsqlError("empty pipeline stage")
+        nxt = stages[si + 1] if si + 1 < len(stages) else None
+        next_is_fuse = bool(nxt) and nxt[0].kind == "kw" and nxt[0].text == "FUSE"
         p = _Parser(stage)
         cmd = p.expect("kw").text
         if cmd == "FROM":
@@ -1069,8 +1115,6 @@ def _run_stages(
                 while p.accept("op", ","):
                     keys.append(p.expect("id").text)
             if keys:
-                from pyspark.sql import Window
-
                 w = Window.partitionBy(*keys)
                 for name, fn, aargs in specs:
                     df = df.withColumn(name, _window_agg(fn, aargs, w))
@@ -1402,11 +1446,69 @@ def _run_stages(
                 )
                 if "_fork" in sub.columns:
                     raise EsqlError("nested FORK is not supported")
+                if next_is_fuse:
+                    # FUSE ranks each branch by its OWN row order — ES
+                    # derives it from the result-set positions; here the
+                    # branch's final SORT spec (which must be a total
+                    # order) is re-applied as a row_number. The window is
+                    # global over ONE branch's page — result sets are
+                    # LIMIT-bounded by construction, so the single
+                    # partition holds a page, never a corpus.
+                    order = _final_sort_order(body)
+                    sub = sub.withColumn(
+                        "_rank",
+                        F.row_number().over(Window.orderBy(*order)).cast("long"),
+                    )
                 outs.append(sub.withColumn("_fork", F.lit(f"fork{i}")))
             out = outs[0]
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)
             df = out
+            fork_n_branches = len(branches) if next_is_fuse else None
+        elif cmd == "FUSE":
+            # FUSE <key> [, <key> …] (ES|QL 9.x): reciprocal-rank-fusion
+            # of the preceding FORK's branches, merged on the key columns
+            # (the dialect's explicit analog of ES's implicit _id/_index).
+            # fuse_score = Σ_branches 1/(60 + rank) — built as a FIXED
+            # left-to-right addition chain over the compile-time branch
+            # list (never a float agg, whose combine order is not
+            # deterministic), then round6 (invariant #5); n_sets = how
+            # many branches retrieved the key.
+            if (
+                df is None or fork_n_branches is None
+                or "_fork" not in df.columns or "_rank" not in df.columns
+            ):
+                raise EsqlError("FUSE must immediately follow FORK")
+            keys = [p.expect("id").text]
+            while p.accept("op", ","):
+                keys.append(p.expect("id").text)
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                raise EsqlError(f"FUSE keys absent from branches: {missing}")
+            tags = [f"fork{i}" for i in range(1, fork_n_branches + 1)]
+            aggs = [
+                F.max(
+                    F.when(F.col("_fork") == t, F.col("_rank"))
+                ).alias(f"_r{j}")
+                for j, t in enumerate(tags, 1)
+            ]
+            g = df.groupBy(*keys).agg(*aggs)
+            score = F.lit(0.0)
+            for j in range(1, len(tags) + 1):
+                score = score + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(FUSE_RANK_CONSTANT)) + F.col(f"_r{j}")),
+                    F.lit(0.0),
+                )
+            from .stats import round6
+
+            df = g.select(
+                *keys,
+                round6(score).alias("fuse_score"),
+                sum(
+                    (F.when(F.col(f"_r{j}").isNotNull(), 1).otherwise(0))
+                    for j in range(1, len(tags) + 1)
+                ).cast("long").alias("n_sets"),
+            )
         else:
             raise EsqlError(f"unknown command {cmd}")
         if not p.done():

@@ -5409,7 +5409,7 @@ _SWEEP_NEXT = [
     # (round-5 additions, ES|QL remainder, then sessions 5-11 families)
     "esql_events_enrich_range", "bm25_topk_term_range", "bm25_collapse_topk",
     "esql_row_eval", "esql_keep_wildcard", "curriculum_order",
-    "events_counter_rate", "training_shards",
+    "events_counter_rate", "training_shards", "esql_fork_fuse",
     "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
     "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
     "esql_docs_strings", "esql_events_cidr", "events_moving_fn",

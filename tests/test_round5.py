@@ -347,3 +347,60 @@ def test_training_shards_cover_and_balance(spark, docs_sf0001):
     # deterministic: a second run is byte-identical
     again = training_shards(docs_sf0001).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------------------- ES|QL FUSE
+
+
+def test_fuse_rrf_hand_case(spark):
+    """RRF arithmetic on a tiny frame, mirrored in python."""
+    from sparksearch.esql import EsqlError, compile_esql
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 1.0), (5, "b", 2.0)],
+        "id long, g string, v double",
+    )
+    rows = {
+        r.g: (r.fuse_score, r.n_sets)
+        for r in compile_esql(
+            'FROM t | FORK (STATS sv = SUM(v) BY g | SORT sv DESC, g ASC | LIMIT 2)'
+            ' (STATS n = COUNT(*) BY g | SORT n DESC, g ASC | LIMIT 2)'
+            ' | FUSE g',
+            tables={"t": df},
+        ).collect()
+    }
+    # fork1 (sv): a=15(1), b=9(2); fork2 (n, g asc): a=2(1), b=2(2); c in neither
+    assert rows == {
+        "a": (round(1 / 61 + 1 / 61, 6), 2),
+        "b": (round(1 / 62 + 1 / 62, 6), 2),
+    }
+    # contract errors: branch without SORT; FUSE without FORK
+    import pytest as _pt
+
+    with _pt.raises(EsqlError, match="end with SORT"):
+        compile_esql(
+            'FROM t | FORK (STATS sv = SUM(v) BY g)'
+            ' (STATS n = COUNT(*) BY g | SORT n) | FUSE g',
+            tables={"t": df},
+        )
+    with _pt.raises(EsqlError, match="immediately follow FORK"):
+        compile_esql('FROM t | FUSE g', tables={"t": df})
+    with _pt.raises(EsqlError, match="keys absent"):
+        compile_esql(
+            'FROM t | FORK (STATS sv = SUM(v) BY g | SORT sv) '
+            '(STATS n = COUNT(*) BY g | SORT n) | FUSE nope',
+            tables={"t": df},
+        )
+
+
+def test_fork_without_fuse_keeps_schema(spark):
+    """The _rank column only appears when FUSE consumes it — plain FORK
+    output schema is unchanged (esql_orders_fork's oracle depends on it)."""
+    from sparksearch.esql import compile_esql
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    out = compile_esql(
+        'FROM t | FORK (STATS a = COUNT(*) | SORT a) (STATS b = SUM(v) | SORT b)',
+        tables={"t": df},
+    )
+    assert "_rank" not in out.columns and "_fork" in out.columns
