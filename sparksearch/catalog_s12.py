@@ -528,6 +528,186 @@ SELECT CAST(user_id AS BIGINT) AS user_id, fuse_score, n_sets
 FROM r WHERE rnk <= 15"""
 
 
+# ------------------------------------- ES significance heuristics roster
+
+SIG_MIN_DF_FG = 5
+SIG_K = 10
+
+
+def significant_terms_modes(
+    docs: DataFrame,
+    tf_df: DataFrame,
+    term_stats: DataFrame,
+    stats: DataFrame,
+    facet_col: str = "lang",
+    min_df: int = SIG_MIN_DF_FG,
+    k: int = SIG_K,
+) -> DataFrame:
+    """ES significant_terms significance heuristics, the full roster →
+    DF[facet, rank, term, df_fg, jlh, chi2, mi, gnd]: per facet-value
+    foreground, each candidate term scored by ES's four builtin
+    heuristics — JLH, chi_square, mutual_information and
+    google_normalized_distance — over the 2×2 contingency (ES's default
+    SUPERSET counting: the background includes the foreground).
+
+    Cells from exact integer counts: a = df_fg, row = df_bg, col = n_fg,
+    T = N; b = row−a, c = col−a, d = T−col−b. Float discipline: every
+    score is a PINNED IEEE op sequence over exact-integer-valued doubles
+    (products < 2^53), LN mirrored verbatim (the PMI/DFR precedent —
+    log2 = LN × the repr-shared 1/ln2 literal), chi² divides by each
+    marginal SEQUENTIALLY (never forms the 4-way product, which would
+    overflow), MI sums its four cell terms as a fixed chain (never a
+    float agg), GND yields NULL when ln T == min marginal ln (a term in
+    every document) on both engines. round6 outputs; rank =
+    (round6(jlh) DESC, term ASC) per facet, top-k.
+
+    Plan: one postings⋈forward-index join into a map-combinable
+    (facet, term) count; marginals broadcast onto the facets×vocab frame
+    — the significant_terms entry's scale shape, reused."""
+    from .catalog_s11b import INV_LN2
+    from .stats import round6
+
+    fg = (
+        tf_df.select("doc_id", "term")
+        .join(docs.select("doc_id", F.col(facet_col).alias("facet")), "doc_id")
+        .groupBy("facet", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .filter(F.col("a") >= min_df)
+    )
+    n_fg = docs.groupBy(F.col(facet_col).alias("facet")).agg(
+        F.count(F.lit(1)).cast("long").alias("col")
+    )
+    cells = (
+        fg.join(F.broadcast(n_fg), "facet")
+        .join(
+            F.broadcast(term_stats.select("term", F.col("df").cast("long").alias("row"))),
+            "term",
+        )
+        .crossJoin(F.broadcast(stats.select(F.col("n_docs").cast("long").alias("t"))))
+        .select(
+            "facet", "term", "a", "row", "col", "t",
+            (F.col("row") - F.col("a")).alias("b"),
+            (F.col("col") - F.col("a")).alias("c"),
+            (F.col("t") - F.col("col") - (F.col("row") - F.col("a"))).alias("d"),
+        )
+    )
+    ad, bd, cd, dd = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    rowd, cold, td = (F.col(x).cast("double") for x in ("row", "col", "t"))
+    fgp = ad / cold
+    bgp = rowd / td
+    jlh = (fgp - bgp) * (fgp / bgp)
+    x = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    # nullif the complement marginals: a term present in EVERY document
+    # (or a facet equal to the whole corpus) zeroes a marginal and chi²
+    # is undefined (0/0 → NaN, which ANSI decimal casts reject) — NULL
+    # on both engines instead.
+    chi2 = (
+        x * x * td / (rowd) / F.nullif(td - rowd, F.lit(0.0))
+        / (cold) / F.nullif(td - cold, F.lit(0.0))
+    )
+    inv = F.lit(INV_LN2)
+
+    def mi_cell(n, rw, cl):
+        return F.when(
+            n > 0,
+            (n / td) * (F.log((n * td) / (rw * cl)) * inv),
+        ).otherwise(F.lit(0.0))
+
+    mi = (
+        (
+            mi_cell(ad, rowd, cold) + mi_cell(bd, rowd, td - cold)
+        )
+        + mi_cell(cd, td - rowd, cold)
+    ) + mi_cell(dd, td - rowd, td - cold)
+    l_row, l_col, l_a, l_t = (
+        F.log(rowd), F.log(cold), F.log(ad), F.log(td)
+    )
+    gnd = (F.greatest(l_row, l_col) - l_a) / F.nullif(
+        l_t - F.least(l_row, l_col), F.lit(0.0)
+    )
+    scored = cells.select(
+        "facet", "term", F.col("a").alias("df_fg"),
+        round6(jlh).alias("jlh"),
+        round6(chi2).alias("chi2"),
+        round6(mi).alias("mi"),
+        round6(gnd).alias("gnd"),
+    )
+    w = Window.partitionBy("facet").orderBy(F.desc("jlh"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("facet", "rank", "term", "df_fg", "jlh", "chi2", "mi", "gnd")
+    )
+
+
+def q_significant_terms_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _docs
+    from .queries_catalog import _stats_for
+
+    tf_df, dl_df, ts, stats = _stats_for(spark, sf_dir)
+    return significant_terms_modes(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang"
+        ),
+        tf_df, ts, stats,
+    )
+
+
+def _sig_modes_sql() -> str:
+    from .catalog_s11b import INV_LN2
+    from .queries_catalog import TOK_SQL
+
+    mi_cell = (
+        "(CASE WHEN {n} > 0 THEN ({n} / td) * (LN(({n} * td) / ({rw} * {cl}))"
+        f" * {INV_LN2!r}) ELSE 0.0 END)"
+    )
+    cells = [
+        mi_cell.format(n="ad", rw="rowd", cl="cold"),
+        mi_cell.format(n="bd", rw="rowd", cl="(td - cold)"),
+        mi_cell.format(n="cd", rw="(td - rowd)", cl="cold"),
+        mi_cell.format(n="dd", rw="(td - rowd)", cl="(td - cold)"),
+    ]
+    mi = f"((({cells[0]} + {cells[1]}) + {cells[2]}) + {cells[3]})"
+    return f"""WITH {TOK_SQL.strip()},
+fg AS (
+  SELECT d.lang AS facet, p.term, COUNT(*) AS a
+  FROM postings p JOIN documents d ON p.doc_id = CAST(d.doc_id AS BIGINT)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {SIG_MIN_DF_FG}
+),
+nfg AS (SELECT lang AS facet, COUNT(*) AS col FROM documents GROUP BY 1),
+cell AS (
+  SELECT fg.facet, fg.term, fg.a, t.df AS row, nfg.col,
+         (SELECT CAST(n_docs AS BIGINT) FROM gstats) AS t,
+         t.df - fg.a AS b, nfg.col - fg.a AS c,
+         (SELECT CAST(n_docs AS BIGINT) FROM gstats) - nfg.col - (t.df - fg.a) AS d
+  FROM fg JOIN nfg USING (facet) JOIN termstats t USING (term)
+),
+dbl AS (
+  SELECT facet, term, a,
+         CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+         CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+         CAST(row AS DOUBLE) AS rowd, CAST(col AS DOUBLE) AS cold,
+         CAST(t AS DOUBLE) AS td,
+         CAST(a * d - b * c AS DOUBLE) AS x
+  FROM cell
+),
+scored AS (
+  SELECT facet, term, CAST(a AS BIGINT) AS df_fg,
+         CAST(ROUND(CAST(((ad / cold) - (rowd / td)) * ((ad / cold) / (rowd / td)) AS DECIMAL(28,9)), 6) AS DOUBLE) AS jlh,
+         CAST(ROUND(CAST(x * x * td / (rowd) / nullif(td - rowd, 0.0) / (cold) / nullif(td - cold, 0.0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS chi2,
+         CAST(ROUND(CAST({mi} AS DECIMAL(28,9)), 6) AS DOUBLE) AS mi,
+         CAST(ROUND(CAST((greatest(LN(rowd), LN(cold)) - LN(ad))
+              / nullif(LN(td) - least(LN(rowd), LN(cold)), 0.0) AS DECIMAL(28,9)), 6) AS DOUBLE) AS gnd
+  FROM dbl
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY facet ORDER BY jlh DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT facet, CAST(rnk AS BIGINT) AS rank, term, df_fg, jlh, chi2, mi, gnd
+FROM r WHERE rnk <= {SIG_K}"""
+
+
 # ----------------------------------------------- training shard assignment
 
 #: number of training shards documents are dealt into.
@@ -658,6 +838,16 @@ def build_round5():
             "that reset at error events) — exact BIGINT counter math, "
             "resets forfeit in-flight increments (Prometheus semantics), "
             "one round6 division for the per-hour rate",
+        ),
+        "significant_terms_modes": QuerySpec(
+            q_significant_terms_modes,
+            _sig_modes_sql(),
+            "ES significant_terms heuristics roster: JLH, chi_square, "
+            "mutual_information and google_normalized_distance over the "
+            "superset-counted 2x2 contingency — pinned IEEE op sequences "
+            "on exact-integer doubles, sequential marginal divisions, "
+            "fixed-chain MI cell sums, NULL where a zero marginal makes "
+            "the statistic undefined",
         ),
         "esql_fork_fuse": QuerySpec(
             q_esql_fork_fuse,

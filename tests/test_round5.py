@@ -404,3 +404,61 @@ def test_fork_without_fuse_keeps_schema(spark):
         tables={"t": df},
     )
     assert "_rank" not in out.columns and "_fork" in out.columns
+
+
+# --------------------------------------- significance heuristics roster
+
+
+def test_significant_terms_modes_mirror(spark, docs_sf0001):
+    """Independent python mirror of all four heuristics on one facet
+    (float tolerance — the engine pins the op sequence; bit-exactness is
+    the DuckDB twin's job)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from sparksearch.catalog_s12 import (
+        SIG_K, SIG_MIN_DF_FG, q_significant_terms_modes,
+    )
+    from sparksearch.tokenize import py_tokenize
+    from conftest import SF_SMOKE
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(str(SF_SMOKE / "documents.parquet")).to_pandas()
+    T = len(pdf)
+    df_bg: Counter = Counter()
+    df_fg: dict = defaultdict(Counter)
+    n_fg: Counter = Counter()
+    for _, r in pdf.iterrows():
+        toks = set(py_tokenize(r.text))
+        n_fg[r.lang] += 1
+        for t in toks:
+            df_bg[t] += 1
+            df_fg[r.lang][t] += 1
+
+    rows = q_significant_terms_modes(spark, str(SF_SMOKE)).collect()
+    assert rows and all(1 <= r.rank <= SIG_K for r in rows)
+    for r in rows:
+        a, row, col = df_fg[r.facet][r.term], df_bg[r.term], n_fg[r.facet]
+        assert r.df_fg == a >= SIG_MIN_DF_FG
+        b, c = row - a, col - a
+        d = T - col - b
+        fgp, bgp = a / col, row / T
+        assert abs(r.jlh - (fgp - bgp) * (fgp / bgp)) < 1e-6
+        if row < T:
+            x = a * d - b * c
+            chi = x * x * T / row / (T - row) / col / (T - col)
+            assert abs(r.chi2 - chi) < max(1e-6, abs(chi) * 1e-9)
+            gnd = (max(math.log(row), math.log(col)) - math.log(a)) / (
+                math.log(T) - min(math.log(row), math.log(col))
+            )
+            assert abs(r.gnd - gnd) < 1e-6
+        else:
+            assert r.chi2 is None and r.gnd is None
+        mi = 0.0
+        for n, rw, cl in (
+            (a, row, col), (b, row, T - col), (c, T - row, col), (d, T - row, T - col),
+        ):
+            if n > 0:
+                mi += (n / T) * math.log2((n * T) / (rw * cl))
+        assert abs(r.mi - mi) < 1e-6
