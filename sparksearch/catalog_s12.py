@@ -528,6 +528,231 @@ SELECT CAST(user_id AS BIGINT) AS user_id, fuse_score, n_sets
 FROM r WHERE rnk <= 15"""
 
 
+# --------------------------------------------- label-propagation communities
+
+#: synchronous LPA rounds — PINNED (the oracle unrolls exactly this many;
+#: determinism over convergence, the pagerank precedent).
+LPA_ROUNDS = 4
+
+#: relative edge gate: keep co-occurrence edges with weight ≥ max/20 —
+#: a fixed count would pass everything or nothing as SF moves
+#: (rare_terms precedent).
+LPA_EDGE_DIV = 20
+
+
+def term_communities(docs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Weighted label propagation (LPA) over the term co-occurrence graph
+    → DF[term, community, n_members]: ``rounds`` SYNCHRONOUS rounds — each
+    node adopts the label with the largest incident edge-weight sum, ties
+    to the lexicographically smallest label — from self-labels, on the
+    relative-gated top-vocabulary co-occurrence edges.
+
+    The third graph algorithm beside connected_components (pointer
+    jumping) and pagerank (decimal power steps): LPA finds denser-than-
+    neighborhood clusters where CC finds reachability. Determinism:
+    integer edge weights, (weight DESC, label ASC) argmax per node per
+    round, a FIXED round count (plain LPA's convergence is order-
+    dependent — the pinned unroll is the reproducible variant, the
+    SAMPLE/variable-width-histogram precedent). Plan: each round is one
+    vocab-sized join + grouped argmax window; at a 4-round pin no lineage
+    checkpoint is needed (the connected_components discipline starts
+    mattering at O(log n) variable rounds)."""
+    from .textpipe import cooccurrence_edges
+
+    edges = cooccurrence_edges(docs)
+    mx = edges.agg(F.max("n_both").alias("mx"))
+    e = (
+        edges.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_both") * LPA_EDGE_DIV >= F.col("mx"))
+        .select("term_a", "term_b", "n_both")
+    )
+    und = e.select(
+        F.col("term_a").alias("node"), F.col("term_b").alias("nbr"), "n_both"
+    ).unionByName(
+        e.select(
+            F.col("term_b").alias("node"), F.col("term_a").alias("nbr"), "n_both"
+        )
+    ).persist()
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wv = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("label"))
+    for _ in range(rounds):
+        nl = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("n_both").cast("long").alias("w"))
+        )
+        labels = (
+            nl.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("term"),
+        F.col("label").alias("community"),
+        "n_members",
+    )
+    und.unpersist()
+    return out
+
+
+def q_term_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _docs
+
+    return term_communities(_docs(spark, sf_dir))
+
+
+def _lpa_sql() -> str:
+    # unrolled-round CTE oracle (the pagerank discipline): l0 = self
+    # labels, each l{r} = the windowed weighted argmax over l{r-1}.
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""nl{r} AS (
+  SELECT u.node, l.label, SUM(u.n_both) AS w
+  FROM und u JOIN l{r - 1} l ON u.nbr = l.node
+  GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY w DESC, label ASC) AS rn
+    FROM nl{r}
+  ) WHERE rn = 1
+)""")
+    return f"""WITH dt AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn FROM dfreq
+  ) WHERE rn <= 32
+),
+dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_both
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+),
+mx AS (SELECT MAX(n_both) AS mx FROM pairs),
+e AS (
+  SELECT term_a, term_b, n_both FROM pairs, mx
+  WHERE n_both * {LPA_EDGE_DIV} >= mx.mx
+),
+und AS (
+  SELECT term_a AS node, term_b AS nbr, n_both FROM e
+  UNION ALL
+  SELECT term_b AS node, term_a AS nbr, n_both FROM e
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM und),
+{", ".join(rounds)},
+sizes AS (SELECT label, COUNT(*) AS n_members FROM l{LPA_ROUNDS} GROUP BY 1)
+SELECT l.node AS term, l.label AS community,
+       CAST(s.n_members AS BIGINT) AS n_members
+FROM l{LPA_ROUNDS} l JOIN sizes s USING (label)"""
+
+
+# --------------------------------------------- HDR-histogram percentiles
+
+#: HDR sub-bucket precision: 2 significant decimal digits → 2^7 = 128
+#: sub-buckets (the smallest power of two ≥ 10^2), unit magnitude 0.
+HDR_SUB_BITS = 7
+HDR_PCTS = (50, 90, 99)
+
+
+def lineitem_percentiles_hdr(lineitem: DataFrame) -> DataFrame:
+    """ES percentiles with the HDR-histogram method (the TDigest
+    alternative ES exposes via ``hdr.number_of_significant_value_digits``)
+    → one-row DF[n, n_buckets, p50_e2, p90_e2, p99_e2]: l_extendedprice
+    in exact integer CENTS bucketed by the HDR scheme — exponent
+    e = max(0, bitlen(v) − {HDR_SUB_BITS}), sub-bucket v >> e — and each
+    percentile reported as its bucket's HIGHEST equivalent value
+    (((sub+1) << e) − 1, hdr's highestEquivalentValue), the ≤1%%
+    relative-error contract of 2 significant digits.
+
+    Everything is integer math: bitlen via length(bin(v)) (the HLL
+    entry's engine-identical trick), the rank gate by exact
+    cross-multiplication (cum·100 ≥ pct·n — no division), BIGINT outputs.
+    One map-side bucket projection + a buckets-sized cumulative window —
+    the sketch path's cost model at any corpus size (buckets are bounded
+    by value RANGE, not row count)."""
+    v = F.round(F.col("l_extendedprice") * 100).cast("long")
+    b = lineitem.select(v.alias("v")).select(
+        "v",
+        F.greatest(
+            F.length(F.bin(F.col("v"))) - F.lit(HDR_SUB_BITS), F.lit(0)
+        ).cast("long").alias("e"),
+    ).select(
+        F.col("e"),
+        # F.shiftright/shiftleft take only literal shift counts (the
+        # round-4 s11 sharp edge) — the SQL forms accept a column
+        F.expr("shiftright(v, cast(e as int))").alias("sub"),
+    )
+    g = b.groupBy("e", "sub").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rep = (
+        F.expr("shiftleft(sub + 1, cast(e as int))") - 1
+    ).alias("rep")
+    wc = Window.orderBy("rep").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(rep, "cnt").select(
+        "rep", "cnt", F.sum("cnt").over(wc).cast("long").alias("cum")
+    )
+    tot = cum.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    aggs = [F.max("n").alias("n"), F.max("n_buckets").alias("n_buckets")]
+    for p in HDR_PCTS:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n"), F.col("rep"))
+            ).cast("long").alias(f"p{p}_e2")
+        )
+    return joined.agg(*aggs)
+
+
+def q_lineitem_percentiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _t
+
+    return lineitem_percentiles_hdr(_t(spark, sf_dir, "lineitem"))
+
+
+def _hdr_sql() -> str:
+    pcols = ",\n       ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= {p} * t.n THEN rep END) AS BIGINT) AS p{p}_e2"
+        for p in HDR_PCTS
+    )
+    return f"""WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+b AS (
+  SELECT v, greatest(length(bin(v)) - {HDR_SUB_BITS}, 0) AS e FROM v
+),
+g AS (
+  SELECT e, (v >> e) AS sub, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT (((sub + 1) << e) - 1) AS rep, cnt,
+         SUM(cnt) OVER (ORDER BY (((sub + 1) << e) - 1)
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+),
+t AS (SELECT SUM(cnt) AS n, COUNT(*) AS n_buckets FROM cum)
+SELECT CAST(MAX(t.n) AS BIGINT) AS n,
+       CAST(MAX(t.n_buckets) AS BIGINT) AS n_buckets,
+       {pcols}
+FROM cum, t"""
+
+
 # ------------------------------------- ES significance heuristics roster
 
 SIG_MIN_DF_FG = 5
@@ -838,6 +1063,24 @@ def build_round5():
             "that reset at error events) — exact BIGINT counter math, "
             "resets forfeit in-flight increments (Prometheus semantics), "
             "one round6 division for the per-hour rate",
+        ),
+        "term_communities": QuerySpec(
+            q_term_communities,
+            _lpa_sql(),
+            "weighted label propagation over the term co-occurrence graph "
+            "(the third graph algorithm beside CC and pagerank): 4 pinned "
+            "synchronous rounds, (weight DESC, label ASC) argmax, "
+            "relative-gated edges — the oracle unrolls every round as "
+            "CTEs (the pagerank discipline)",
+        ),
+        "lineitem_percentiles_hdr": QuerySpec(
+            q_lineitem_percentiles_hdr,
+            _hdr_sql(),
+            "ES percentiles, HDR-histogram method: integer-cents HDR "
+            "bucketing (bitlen exponent + 128 sub-buckets = 2 significant "
+            "digits), percentile = the bucket's highest equivalent value, "
+            "rank gate by exact cross-multiplication — all-BIGINT sketch "
+            "percentiles beside the engine's exact/GK paths",
         ),
         "significant_terms_modes": QuerySpec(
             q_significant_terms_modes,

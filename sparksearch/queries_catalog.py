@@ -5410,7 +5410,7 @@ _SWEEP_NEXT = [
     "esql_events_enrich_range", "bm25_topk_term_range", "bm25_collapse_topk",
     "esql_row_eval", "esql_keep_wildcard", "curriculum_order",
     "events_counter_rate", "training_shards", "esql_fork_fuse",
-    "significant_terms_modes",
+    "significant_terms_modes", "term_communities", "lineitem_percentiles_hdr",
     "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
     "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
     "esql_docs_strings", "esql_events_cidr", "events_moving_fn",

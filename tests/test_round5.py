@@ -462,3 +462,78 @@ def test_significant_terms_modes_mirror(spark, docs_sf0001):
             if n > 0:
                 mi += (n / T) * math.log2((n * T) / (rw * cl))
         assert abs(r.mi - mi) < 1e-6
+
+
+# ------------------------------------- LPA communities / HDR percentiles
+
+
+def test_lpa_python_mirror(spark, docs_sf0001):
+    """From-scratch python LPA on the same gated graph — identical final
+    labelling (exact integers + total-order argmax make it bit-exact)."""
+    from collections import Counter, defaultdict
+
+    from sparksearch.catalog_s12 import LPA_EDGE_DIV, LPA_ROUNDS, term_communities
+    from sparksearch.tokenize import py_tokenize
+    from conftest import SF_SMOKE
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(str(SF_SMOKE / "documents.parquet")).to_pandas()
+    df_cnt: Counter = Counter()
+    doc_terms = []
+    for t in pdf.text:
+        s = set(py_tokenize(t))
+        doc_terms.append(s)
+        df_cnt.update(s)
+    vocab = {t for t, _ in sorted(df_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:32]}
+    pair: Counter = Counter()
+    for s in doc_terms:
+        sv = sorted(s & vocab)
+        for i, a in enumerate(sv):
+            for b in sv[i + 1:]:
+                pair[(a, b)] += 1
+    mx = max(pair.values())
+    adj = defaultdict(dict)
+    for (a, b), w in pair.items():
+        if w * LPA_EDGE_DIV >= mx:
+            adj[a][b] = w
+            adj[b][a] = w
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            score: Counter = Counter()
+            for m, w in nbrs.items():
+                score[labels[m]] += w
+            nxt[n] = min(score, key=lambda l: (-score[l], l))
+        labels = nxt
+    sizes = Counter(labels.values())
+    want = {(n, l, sizes[l]) for n, l in labels.items()}
+    got = {
+        (r.term, r.community, r.n_members)
+        for r in term_communities(docs_sf0001).collect()
+    }
+    assert got == want
+
+
+def test_hdr_percentiles_error_bound(spark):
+    """The 2-significant-digit HDR guarantee: each reported percentile is
+    within 1% relative error of the exact numpy percentile (lower
+    interpolation — HDR reports a bucket upper bound >= the true rank
+    value)."""
+    import numpy as np
+
+    from sparksearch.catalog_s12 import HDR_PCTS, lineitem_percentiles_hdr
+    from conftest import SF_SMOKE
+
+    lineitem = spark.read.parquet(str(SF_SMOKE / "lineitem.parquet"))
+    r = lineitem_percentiles_hdr(lineitem).collect()[0]
+    cents = np.round(
+        lineitem.toPandas().l_extendedprice.to_numpy() * 100
+    ).astype(np.int64)
+    assert r.n == len(cents)
+    for p in HDR_PCTS:
+        exact = np.percentile(cents, p, method="lower")
+        got = getattr(r, f"p{p}_e2")
+        assert got >= exact  # highest-equivalent-value is an upper bound
+        assert (got - exact) <= max(2, 0.01 * exact), (p, got, exact)
