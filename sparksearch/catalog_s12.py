@@ -528,6 +528,78 @@ SELECT CAST(user_id AS BIGINT) AS user_id, fuse_score, n_sets
 FROM r WHERE rnk <= 15"""
 
 
+# ------------------------------------- ES|QL CATEGORIZE + partitioned terms
+
+ESQL_CATEGORIZE_QUERY = """
+FROM documents
+| EVAL cat = CATEGORIZE(text)
+| STATS n = COUNT(*), example_doc_id = MIN(doc_id) BY cat
+| SORT cat
+"""
+
+
+def q_esql_docs_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .esql import compile_esql
+
+    return compile_esql(ESQL_CATEGORIZE_QUERY, spark=spark, sf_dir=sf_dir)
+
+
+ESQL_CATEGORIZE_SQL = """WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')[1:4],
+             x -> regexp_replace(x, '[0-9]+', '#', 'g')),
+           ' ') AS cat
+  FROM documents
+)
+SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM c GROUP BY 1 ORDER BY cat"""
+
+
+#: ES terms-agg partitioning knobs (include.partition / num_partitions):
+#: deterministic h60 dealing replaces ES's internal hash.
+TERMS_PARTITION = 2
+TERMS_NUM_PARTITIONS = 8
+
+
+def q_terms_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with include-partitioning (the documented
+    way to page a huge-cardinality terms agg: each request processes
+    partition i of n, terms dealt by hash) → DF[term, df, cf]: the
+    vocabulary slice whose h60(term) lands in partition 2 of 8 — h60 is
+    the deterministic stand-in for ES's internal term hash. The scan is
+    vocab-sized; at any corpus scale the partition gate is a map-side
+    filter on the already-aggregated term stats."""
+    from .queries_catalog import _stats_for
+    from .textpipe import h60
+
+    _, _, ts, _ = _stats_for(spark, sf_dir)
+    return (
+        ts.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .filter(
+            F.pmod(h60(F.col("term")), F.lit(TERMS_NUM_PARTITIONS))
+            == TERMS_PARTITION
+        )
+    )
+
+
+def _terms_partitioned_sql() -> str:
+    from .queries_catalog import TOK_SQL
+
+    return f"""WITH {TOK_SQL.strip()}
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+FROM termstats
+WHERE ('0x' || substring(md5(term), 1, 15))::BIGINT % {TERMS_NUM_PARTITIONS}
+      = {TERMS_PARTITION}"""
+
+
 # --------------------------------------------- label-propagation communities
 
 #: synchronous LPA rounds — PINNED (the oracle unrolls exactly this many;
@@ -1063,6 +1135,22 @@ def build_round5():
             "that reset at error events) — exact BIGINT counter math, "
             "resets forfeit in-flight increments (Prometheus semantics), "
             "one round6 division for the per-hour rate",
+        ),
+        "esql_docs_categorize": QuerySpec(
+            q_esql_docs_categorize,
+            ESQL_CATEGORIZE_SQL,
+            "ES|QL CATEGORIZE (8.18): the categorize_text template key "
+            "lifted into the language (4-token digit-masked prefix), "
+            "composed through EVAL + STATS BY — DuckDB twin needs the "
+            "'g' regexp flag (Spark replaces globally by default)",
+        ),
+        "terms_partitioned": QuerySpec(
+            q_terms_partitioned,
+            _terms_partitioned_sql(),
+            "ES terms agg include-partitioning: partition 2 of 8 of the "
+            "vocabulary by h60 (the deterministic stand-in for ES's "
+            "internal term hash) — how a huge-cardinality terms agg is "
+            "paged; map-side gate on aggregated term stats",
         ),
         "term_communities": QuerySpec(
             q_term_communities,

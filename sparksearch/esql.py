@@ -259,6 +259,13 @@ _FUNCS = {
     # engines, and floor (TRUE floor, not DuckDB's truncating //) is
     # exact — so compiled buckets twin without quantization.
     "BUCKET": lambda a: F.floor(a[0] / a[1]).cast("double") * a[1],
+    # CATEGORIZE(text) — ES|QL 8.18's log-message categorization function
+    # (EVAL cat = CATEGORIZE(msg) | STATS … BY cat): the deterministic
+    # template key shared verbatim with the categorize_text aggregation —
+    # first 4 pinned-tokenizer tokens, digit runs masked to '#' (ES's
+    # online drain tree is arrival-order-dependent; the mask+prefix key
+    # is the reproducible core, the variable_width_histogram precedent).
+    "CATEGORIZE": lambda a: _categorize(a),
     "MATCH": lambda a: _match(a),
     "QSTR": lambda a: _qstr(a),
     "DATE_TRUNC": lambda a: _date_trunc(a),
@@ -437,6 +444,23 @@ def _date_extract(args: list[Column]) -> Column:
     if part not in _DATE_PARTS:
         raise EsqlError(f"DATE_EXTRACT part must be one of {sorted(_DATE_PARTS)}")
     return _DATE_PARTS[part](args[1]).cast("long")
+
+
+def _categorize(args: list[Column]) -> Column:
+    """CATEGORIZE(text) — the categorize_text aggregation's template key
+    lifted into the language: first 4 pinned-tokenizer tokens with digit
+    runs masked to '#', joined by single spaces."""
+    from .tokenize import tokens_col
+
+    if len(args) != 1:
+        raise EsqlError("CATEGORIZE takes exactly one text argument")
+    return F.array_join(
+        F.transform(
+            F.slice(tokens_col(args[0]), 1, 4),
+            lambda x: F.regexp_replace(x, "[0-9]+", "#"),
+        ),
+        " ",
+    )
 
 
 def _match(args: list[Column]) -> Column:

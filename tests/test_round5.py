@@ -537,3 +537,52 @@ def test_hdr_percentiles_error_bound(spark):
         got = getattr(r, f"p{p}_e2")
         assert got >= exact  # highest-equivalent-value is an upper bound
         assert (got - exact) <= max(2, 0.01 * exact), (p, got, exact)
+
+
+# -------------------------------- CATEGORIZE / partitioned terms
+
+
+def test_esql_categorize_matches_agg_keys(spark):
+    from sparksearch.esql import compile_esql
+    from sparksearch.textpipe import categorize_text
+
+    df = spark.createDataFrame(
+        [(1, "error 404 on node7 retry 12"), (2, "error 500 on node9 retry 3"),
+         (3, "ok fetch page 1")],
+        "doc_id long, text string",
+    )
+    lang = {
+        (r.cat, r.n)
+        for r in compile_esql(
+            "FROM t | EVAL cat = CATEGORIZE(text) | STATS n = COUNT(*) BY cat",
+            tables={"t": df},
+        ).collect()
+    }
+    agg = {(r.category, r.n_docs) for r in categorize_text(df).collect()}
+    assert lang == agg
+    assert ("error # on node# retry", 2) in lang
+
+
+def test_terms_partitions_tile_the_vocabulary(spark):
+    """All 8 partitions are disjoint and union to the full vocabulary."""
+    import pyspark.sql.functions as F
+
+    from sparksearch.catalog_s12 import TERMS_NUM_PARTITIONS
+    from sparksearch.queries_catalog import _stats_for
+    from sparksearch.textpipe import h60
+    from conftest import SF_SMOKE
+
+    _, _, ts, _ = _stats_for(spark, str(SF_SMOKE))
+    vocab = {r.term for r in ts.select("term").collect()}
+    seen: set = set()
+    parts = ts.select(
+        "term",
+        F.pmod(h60(F.col("term")), F.lit(TERMS_NUM_PARTITIONS)).alias("p"),
+    ).collect()
+    by_p: dict = {}
+    for r in parts:
+        by_p.setdefault(r.p, set()).add(r.term)
+    for p, terms in by_p.items():
+        assert not (terms & seen)
+        seen |= terms
+    assert seen == vocab
