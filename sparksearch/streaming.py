@@ -426,3 +426,75 @@ def percolate_stream(
         )
         .select("query_id", "doc_id")
     )
+
+
+def counter_rate_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of catalog_s12.events_counter_rate: per-user
+    reset-aware counter-rate state via ``applyInPandasWithState``.
+
+    State per user = (counter, n_samples, n_resets, increase_e2, t0, t1)
+    — 48 bytes; each micro-batch's rows sort by (ts, event_id) inside the
+    Arrow kernel and replay the batch operator's exact recurrence
+    (counter += cents, reset to 0 at error events; positive lag deltas
+    accumulate, resets forfeit the in-flight increment). Emits the
+    UPDATED totals per user per batch (update mode).
+
+    Stream ≡ batch (tests/test_streaming.py) holds when micro-batches
+    are time-ordered per user — the at-least-once feed contract the
+    other stateful twins pin; the final emission equals
+    events_counter_rate on the same rows exactly, including the
+    round6 (decimal HALF_UP, never python round()) rate."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _r6(x: float):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def update(key, pdfs, state):
+        counter, n, resets, inc, t0, t1 = (
+            state.get if state.exists else (0, 0, 0, 0, -1, -1)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            epochs = (
+                pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            )
+            cents = pdf["value"].round(2).mul(100).round().astype("int64")
+            for et, cent, ep in zip(pdf["event_type"], cents, epochs):
+                prev = counter
+                counter = 0 if et == "error" else counter + int(cent)
+                if n >= 1:
+                    delta = counter - prev
+                    if delta < 0:
+                        resets += 1
+                    elif delta > 0:
+                        inc += delta
+                t0 = int(ep) if t0 < 0 else min(t0, int(ep))
+                t1 = max(t1, int(ep))
+                n += 1
+        state.update((counter, n, resets, inc, t0, t1))
+        rate = (
+            _r6(inc / ((t1 - t0) / 3600.0) / 100.0) if t1 > t0 else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_samples": pd.Series([n], dtype="int64"),
+                "n_resets": pd.Series([resets], dtype="int64"),
+                "increase_e2": pd.Series([inc], dtype="int64"),
+                "rate_per_hour": pd.Series([rate], dtype="float64"),
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_samples long, n_resets long, "
+        "increase_e2 long, rate_per_hour double",
+        "counter long, n long, resets long, inc long, t0 long, t1 long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

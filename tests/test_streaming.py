@@ -819,3 +819,55 @@ def test_percolate_stream_matches_batch_percolate(spark, tmp_path):
         for r in spark.sql("SELECT * FROM perc_sink").collect()
     )
     assert sgot == want
+
+
+def test_counter_rate_stream_equals_batch(spark, tmp_path):
+    """Round-5 stateful twin: reset-aware counter rate accumulated across
+    two time-ordered micro-batches ends exactly at the batch operator's
+    answer (including the HALF_UP round6 rate)."""
+    from sparksearch.catalog_s12 import events_counter_rate
+    from sparksearch.streaming import EVENTS_STREAM_SCHEMA, counter_rate_stream
+
+    events = spark.read.parquet(str(SF_SMOKE / "events.parquet"))
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # time-ordered split: advance the cut until ts strictly increases so no
+    # user's in-flight tie straddles the batch boundary
+    cut = len(pdf) // 2
+    while cut < len(pdf) and pdf.ts.iloc[cut] == pdf.ts.iloc[cut - 1]:
+        cut += 1
+    feed = str(tmp_path / "crfeed")
+    os.makedirs(feed)
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(feed, mode="append")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        counter_rate_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("counter_rate")
+        .option("checkpointLocation", str(tmp_path / "crckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(feed, mode="append")
+    q.processAllAvailable()
+    q.stop()
+
+    final = {
+        r.user_id: (r.n_samples, r.n_resets, r.increase_e2, r.rate_per_hour)
+        for r in spark.sql(
+            """SELECT user_id, n_samples, n_resets, increase_e2, rate_per_hour
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n_samples DESC) AS rn
+                     FROM counter_rate) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_samples, r.n_resets, r.increase_e2, r.rate_per_hour)
+        for r in events_counter_rate(events).collect()
+    }
+    assert final == batch
