@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 
 def report(spark, sf_dir: str, out_dir: str) -> dict:
+    from sparksearch.catalog_s12 import events_counter_rate
     from sparksearch.relational import (
         cohort_retention,
         events_funnel,
@@ -54,6 +55,8 @@ def report(spark, sf_dir: str, out_dir: str) -> dict:
         "rfm": user_rfm(events),
         "trend": events_trend(events),
         "sessions": sessionize(events),
+        # round-5: the TSDB view — reset-aware per-user counter rates
+        "counter_rates": events_counter_rate(events),
     }
     paths = {}
     for name, df in reports.items():
@@ -78,10 +81,16 @@ def report(spark, sf_dir: str, out_dir: str) -> dict:
         r.cohort_week: r.retention
         for r in coh.filter(F.col("week_offset") == 1).collect()
     }
+    cr = spark.read.parquet(paths["counter_rates"]).agg(
+        F.sum("n_resets").alias("resets"),
+        F.sum("increase_e2").alias("inc"),
+    ).collect()[0]
     return {
         "n_events": int(sess.n_events),
         "n_users": rfm.count(),
         "n_sessions": int(sess.n_sessions),
+        "counter_resets": int(cr.resets),
+        "counter_increase_e2": int(cr.inc),
         "funnel": {k: [int(n), f] for k, (n, f) in sorted(funnel.items())},
         "rfm_champions": champions,
         "week1_retention_by_cohort": {
