@@ -528,6 +528,235 @@ SELECT CAST(user_id AS BIGINT) AS user_id, fuse_score, n_sets
 FROM r WHERE rnk <= 15"""
 
 
+# -------------------------------------------- cascaded quantization ANN
+
+TS_SHORTLIST1 = 100  # stage-1 BBQ hamming candidates
+TS_SHORTLIST2 = 25   # stage-2 SQ8 survivors
+TS_NQ = 5            # query set = vec_id < TS_NQ (the cosine_topk contract)
+TS_K = 10
+
+
+def ann_two_stage_topk(embeddings: DataFrame) -> DataFrame:
+    """Cascaded-quantization ANN (the ES 9 / Lucene default retrieval
+    pipeline: BBQ candidates → int8 rescore → float rescore) →
+    DF[query_id, rank, vec_id, hamming, sq8_score, score]:
+
+      1. sign-bit BBQ shortlist — {TS_SHORTLIST1} lowest-Hamming
+         candidates per query on 2×32-bit packed words (16 bytes/vector
+         scanned);
+      2. SQ8 asymmetric rescore — full-precision query vs per-dim affine
+         dequantization, keep {TS_SHORTLIST2} by (round6 DESC, vec_id
+         ASC) (1 byte/dim fetched);
+      3. exact float cosine over the survivors, top-{TS_K} under the
+         engine total order.
+
+    Each stage reads strictly less data per candidate than the next pays
+    per survivor — the oversample→rescore cascade ES exposes as
+    ``rescore_vector.oversample``. Composes the BBQ packing and SQ8
+    quantizer verbatim (one encoded frame carries words + dequantized
+    vectors; persisted — multi-consumer + the projection-collapse sharp
+    edge). All three cut boundaries are on quantized/integer keys, so
+    the cascade is engine-exact end to end."""
+    from .stats import round6
+    from .vectors import SQ_LEVELS, _bbq_words, _vecs, cosine, sq8_params
+
+    vecs = _vecs(embeddings)
+    params = sq8_params(embeddings)
+    lv = float(SQ_LEVELS)
+    codes = F.zip_with(
+        F.zip_with(F.col("v"), F.col("mins"), lambda x, m: x - m),
+        F.col("spans"),
+        lambda d, s: F.when(s > 0, F.floor(d * lv / s + 0.5)).otherwise(F.lit(0)),
+    )
+    w0, w1 = _bbq_words(F.col("v"))
+    enc = (
+        vecs.crossJoin(F.broadcast(params))
+        .select(
+            "vec_id", "v", codes.alias("q8"), "mins", "spans",
+            w0.alias("w0"), w1.alias("w1"),
+        )
+        .select(
+            "vec_id", "v", "w0", "w1",
+            F.zip_with(
+                F.zip_with(F.col("q8"), F.col("spans"), lambda q, s: q * s / lv),
+                F.col("mins"),
+                lambda d, m: m + d,
+            ).alias("xh"),
+        )
+        .persist()
+    )
+    enc.count()
+    queries = enc.filter(F.col("vec_id") < TS_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    cand = (
+        enc.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", "xh", "qv", ham.alias("hamming"))
+    )
+    w_h = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    s1 = cand.withColumn("hr", F.row_number().over(w_h)).filter(
+        F.col("hr") <= TS_SHORTLIST1
+    )
+    s2 = s1.select(
+        "query_id", "vec_id", "v", "qv", "hamming",
+        round6(cosine(F.col("xh"), F.col("qv"))).alias("sq8_score"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("sq8_score"), F.asc("vec_id")
+    )
+    s2 = s2.withColumn("qr", F.row_number().over(w_q)).filter(
+        F.col("qr") <= TS_SHORTLIST2
+    )
+    s3 = s2.select(
+        "query_id", "vec_id", "hamming", "sq8_score",
+        round6(cosine(F.col("v"), F.col("qv"))).alias("score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    out = (
+        s3.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= TS_K)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "vec_id", "hamming", "sq8_score", "score",
+        )
+        .persist()
+    )
+    out.count()
+    enc.unpersist()
+    return out
+
+
+def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_pipeline import _emb
+
+    return ann_two_stage_topk(_emb(spark, sf_dir))
+
+
+def _two_stage_sql() -> str:
+    from .catalog_pipeline import EMB_SQL, _r6
+    from .vectors import SQ_LEVELS
+
+    lv = float(SQ_LEVELS)
+
+    def word(w: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{w * 32 + j + 1}] > 0.0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32)
+        )
+
+    cos_q = ("list_dot_product(xh, qv) / "
+             "(sqrt(list_dot_product(xh, xh)) * sqrt(list_dot_product(qv, qv)))")
+    cos_x = ("list_dot_product(v, qv) / "
+             "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))")
+    return f"""WITH {EMB_SQL.strip()},
+d1 AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS pos FROM e),
+dimx AS (SELECT vec_id, pos, v[pos] AS x FROM d1),
+pm AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dimx GROUP BY 1),
+prm AS (SELECT list(mn ORDER BY pos) AS mins, list(mx - mn ORDER BY pos) AS spans FROM pm),
+enc AS (
+  SELECT vec_id, v,
+         CAST({word(0)} AS BIGINT) AS w0, CAST({word(1)} AS BIGINT) AS w1,
+         list_transform(generate_series(1, len(v)),
+           j -> mins[j] + (CASE WHEN spans[j] > 0
+                           THEN floor((v[j] - mins[j]) * {lv} / spans[j] + 0.5)
+                           ELSE 0 END) * spans[j] / {lv}) AS xh
+  FROM e, prm
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, w0 AS q0, w1 AS q1
+  FROM enc WHERE vec_id < {TS_NQ}
+),
+cand AS (
+  SELECT q.query_id, p.vec_id, p.v, p.xh, q.qv,
+         CAST(bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS BIGINT) AS hamming
+  FROM enc p, q WHERE p.vec_id <> q.query_id
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, vec_id ASC) AS hr
+    FROM cand
+  ) WHERE hr <= {TS_SHORTLIST1}
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, v, qv, hamming,
+           {_r6(cos_q)} AS sq8_score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_r6(cos_q)} DESC, vec_id ASC) AS qr
+    FROM s1
+  ) WHERE qr <= {TS_SHORTLIST2}
+),
+s3 AS (
+  SELECT query_id, vec_id, hamming, sq8_score, {_r6(cos_x)} AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {_r6(cos_x)} DESC, vec_id ASC) AS rnk
+  FROM s2
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, hamming, sq8_score, score
+FROM s3 WHERE rnk <= {TS_K}"""
+
+
+# ----------------------------------------------- percolator, range clauses
+
+#: stored alert queries: (query_id, event_type-or-None, lo, hi) — matches
+#: events with (type == et OR et wildcard) AND lo <= value < hi. Query 5
+#: is an inverted (empty) range and must match nothing.
+PERC_RANGE_QUERIES: list[tuple[int, str | None, float, float]] = [
+    (1, "purchase", 400.0, 1e9),
+    (2, None, 0.0, 0.05),
+    (3, "error", 200.0, 1e9),
+    (4, "view", 250.0, 260.0),
+    (5, "click", 500.0, 400.0),
+]
+
+
+def q_percolate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator with RANGE clauses → DF[query_id, event_id]: the
+    numeric companion of percolate_queries (term-only percolation) —
+    stored alert queries carry a type clause plus a half-open [lo, hi)
+    value range, and every arriving event is matched against ALL stored
+    queries. The query table broadcasts (percolator indexes are small by
+    contract) and the match is a map-side theta join — no shuffle of the
+    event stream, the alerting shape at any throughput."""
+    from .catalog_pipeline import _t
+
+    q = spark.createDataFrame(
+        PERC_RANGE_QUERIES,
+        "query_id long, et string, lo double, hi double",
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cond = (
+        (F.col("et").isNull() | (F.col("event_type") == F.col("et")))
+        & (F.col("value") >= F.col("lo"))
+        & (F.col("value") < F.col("hi"))
+    )
+    return ev.crossJoin(F.broadcast(q)).filter(cond).select(
+        "query_id", F.col("event_id").cast("long").alias("event_id")
+    )
+
+
+def _percolate_range_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {('NULL' if et is None else repr(et))}, {lo!r}, {hi!r})"
+        for i, et, lo, hi in PERC_RANGE_QUERIES
+    )
+    return f"""WITH q(query_id, et, lo, hi) AS (VALUES {rows})
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(e.event_id AS BIGINT) AS event_id
+FROM events e JOIN q
+  ON (q.et IS NULL OR e.event_type = q.et)
+ AND e.value >= q.lo AND e.value < q.hi"""
+
+
 # ------------------------------------- ES|QL CATEGORIZE + partitioned terms
 
 ESQL_CATEGORIZE_QUERY = """
@@ -1135,6 +1364,24 @@ def build_round5():
             "that reset at error events) — exact BIGINT counter math, "
             "resets forfeit in-flight increments (Prometheus semantics), "
             "one round6 division for the per-hour rate",
+        ),
+        "ann_two_stage": QuerySpec(
+            q_ann_two_stage,
+            _two_stage_sql(),
+            "cascaded-quantization ANN (the ES 9 / Lucene default "
+            "pipeline): BBQ sign-bit hamming shortlist (100) -> SQ8 "
+            "asymmetric rescore (25) -> exact float cosine top-10 — the "
+            "oversample/rescore cascade with every cut on quantized or "
+            "integer keys, engine-exact end to end",
+        ),
+        "percolate_range": QuerySpec(
+            q_percolate_range,
+            _percolate_range_sql(),
+            "ES percolator with range clauses: stored alert queries "
+            "(type + half-open value range, NULL type = wildcard) "
+            "broadcast against arriving events as a map-side theta join "
+            "— the numeric companion of percolate_queries; an inverted "
+            "range matches nothing",
         ),
         "esql_docs_categorize": QuerySpec(
             q_esql_docs_categorize,

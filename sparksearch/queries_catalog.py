@@ -5411,7 +5411,8 @@ _SWEEP_NEXT = [
     "esql_row_eval", "esql_keep_wildcard", "curriculum_order",
     "events_counter_rate", "training_shards", "esql_fork_fuse",
     "significant_terms_modes", "term_communities", "lineitem_percentiles_hdr",
-    "esql_docs_categorize", "terms_partitioned",
+    "esql_docs_categorize", "terms_partitioned", "percolate_range",
+    "ann_two_stage",
     "esql_events_stats", "esql_events_inlinestats", "esql_events_dissect",
     "esql_events_grok", "esql_docs_mv_expand", "esql_stats_top",
     "esql_docs_strings", "esql_events_cidr", "events_moving_fn",

@@ -586,3 +586,50 @@ def test_terms_partitions_tile_the_vocabulary(spark):
         assert not (terms & seen)
         seen |= terms
     assert seen == vocab
+
+
+# ---------------------------------- percolate ranges / two-stage cascade
+
+
+def test_percolate_range_mirror(spark):
+    from sparksearch.catalog_s12 import PERC_RANGE_QUERIES, q_percolate_range
+    from conftest import SF_SMOKE
+
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(str(SF_SMOKE / "events.parquet")).to_pandas()
+    want = set()
+    for i, et, lo, hi in PERC_RANGE_QUERIES:
+        sel = ev[(ev.value >= lo) & (ev.value < hi)]
+        if et is not None:
+            sel = sel[sel.event_type == et]
+        want |= {(i, int(e)) for e in sel.event_id}
+    got = {
+        (r.query_id, r.event_id)
+        for r in q_percolate_range(spark, str(SF_SMOKE)).collect()
+    }
+    assert got == want
+    assert not {q for q, _ in got if q == 5}  # inverted range matches nothing
+
+
+def test_two_stage_recall_vs_exact(spark):
+    """The cascade's top-10 must closely match exact brute-force cosine —
+    BBQ->SQ8->exact with 100/25 oversampling recalls >=8/10 on the
+    fixture (and every returned score IS the exact cosine)."""
+    from sparksearch.catalog_s12 import TS_K, TS_NQ, q_ann_two_stage
+    from sparksearch.vectors import cosine_topk
+    from sparksearch.catalog_pipeline import _emb
+    from conftest import SF_SMOKE
+
+    casc = q_ann_two_stage(spark, str(SF_SMOKE)).collect()
+    exact = cosine_topk(_emb(spark, str(SF_SMOKE)), n_queries=TS_NQ, k=TS_K).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, {})[r.vec_id] = r.score
+    for q in range(TS_NQ):
+        cs = {r.vec_id: r.score for r in casc if r.query_id == q}
+        assert len(cs) == TS_K
+        hits = set(cs) & set(ex[q])
+        assert len(hits) >= 8, (q, len(hits))
+        for v in hits:
+            assert cs[v] == ex[q][v]  # stage-3 scores ARE exact cosines
