@@ -45,9 +45,10 @@ TABLES = [
 
 #: Spark output types with proven driver normalization semantics (every green
 #: driver row r01-r04 used exactly these).  DecimalType is deliberately
-#: absent — see the module docstring.
+#: absent; so is DateType — no recorded entry ever shipped one, and the
+#: value gate would reject datetime.date anyway (proven-by-record only).
 SAFE_SPARK_TYPES = {"bigint", "int", "smallint", "tinyint",
-                    "double", "float", "string", "boolean", "date"}
+                    "double", "float", "string", "boolean"}
 
 #: Collected Python value types the driver's normalization provably handles.
 SAFE_VALUE_TYPES = (bool, int, float, str)
@@ -78,15 +79,20 @@ def _norm(v) -> str:
     return str(v)
 
 
-def type_gate(sdf, duck_description) -> str | None:
+SAFE_DUCK_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+                   "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+                   "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN"}
+
+
+def type_gate(sdf, con, osql: str) -> str | None:
     """Return an error string if either engine's output schema carries a
     column type outside the proven-safe set, else None.
 
-    ``duck_description`` is a DuckDB cursor ``.description`` (name, type_code,
-    ...); DuckDB reports decimal columns with type_code 'NUMBER' and the
-    fetch returns ``decimal.Decimal`` values — those are caught per-value in
-    :func:`_norm`; the schema-level check here gives the clearer message.
-    """
+    The DuckDB side uses ``DESCRIBE (<query>)`` — the cursor
+    ``.description`` type codes collapse every numeric to 'NUMBER' and
+    cannot distinguish DECIMAL (the per-value Decimal TypeError in
+    :func:`_norm` would still fire; DESCRIBE gives the clearer
+    schema-level message up front)."""
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in sdf.schema.fields
@@ -94,9 +100,13 @@ def type_gate(sdf, duck_description) -> str | None:
     ]
     if bad:
         return "type_gate(spark): " + ", ".join(bad)
+    try:
+        desc = con.execute(f"DESCRIBE ({osql})").fetchall()
+    except Exception:  # noqa: BLE001 — let the real execution report it
+        return None
     bad_d = [
-        f"{d[0]}:{d[1]}" for d in duck_description
-        if str(d[1]).upper() in ("DECIMAL", "NUMERIC") or "DECIMAL" in str(d[1]).upper()
+        f"{d[0]}:{d[1]}" for d in desc
+        if str(d[1]).upper().split("(")[0] not in SAFE_DUCK_TYPES
     ]
     if bad_d:
         return "type_gate(duckdb): " + ", ".join(bad_d)
@@ -117,12 +127,12 @@ def run_entry(spark, con, sf_dir: str, name: str, fn, osql: dict) -> dict:
             rec["err"] = "no_oracle"
             rec["rows_match"] = len(srows) >= 0
         else:
-            res = con.execute(osql[name])
-            dcols = [d[0] for d in res.description]
-            gate = type_gate(sdf, res.description)
+            gate = type_gate(sdf, con, osql[name])
             if gate is not None:
                 rec["err"] = gate
                 return rec
+            res = con.execute(osql[name])
+            dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             rec["oracle_rows"] = len(drows)
             rec["rows_match"] = len(srows) == len(drows)

@@ -642,15 +642,9 @@ def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _two_stage_sql() -> str:
     from .catalog_pipeline import EMB_SQL, _r6
-    from .vectors import SQ_LEVELS
+    from .vectors import SQ_LEVELS, bbq_word_sql as word
 
     lv = float(SQ_LEVELS)
-
-    def word(w: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN v[{w * 32 + j + 1}] > 0.0 THEN {1 << j} ELSE 0 END)"
-            for j in range(32)
-        )
 
     cos_q = ("list_dot_product(xh, qv) / "
              "(sqrt(list_dot_product(xh, xh)) * sqrt(list_dot_product(qv, qv)))")
@@ -1083,9 +1077,12 @@ def significant_terms_modes(
     log2 = LN × the repr-shared 1/ln2 literal), chi² divides by each
     marginal SEQUENTIALLY (never forms the 4-way product, which would
     overflow), MI sums its four cell terms as a fixed chain (never a
-    float agg), GND yields NULL when ln T == min marginal ln (a term in
-    every document) on both engines. round6 outputs; rank =
-    (round6(jlh) DESC, term ASC) per facet, top-k.
+    float agg). Undefined statistics go NULL on both engines: chi²
+    whenever a COMPLEMENT marginal is zero (a term in every document, or
+    a facet equal to the corpus); GND only when ln T equals the SMALLER
+    marginal ln — both marginals at T (a term in every document alone
+    leaves GND defined: (lnT − ln a)/(lnT − ln col)). round6 outputs;
+    rank = (round6(jlh) DESC, term ASC) per facet, top-k.
 
     Plan: one postings⋈forward-index join into a map-combinable
     (facet, term) count; marginals broadcast onto the facets×vocab frame

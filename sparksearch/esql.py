@@ -965,16 +965,17 @@ def _final_sort_order(body: list[_Tok]) -> list:
         )
     p = _Parser(sort_stage)
     p.expect("kw", "SORT")
-    order = []
+    order, names = [], []
     while True:
         col = p.expect("id").text
         desc = bool(p.accept("kw", "DESC"))
         if not desc:
             p.accept("kw", "ASC")
         order.append(F.desc(col) if desc else F.asc(col))
+        names.append(col)
         if not p.accept("op", ","):
             break
-    return order
+    return order, names
 
 
 #: Frames persist()ed by compiled FORK stages (the parent frame feeding
@@ -1323,6 +1324,16 @@ def _run_stages(
                     if p.accept("op", "*"):
                         parts.append("*")
                     elif not p.done() and p.peek().kind == "id":
+                        if parts and parts[-1] != "*":
+                            # two bare identifiers in a row = a missing
+                            # comma ('KEEP user id'), not a pattern —
+                            # silently merging them could resolve to a
+                            # REAL column ('userid') and keep the wrong
+                            # data
+                            raise EsqlError(
+                                f"{cmd}: missing ',' before "
+                                f"{p.peek().text!r}"
+                            )
                         parts.append(p.next().text)
                     else:
                         break
@@ -1473,12 +1484,31 @@ def _run_stages(
                 if next_is_fuse:
                     # FUSE ranks each branch by its OWN row order — ES
                     # derives it from the result-set positions; here the
-                    # branch's final SORT spec (which must be a total
-                    # order) is re-applied as a row_number. The window is
-                    # global over ONE branch's page — result sets are
+                    # branch's final SORT spec is re-applied as a
+                    # row_number. The sort MUST be a total order per key
+                    # (invariant #1: a tie would rank by partition
+                    # arrival order, silently nondeterministic) — the
+                    # compiler enforces the checkable core: every FUSE
+                    # key column appears in the branch's SORT, so rows of
+                    # distinct keys can never tie. The window is global
+                    # over ONE branch's page — result sets are
                     # LIMIT-bounded by construction, so the single
                     # partition holds a page, never a corpus.
-                    order = _final_sort_order(body)
+                    order, sort_names = _final_sort_order(body)
+                    fuse_keys = [t.text for t in nxt[1:] if t.kind == "id"]
+                    # keys absent from the branch's columns entirely get
+                    # FUSE's clearer "keys absent" error instead
+                    missing_keys = [
+                        k for k in fuse_keys
+                        if k in sub.columns and k not in sort_names
+                    ]
+                    if missing_keys:
+                        raise EsqlError(
+                            "FUSE branch SORT must include every FUSE key "
+                            f"as a tiebreaker (missing: {missing_keys}) — "
+                            "ties would make the RRF ranks "
+                            "nondeterministic"
+                        )
                     sub = sub.withColumn(
                         "_rank",
                         F.row_number().over(Window.orderBy(*order)).cast("long"),

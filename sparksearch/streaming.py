@@ -450,8 +450,13 @@ def counter_rate_stream(events_stream: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _r6(x: float):
+        # the canonical round6 mirror: quantize to the decimal(28,9) grid
+        # FIRST, then 6dp HALF_UP — a straight 1e-6 quantize diverges on
+        # dp7-13 ...4999 values (stats.round6's documented two-step)
         return float(
-            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            Decimal(repr(x))
+            .quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+            .quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
 
     def update(key, pdfs, state):

@@ -1213,14 +1213,20 @@ def bbq_ann_topk(
     )
 
 
+def bbq_word_sql(w: int) -> str:
+    """The DuckDB sign-bit packing expression for 32-bit word ``w`` —
+    ONE generator shared by every BBQ-packing oracle (bbq_ann_topk,
+    catalog_s12.ann_two_stage) so the twins cannot drift."""
+    return " + ".join(
+        f"(CASE WHEN v[{w * 32 + j + 1}] > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+
+
 def bbq_oracle_sql(k: int = 10) -> str:
     """DuckDB twin of bbq_ann_topk — the packing CASE terms are generated
     by the same loop shape as the Spark side."""
-    def word(w: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN v[{w * 32 + j + 1}] > 0.0 THEN {1 << j} ELSE 0 END)"
-            for j in range(32)
-        )
+    word = bbq_word_sql
 
     return f"""WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -31,7 +31,7 @@ from conftest import SF_SMOKE  # noqa: E402
 #: deliberately absent; extend only with types whose driver normalization
 #: is proven by a green driver row.
 ALLOWED_OUTPUT_TYPES = {"bigint", "int", "smallint", "tinyint",
-                        "double", "float", "string", "boolean", "date"}
+                        "double", "float", "string", "boolean"}
 
 
 def test_no_decimal_output_columns_catalog_wide(spark):
