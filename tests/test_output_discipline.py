@@ -43,15 +43,28 @@ def test_no_decimal_output_columns_catalog_wide(spark):
     import __spark_entry__ as contract
 
     bad: dict[str, list[str]] = {}
-    for name, fn in contract.queries().items():
-        df = fn(spark, str(SF_SMOKE))
-        offending = [
-            f"{f.name}:{f.dataType.simpleString()}"
-            for f in df.schema.fields
-            if f.dataType.simpleString() not in ALLOWED_OUTPUT_TYPES
-        ]
-        if offending:
-            bad[name] = offending
+    try:
+        for name, fn in contract.queries().items():
+            df = fn(spark, str(SF_SMOKE))
+            offending = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if f.dataType.simpleString() not in ALLOWED_OUTPUT_TYPES
+            ]
+            if offending:
+                bad[name] = offending
+    finally:
+        # constructing 294 entries persists frames (FORK parents, encoded
+        # ANN frames, shared corpus stats). A cached frame makes Catalyst
+        # substitute InMemoryTableScan into any LATER query that contains
+        # the same subtree — the plan-pin tests (test_plans.py, the tpch
+        # plan waves) would then see cached scans instead of the
+        # pushdown/join shapes they assert. Clear everything this sweep
+        # cached; persisted frames recompute deterministically.
+        from sparksearch import esql as _esql
+
+        _esql.release_cached_frames()
+        spark.catalog.clearCache()
     assert not bad, f"driver-unsafe output columns: {bad}"
 
 
